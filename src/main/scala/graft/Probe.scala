@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only probe main. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.printSchema()
+    ev.show(3, truncate = false)
+    SparkEntry.entry(spark).show(5, truncate = false)
+    spark.stop()
+  }
+}
