@@ -19,9 +19,44 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship E3 family (S5, P5-P9, W1-W3, A1-A2, O1-O2)
     "b3_flagship_summary" -> ((s, dir) => B3Pipeline.flagship(Tables.events(s, dir))),
     "b3_variations" -> ((s, dir) => B3Pipeline.variationsFrame(Tables.events(s, dir))),
     "b3_stats" -> ((s, dir) => B3Pipeline.stats(B3Pipeline.withVariations(B3Pipeline.prepare(Tables.events(s, dir))))),
+    // Column-op battery (P1-P9)
+    "p1_lit_add" -> ((s, dir) => ColumnOps.litAdd(Tables.orders(s, dir))),
+    "p2_bulk_rename" -> ((s, dir) => ColumnOps.bulkRename(Tables.lineitem(s, dir))),
+    "p3_guarded_rename" -> ((s, dir) => ColumnOps.guardedRename(Tables.orders(s, dir))),
+    "p4_dataproc" -> ((s, dir) => ColumnOps.dataprocColumn(Tables.orders(s, dir))),
+    "p5_null_filter" -> ((s, dir) => ColumnOps.nullFilter(Tables.lineitem(s, dir))),
+    "p6_date_parts" -> ((s, dir) => ColumnOps.dateParts(Tables.orders(s, dir))),
+    "p8_targeted_renames" -> ((s, dir) => ColumnOps.targetedRenames(Tables.lineitem(s, dir))),
+    "p9_projection" -> ((s, dir) => ColumnOps.projection(Tables.part(s, dir))),
+    // Aggregates (A1-A3 + parity)
+    "a1_multikey_summary" -> ((s, dir) => Aggregates.multiKeySummary(Tables.lineitem(s, dir))),
+    "a2_single_key_stats" -> ((s, dir) => Aggregates.singleKeyStats(Tables.customer(s, dir))),
+    "a3_count_all" -> ((s, dir) => Aggregates.countAll(Tables.lineitem(s, dir))),
+    "a4_distinct_count" -> ((s, dir) => Aggregates.distinctCount(Tables.lineitem(s, dir))),
+    "a5_rollup" -> ((s, dir) => Aggregates.rollupSummary(Tables.lineitem(s, dir))),
+    "a6_approx_distinct" -> ((s, dir) => Aggregates.approxDistinct(Tables.lineitem(s, dir))),
+    // Window family (W1-W3 + parity)
+    "w_rank_family" -> ((s, dir) => WindowOps.rankFamily(Tables.lineitem(s, dir))),
+    "w_moving_avg" -> ((s, dir) => WindowOps.movingAvg(Tables.events(s, dir))),
+    "w_running_totals" -> ((s, dir) => WindowOps.runningTotals(Tables.events(s, dir))),
+    "w_lead_first_last" -> ((s, dir) => WindowOps.leadFirstLast(Tables.events(s, dir))),
+    "w_distribution" -> ((s, dir) => WindowOps.distributionRanks(Tables.lineitem(s, dir))),
+    // Joins (parity surface, §2.7)
+    "j1_broadcast_dim" -> ((s, dir) => JoinOps.broadcastDim(Tables.nation(s, dir), Tables.region(s, dir))),
+    "j2_fact_join" -> ((s, dir) => JoinOps.factJoin(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "j3_left_outer" -> ((s, dir) => JoinOps.leftOuter(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "j4_semi_join" -> ((s, dir) => JoinOps.semiJoin(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "j5_anti_join" -> ((s, dir) => JoinOps.antiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "j6_star_join" -> ((s, dir) => JoinOps.starJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    // Set ops + top-k (U1, O3/O4)
+    "u1_union_by_name" -> ((s, dir) => SetOps.unionByNameRoundTrip(Tables.orders(s, dir))),
+    "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "u3_intersect" -> ((s, dir) => SetOps.intersectKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +143,118 @@ object SparkEntry {
         |       ROUND(AVG(variacao_7d), 2) AS media_variacao_7d,
         |       ROUND(AVG(variacao_30d), 2) AS media_variacao_30d
         |FROM vv GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "p1_lit_add" ->
+      "SELECT o_orderkey, o_totalprice, 'B3' AS source, '20240101' AS dataproc FROM orders ORDER BY o_orderkey",
+    "p2_bulk_rename" ->
+      "SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, l_quantity AS quantity, l_returnflag AS returnflag FROM lineitem ORDER BY orderkey, linenumber, quantity, l_partkey, l_suppkey, l_extendedprice",
+    "p3_guarded_rename" ->
+      "SELECT o_orderkey, o_orderdate AS date FROM orders ORDER BY o_orderkey",
+    "p4_dataproc" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS dataproc FROM orders ORDER BY o_orderkey",
+    "p5_null_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_quantity IS NOT NULL AND l_shipdate IS NOT NULL AND l_returnflag IS NOT NULL AND l_orderkey IS NOT NULL ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey, l_extendedprice",
+    "p6_date_parts" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS date, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year, CAST(EXTRACT(month FROM o_orderdate) AS INT) AS month FROM orders ORDER BY o_orderkey",
+    "p8_targeted_renames" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice AS preco_fechamento, l_quantity AS volume_negociado FROM lineitem ORDER BY l_orderkey, l_linenumber, volume_negociado, l_partkey, l_suppkey, preco_fechamento",
+    "p9_projection" ->
+      "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part ORDER BY p_partkey",
+    "a1_multikey_summary" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_registros,
+        | ROUND(SUM(l_quantity), 2) AS sum_qty,
+        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        | ROUND(MIN(l_extendedprice), 2) AS min_price,
+        | ROUND(MAX(l_extendedprice), 2) AS max_price,
+        | ROUND(AVG(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a2_single_key_stats" ->
+      """SELECT c_mktsegment, COUNT(*) AS total_registros,
+        | ROUND(AVG(c_acctbal), 2) AS media_acctbal,
+        | ROUND(MIN(c_acctbal), 2) AS menor_acctbal,
+        | ROUND(MAX(c_acctbal), 2) AS maior_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "a3_count_all" -> "SELECT COUNT(*) AS n FROM lineitem",
+    "a4_distinct_count" ->
+      "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "a5_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_registros,
+        | ROUND(SUM(l_quantity), 2) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        | CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "w_rank_family" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn,
+        | RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rnk,
+        | DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS drnk
+        |FROM lineitem ORDER BY l_orderkey, rn""".stripMargin,
+    "w_moving_avg" ->
+      """SELECT event_id, user_id, value,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE), 2) AS msum_7,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE) / COUNT(*) OVER w7, 4) AS mavg_7
+        |FROM events
+        |WINDOW w7 AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "w_running_totals" ->
+      """SELECT event_id, user_id, value,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wc AS DOUBLE), 2) AS running_sum,
+        | COUNT(*) OVER wc AS running_n
+        |FROM events
+        |WINDOW wc AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "w_lead_first_last" ->
+      """SELECT event_id, user_id, value,
+        | LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value,
+        | FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_value,
+        | LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w_distribution" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | ROW_NUMBER() OVER u AS rn,
+        | ROUND(PERCENT_RANK() OVER u, 6) AS pct_rank,
+        | ROUND(CUME_DIST() OVER u, 6) AS cume,
+        | NTILE(4) OVER u AS quartile
+        |FROM lineitem
+        |WINDOW u AS (PARTITION BY l_orderkey ORDER BY l_quantity, l_linenumber, l_partkey, l_suppkey, l_extendedprice)
+        |ORDER BY l_orderkey, rn""".stripMargin,
+    "j1_broadcast_dim" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    "j2_fact_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j3_left_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "j4_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j6_star_join" ->
+      """SELECT r_name, COUNT(*) AS n_lines,
+        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "u1_union_by_name" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
+    "u2_except" ->
+      "SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey AS key FROM orders ORDER BY key",
+    "u3_intersect" ->
+      "SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey AS key FROM orders ORDER BY key",
+    "o_topk" ->
+      "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
   )
 }

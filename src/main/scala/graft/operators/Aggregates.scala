@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Aggregation inventory (SURVEY.md §2.4, A1-A3) + parity extensions
+  * (distinct counts, rollup) implied by the Athena-SQL consumption surface
+  * (`/root/reference/README.md:17`).
+  *
+  * Reference shapes: multi-key 7-agg summary `b3_transform.py:88-112`,
+  * single-key stats `b3_transform.py:336-344`, count actions
+  * `b3_transform.py:242-352`.
+  *
+  * Scale notes: all are hash aggregates with map-side partial aggregation;
+  * the shuffle carries only (key, partial-state) pairs, so at 100 TB the
+  * exchanged bytes are proportional to group cardinality × partitions, not
+  * input rows. Sums of doubles are rounded on both engine and oracle side
+  * to absorb FP association order.
+  */
+object Aggregates {
+
+  /** A1 analog: multi-key group-by with the reference's 7-agg shape
+    * (count/sum/avg/min/max + two rounded averages) on lineitem.
+    */
+  def multiKeySummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("total_registros"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2 analog: single-key stats group-by (`b3_transform.py:336-344`). */
+  def singleKeyStats(customer: DataFrame): DataFrame =
+    customer
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("total_registros"),
+        round(avg("c_acctbal"), 2).as("media_acctbal"),
+        round(min("c_acctbal"), 2).as("menor_acctbal"),
+        round(max("c_acctbal"), 2).as("maior_acctbal"))
+      .orderBy("c_mktsegment")
+
+  /** A3: count action as a 1-row relation (`b3_transform.py:242` etc.). */
+  def countAll(lineitem: DataFrame): DataFrame =
+    lineitem.agg(count(lit(1)).as("n"))
+
+  /** Parity: exact distinct count per group — shuffle-heavy (two-phase
+    * expand+agg); for 100 TB cardinality estimation prefer
+    * [[approxDistinct]].
+    */
+  def distinctCount(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** Parity: HLL++ approximate distinct — single-pass, constant memory per
+    * group; the 100 TB-safe variant of [[distinctCount]]. Not
+    * oracle-compared (DuckDB's approx_count_distinct uses a different
+    * sketch); asserted within rsd in the test suite.
+    */
+  def approxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** Parity: rollup over two keys with grouping flags; ordered by grouping
+    * level then keys NULLS FIRST so engine and oracle row streams align.
+    */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("total_registros"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+}

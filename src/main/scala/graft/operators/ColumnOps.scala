@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / column-op inventory (SURVEY.md §2.2, P1-P9).
+  *
+  * Reference semantics from `/root/reference/src/glue/b3_collector.py`
+  * (normalize at :78, guarded rename at :88-95, dataproc at :106-107) and
+  * `/root/reference/src/glue/b3_transform.py` (null filter at :115-136,
+  * date prep at :41-46, renames at :62-64, projection at :294-297).
+  *
+  * All are narrow transformations — no shuffle, fully codegen'd, and the
+  * projections/filters sit directly over the scan so Catalyst pushes them
+  * into parquet (column pruning + row-group predicate pushdown). At 100 TB
+  * these run at scan speed.
+  */
+object ColumnOps {
+
+  /** P1: literal column add (`b3_collector.py:48` — `df['Ticker'] = t`). */
+  def litAdd(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("source", lit("B3"))
+      .withColumn("dataproc", lit("20240101"))
+      .orderBy("o_orderkey")
+
+  /** P2: bulk column rename — the reference lowercases and hyphenates all
+    * names in one shot (`b3_collector.py:78`); same one-shot `toDF` here,
+    * stripping the TPC-H `l_` prefix.
+    */
+  def bulkRename(lineitem: DataFrame): DataFrame = {
+    val renamed = lineitem.toDF(lineitem.columns.map(_.stripPrefix("l_")).toIndexedSeq: _*)
+    // Order by the verified-unique tuple BEFORE projecting (fixture
+    // lineitem duplicates (orderkey, linenumber)); projection preserves
+    // row order, so the emitted stream is total-ordered for the oracle.
+    renamed
+      .orderBy("orderkey", "linenumber", "quantity", "partkey", "suppkey", "extendedprice")
+      .select("orderkey", "linenumber", "quantity", "returnflag")
+  }
+
+  /** P3: guarded fallback rename (`b3_collector.py:88-95`) — rename the
+    * first matching candidate to `date` only if `date` is missing.
+    */
+  def guardedRename(orders: DataFrame): DataFrame = {
+    val candidates = Seq("date", "o_orderdate", "datetime", "timestamp")
+    val df =
+      if (orders.columns.contains("date")) orders
+      else candidates.drop(1).find(orders.columns.contains) match {
+        case Some(c) => orders.withColumnRenamed(c, "date")
+        case None    => orders
+      }
+    df.select("o_orderkey", "date").orderBy("o_orderkey")
+  }
+
+  /** P4: processing-date string column (`b3_collector.py:106-107` uses
+    * `now().strftime("%Y%m%d")`; a fixed source column keeps the oracle
+    * deterministic — the formatting op is the semantics under test).
+    */
+  def dataprocColumn(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("dataproc"))
+      .orderBy("o_orderkey")
+
+  /** P5: null-filter conjunction (`b3_transform.py:122-126`) — reference
+    * chains four filters; declared as one conjunction (Catalyst collapses
+    * either form to a single predicate pushed to parquet).
+    */
+  def nullFilter(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity").isNotNull && col("l_shipdate").isNotNull &&
+        col("l_returnflag").isNotNull && col("l_orderkey").isNotNull)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_partkey",
+        "l_suppkey", "l_extendedprice")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  /** P6+P7: cast→date and date-part extraction (`b3_transform.py:41-46`). */
+  def dateParts(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("date"),
+        year(to_date(col("o_orderdate"))).as("year"),
+        month(to_date(col("o_orderdate"))).as("month"))
+      .orderBy("o_orderkey")
+
+  /** P8: targeted renames (`b3_transform.py:62-64`). */
+  def targetedRenames(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumnRenamed("l_extendedprice", "preco_fechamento")
+      .withColumnRenamed("l_quantity", "volume_negociado")
+      .orderBy("l_orderkey", "l_linenumber", "volume_negociado", "l_partkey",
+        "l_suppkey", "preco_fechamento")
+      .select("l_orderkey", "l_linenumber", "preco_fechamento", "volume_negociado")
+
+  /** P9: column projection (`b3_transform.py:294-297`). */
+  def projection(part: DataFrame): DataFrame =
+    part.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+      .orderBy("p_partkey")
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join inventory — parity surface (SURVEY.md §2.7): the reference has
+  * zero joins, but its Athena-SQL consumption layer
+  * (`/root/reference/README.md:17`, Req. 8) implies standard equi-joins
+  * over the star schema.
+  *
+  * Scale notes (100 TB):
+  *  - Dimension joins use explicit `broadcast()` — no shuffle of the fact
+  *    side, the dim ships to every executor once.
+  *  - Fact-fact joins (lineitem⋈orders) are shuffle/sort-merge on the join
+  *    key; with AQE on, skewed keys are split at runtime.
+  *  - Semi/anti joins express EXISTS/NOT EXISTS without materializing the
+  *    right side's payload columns.
+  */
+object JoinOps {
+
+  /** Broadcast equi-join of two dims: nation⋈region. */
+  def broadcastDim(nation: DataFrame, region: DataFrame): DataFrame =
+    nation
+      .join(broadcast(region),
+        nation("n_regionkey") === region("r_regionkey"), "inner")
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+
+  /** Shuffle (sort-merge) fact⋈fact join + aggregate: lineitem⋈orders. */
+  def factJoin(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "inner")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** Left outer join keeping unmatched left rows: customer⋈orders counts. */
+  def leftOuter(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Semi-join (EXISTS): orders having at least one high-quantity line. */
+  def semiJoin(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_quantity") > 45),
+        orders("o_orderkey") === lineitem("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Anti-join (NOT EXISTS): customers with no orders. */
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Star join: fact + 3 broadcast dims, revenue per region (TPC-H
+    * Q5-shaped). Dims broadcast; only the lineitem⋈orders edge shuffles.
+    */
+  def starJoin(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("r_name")
+}

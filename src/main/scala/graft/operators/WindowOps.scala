@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function inventory (SURVEY.md §2.3, W1-W3) + the standard
+  * analytic family the Athena-SQL surface implies (ranking, frames,
+  * lead/first/last, ntile — SURVEY.md §2.3 note).
+  *
+  * The reference's only window op is row-offset `lag` 7/30
+  * (`/root/reference/src/glue/b3_transform.py:69-81`) — covered by
+  * [[B3Pipeline.withVariations]]. This file adds the parity family.
+  *
+  * Scale notes: every query here partitions its window by a key
+  * (`l_orderkey` / `user_id`) — never an empty partitionBy, which would
+  * funnel 100 TB through a single task. Functions sharing a (partition,
+  * order) pair share one WindowExec: one exchange + one sort total.
+  */
+object WindowOps {
+
+  /** Ranking family. `row_number` orders by a verified-unique key tuple
+    * (fixture lineitem duplicates `(l_orderkey, l_linenumber)` — ties would
+    * make it nondeterministic); `rank`/`dense_rank` order by quantity alone
+    * — tied rows get equal ranks, which IS deterministic. Output is totally
+    * ordered by `(l_orderkey, rn)`, unique by construction.
+    */
+  def rankFamily(lineitem: DataFrame): DataFrame = {
+    val unique = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_quantity").desc, col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+    val byQty = Window.partitionBy("l_orderkey").orderBy(col("l_quantity").desc)
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        row_number().over(unique).as("rn"),
+        rank().over(byQty).as("rnk"),
+        dense_rank().over(byQty).as("drnk"))
+      .orderBy("l_orderkey", "rn")
+  }
+
+  /** Moving sum + average over a bounded 7-row frame — the 7-period
+    * pattern of the reference's lag analysis as a frame aggregate.
+    *
+    * Frame sums go through decimal(18,2) (fixture `value` is exactly
+    * 2-decimal, so the cast is lossless): engines may associate
+    * floating-point frame sums differently (segment trees vs rescans),
+    * which flips round() at boundaries — decimal arithmetic is exact and
+    * engine-independent. The avg divides two bit-identical operands, so it
+    * is exact on both sides too.
+    */
+  def movingAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-6, Window.currentRow)
+    val msum = sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+    val cnt = count(lit(1)).over(w)
+    // mavg rounds at 4 decimals, not 2: sum/count of 2-decimal values with
+    // count ≤ 7 can land exactly on a .005 boundary (e.g. 144.17/2 =
+    // 72.085), where Spark (decimal-string) and other engines (binary
+    // double) round in opposite directions. No such boundary exists at the
+    // 4th decimal for these denominators.
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(msum, 2).as("msum_7"),
+        round(msum / cnt, 4).as("mavg_7"))
+      .orderBy("event_id")
+  }
+
+  /** Running (cumulative) sum + count per key (decimal-exact, see
+    * [[movingAvg]]).
+    */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double"), 2)
+          .as("running_sum"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("event_id")
+  }
+
+  /** lead / first / last over one shared ordered window. */
+  def leadFirstLast(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(whole).as("first_value"),
+        last(col("value")).over(whole).as("last_value"))
+      .orderBy("event_id")
+  }
+
+  /** percent_rank / cume_dist / ntile quartiles per order. Window order is
+    * the verified-unique tuple (no peers → deterministic values); output
+    * totally ordered by `(l_orderkey, rn)`.
+    */
+  def distributionRanks(lineitem: DataFrame): DataFrame = {
+    val unique = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_quantity"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        row_number().over(unique).as("rn"),
+        round(percent_rank().over(unique), 6).as("pct_rank"),
+        round(cume_dist().over(unique), 6).as("cume"),
+        ntile(4).over(unique).as("quartile"))
+      .orderBy("l_orderkey", "rn")
+  }
+}
