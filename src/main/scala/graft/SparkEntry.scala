@@ -52,6 +52,18 @@ object SparkEntry {
     "j4_semi_join" -> ((s, dir) => JoinOps.semiJoin(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "j5_anti_join" -> ((s, dir) => JoinOps.antiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
     "j6_star_join" -> ((s, dir) => JoinOps.starJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    // LLM-pipeline tier: dedup / text analysis / similarity search
+    "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "d2_dup_stats" -> ((s, dir) => Dedup.dupStats(Tables.documents(s, dir))),
+    "d3_minhash_pairs" -> ((s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5)),
+    "d4_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)),
+    "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
+    "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
+    "t4_lang_stats" -> ((s, dir) => TextOps.langStats(Tables.documents(s, dir))),
+    "e1_json_extract" -> ((s, dir) => TextOps.jsonExtract(Tables.events(s, dir))),
+    "s1_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
+    "s2_ann_pairs" -> ((s, dir) => Similarity.nearNeighborPairs(Tables.embeddings(s, dir), minScore = 0.35, planes = 6)),
     // Set ops + top-k (U1, O3/O4)
     "u1_union_by_name" -> ((s, dir) => SetOps.unionByNameRoundTrip(Tables.orders(s, dir))),
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -256,5 +268,70 @@ object SparkEntry {
       "SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey AS key FROM orders ORDER BY key",
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    // LLM tier (d3/d4/s2 are hash-seeded — not SQL-expressible, rows-only)
+    "d1_exact_dedup" ->
+      "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
+    "d2_dup_stats" ->
+      "SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents GROUP BY lang ORDER BY lang",
+    "t1_token_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |         length(text) AS nc
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, nc, CAST(len(toks) AS INT) AS nt,
+        |   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS nb,
+        |   CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS nsw,
+        |   CAST(len(list_filter(toks, x -> length(x) > 25)) AS INT) AS nlong
+        |  FROM t
+        |)
+        |SELECT doc_id, nt AS n_tokens, nb AS n_bpeish, nc AS n_chars_calc,
+        |  nsw AS n_stopwords,
+        |  (CASE WHEN nc >= 100 AND nc <= 5000 THEN 1 ELSE 0 END
+        |   + CASE WHEN (nc - nt + 1) >= nt * 3 AND (nc - nt + 1) <= nt * 10 THEN 1 ELSE 0 END
+        |   + CASE WHEN nsw * 20 >= nt THEN 1 ELSE 0 END
+        |   + CASE WHEN nlong = 0 THEN 1 ELSE 0 END) AS quality_score
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t2_lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS nsw,
+        |   len(string_split(text, ' ')) AS nt
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN nsw * 20 >= nt THEN 'en' ELSE 'unknown' END AS predicted_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t3_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, md5(text) AS fp_md5,
+        |   CASE WHEN len(toks) >= 3
+        |        THEN list_transform(generate_series(1, len(toks) - 2),
+        |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |        ELSE [text] END AS shingles
+        |  FROM t
+        |)
+        |SELECT doc_id, fp_md5,
+        |  list_aggregate(list_transform(shingles, x -> md5(x)), 'min') AS fp_min_shingle
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t4_lang_stats" ->
+      "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(DISTINCT source) AS n_sources FROM documents GROUP BY lang ORDER BY lang",
+    "e1_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INT) AS k,
+        | CAST(props->>'$.k' AS INT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s1_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |)
+        |SELECT e.vec_id,
+        |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |        / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |           * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+        |FROM embeddings e, q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
   )
 }

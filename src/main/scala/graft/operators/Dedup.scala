@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.SimHash64.simhash64
+
+/** Deduplication family for the training-data pipeline tier: exact,
+  * MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard.
+  *
+  * Scale design (100 TB): NO all-pairs comparison anywhere. Every fuzzy
+  * variant goes shingle→signature→band→bucket-equi-join, so candidate
+  * generation is a hash shuffle on band values, and the quadratic step runs
+  * only WITHIN buckets (expected O(1) bucket sizes for non-duplicate data).
+  * A crossJoin-based version would pass sf0.1 and melt a 1000-executor
+  * cluster — the bucket-join is the whole point.
+  */
+object Dedup {
+
+  /** Exact dedup, deterministic representative: keep min doc_id per
+    * identical text (a `dropDuplicates` that doesn't depend on partition
+    * visit order — `dropDuplicates` keeps an arbitrary row, which is not
+    * oracle-comparable).
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Exact-dup statistics per language label. */
+  def dupStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"))
+      .orderBy("lang")
+
+  /** MinHash signatures: k independent permutations approximated by
+    * seeded xxhash64 over distinct 3-gram shingles. Pure codegen'd
+    * functions — no UDF, no MLlib vector conversion.
+    */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
+    val sh = array_distinct(shingles3(col("text")))
+    val sigCols = (0 until numHashes).map { k =>
+      array_min(transform(sh, s => xxhash64(lit(k), s)))
+    }
+    documents.select(col("doc_id"), array(sigCols: _*).as("minhash"))
+  }
+
+  /** LSH banding: split the signature into `bands` rows-per-band groups,
+    * hash each band → (band_id, band_hash) bucket keys, one row per band.
+    */
+  def lshBuckets(signatures: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))
+          .as("band_hash"))
+    }
+    signatures
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs: equi-join on (band_id, band_hash) — the LSH bucket
+    * join. Distinct because pairs can collide in several bands.
+    */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact n-gram Jaccard
+    * verification on the candidates only (never all pairs).
+    */
+  def nearDupPairs(documents: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val candidates = candidatePairs(lshBuckets(
+      minhashSignatures(documents, numHashes), bands, numHashes / bands))
+    val shingleSets = documents.select(col("doc_id"),
+      array_distinct(shingles3(col("text"))).as("sh"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    candidates
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprint via the custom Catalyst
+    * expression, candidates via 16-bit chunk banding (pigeonhole: any pair
+    * within Hamming distance 3 shares at least one of 4 chunks), verified
+    * with `bit_count(a XOR b)`.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = documents.select(col("doc_id"),
+      simhash64(tokens(col("text"))).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("chunk_id"),
+          (shiftrightunsigned(col("sig"), i * 16) bitwiseAND lit(0xFFFFL)).as("chunk_val"))
+      }: _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
+    val a = chunks.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = chunks.select(col("chunk_id"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_id", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`embeddings.embedding`,
+  * `array<float>`).
+  *
+  * Two tiers, per the design brief:
+  *  - [[bruteForceTopK]]: exact cosine top-k against one query vector —
+  *    a single scan with a fused codegen'd loop per row (the baseline, and
+  *    the correct choice whenever the query set is small: top-k via
+  *    TakeOrderedAndProject, no shuffle of the data).
+  *  - [[SimilarityIndex]]: random-hyperplane LSH bucketing — the scale
+  *    path. Signatures are computed once and written PARTITIONED BY bucket;
+  *    a query then reads only the probed buckets (real partition pruning at
+  *    the file level — at 100 TB the scan touches a few buckets, not the
+  *    corpus).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors of `queryVecId` (excluded from results).
+    * The 1-row query side is broadcast; no shuffle of the corpus; top-k is
+    * TakeOrderedAndProject (heap per partition, k rows to the driver).
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    embeddings
+      .join(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(cosineSim(col("embedding"), col("q_emb")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** All-pairs-free near-neighbor pairs: LSH signature → bucket equi-join
+    * → exact cosine on candidates only (same shape as MinHash dedup).
+    */
+  def nearNeighborPairs(embeddings: DataFrame, minScore: Double = 0.95,
+      planes: Int = 16): DataFrame = {
+    require(planes <= 30, "bucket is an int bitmask")
+    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+      SimilarityIndex.signature(col("embedding"), planes).as("bucket"))
+    val a = sigs.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = sigs.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineSim(col("emb_a"), col("emb_b")), 6).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy("vec_a", "vec_b")
+  }
+}
+
+/** Random-hyperplane LSH index over an embedding column.
+  *
+  * Hyperplanes are deterministic pseudo-random (hash-seeded, seed fixed) so
+  * index build and query agree without storing plane vectors.
+  */
+object SimilarityIndex {
+  final val Dim = 64
+  final val Seed = 42
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeComponent(plane: Int, d: Int): Double = {
+    // splitmix64-style scramble of (plane, d) — public-domain mixing constants
+    var z = (plane.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L + Seed
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z & 0xFFFFFL).toDouble / 0x80000L.toDouble - 1.0
+  }
+
+  /** Hyperplane as a literal array column (constant-folded, broadcast with
+    * the plan — no per-row hashing).
+    */
+  private def planeLit(plane: Int): org.apache.spark.sql.Column =
+    array((0 until Dim).map(d => lit(planeComponent(plane, d))): _*)
+
+  /** Sign-bit signature: bit i = (embedding · plane_i >= 0). Returns an
+    * int bucket in [0, 2^planes).
+    */
+  def signature(embedding: org.apache.spark.sql.Column, planes: Int = 16): org.apache.spark.sql.Column =
+    (0 until planes).map { i =>
+      val dot = aggregate(
+        zip_with(embedding, planeLit(i), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Build: signatures computed once, written partitioned by bucket —
+    * queries prune to probed buckets at the file level.
+    */
+  def writeIndex(embeddings: DataFrame, path: String, planes: Int = 16): Unit =
+    embeddings
+      .withColumn("bucket", signature(col("embedding"), planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Query: read ONLY the query vector's bucket partition (plus optional
+    * multiprobe neighbors at Hamming distance 1), exact cosine within.
+    */
+  def queryIndex(spark: SparkSession, path: String, queryVec: Array[Float],
+      k: Int, planes: Int = 16, multiprobe: Boolean = true): DataFrame = {
+    val qSig = signatureOf(queryVec, planes)
+    val probes: Seq[Int] =
+      if (multiprobe) qSig +: (0 until planes).map(i => qSig ^ (1 << i))
+      else Seq(qSig)
+    val qLit = array(queryVec.map(v => lit(v)).toIndexedSeq: _*)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*)) // partition pruning on disk
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosineSim(col("embedding"), qLit), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Driver-side signature of a query vector (mirrors [[signature]]). */
+  def signatureOf(vec: Array[Float], planes: Int = 16): Int =
+    (0 until planes).map { i =>
+      var dot = 0.0
+      var d = 0
+      while (d < math.min(vec.length, Dim)) { dot += vec(d) * planeComponent(i, d); d += 1 }
+      if (dot >= 0) 1 << i else 0
+    }.sum
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, countDistinct, length, lit, sum}
+import graft.functions.TextFunctions._
+
+/** Query-shaped text analysis + JSON extraction over `documents`/`events`
+  * (training-data pipeline tier).
+  */
+object TextOps {
+
+  /** Per-document token/char stats + integer quality score. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).as("n_chars_calc"),
+        stopwordCount(col("text")).as("n_stopwords"),
+        qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic vs the synthetic label. */
+  def langId(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        langIdHeuristic(col("text")).as("predicted_lang"))
+      .orderBy("doc_id")
+
+  /** Corpus stats per language label. */
+  def langStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  /** Document fingerprints: full-text md5 + min-shingle fingerprint. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        minShingleFingerprint(col("text")).as("fp_min_shingle"))
+      .orderBy("doc_id")
+
+  /** JSON extraction from `events.props` — both the string-path form
+    * (`get_json_object`) and the schema form (`from_json`).
+    */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.get_json_object(col("props"), "$.k")
+          .cast("int").as("k"),
+        org.apache.spark.sql.functions.from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_typed"))
+      .orderBy("event_id")
+}
