@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, batch-shaped feature extraction.
+  *
+  * The Spark-side plumbing — schema, partitioning, per-partition batch
+  * iteration, output shape — is real and tested. The actual media DECODE
+  * step is a clearly-marked deterministic stub ([[stubDecode]]): codec
+  * libraries are unavailable in this environment, and the engine contract
+  * is the dataflow, not the codec.
+  *
+  * Scale notes: payloads stay opaque binary end-to-end (never collected,
+  * never stringified); feature extraction is `mapPartitions` so any real
+  * decoder amortizes model/codec init per PARTITION, not per row — the
+  * same batch shape a vectorized (Arrow-batched) UDF gives.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))))
+
+  /** Build a media table from `documents`: payload = utf-8 bytes standing
+    * in for an encoded image; metadata carries mime + dimensions.
+    */
+  def fromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        lit("image/stub").as("mime"),
+        length(col("text")).as("n_bytes"),
+        (pmod(col("doc_id"), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height")).as("meta"))
+
+  /** STUB — deterministic fake decode standing in for a real image/audio
+    * decoder (e.g. JPEG → pixels). Real implementation would call the
+    * codec here; the contract (bytes in → fixed-length float features out)
+    * and everything around it is real.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    if (payload != null) {
+      var i = 0
+      while (i < payload.length) { hist((payload(i) & 0xFF) >> 4) += 1f; i += 1 }
+      val n = math.max(1, payload.length).toFloat
+      var b = 0
+      while (b < 16) { hist(b) /= n; b += 1 }
+    }
+    hist
+  }
+
+  /** Feature extraction over the media table: per-partition batch loop
+    * (decoder init once per partition), emitting `(media_id, features)`.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      // real decoder/model init would happen HERE, once per partition
+      rows.map { r =>
+        Row(r.getLong(0), stubDecode(r.getAs[Array[Byte]](1)).toIndexedSeq)
+      }
+    }(encoder)
+  }
+
+  /** Frame sampling for "video" payloads: slice the byte stream into n
+    * equal chunks (stub for keyframe extraction), exploded one row per
+    * frame — the schema/explode shape a real frame sampler produces.
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media
+      .select(col("media_id"), col("meta"),
+        posexplode(split_part_bytes(col("payload"), n)))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_payload")
+
+  /** Split a binary column into n contiguous chunks (codegen-friendly
+    * substring arithmetic — binary `substr` is a builtin).
+    */
+  private def split_part_bytes(payload: org.apache.spark.sql.Column, n: Int) = {
+    val len = length(payload)
+    // Column `/` is double division — floor to keep chunk boundaries
+    // integral (a fractional substr start silently misaligns chunks).
+    def bound(i: Int) = floor(len * i / n).cast("int")
+    array((0 until n).map { i =>
+      payload.substr(bound(i) + 1, bound(i + 1) - bound(i))
+    }: _*)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sink/catalog inventory (SURVEY.md §2.9, K1-K5).
+  *
+  * Reference: 1-level partitioned raw write (`b3_collector.py:179`),
+  * 2-level refined write (`b3_transform.py:309-312`), Glue-catalog
+  * create-or-update (`b3_collector.py:183-237`), MSCK partition recovery
+  * (`b3_collector.py:241-250`).
+  *
+  * Scale notes: Hive-style `partitionBy` directories are what make
+  * downstream partition pruning possible — the refined layout
+  * `dataproc=…/ticker=…` means a per-ticker query reads one directory out
+  * of thousands. Writers must avoid the small-files problem at 100 TB:
+  * callers repartition by the partition columns first so each partition
+  * directory gets few large files, not `numShufflePartitions` shards.
+  */
+object Sinks {
+
+  /** K1: 1-level partitioned parquet overwrite. */
+  def writePartitioned(df: DataFrame, path: String, col: String): Unit =
+    df.repartition(df.col(col))
+      .write.mode("overwrite").partitionBy(col).parquet(path)
+
+  /** K2: 2-level partitioned parquet overwrite (`dataproc`/`ticker`). */
+  def writePartitioned2(df: DataFrame, path: String, c1: String, c2: String): Unit =
+    df.repartition(df.col(c1), df.col(c2))
+      .write.mode("overwrite").partitionBy(c1, c2).parquet(path)
+
+  /** K3: catalog DDL — create-or-replace a partitioned external table over
+    * a parquet path (the `saveAsTable`/`tableExists` mapping of the
+    * boto3 create-or-update pattern).
+    */
+  def createOrReplaceExternal(spark: SparkSession, table: String, path: String,
+      partitionCols: Seq[String]): Unit = {
+    if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+    // Spark 4 requires the explicit column list form when PARTITIONED BY is
+    // present; derive it from the files (partition cols are inferred from
+    // the hive-style directory names).
+    val full = spark.read.parquet(path).schema
+    val colsDdl = full.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val partClause =
+      if (partitionCols.nonEmpty)
+        partitionCols.map(c => s"`$c`").mkString(" PARTITIONED BY (", ", ", ")")
+      else ""
+    spark.sql(
+      s"CREATE TABLE $table ($colsDdl) USING parquet OPTIONS (path '$path')$partClause")
+  }
+
+  /** K4: partition discovery (MSCK analog). */
+  def recoverPartitions(spark: SparkSession, table: String): Unit =
+    spark.catalog.recoverPartitions(table)
+
+  /** K3 managed variant: `saveAsTable` with partitioning. */
+  def saveAsManagedTable(df: DataFrame, table: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .format("parquet").saveAsTable(table)
+
+  /** K5: schema diagnostics (`printSchema`/`schema`/`columns`). */
+  def describe(df: DataFrame): (String, Seq[String]) =
+    (df.schema.treeString, df.columns.toIndexedSeq)
+}

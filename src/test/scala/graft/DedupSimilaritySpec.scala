@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, SimilarityIndex}
+import graft.functions.VectorFunctions
+
+/** LSH dedup + similarity: recall on planted near-duplicates, and the
+  * no-all-pairs scale guarantees (plan-level).
+  */
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog and runs far away " * 5
+
+  private def docs = Seq(
+    (0L, baseText),
+    (1L, baseText + "trailing extra tokens appended"), // near-dup of 0
+    (2L, "completely different content about spark query engines and columnar execution plans " * 4),
+    (3L, baseText), // exact dup of 0
+    (4L, "yet another unrelated document discussing distributed joins shuffles and partitions " * 4)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the min doc_id representative") {
+    val kept = Dedup.exactDedup(docs).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 2L, 4L)) // doc 3 deduped into doc 0
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"near-dup pair missed: $pairs")
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash plan has no cartesian/nested-loop join") {
+    val plan = Dedup.nearDupPairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("simhash: near-identical docs within small hamming, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 3L)).contains(0), s"exact dup must be hamming 0: $pairs")
+    assert(pairs.contains((0L, 1L)), s"near dup within hamming 10: $pairs")
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((2L, 4L)), s"$pairs")
+  }
+
+  private def plantedVectors = {
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val a = unit()
+    val aNear = a.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.02f else x }
+    val rows = (a +: aNear +: Array.fill(48)(unit())).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("brute-force top-k ranks the planted near-identical vector first") {
+    val top = Similarity.bruteForceTopK(plantedVectors, 0L, 5).collect()
+    assert(top.head.getLong(0) === 1L, top.mkString(","))
+    assert(top.head.getDouble(1) > 0.999)
+  }
+
+  test("custom cosine expression agrees with builtin composition") {
+    val two = plantedVectors.limit(10)
+      .select(col("vec_id"), col("embedding").as("a"))
+    val one = plantedVectors.limit(1).select(col("embedding").as("b"))
+    val joined = two.crossJoin(one)
+    val r = joined.select(
+      VectorFunctions.cosineSim(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineSimBuiltin(col("a"), col("b")).as("builtin")).collect()
+    r.foreach(row =>
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-12))
+  }
+
+  test("LSH near-neighbor pairs finds the planted pair without all-pairs") {
+    val pairs = Similarity.nearNeighborPairs(plantedVectors, minScore = 0.99, planes = 8)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("similarity index: partition-pruned query matches brute force top-k") {
+    val dir = tmpDir("simindex")
+    SimilarityIndex.writeIndex(plantedVectors, dir, planes = 4)
+    val q = plantedVectors.filter(col("vec_id") === 0L)
+      .collect().head.getSeq[Float](1).toArray
+    val got = SimilarityIndex.queryIndex(spark, dir, q, k = 3, planes = 4)
+    // planted near-dup lands in the same (or hamming-1) bucket → found
+    assert(got.collect().map(_.getLong(0)).contains(1L))
+    // partition pruning: the scan must read a strict subset of bucket dirs
+    val allBuckets = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val probed = SimilarityIndex.signatureOf(q, 4)
+    assert(allBuckets > 2, s"need multiple buckets for pruning, got $allBuckets")
+    val planStr = got.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), planStr)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.sources.{Ingest, Sinks}
+
+/** Serializable fetch stub — ships to executors in the distributed test
+  * (the spec class itself is not serializable).
+  */
+object FakeFetch extends Serializable {
+  private val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+  def apply(ticker: String): Seq[Row] = {
+    if (ticker == "FAIL3.SA") throw new RuntimeException("fetch failed")
+    (0 until 5).map(d => Row(new java.sql.Timestamp(base + d * 86400000L),
+      10.0, 12.0, 9.0, 11.0 + d, 1000L + d, 0.0, 0.0, ticker.stripSuffix(".SA")))
+  }
+}
+
+/** E1 ingest analog (S1/S2/S4, P2-P4) + sink/catalog family (K1-K5). */
+class IngestSinkSpec extends SparkTestBase {
+
+  private def fakeFetch(ticker: String): Seq[Row] = FakeFetch(ticker)
+
+  test("ingest isolates per-item failures and normalizes columns") {
+    val df = Ingest.ingest(spark, Seq("AAA.SA", "FAIL3.SA", "BBB.SA"), fakeFetch)
+    // failed ticker skipped: 2 tickers × 5 days
+    assert(df.count() === 10)
+    // P2 normalization produced the reference's hyphenated column
+    assert(df.columns.contains("stock-splits"))
+    // P4 dataproc is an 8-digit yyyyMMdd string
+    val dp = df.select("dataproc").distinct().collect()
+    assert(dp.length === 1 && dp.head.getString(0).matches("\\d{8}"))
+  }
+
+  test("distributed fetch runs on executors with error isolation") {
+    val df = Ingest.fetchDistributed(spark, Seq("AAA.SA", "FAIL3.SA", "BBB.SA"), FakeFetch.apply)
+    assert(df.count() === 10)
+    assert(df.schema.fieldNames.contains("ticker"))
+  }
+
+  test("K1/K2: partitioned writes produce hive-style directory layouts") {
+    val df = Ingest.ingest(spark, Seq("AAA.SA", "BBB.SA"), fakeFetch)
+    val p1 = tmpDir("sink1")
+    Sinks.writePartitioned(df, p1, "dataproc")
+    assert(new java.io.File(p1).listFiles().exists(_.getName.startsWith("dataproc=")))
+
+    val p2 = tmpDir("sink2")
+    Sinks.writePartitioned2(df, p2, "dataproc", "ticker")
+    val lvl1 = new java.io.File(p2).listFiles().filter(_.getName.startsWith("dataproc="))
+    assert(lvl1.nonEmpty)
+    val lvl2 = lvl1.head.listFiles().filter(_.getName.startsWith("ticker="))
+    assert(lvl2.map(_.getName).toSet === Set("ticker=AAA", "ticker=BBB"))
+    // round-trip with partition discovery
+    val back = spark.read.parquet(p2)
+    assert(back.count() === 10)
+    assert(back.schema.fieldNames.contains("ticker"))
+  }
+
+  test("K3/K4: external table create-or-replace + recoverPartitions") {
+    val df = Ingest.ingest(spark, Seq("AAA.SA", "BBB.SA"), fakeFetch)
+    val path = tmpDir("ext")
+    Sinks.writePartitioned2(df, path, "dataproc", "ticker")
+    Sinks.createOrReplaceExternal(spark, "stocks_ext", path, Seq("dataproc", "ticker"))
+    Sinks.recoverPartitions(spark, "stocks_ext")
+    assert(spark.table("stocks_ext").count() === 10)
+    // create-or-update: second call must replace, not fail
+    Sinks.createOrReplaceExternal(spark, "stocks_ext", path, Seq("dataproc", "ticker"))
+    Sinks.recoverPartitions(spark, "stocks_ext")
+    assert(spark.table("stocks_ext").count() === 10)
+  }
+
+  test("K3: saveAsTable managed variant + tableExists probe") {
+    val df = Ingest.ingest(spark, Seq("AAA.SA"), fakeFetch)
+    Sinks.saveAsManagedTable(df, "stocks_managed", Seq("ticker"))
+    assert(spark.catalog.tableExists("stocks_managed"))
+    assert(spark.table("stocks_managed").count() === 5)
+  }
+
+  test("K5: schema diagnostics") {
+    val df = Ingest.ingest(spark, Seq("AAA.SA"), fakeFetch)
+    val (tree, cols) = Sinks.describe(df)
+    assert(tree.contains("stock-splits"))
+    assert(cols.contains("dataproc"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalacheck.Gen
+
+/** Property tests with raw ScalaCheck generators (the scalatest-scalacheck
+  * bridge isn't in the offline cache): variation-formula invariants +
+  * custom-expression kernel laws (SURVEY.md §5.3).
+  */
+class PropertySpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private def variation(cur: Double, prev: Double): Double =
+    BigDecimal((cur - prev) / prev * 100)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val price = Gen.choose(1.0, 1000.0)
+    .map(v => math.rint(v * 100) / 100)
+
+  test("variation sign agrees with price direction; zero for equal prices") {
+    samples(Gen.zip(price, price)).foreach { case (cur, prev) =>
+      val v = variation(cur, prev)
+      if (math.abs(cur - prev) / prev >= 0.0001)
+        assert(v.sign == (cur - prev).sign || v == 0.0, s"cur=$cur prev=$prev v=$v")
+      assert(variation(prev, prev) === 0.0)
+    }
+  }
+
+  test("variation is scale-invariant (to rounding)") {
+    samples(Gen.zip(price, price, Gen.choose(1, 100))).foreach { case (cur, prev, k) =>
+      assert(math.abs(variation(cur * k, prev * k) - variation(cur, prev)) <= 0.02,
+        s"cur=$cur prev=$prev k=$k")
+    }
+  }
+
+  test("simhash kernel: deterministic, order-insensitive to duplicates-free permutation sensitivity bound") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(tokens: Seq[String]): Long =
+      graft.functions.SimHashUtil.simhash(
+        ArrayData.toArrayData(tokens.map(UTF8String.fromString).toArray))
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))
+    samples(tokGen, 100).foreach { toks =>
+      assert(sig(toks) === sig(toks))
+      // simhash is a bag fingerprint: order must not matter
+      assert(sig(toks) === sig(scala.util.Random.shuffle(toks)))
+    }
+    assert(sig(Seq("aa", "bb", "cc")) !== sig(Seq("xx", "yy", "zz")))
+  }
+
+  test("cosine kernel: self-similarity 1, symmetric, bounded") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.VectorUtil.cosine(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+    val vecGen = Gen.listOfN(8, Gen.choose(-1.0f, 1.0f))
+      .map(_.toArray).suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+    samples(Gen.zip(vecGen, vecGen), 100).foreach { case (a, b) =>
+      assert(math.abs(cos(a, a) - 1.0) < 1e-9)
+      assert(cos(a, b) === cos(b, a))
+      assert(cos(a, b) >= -1.0 - 1e-9 && cos(a, b) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("quality score is always in [0, 4] and stopword count <= token count") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+    import graft.functions.TextFunctions._
+    val r = docs.select(
+      qualityScore(col("text")).as("q"),
+      stopwordCount(col("text")).as("sw"),
+      tokenCount(col("text")).as("nt")).collect()
+    r.foreach { row =>
+      assert(row.getInt(0) >= 0 && row.getInt(0) <= 4)
+      assert(row.getInt(1) <= row.getInt(2))
+    }
+  }
+}

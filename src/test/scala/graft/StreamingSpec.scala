@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStream, UserEvent}
+
+/** T2 streaming parity: file-source micro-batch over parquet drops with
+  * Trigger.AvailableNow, watermarked windowed aggregation, and custom
+  * state via mapGroupsWithState — results cross-checked against the
+  * equivalent batch computation.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Stage the sf0.001 events table as a "raw drop" directory. */
+  private def stageRawDir(): (String, org.apache.spark.sql.DataFrame) = {
+    val batch = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = tmpDir("rawdrops")
+    batch.coalesce(2).write.mode("overwrite").parquet(dir)
+    (dir, spark.read.parquet(dir))
+  }
+
+  test("windowed counts over AvailableNow file stream match batch") {
+    val (dir, batch) = stageRawDir()
+    val streamed = EventStream.windowedCounts(
+      EventStream.readRaw(spark, dir, batch.schema))
+    val got = EventStream.runAvailableNow(spark, streamed, "win_counts",
+      tmpDir("ckpt"), outputMode = "complete")
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val want = batch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("mapGroupsWithState accumulates per-user running state") {
+    val (dir, batch) = stageRawDir()
+    val streamed = EventStream.runningUserState(
+      EventStream.readRaw(spark, dir, batch.schema)
+        .select("event_id", "user_id", "value").as[UserEvent])
+    val got = EventStream.runAvailableNow(spark, streamed.toDF(), "user_state",
+      tmpDir("ckpt2"), outputMode = "update")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val want = batch.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("AvailableNow is exactly-once per file: second run with same checkpoint emits nothing new") {
+    val (dir, batch) = stageRawDir()
+    val ckpt = tmpDir("ckpt3")
+    val build = () => EventStream.windowedCounts(
+      EventStream.readRaw(spark, dir, batch.schema))
+    EventStream.runAvailableNow(spark, build(), "once_a", ckpt, "complete")
+    assert(spark.table("once_a").count() > 0)
+    // same checkpoint, no new files → zero batches run, so the fresh
+    // memory table stays empty: the files were NOT reprocessed
+    EventStream.runAvailableNow(spark, build(), "once_b", ckpt, "complete")
+    assert(spark.table("once_b").count() === 0)
+  }
+}
