@@ -37,17 +37,18 @@ object Dedup {
         countDistinct(col("text")).as("n_unique"))
       .orderBy("lang")
 
-  /** MinHash signatures: k independent permutations approximated by
-    * seeded xxhash64 over distinct 3-gram shingles. Pure codegen'd
-    * functions — no UDF, no MLlib vector conversion.
+  /** MinHash signatures: k independent permutations over distinct 3-gram
+    * shingles, computed in ONE pass by the custom [[graft.functions.MinHash]]
+    * expression (each shingle string hashed once, k cheap scrambles). The
+    * pure-builtin formulation (k × `array_min(transform(...))` columns)
+    * re-materializes the shingle array per signature element — measured
+    * ~50× slower at sf0.1 — because Catalyst's project collapse inlines
+    * the shared shingle subexpression into every column.
     */
-  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame = {
-    val sh = array_distinct(shingles3(col("text")))
-    val sigCols = (0 until numHashes).map { k =>
-      array_min(transform(sh, s => xxhash64(lit(k), s)))
-    }
-    documents.select(col("doc_id"), array(sigCols: _*).as("minhash"))
-  }
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame =
+    documents.select(col("doc_id"),
+      graft.functions.MinHash.minhashTokens(
+        tokens(col("text")), numHashes).as("minhash"))
 
   /** LSH banding: split the signature into `bands` rows-per-band groups,
     * hash each band → (band_id, band_hash) bucket keys, one row per band.
@@ -82,8 +83,16 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val candidates = candidatePairs(lshBuckets(
       minhashSignatures(documents, numHashes), bands, numHashes / bands))
-    val shingleSets = documents.select(col("doc_id"),
-      array_distinct(shingles3(col("text"))).as("sh"))
+    // Exact-verify ONLY docs that appear in some candidate pair: shingle
+    // materialization is the expensive step (interpreted higher-order
+    // functions), and candidates are a vanishing fraction of the corpus at
+    // scale — a semi join prunes the rest before any shingle is built.
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shingleSets = documents
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
     candidates
