@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{GraftShims, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimilarity, MinHash, MinHashTokens, SimHash64}
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (cluster-wide, the production path), or
+  *  - [[GraftFunctions.registerAll]] on a live session (notebooks, the
+  *    driver harness).
+  *
+  * After either, plain SQL can use `simhash64(array<string>)`,
+  * `cosine_similarity(array<float>, array<float>)`,
+  * `minhash(array<string>, k)`, `minhash_tokens(array<string>, k)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.specs.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftFunctions {
+  private def one(args: Seq[Expression]): Expression = args.head
+
+  private def intArg(args: Seq[Expression], pos: Int, default: Int): Int =
+    if (args.length > pos) args(pos).eval().toString.toInt else default
+
+  val specs: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (args => SimHash64(one(args))),
+    "cosine_similarity" -> (args => CosineSimilarity(args(0), args(1))),
+    "minhash" -> (args => MinHash(args.head, intArg(args, 1, 32))),
+    "minhash_tokens" -> (args => MinHashTokens(args.head, intArg(args, 1, 32))))
+
+  /** Register all custom functions on a live session. */
+  def registerAll(spark: SparkSession): Unit =
+    specs.foreach { case (name, builder) =>
+      GraftShims.registerFunction(spark, name, builder)
+    }
+}

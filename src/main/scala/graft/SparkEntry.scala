@@ -32,6 +32,8 @@ object SparkEntry {
     "p6_date_parts" -> ((s, dir) => ColumnOps.dateParts(Tables.orders(s, dir))),
     "p8_targeted_renames" -> ((s, dir) => ColumnOps.targetedRenames(Tables.lineitem(s, dir))),
     "p9_projection" -> ((s, dir) => ColumnOps.projection(Tables.part(s, dir))),
+    "p10_string_funcs" -> ((s, dir) => ColumnOps.stringFuncs(Tables.part(s, dir))),
+    "p11_date_funcs" -> ((s, dir) => ColumnOps.dateFuncs(Tables.orders(s, dir))),
     // Aggregates (A1-A3 + parity)
     "a1_multikey_summary" -> ((s, dir) => Aggregates.multiKeySummary(Tables.lineitem(s, dir))),
     "a2_single_key_stats" -> ((s, dir) => Aggregates.singleKeyStats(Tables.customer(s, dir))),
@@ -39,6 +41,9 @@ object SparkEntry {
     "a4_distinct_count" -> ((s, dir) => Aggregates.distinctCount(Tables.lineitem(s, dir))),
     "a5_rollup" -> ((s, dir) => Aggregates.rollupSummary(Tables.lineitem(s, dir))),
     "a6_approx_distinct" -> ((s, dir) => Aggregates.approxDistinct(Tables.lineitem(s, dir))),
+    "a7_cube" -> ((s, dir) => Aggregates.cubeSummary(Tables.lineitem(s, dir))),
+    "a8_percentiles" -> ((s, dir) => Aggregates.percentiles(Tables.lineitem(s, dir))),
+    "a9_pivot" -> ((s, dir) => Aggregates.pivotSummary(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // Window family (W1-W3 + parity)
     "w_rank_family" -> ((s, dir) => WindowOps.rankFamily(Tables.lineitem(s, dir))),
     "w_moving_avg" -> ((s, dir) => WindowOps.movingAvg(Tables.events(s, dir))),
@@ -52,6 +57,7 @@ object SparkEntry {
     "j4_semi_join" -> ((s, dir) => JoinOps.semiJoin(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "j5_anti_join" -> ((s, dir) => JoinOps.antiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
     "j6_star_join" -> ((s, dir) => JoinOps.starJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "j7_range_join" -> ((s, dir) => JoinOps.rangeJoin(Tables.events(s, dir))),
     // LLM-pipeline tier: dedup / text analysis / similarity search
     "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d2_dup_stats" -> ((s, dir) => Dedup.dupStats(Tables.documents(s, dir))),
@@ -171,6 +177,24 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_extendedprice AS preco_fechamento, l_quantity AS volume_negociado FROM lineitem ORDER BY l_orderkey, l_linenumber, volume_negociado, l_partkey, l_suppkey, preco_fechamento",
     "p9_projection" ->
       "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part ORDER BY p_partkey",
+    "p10_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS lower_name, upper(p_brand) AS upper_brand,
+        | replace(p_name, ' ', '-') AS hyphen_name,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | substring(p_name, 1, 5) AS name5,
+        | CAST(length(p_name) AS INT) AS name_len,
+        | trim(p_name) AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "p11_date_funcs" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS date,
+        | CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INT) AS days_to_2026,
+        | CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow,
+        | CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "a1_multikey_summary" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_registros,
         | ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -197,6 +221,33 @@ object SparkEntry {
         | CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "a7_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_registros,
+        | ROUND(SUM(l_quantity), 2) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        | CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "a8_percentiles" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | ROUND(median(l_extendedprice), 4) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a9_pivot" ->
+      """SELECT o_orderpriority,
+        | ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+        | ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+        | ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j7_range_join" ->
+      """SELECT bucket, COUNT(*) AS n, ROUND(MIN(value), 2) AS min_v, ROUND(MAX(value), 2) AS max_v
+        |FROM events
+        |JOIN (VALUES ('low', 0.0, 100.0), ('mid', 100.0, 300.0), ('high', 300.0, 1000000000.0))
+        |  AS b(bucket, lo, hi)
+        |ON value >= lo AND value < hi
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "w_rank_family" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn,

@@ -73,6 +73,44 @@ object Aggregates {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Parity: CUBE over two keys (all 4 grouping sets). */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("total_registros"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Parity: exact interpolated percentiles + median per group (the
+    * Athena-SQL stats surface). For 100 TB cardinalities use
+    * `percentile_approx` instead — exact percentile sorts each group.
+    */
+  def percentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+        round(median(col("l_extendedprice")), 4).as("med"))
+      .orderBy("l_returnflag")
+
+  /** Parity: pivot (wide aggregation) — sum of quantity per orderpriority,
+    * pivoted on returnflag. Pivot values are enumerated explicitly: an
+    * unenumerated pivot triggers a driver-side distinct-collect (a scale
+    * anti-pattern at 100 TB).
+    */
+  def pivotSummary(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy("o_orderpriority")
+
   /** Parity: rollup over two keys with grouping flags; ordered by grouping
     * level then keys NULLS FIRST so engine and oracle row streams align.
     */

@@ -97,4 +97,35 @@ object ColumnOps {
   def projection(part: DataFrame): DataFrame =
     part.select("p_partkey", "p_name", "p_brand", "p_retailprice")
       .orderBy("p_partkey")
+
+  /** String-function battery (§2.8 parity: the reference's driver-side
+    * `.lower()`/`.replace()`/f-strings as column ops).
+    */
+  def stringFuncs(part: DataFrame): DataFrame =
+    part.select(col("p_partkey"),
+      lower(col("p_name")).as("lower_name"),
+      upper(col("p_brand")).as("upper_brand"),
+      regexp_replace(col("p_name"), " ", "-").as("hyphen_name"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      length(col("p_name")).as("name_len"),
+      trim(col("p_name")).as("trimmed"))
+      .orderBy("p_partkey")
+
+  /** Date-function battery (§2.8 parity around the `dataproc`/`to_date`
+    * family).
+    */
+  def dateFuncs(orders: DataFrame): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    orders.select(col("o_orderkey"),
+      d.as("date"),
+      date_add(d, 30).as("plus_30d"),
+      add_months(d, 1).as("plus_1m"),
+      last_day(d).as("month_end"),
+      trunc(d, "month").as("month_start"),
+      datediff(lit(java.sql.Date.valueOf("2026-01-01")), d).as("days_to_2026"),
+      dayofweek(d).as("dow"),
+      quarter(d).as("q"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -59,6 +59,28 @@ object JoinOps {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** Non-equi (range) join: bucket events by value range. The range table
+    * is a tiny literal relation → broadcast nested-loop is the RIGHT plan
+    * here (small side × stream); a fact-fact range join would instead need
+    * a band/bucketing strategy.
+    */
+  def rangeJoin(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val buckets = Seq(
+      ("low", 0.0, 100.0), ("mid", 100.0, 300.0), ("high", 300.0, 1e9))
+      .toDF("bucket", "lo", "hi")
+    events
+      .join(broadcast(buckets),
+        events("value") >= buckets("lo") && events("value") < buckets("hi"),
+        "inner")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 2).as("min_v"),
+        round(max("value"), 2).as("max_v"))
+      .orderBy("bucket")
+  }
+
   /** Star join: fact + 3 broadcast dims, revenue per region (TPC-H
     * Q5-shaped). Dims broadcast; only the lineitem⋈orders edge shuffles.
     */
