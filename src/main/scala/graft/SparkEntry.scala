@@ -44,6 +44,8 @@ object SparkEntry {
     "a7_cube" -> ((s, dir) => Aggregates.cubeSummary(Tables.lineitem(s, dir))),
     "a8_percentiles" -> ((s, dir) => Aggregates.percentiles(Tables.lineitem(s, dir))),
     "a9_pivot" -> ((s, dir) => Aggregates.pivotSummary(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "a10_collect" -> ((s, dir) => Aggregates.collectAggregates(Tables.lineitem(s, dir))),
+    "t5_explode_tokens" -> ((s, dir) => TextOps.explodeTokens(Tables.documents(s, dir))),
     // Window family (W1-W3 + parity)
     "w_rank_family" -> ((s, dir) => WindowOps.rankFamily(Tables.lineitem(s, dir))),
     "w_moving_avg" -> ((s, dir) => WindowOps.movingAvg(Tables.events(s, dir))),
@@ -241,6 +243,15 @@ object SparkEntry {
         | ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a10_collect" ->
+      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        | CAST(COUNT(l_orderkey) AS INT) AS n_values
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "t5_explode_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+        |FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+        |ORDER BY doc_id, pos""".stripMargin,
     "j7_range_join" ->
       """SELECT bucket, COUNT(*) AS n, ROUND(MIN(value), 2) AS min_v, ROUND(MAX(value), 2) AS max_v
         |FROM events

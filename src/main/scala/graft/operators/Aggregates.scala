@@ -111,6 +111,18 @@ object Aggregates {
       .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
       .orderBy("o_orderpriority")
 
+  /** Parity: collection aggregates. `collect_list`/`collect_set` order is
+    * nondeterministic after a shuffle — wrapped in `array_sort` so the
+    * result is comparable (same rule a user needs for reproducible output).
+    */
+  def collectAggregates(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        size(collect_list(col("l_orderkey"))).as("n_values"))
+      .orderBy("l_returnflag")
+
   /** Parity: rollup over two keys with grouping flags; ordered by grouping
     * level then keys NULLS FIRST so engine and oracle row streams align.
     */

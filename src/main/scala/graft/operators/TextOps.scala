@@ -44,6 +44,17 @@ object TextOps {
         minShingleFingerprint(col("text")).as("fp_min_shingle"))
       .orderBy("doc_id")
 
+  /** Generator surface: posexplode of the token array (one row per token
+    * with its position — the engine's UDTF-shaped operation).
+    */
+  def explodeTokens(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(tokens(col("text"))))
+      .withColumnRenamed("pos", "pos")
+      .withColumnRenamed("col", "token")
+      .orderBy("doc_id", "pos")
+
   /** JSON extraction from `events.props` — both the string-path form
     * (`get_json_object`) and the schema form (`from_json`).
     */
