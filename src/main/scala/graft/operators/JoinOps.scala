@@ -59,6 +59,24 @@ object JoinOps {
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
 
+  /** Skew-resistant equi-join via key salting: the skewed (fact) side gets
+    * a deterministic salt derived from other columns, the small side is
+    * replicated `saltFactor`× — a hot key's rows spread over `saltFactor`
+    * reducers instead of melting one task. (AQE's skew-join split handles
+    * sort-merge cases adaptively; explicit salting is the portable fix and
+    * the only one available inside a single stage at 100 TB extremes.)
+    *
+    * `saltSource` must be deterministic per row (e.g. a row id) — never
+    * `rand()`, which breaks retry/replay semantics.
+    */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+      saltSource: org.apache.spark.sql.Column, saltFactor: Int): DataFrame = {
+    val salted = skewed.withColumn("_salt", pmod(xxhash64(saltSource), lit(saltFactor)))
+    val replicated = small
+      .withColumn("_salt", explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Non-equi (range) join: bucket events by value range. The range table
     * is a tiny literal relation → broadcast nested-loop is the RIGHT plan
     * here (small side × stream); a fact-fact range join would instead need

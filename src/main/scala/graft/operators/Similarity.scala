@@ -36,6 +36,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate DEDUP: cluster near-identical vectors
+    * (LSH candidates ≥ minScore) and keep the min-vec_id representative of
+    * each group. Representative choice is the transitive-closure-free
+    * greedy form (a row is dropped if ANY smaller-id near-dup exists) —
+    * one LSH pass + one aggregation, no iterative connected components.
+    */
+  def dedupByEmbedding(embeddings: DataFrame, minScore: Double = 0.99,
+      planes: Int = 16): DataFrame = {
+    val dupOf = nearNeighborPairs(embeddings, minScore, planes)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min("vec_a").as("dup_of"))
+    embeddings
+      .join(dupOf, Seq("vec_id"), "left")
+      .filter(col("dup_of").isNull)
+      .drop("dup_of")
+      .orderBy("vec_id")
+  }
+
   /** All-pairs-free near-neighbor pairs: LSH signature → bucket equi-join
     * → exact cosine on candidates only (same shape as MinHash dedup).
     */

@@ -58,6 +58,20 @@ object Sinks {
     df.write.mode("overwrite").partitionBy(partitionCols: _*)
       .format("parquet").saveAsTable(table)
 
+  /** Bucketed managed table: pre-shuffles data into `numBuckets` by the
+    * join key at WRITE time, so repeated joins/aggregations on that key
+    * skip their exchange entirely (SortMergeJoin over co-located buckets).
+    * The 100 TB pattern for fact-fact joins that recur: pay the shuffle
+    * once at ingest, never again at query time.
+    */
+  def saveBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K5: schema diagnostics (`printSchema`/`schema`/`columns`). */
   def describe(df: DataFrame): (String, Seq[String]) =
     (df.schema.treeString, df.columns.toIndexedSeq)

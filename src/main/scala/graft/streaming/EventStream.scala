@@ -53,6 +53,15 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: drop re-delivered events by id, with a
+    * watermark bounding the dedup state (ids older than the watermark are
+    * evicted — without it, state grows unboundedly at 100 TB/day rates).
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful streaming op: running per-user event count + last value via
     * `mapGroupsWithState` (the reference has no stateful analog; this is
     * the KeyValueGroupedDataset custom-state surface).

@@ -88,6 +88,14 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("embedding dedup drops the planted near-identical vector, keeps min id") {
+    val kept = Similarity.dedupByEmbedding(plantedVectors, minScore = 0.99, planes = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L), "representative (min id) must survive")
+    assert(!kept.contains(1L), "near-identical vector must be deduped")
+    assert(kept.size === 49, s"only the planted dup should drop: ${kept.size}")
+  }
+
   test("similarity index: partition-pruned query matches brute force top-k") {
     val dir = tmpDir("simindex")
     SimilarityIndex.writeIndex(plantedVectors, dir, planes = 4)

@@ -53,6 +53,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("streaming dedup-within-watermark drops re-delivered event ids") {
+    val batch = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = tmpDir("rawdup")
+    // write the same events TWICE (two files) — a redelivery scenario
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    batch.coalesce(1).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() === batch.count() * 2)
+    val streamed = EventStream.dedupedStream(
+      EventStream.readRaw(spark, dir, batch.schema))
+    val got = EventStream.runAvailableNow(spark, streamed, "dedup_stream",
+      tmpDir("ckpt4"), outputMode = "append")
+    assert(got.count() === batch.count(),
+      "each event_id must survive exactly once")
+  }
+
   test("AvailableNow is exactly-once per file: second run with same checkpoint emits nothing new") {
     val (dir, batch) = stageRawDir()
     val ckpt = tmpDir("ckpt3")
