@@ -60,6 +60,9 @@ object SparkEntry {
     "j5_anti_join" -> ((s, dir) => JoinOps.antiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
     "j6_star_join" -> ((s, dir) => JoinOps.starJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "j7_range_join" -> ((s, dir) => JoinOps.rangeJoin(Tables.events(s, dir))),
+    "j8_top_revenue" -> ((s, dir) => JoinOps.topRevenueOrders(Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), "BUILDING", 10)),
+    "p12_null_handling" -> ((s, dir) => ColumnOps.nullHandling(Tables.lineitem(s, dir))),
+    "w_range_frame" -> ((s, dir) => WindowOps.rangeFrame(Tables.events(s, dir))),
     // LLM-pipeline tier: dedup / text analysis / similarity search
     "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d2_dup_stats" -> ((s, dir) => Dedup.dupStats(Tables.documents(s, dir))),
@@ -324,6 +327,29 @@ object SparkEntry {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "u1_union_by_name" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
+    "j8_top_revenue" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "p12_null_handling" ->
+      """SELECT l_orderkey, l_linenumber,
+        | COALESCE(NULLIF(l_returnflag, 'A'), 'FILLED') AS rf_nullable,
+        | COALESCE(CASE WHEN l_returnflag = 'A' THEN NULL END, 'C') AS rf_coalesced,
+        | CAST(CASE WHEN l_returnflag = 'A' THEN NULL END IS NULL AS INT) AS was_null
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
+    "w_range_frame" ->
+      """SELECT event_id, user_id, value,
+        | COUNT(*) OVER wr AS n_in_range,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER wr AS DOUBLE), 2) AS sum_in_range
+        |FROM events
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY event_id RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "u2_except" ->
       "SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey AS key FROM orders ORDER BY key",
     "u3_intersect" ->

@@ -112,6 +112,27 @@ object ColumnOps {
       trim(col("p_name")).as("trimmed"))
       .orderBy("p_partkey")
 
+  /** Null-handling battery: nullif → na.fill / coalesce / isnull flags
+    * (the df.na surface; fixtures are null-free so nulls are introduced
+    * deterministically with nullif).
+    */
+  def nullHandling(lineitem: DataFrame): DataFrame = {
+    val withNulls = lineitem
+      .withColumn("rf_nullable",
+        when(col("l_returnflag") === "A", lit(null: String))
+          .otherwise(col("l_returnflag")))
+    withNulls
+      .na.fill(Map("rf_nullable" -> "FILLED"))
+      .withColumn("rf_coalesced",
+        coalesce(when(col("l_returnflag") === "A", lit(null: String)),
+          lit("C")))
+      .withColumn("was_null",
+        when(col("l_returnflag") === "A", lit(null: String)).isNull.cast("int"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_partkey",
+        "l_suppkey", "l_extendedprice")
+      .select("l_orderkey", "l_linenumber", "rf_nullable", "rf_coalesced", "was_null")
+  }
+
   /** Date-function battery (§2.8 parity around the `dataproc`/`to_date`
     * family).
     */

@@ -99,6 +99,22 @@ object JoinOps {
       .orderBy("bucket")
   }
 
+  /** Filter → join → aggregate → top-k (TPC-H Q3-shaped): revenue of the
+    * 10 biggest orders in a market segment. Filters apply BEFORE the join
+    * (Catalyst pushes them to both scans), top-k is TakeOrderedAndProject.
+    */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String, k: Int): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        orders("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(k)
+
   /** Star join: fact + 3 broadcast dims, revenue per region (TPC-H
     * Q5-shaped). Dims broadcast; only the lineitem⋈orders edge shuffles.
     */

@@ -91,6 +91,21 @@ object WindowOps {
       .orderBy("event_id")
   }
 
+  /** RANGE frame (vs ROWS): peers by ORDER-BY VALUE distance, not row
+    * position — count of events within 100 event_ids back per user.
+    * Decimal-exact sum as in [[movingAvg]].
+    */
+  def rangeFrame(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rangeBetween(-100, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        count(lit(1)).over(w).as("n_in_range"),
+        round(sum(col("value").cast("decimal(18,2)")).over(w).cast("double"), 2)
+          .as("sum_in_range"))
+      .orderBy("event_id")
+  }
+
   /** percent_rank / cume_dist / ntile quartiles per order. Window order is
     * the verified-unique tuple (no peers → deterministic values); output
     * totally ordered by `(l_orderkey, rn)`.
