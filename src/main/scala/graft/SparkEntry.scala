@@ -75,6 +75,9 @@ object SparkEntry {
     "e1_json_extract" -> ((s, dir) => TextOps.jsonExtract(Tables.events(s, dir))),
     "s1_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     "s2_ann_pairs" -> ((s, dir) => Similarity.nearNeighborPairs(Tables.embeddings(s, dir), minScore = 0.35, planes = 6)),
+    "m1_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .orderBy("media_id")),
     // Set ops + top-k (U1, O3/O4)
     "u1_union_by_name" -> ((s, dir) => SetOps.unionByNameRoundTrip(Tables.orders(s, dir))),
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
