@@ -89,37 +89,61 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    // b3 family: % variation and rounded averages mirrored in EXACT scaled-
+    // integer arithmetic (cents / basis points, half-away-from-zero via the
+    // floor((2n+d)/2d) identity) — Spark rounds a double's shortest decimal
+    // string while DuckDB rounds its binary value, so exact .5 halves
+    // diverge under naive ROUND; integer math is engine-independent.
     "b3_flagship_summary" ->
       """WITH prepared AS (
         |  SELECT event_id, user_id,
         |         CAST(ts AS DATE) AS date,
         |         EXTRACT(year FROM CAST(ts AS DATE)) AS year,
         |         EXTRACT(month FROM CAST(ts AS DATE)) AS month,
-        |         value AS preco_fechamento, event_id AS volume_negociado
+        |         value AS preco_fechamento,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         event_id AS volume_negociado
         |  FROM events
         |  WHERE value IS NOT NULL AND event_id IS NOT NULL
         |    AND user_id IS NOT NULL AND ts IS NOT NULL
         |), v AS (
         |  SELECT *,
-        |         LAG(preco_fechamento, 7)  OVER (PARTITION BY user_id ORDER BY event_id) AS preco_7d_atras,
-        |         LAG(preco_fechamento, 30) OVER (PARTITION BY user_id ORDER BY event_id) AS preco_30d_atras
+        |         LAG(preco_fechamento, 7)  OVER w AS preco_7d_atras,
+        |         LAG(preco_fechamento, 30) OVER w AS preco_30d_atras,
+        |         LAG(cents, 7)  OVER w AS c7,
+        |         LAG(cents, 30) OVER w AS c30
         |  FROM prepared
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |), vv AS (
         |  SELECT *,
-        |         CASE WHEN preco_7d_atras IS NOT NULL
-        |              THEN ROUND((preco_fechamento - preco_7d_atras) / preco_7d_atras * 100, 2) END AS variacao_7d,
-        |         CASE WHEN preco_30d_atras IS NOT NULL
-        |              THEN ROUND((preco_fechamento - preco_30d_atras) / preco_30d_atras * 100, 2) END AS variacao_30d
+        |    CASE WHEN c7 IS NOT NULL AND c7 > 0 THEN
+        |      CASE WHEN cents >= c7
+        |        THEN CAST(floor(((cents - c7) * 10000 * 2 + c7) / (c7 * 2.0)) AS BIGINT)
+        |        ELSE -CAST(floor(((c7 - cents) * 10000 * 2 + c7) / (c7 * 2.0)) AS BIGINT) END
+        |    END AS q7,
+        |    CASE WHEN c30 IS NOT NULL AND c30 > 0 THEN
+        |      CASE WHEN cents >= c30
+        |        THEN CAST(floor(((cents - c30) * 10000 * 2 + c30) / (c30 * 2.0)) AS BIGINT)
+        |        ELSE -CAST(floor(((c30 - cents) * 10000 * 2 + c30) / (c30 * 2.0)) AS BIGINT) END
+        |    END AS q30
         |  FROM v
         |)
         |SELECT user_id, CAST(year AS INT) AS year, CAST(month AS INT) AS month,
         |       COUNT(*) AS total_registros,
         |       CAST(SUM(volume_negociado) AS BIGINT) AS volume_total,
-        |       ROUND(AVG(preco_fechamento), 2) AS media_preco,
+        |       CAST(floor((SUM(cents) * 2 + COUNT(*)) / (COUNT(*) * 2.0)) AS BIGINT) / 100.0 AS media_preco,
         |       ROUND(MIN(preco_fechamento), 2) AS menor_preco,
         |       ROUND(MAX(preco_fechamento), 2) AS maior_preco,
-        |       ROUND(AVG(variacao_7d), 2) AS media_variacao_7d,
-        |       ROUND(AVG(variacao_30d), 2) AS media_variacao_30d
+        |       CASE WHEN COUNT(q7) > 0 THEN
+        |         CASE WHEN SUM(q7) >= 0
+        |           THEN CAST(floor((SUM(q7) * 2 + COUNT(q7)) / (COUNT(q7) * 2.0)) AS BIGINT) / 100.0
+        |           ELSE -CAST(floor(((-SUM(q7)) * 2 + COUNT(q7)) / (COUNT(q7) * 2.0)) AS BIGINT) / 100.0 END
+        |       END AS media_variacao_7d,
+        |       CASE WHEN COUNT(q30) > 0 THEN
+        |         CASE WHEN SUM(q30) >= 0
+        |           THEN CAST(floor((SUM(q30) * 2 + COUNT(q30)) / (COUNT(q30) * 2.0)) AS BIGINT) / 100.0
+        |           ELSE -CAST(floor(((-SUM(q30)) * 2 + COUNT(q30)) / (COUNT(q30) * 2.0)) AS BIGINT) / 100.0 END
+        |       END AS media_variacao_30d
         |FROM vv GROUP BY user_id, year, month
         |ORDER BY user_id, year, month""".stripMargin,
     "b3_variations" ->
@@ -128,46 +152,73 @@ object SparkEntry {
         |         CAST(ts AS DATE) AS date,
         |         CAST(EXTRACT(year FROM CAST(ts AS DATE)) AS INT) AS year,
         |         CAST(EXTRACT(month FROM CAST(ts AS DATE)) AS INT) AS month,
-        |         value AS preco_fechamento, event_id AS volume_negociado
+        |         value AS preco_fechamento,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         event_id AS volume_negociado
         |  FROM events
         |  WHERE value IS NOT NULL AND event_id IS NOT NULL
         |    AND user_id IS NOT NULL AND ts IS NOT NULL
         |), v AS (
         |  SELECT *,
-        |         LAG(preco_fechamento, 7)  OVER (PARTITION BY user_id ORDER BY event_id) AS preco_7d_atras,
-        |         LAG(preco_fechamento, 30) OVER (PARTITION BY user_id ORDER BY event_id) AS preco_30d_atras
+        |         LAG(preco_fechamento, 7)  OVER w AS preco_7d_atras,
+        |         LAG(preco_fechamento, 30) OVER w AS preco_30d_atras,
+        |         LAG(cents, 7)  OVER w AS c7,
+        |         LAG(cents, 30) OVER w AS c30
         |  FROM prepared
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |)
         |SELECT event_id, user_id, date, year, month, preco_fechamento, volume_negociado,
         |       preco_7d_atras, preco_30d_atras,
-        |       CASE WHEN preco_7d_atras IS NOT NULL
-        |            THEN ROUND((preco_fechamento - preco_7d_atras) / preco_7d_atras * 100, 2) END AS variacao_7d,
-        |       CASE WHEN preco_30d_atras IS NOT NULL
-        |            THEN ROUND((preco_fechamento - preco_30d_atras) / preco_30d_atras * 100, 2) END AS variacao_30d
+        |       CASE WHEN c7 IS NOT NULL AND c7 > 0 THEN
+        |         CASE WHEN cents >= c7
+        |           THEN CAST(floor(((cents - c7) * 10000 * 2 + c7) / (c7 * 2.0)) AS BIGINT) / 100.0
+        |           ELSE -CAST(floor(((c7 - cents) * 10000 * 2 + c7) / (c7 * 2.0)) AS BIGINT) / 100.0 END
+        |       END AS variacao_7d,
+        |       CASE WHEN c30 IS NOT NULL AND c30 > 0 THEN
+        |         CASE WHEN cents >= c30
+        |           THEN CAST(floor(((cents - c30) * 10000 * 2 + c30) / (c30 * 2.0)) AS BIGINT) / 100.0
+        |           ELSE -CAST(floor(((c30 - cents) * 10000 * 2 + c30) / (c30 * 2.0)) AS BIGINT) / 100.0 END
+        |       END AS variacao_30d
         |FROM v ORDER BY event_id""".stripMargin,
     "b3_stats" ->
       """WITH prepared AS (
-        |  SELECT event_id, user_id, value AS preco_fechamento
+        |  SELECT event_id, user_id, value AS preco_fechamento,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events
         |  WHERE value IS NOT NULL AND event_id IS NOT NULL
         |    AND user_id IS NOT NULL AND ts IS NOT NULL
         |), v AS (
         |  SELECT *,
-        |         LAG(preco_fechamento, 7)  OVER (PARTITION BY user_id ORDER BY event_id) AS preco_7d_atras,
-        |         LAG(preco_fechamento, 30) OVER (PARTITION BY user_id ORDER BY event_id) AS preco_30d_atras
+        |         LAG(cents, 7)  OVER w AS c7,
+        |         LAG(cents, 30) OVER w AS c30
         |  FROM prepared
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |), vv AS (
         |  SELECT *,
-        |         CASE WHEN preco_7d_atras IS NOT NULL
-        |              THEN ROUND((preco_fechamento - preco_7d_atras) / preco_7d_atras * 100, 2) END AS variacao_7d,
-        |         CASE WHEN preco_30d_atras IS NOT NULL
-        |              THEN ROUND((preco_fechamento - preco_30d_atras) / preco_30d_atras * 100, 2) END AS variacao_30d
+        |    CASE WHEN c7 IS NOT NULL AND c7 > 0 THEN
+        |      CASE WHEN cents >= c7
+        |        THEN CAST(floor(((cents - c7) * 10000 * 2 + c7) / (c7 * 2.0)) AS BIGINT)
+        |        ELSE -CAST(floor(((c7 - cents) * 10000 * 2 + c7) / (c7 * 2.0)) AS BIGINT) END
+        |    END AS q7,
+        |    CASE WHEN c30 IS NOT NULL AND c30 > 0 THEN
+        |      CASE WHEN cents >= c30
+        |        THEN CAST(floor(((cents - c30) * 10000 * 2 + c30) / (c30 * 2.0)) AS BIGINT)
+        |        ELSE -CAST(floor(((c30 - cents) * 10000 * 2 + c30) / (c30 * 2.0)) AS BIGINT) END
+        |    END AS q30
         |  FROM v
         |)
         |SELECT user_id, COUNT(*) AS total_registros,
-        |       ROUND(AVG(preco_fechamento), 2) AS media_preco,
-        |       ROUND(AVG(variacao_7d), 2) AS media_variacao_7d,
-        |       ROUND(AVG(variacao_30d), 2) AS media_variacao_30d
+        |       CAST(floor((SUM(cents) * 2 + COUNT(*)) / (COUNT(*) * 2.0)) AS BIGINT) / 100.0 AS media_preco,
+        |       CASE WHEN COUNT(q7) > 0 THEN
+        |         CASE WHEN SUM(q7) >= 0
+        |           THEN CAST(floor((SUM(q7) * 2 + COUNT(q7)) / (COUNT(q7) * 2.0)) AS BIGINT) / 100.0
+        |           ELSE -CAST(floor(((-SUM(q7)) * 2 + COUNT(q7)) / (COUNT(q7) * 2.0)) AS BIGINT) / 100.0 END
+        |       END AS media_variacao_7d,
+        |       CASE WHEN COUNT(q30) > 0 THEN
+        |         CASE WHEN SUM(q30) >= 0
+        |           THEN CAST(floor((SUM(q30) * 2 + COUNT(q30)) / (COUNT(q30) * 2.0)) AS BIGINT) / 100.0
+        |           ELSE -CAST(floor(((-SUM(q30)) * 2 + COUNT(q30)) / (COUNT(q30) * 2.0)) AS BIGINT) / 100.0 END
+        |       END AS media_variacao_30d
         |FROM vv GROUP BY user_id ORDER BY user_id""".stripMargin,
     "p1_lit_add" ->
       "SELECT o_orderkey, o_totalprice, 'B3' AS source, '20240101' AS dataproc FROM orders ORDER BY o_orderkey",

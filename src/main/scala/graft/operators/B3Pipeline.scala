@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,49 +48,94 @@ object B3Pipeline {
       .withColumnRenamed("value", "preco_fechamento")
       .withColumn("volume_negociado", col("event_id"))
 
+  /** Exact half-away-from-zero integer rounding of n/d (d > 0), for
+    * operands small enough that double division is exact (< 2^53): this is
+    * `round(n/d)` computed identically by ANY engine — no binary-double
+    * vs decimal-string rounding divergence (Spark rounds the shortest
+    * string of a double, other engines round its binary value; exact .5
+    * cases go opposite ways).
+    */
+  private def divHalfAway(n: Column, d: Column): Column =
+    when(n >= 0, floor((n * 2 + d) / (d * 2)))
+      .otherwise(-floor(((-n) * 2 + d) / (d * 2)))
+      .cast("long")
+
   /** W1-W3: lag 7/30 over a single window spec + conditional % variation
     * (`b3_transform.py:69-81`; formula documented at `:362`).
     * Window is ordered by the unique `event_id` (row-based periods, not
     * calendar days — matches the reference's row-offset `lag`).
+    *
+    * The % variation `round((cur-prev)/prev*100, 2)` is computed in exact
+    * integer arithmetic (prices are 2-decimal → cents are integers;
+    * variation in basis points via [[divHalfAway]]) and only converted to
+    * double at the end — engine-independent down to the bit. A zero/absent
+    * base price yields NULL (under Spark 4's default ANSI mode a bare x/0
+    * would ERROR; pre-ANSI Spark returned NULL).
     */
   def withVariations(prepared: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")
-    def variation(cur: String, prev: String) =
-      when(col(prev).isNotNull,
-        round((col(cur) - col(prev)) / col(prev) * 100, 2))
+    val cents = round(col("preco_fechamento") * 100).cast("long")
+    // Materialize each lag ONCE as a column before branching on it: a
+    // window expression referenced several times inside when/otherwise
+    // branches gets extracted into that many duplicate WindowExec slots
+    // (and here, split across two Window nodes) by Catalyst.
+    def variationQ(prevCents: Column): Column =
+      when(prevCents.isNotNull && prevCents > 0,
+        divHalfAway((cents - prevCents) * 10000, prevCents))
         .otherwise(lit(null))
     prepared
-      .withColumn("preco_7d_atras", lag(col("preco_fechamento"), 7).over(w))
-      .withColumn("preco_30d_atras", lag(col("preco_fechamento"), 30).over(w))
-      .withColumn("variacao_7d", variation("preco_fechamento", "preco_7d_atras"))
-      .withColumn("variacao_30d", variation("preco_fechamento", "preco_30d_atras"))
+      // one select emitting all four lags → ONE WindowExec (chained
+      // withColumns left Catalyst with two un-merged Window nodes)
+      .select(col("*"),
+        lag(col("preco_fechamento"), 7).over(w).as("preco_7d_atras"),
+        lag(col("preco_fechamento"), 30).over(w).as("preco_30d_atras"),
+        lag(cents, 7).over(w).as("_c7"),
+        lag(cents, 30).over(w).as("_c30"))
+      .withColumn("variacao_7d_q", variationQ(col("_c7")))
+      .withColumn("variacao_30d_q", variationQ(col("_c30")))
+      .withColumn("variacao_7d", col("variacao_7d_q") / 100.0)
+      .withColumn("variacao_30d", col("variacao_30d_q") / 100.0)
+      .drop("_c7", "_c30")
+  }
+
+  /** round(avg(x), 2) over 2-decimal data, exactly: scaled-integer sum →
+    * [[divHalfAway]] → /100. NULL when no rows (avg semantics).
+    */
+  private def exactRoundedAvg(scaled: Column): Column = {
+    val n = count(scaled)
+    when(n > 0, divHalfAway(sum(scaled), n).cast("double") / 100.0)
+      .otherwise(lit(null))
   }
 
   /** A1+O1: multi-key group-by summary with 7 aggregates + total sort
-    * (`b3_transform.py:88-112`, orderBy at `:106`).
+    * (`b3_transform.py:88-112`, orderBy at `:106`). Rounded averages use
+    * exact scaled-integer arithmetic (see [[withVariations]]); min/max of
+    * 2-decimal data round to themselves, so plain `round` is exact there.
     */
   def summary(withVars: DataFrame): DataFrame =
     withVars
+      .withColumn("preco_cents", round(col("preco_fechamento") * 100).cast("long"))
       .groupBy("user_id", "year", "month")
       .agg(
         count(lit(1)).as("total_registros"),
         sum("volume_negociado").as("volume_total"),
-        round(avg("preco_fechamento"), 2).as("media_preco"),
+        exactRoundedAvg(col("preco_cents")).as("media_preco"),
         round(min("preco_fechamento"), 2).as("menor_preco"),
         round(max("preco_fechamento"), 2).as("maior_preco"),
-        round(avg("variacao_7d"), 2).as("media_variacao_7d"),
-        round(avg("variacao_30d"), 2).as("media_variacao_30d"))
+        exactRoundedAvg(col("variacao_7d_q")).as("media_variacao_7d"),
+        exactRoundedAvg(col("variacao_30d_q")).as("media_variacao_30d"))
       .orderBy("user_id", "year", "month")
 
   /** A2+O2: single-key stats group-by (`b3_transform.py:336-344`). */
   def stats(withVars: DataFrame): DataFrame =
     withVars
+      .withColumn("preco_cents", round(col("preco_fechamento") * 100).cast("long"))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("total_registros"),
-        round(avg("preco_fechamento"), 2).as("media_preco"),
-        round(avg("variacao_7d"), 2).as("media_variacao_7d"),
-        round(avg("variacao_30d"), 2).as("media_variacao_30d"))
+        exactRoundedAvg(col("preco_cents")).as("media_preco"),
+        exactRoundedAvg(col("variacao_7d_q")).as("media_variacao_7d"),
+        exactRoundedAvg(col("variacao_30d_q")).as("media_variacao_30d"))
       .orderBy("user_id")
 
   /** Full flagship: scan → filter → prepare → window → summary. */
