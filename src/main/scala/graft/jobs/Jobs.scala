@@ -1,0 +1,74 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.B3Pipeline
+import graft.sources.{Ingest, Sinks}
+
+/** The reference's two job entry points, re-expressed as library mains
+  * (its control plane — EventBridge/Lambda/Glue — is out of engine scope,
+  * SURVEY.md §7 non-goals; these are the data-plane jobs a scheduler
+  * invokes).
+  */
+object CollectorJob {
+
+  /** E1: fetch per item (isolated) → normalize → stamp → 1-level
+    * partitioned raw write → catalog + partition recovery
+    * (`/root/reference/src/glue/b3_collector.py:114-253`).
+    * Returns the ingested row count (the reference logs it; we return it).
+    */
+  def run(spark: SparkSession, items: Seq[String], fetch: String => Seq[Row],
+      rawPath: String, table: Option[String] = None): Long = {
+    val df = Ingest.ingest(spark, items, fetch)
+    Sinks.writePartitioned(df, rawPath, "dataproc")
+    table.foreach { t =>
+      Sinks.createOrReplaceExternal(spark, t, rawPath, Seq("dataproc"))
+      Sinks.recoverPartitions(spark, t)
+    }
+    spark.read.parquet(rawPath).count()
+  }
+}
+
+object TransformJob {
+
+  /** E3: scan raw → flagship transform → 2-level partitioned refined
+    * write → catalog + partition recovery → summary/stats marts
+    * (`/root/reference/src/glue/b3_transform.py:202-383`). The reference's
+    * 7 eager count()/show() re-executions are NOT replicated (they recompute
+    * the uncached lineage; SURVEY.md §3.E3 anti-pattern note).
+    *
+    * `events`-shaped input (FIXTURES.md role mapping). Returns the refined
+    * frame count after write (single deliberate action).
+    */
+  def run(spark: SparkSession, rawEventsPath: String, refinedPath: String,
+      table: Option[String] = None): Long = {
+    val raw = spark.read.parquet(rawEventsPath)
+    val refined = B3Pipeline.withVariations(B3Pipeline.prepare(raw))
+      .withColumn("dataproc", date_format(col("date"), "yyyyMMdd"))
+    // partition by processing-date + series key, mirroring the reference's
+    // refined/dataproc=YYYYMMDD/ticker=X layout (b3_transform.py:315)
+    Sinks.writePartitioned2(
+      refined.select("event_id", "date", "year", "month", "preco_fechamento",
+        "volume_negociado", "preco_7d_atras", "preco_30d_atras",
+        "variacao_7d", "variacao_30d", "dataproc", "user_id"),
+      refinedPath, "dataproc", "user_id")
+    table.foreach { t =>
+      Sinks.createOrReplaceExternal(spark, t, refinedPath, Seq("dataproc", "user_id"))
+      Sinks.recoverPartitions(spark, t)
+    }
+    spark.read.parquet(refinedPath).count()
+  }
+
+  /** The post-write marts (A1/A2 consumption surface) over the refined
+    * layer — what Athena reads in the reference (Req. 8).
+    */
+  def summaryMart(spark: SparkSession, refinedPath: String): DataFrame =
+    B3Pipeline.summary(
+      spark.read.parquet(refinedPath)
+        // hive-style partition columns come back type-inferred from the
+        // directory strings (user_id=3 → int) — restore the source type
+        .withColumn("user_id", col("user_id").cast("long"))
+        .withColumn("variacao_7d_q", round(col("variacao_7d") * 100).cast("long"))
+        .withColumn("variacao_30d_q", round(col("variacao_30d") * 100).cast("long")))
+}
