@@ -61,6 +61,18 @@ object SparkEntry {
     "j6_star_join" -> ((s, dir) => JoinOps.starJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "j7_range_join" -> ((s, dir) => JoinOps.rangeJoin(Tables.events(s, dir))),
     "j8_top_revenue" -> ((s, dir) => JoinOps.topRevenueOrders(Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), "BUILDING", 10)),
+    "j9_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      import org.apache.spark.sql.functions.col
+      JoinOps.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value"),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("event_id").as("click_event_id"), col("value").as("click_value")),
+        key = "user_id", time = "event_id",
+        rightCols = Seq("click_event_id", "click_value"), outPrefix = "")
+        .orderBy("event_id")
+    }),
     "p12_null_handling" -> ((s, dir) => ColumnOps.nullHandling(Tables.lineitem(s, dir))),
     "w_range_frame" -> ((s, dir) => WindowOps.rangeFrame(Tables.events(s, dir))),
     // LLM-pipeline tier: dedup / text analysis / similarity search
@@ -68,6 +80,7 @@ object SparkEntry {
     "d2_dup_stats" -> ((s, dir) => Dedup.dupStats(Tables.documents(s, dir))),
     "d3_minhash_pairs" -> ((s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5)),
     "d4_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)),
+    "d5_corpus_signatures" -> ((s, dir) => Dedup.corpusSignatures(Tables.documents(s, dir))),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
@@ -390,6 +403,13 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "j9_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value,
+        | c.event_id AS click_event_id, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.event_id >= c.event_id
+        |ORDER BY p.event_id""".stripMargin,
     "p12_null_handling" ->
       """SELECT l_orderkey, l_linenumber,
         | COALESCE(NULLIF(l_returnflag, 'A'), 'FILLED') AS rf_nullable,

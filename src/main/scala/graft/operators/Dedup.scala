@@ -103,6 +103,20 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus-level signatures: one MinHash signature per group (language),
+    * via the custom union aggregator — estimates cross-group shingle
+    * overlap without touching document text again.
+    */
+  def corpusSignatures(documents: DataFrame, numHashes: Int = 32): DataFrame =
+    documents
+      .select(col("lang"),
+        graft.functions.MinHash.minhashTokens(tokens(col("text")), numHashes)
+          .as("minhash"))
+      .groupBy("lang")
+      .agg(graft.functions.MinHashUnionAgg.minhashUnion(col("minhash"), numHashes)
+        .as("corpus_signature"))
+      .orderBy("lang")
+
   /** SimHash near-dup: 64-bit fingerprint via the custom Catalyst
     * expression, candidates via 16-bit chunk banding (pigeonhole: any pair
     * within Hamming distance 3 shares at least one of 4 chunks), verified

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join inventory — parity surface (SURVEY.md §2.7): the reference has
@@ -58,6 +59,33 @@ object JoinOps {
       .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
+
+  /** AS-OF join — for each left row, the most recent right row at or
+    * before its time, per key. Spark has no native as-of join; preference
+    * ladder tier (a): COMPOSE existing operators — tag both sides, union,
+    * one windowed `last(_, ignoreNulls)` carry-forward, filter left rows.
+    *
+    * Scale shape: ONE shuffle (hash by key) + one sort — same cost as a
+    * single window query, no range-join row explosion and no per-row
+    * right-side probe. This is the plan a native AsOfJoinExec would want.
+    *
+    * Right rows sort BEFORE left rows at equal time (tag 0 < 1), giving
+    * inclusive `left.time >= right.time` semantics (DuckDB ASOF parity).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightCols: Seq[String], outPrefix: String = "asof_"): DataFrame = {
+    val rTagged = right.select(
+      (col(key) +: col(time).as("_t") +: rightCols.map(c => col(c).as("_r_" + c))): _*)
+      .withColumn("_tag", lit(0))
+    val lTagged = left.withColumn("_t", col(time)).withColumn("_tag", lit(1))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.select(col("*") +: rightCols.map(c =>
+      last(col("_r_" + c), ignoreNulls = true).over(w).as(outPrefix + c)): _*)
+    filled.filter(col("_tag") === 1)
+      .drop(rightCols.map("_r_" + _) :+ "_tag" :+ "_t": _*)
+  }
 
   /** Skew-resistant equi-join via key salting: the skewed (fact) side gets
     * a deterministic salt derived from other columns, the small side is
