@@ -81,8 +81,13 @@ object Dedup {
     */
   def nearDupPairs(documents: DataFrame, threshold: Double = 0.8,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    // The candidate set feeds BOTH the semi-join pruning and the pair
+    // join below — without materialization the whole signature+bucket
+    // lineage executes twice. localCheckpoint truncates the diamond DAG
+    // (candidates are tiny: pairs of ids).
     val candidates = candidatePairs(lshBuckets(
       minhashSignatures(documents, numHashes), bands, numHashes / bands))
+      .localCheckpoint(true)
     // Exact-verify ONLY docs that appear in some candidate pair: shingle
     // materialization is the expensive step (interpreted higher-order
     // functions), and candidates are a vanishing fraction of the corpus at
