@@ -51,7 +51,10 @@ object MinHashUnionAgg {
   /** Estimated Jaccard between two equal-length signatures (fraction of
     * agreeing components).
     */
-  def estimatedJaccard(a: Seq[Long], b: Seq[Long]): Double =
+  def estimatedJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    require(a.length == b.length,
+      s"signatures must use the same numHashes (${a.length} vs ${b.length})")
     if (a.isEmpty) 0.0
     else a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+  }
 }

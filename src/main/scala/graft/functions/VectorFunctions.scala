@@ -59,7 +59,77 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for random-hyperplane LSH signatures — ONE code path for
+  * executor-side (expression) and driver-side (query vector) signing, so
+  * index build and probe can never disagree. Planes are deterministic
+  * pseudo-random from a splitmix64 scramble of (plane, dim); the dot
+  * product runs over the VECTOR's own length (no fixed-dim assumption).
+  */
+object LshSignatureUtil {
+  final val Seed = 42
+
+  def planeComponent(plane: Int, d: Int): Double = {
+    var z = (plane.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L + Seed
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z & 0xFFFFFL).toDouble / 0x80000L.toDouble - 1.0
+  }
+
+  def signatureOf(vec: Array[Float], planes: Int): Int = {
+    var sig = 0
+    var i = 0
+    while (i < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) { dot += vec(d) * planeComponent(i, d); d += 1 }
+      if (dot >= 0) sig |= (1 << i)
+      i += 1
+    }
+    sig
+  }
+
+  def signature(vec: ArrayData, planes: Int): Int = {
+    var sig = 0
+    var i = 0
+    while (i < planes) {
+      var dot = 0.0
+      var d = 0
+      val n = vec.numElements()
+      while (d < n) { dot += vec.getFloat(d) * planeComponent(i, d); d += 1 }
+      if (dot >= 0) sig |= (1 << i)
+      i += 1
+    }
+    sig
+  }
+}
+
+/** Custom Catalyst expression: all-planes LSH signature in one fused pass
+  * (the builtin formulation runs `planes` separate interpreted
+  * zip_with+aggregate lambda chains per row).
+  */
+case class LshSignature(child: Expression, planes: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes > 0 && planes <= 30, "bucket is an int bitmask")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshSignatureUtil.signature(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshSignatureUtil.signature($c, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
+  /** Native LSH signature column (see [[LshSignature]]). */
+  def lshSignature(embedding: Column, planes: Int): Column =
+    GraftShims.toColumn(LshSignature(GraftShims.toExpression(embedding), planes))
+
   /** Native-expression cosine similarity (codegen'd fused loop). */
   def cosineSim(a: Column, b: Column): Column =
     GraftShims.toColumn(

@@ -41,17 +41,14 @@ object ColumnOps {
 
   /** P3: guarded fallback rename (`b3_collector.py:88-95`) — rename the
     * first matching candidate to `date` only if `date` is missing.
+    * Delegates to the single shared implementation in
+    * [[graft.sources.Ingest.ensureDateColumn]].
     */
-  def guardedRename(orders: DataFrame): DataFrame = {
-    val candidates = Seq("date", "o_orderdate", "datetime", "timestamp")
-    val df =
-      if (orders.columns.contains("date")) orders
-      else candidates.drop(1).find(orders.columns.contains) match {
-        case Some(c) => orders.withColumnRenamed(c, "date")
-        case None    => orders
-      }
-    df.select("o_orderkey", "date").orderBy("o_orderkey")
-  }
+  def guardedRename(orders: DataFrame): DataFrame =
+    graft.sources.Ingest
+      .ensureDateColumn(orders, candidates = Seq("o_orderdate", "datetime", "timestamp"))
+      .select("o_orderkey", "date")
+      .orderBy("o_orderkey")
 
   /** P4: processing-date string column (`b3_collector.py:106-107` uses
     * `now().strftime("%Y%m%d")`; a fixed source column keeps the oracle

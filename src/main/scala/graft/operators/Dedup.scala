@@ -80,14 +80,19 @@ object Dedup {
     * verification on the candidates only (never all pairs).
     */
   def nearDupPairs(documents: DataFrame, threshold: Double = 0.8,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8,
+      materializeCandidates: Boolean = false): DataFrame = {
     // The candidate set feeds BOTH the semi-join pruning and the pair
-    // join below — without materialization the whole signature+bucket
-    // lineage executes twice. localCheckpoint truncates the diamond DAG
-    // (candidates are tiny: pairs of ids).
-    val candidates = candidatePairs(lshBuckets(
+    // join below (a diamond DAG — the signature lineage executes twice
+    // when lazy). `materializeCandidates` truncates it via localCheckpoint
+    // for batch jobs; the default stays LAZY because checkpointing runs a
+    // Spark job at DataFrame-CONSTRUCTION time (surprising for explain/
+    // plan-inspection callers) and hides the candidate join from the plan.
+    val candidatesLazy = candidatePairs(lshBuckets(
       minhashSignatures(documents, numHashes), bands, numHashes / bands))
-      .localCheckpoint(true)
+    val candidates =
+      if (materializeCandidates) candidatesLazy.localCheckpoint(true)
+      else candidatesLazy
     // Exact-verify ONLY docs that appear in some candidate pair: shingle
     // materialization is the expensive step (interpreted higher-order
     // functions), and candidates are a vanishing fraction of the corpus at
@@ -123,17 +128,30 @@ object Dedup {
       .orderBy("lang")
 
   /** SimHash near-dup: 64-bit fingerprint via the custom Catalyst
-    * expression, candidates via 16-bit chunk banding (pigeonhole: any pair
-    * within Hamming distance 3 shares at least one of 4 chunks), verified
-    * with `bit_count(a XOR b)`.
+    * expression, candidates via chunk banding with `maxHamming + 1`
+    * chunks — the pigeonhole guarantee: a pair within Hamming distance
+    * `maxHamming` has at most `maxHamming` differing chunks, so at least
+    * one of the `maxHamming + 1` chunks matches exactly. Verified with
+    * `bit_count(a XOR b)`. Narrower chunks (higher maxHamming) mean more
+    * bucket collisions — at corpus scale keep maxHamming small.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      "need at least 2-bit chunks over 64 bits")
+    val numChunks = maxHamming + 1
+    // chunk i covers bits [start(i), start(i+1)) with widths differing by
+    // at most 1 (64 = numChunks * base + rem)
+    val base = 64 / numChunks
+    val rem = 64 % numChunks
+    def start(i: Int) = i * base + math.min(i, rem)
     val sigs = documents.select(col("doc_id"),
       simhash64(tokens(col("text"))).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map { i =>
+      explode(array((0 until numChunks).map { i =>
+        val width = start(i + 1) - start(i)
+        val mask = if (width == 64) -1L else (1L << width) - 1L
         struct(lit(i).as("chunk_id"),
-          (shiftrightunsigned(col("sig"), i * 16) bitwiseAND lit(0xFFFFL)).as("chunk_val"))
+          (shiftrightunsigned(col("sig"), start(i)) bitwiseAND lit(mask)).as("chunk_val"))
       }: _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
     val a = chunks.select(col("chunk_id"), col("chunk_val"),

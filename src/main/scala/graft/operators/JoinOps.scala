@@ -74,17 +74,29 @@ object JoinOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightCols: Seq[String], outPrefix: String = "asof_"): DataFrame = {
-    val rTagged = right.select(
-      (col(key) +: col(time).as("_t") +: rightCols.map(c => col(c).as("_r_" + c))): _*)
+    val internal = Seq("_t", "_tag", "_r_row")
+    require(internal.forall(c => !left.columns.contains(c)),
+      s"left input must not contain internal columns ${internal.mkString(", ")}")
+    require(rightCols.forall(c => !left.columns.contains(outPrefix + c)),
+      s"output columns ${rightCols.map(outPrefix + _).mkString(", ")} collide with left input")
+    // The matched right row travels as ONE struct: the struct is non-null
+    // for every right row even when its fields are null, so
+    // last(ignoreNulls) carries the row ATOMICALLY — per-column carry
+    // would skip a matched row's null field and resurrect a stale value
+    // from an older row (and could mix columns across rows).
+    val rTagged = right.select(col(key), col(time).as("_t"),
+      struct(rightCols.map(col): _*).as("_r_row"))
       .withColumn("_tag", lit(0))
     val lTagged = left.withColumn("_t", col(time)).withColumn("_tag", lit(1))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned.select(col("*") +: rightCols.map(c =>
-      last(col("_r_" + c), ignoreNulls = true).over(w).as(outPrefix + c)): _*)
+    val filled = unioned
+      .withColumn("_matched", last(col("_r_row"), ignoreNulls = true).over(w))
     filled.filter(col("_tag") === 1)
-      .drop(rightCols.map("_r_" + _) :+ "_tag" :+ "_t": _*)
+      .select(col("*") +: rightCols.map(c =>
+        col("_matched").getField(c).as(outPrefix + c)): _*)
+      .drop("_r_row", "_matched", "_tag", "_t")
   }
 
   /** Skew-resistant equi-join via key salting: the skewed (fact) side gets

@@ -76,38 +76,20 @@ object Similarity {
 /** Random-hyperplane LSH index over an embedding column.
   *
   * Hyperplanes are deterministic pseudo-random (hash-seeded, seed fixed) so
-  * index build and query agree without storing plane vectors.
+  * index build and query agree without storing plane vectors. Executor and
+  * driver share ONE signing kernel ([[graft.functions.LshSignatureUtil]]),
+  * sized by each vector's own length — an index built over d-dim vectors
+  * probes correctly for any d.
   */
 object SimilarityIndex {
-  final val Dim = 64
-  final val Seed = 42
-
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
-  private def planeComponent(plane: Int, d: Int): Double = {
-    // splitmix64-style scramble of (plane, d) — public-domain mixing constants
-    var z = (plane.toLong << 32 | d.toLong) + 0x9e3779b97f4a7c15L + Seed
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z & 0xFFFFFL).toDouble / 0x80000L.toDouble - 1.0
-  }
-
-  /** Hyperplane as a literal array column (constant-folded, broadcast with
-    * the plan — no per-row hashing).
-    */
-  private def planeLit(plane: Int): org.apache.spark.sql.Column =
-    array((0 until Dim).map(d => lit(planeComponent(plane, d))): _*)
 
   /** Sign-bit signature: bit i = (embedding · plane_i >= 0). Returns an
-    * int bucket in [0, 2^planes).
+    * int bucket in [0, 2^planes). Native fused expression — the builtin
+    * zip_with/aggregate formulation runs `planes` interpreted lambda
+    * chains per row.
     */
   def signature(embedding: org.apache.spark.sql.Column, planes: Int = 16): org.apache.spark.sql.Column =
-    (0 until planes).map { i =>
-      val dot = aggregate(
-        zip_with(embedding, planeLit(i), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    graft.functions.VectorFunctions.lshSignature(embedding, planes)
 
   /** Build: signatures computed once, written partitioned by bucket —
     * queries prune to probed buckets at the file level.
@@ -136,12 +118,9 @@ object SimilarityIndex {
       .limit(k)
   }
 
-  /** Driver-side signature of a query vector (mirrors [[signature]]). */
+  /** Driver-side signature of a query vector (same kernel as
+    * [[signature]] — cannot drift).
+    */
   def signatureOf(vec: Array[Float], planes: Int = 16): Int =
-    (0 until planes).map { i =>
-      var dot = 0.0
-      var d = 0
-      while (d < math.min(vec.length, Dim)) { dot += vec(d) * planeComponent(i, d); d += 1 }
-      if (dot >= 0) 1 << i else 0
-    }.sum
+    graft.functions.LshSignatureUtil.signatureOf(vec, planes)
 }

@@ -62,11 +62,13 @@ object Ingest {
     df.toDF(df.columns.map(_.toLowerCase.replace(" ", "-")).toIndexedSeq: _*)
 
   /** P3: guarded fallback rename of a date-like column to `date`
-    * (`b3_collector.py:88-95`).
+    * (`b3_collector.py:88-95`). The single shared implementation —
+    * `ColumnOps.guardedRename` delegates here with its own candidate list.
     */
-  def ensureDateColumn(df: DataFrame): DataFrame =
+  def ensureDateColumn(df: DataFrame,
+      candidates: Seq[String] = Seq("index", "datetime", "timestamp")): DataFrame =
     if (df.columns.contains("date")) df
-    else Seq("index", "datetime", "timestamp").find(df.columns.contains) match {
+    else candidates.find(df.columns.contains) match {
       case Some(c) => df.withColumnRenamed(c, "date")
       case None    => df
     }

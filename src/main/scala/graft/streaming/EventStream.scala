@@ -72,10 +72,17 @@ object EventStream {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (user: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0, Long.MinValue))
           val evs = batch.toSeq
-          val updated = UserRunning(user, prev.n + evs.size,
-            evs.sortBy(_.event_id).lastOption.map(_.value).getOrElse(prev.last_value))
+          // keep the max-event_id SEEN SO FAR in state: a later micro-batch
+          // delivering late/out-of-order events must not overwrite
+          // last_value with an older event's value
+          val newest = evs.maxByOption(_.event_id)
+          val updated =
+            if (newest.exists(_.event_id > prev.last_event_id))
+              UserRunning(user, prev.n + evs.size,
+                newest.get.value, newest.get.event_id)
+            else prev.copy(n = prev.n + evs.size)
           state.update(updated)
           updated
       }
@@ -83,4 +90,5 @@ object EventStream {
 }
 
 case class UserEvent(event_id: Long, user_id: Long, value: Double)
-case class UserRunning(user_id: Long, n: Long, last_value: Double)
+case class UserRunning(user_id: Long, n: Long, last_value: Double,
+  last_event_id: Long)

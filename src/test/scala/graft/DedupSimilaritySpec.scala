@@ -125,6 +125,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(kept.size === 49, s"only the planted dup should drop: ${kept.size}")
   }
 
+  test("similarity index works for non-64-dim embeddings (driver/executor kernels agree)") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.fill(32)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val dir = tmpDir("simindex32")
+    SimilarityIndex.writeIndex(vecs, dir, planes = 4)
+    // buckets must be spread, not all collapsed to 0
+    val buckets = spark.read.parquet(dir).select("bucket").distinct().count()
+    assert(buckets > 1, s"32-dim vectors must produce multiple buckets, got $buckets")
+    // query for an indexed vector must find itself (same-kernel guarantee)
+    val q = vecs.filter(col("vec_id") === 5L).collect().head.getSeq[Float](1).toArray
+    val got = SimilarityIndex.queryIndex(spark, dir, q, k = 1, planes = 4)
+    assert(got.collect().head.getLong(0) === 5L)
+  }
+
   test("similarity index: partition-pruned query matches brute force top-k") {
     val dir = tmpDir("simindex")
     SimilarityIndex.writeIndex(plantedVectors, dir, planes = 4)

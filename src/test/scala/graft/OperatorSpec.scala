@@ -77,6 +77,61 @@ class OperatorSpec extends SparkTestBase {
     assert(!plan.contains("p_type"), s"unused column must be pruned:\n$plan")
   }
 
+  test("asof join matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(11)
+    val leftRows = (0 until 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rightRows = (0 until 150).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+    // dedupe times per key to keep the expected answer well-defined
+    val l = leftRows.distinctBy(r => (r._1, r._2))
+    val r = rightRows.distinctBy(r => (r._1, r._2))
+    val left = l.toDF("k", "t", "lid")
+    val right = r.toDF("k", "t", "rid")
+
+    val got = JoinOps.asofJoin(left, right, key = "k", time = "t",
+      rightCols = Seq("rid"))
+      .collect().map(row => row.getLong(2) -> Option(row.get(3)).map(_.asInstanceOf[Long])).toMap
+
+    val want = l.map { case (k, t, lid) =>
+      val candidates = r.filter(rr => rr._1 == k && rr._2 <= t)
+      lid -> (if (candidates.isEmpty) None
+              else Some(candidates.maxBy(_._2)._3))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("asof join carries the matched row atomically — a null field stays null") {
+    val left = Seq((1L, 12L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 3L, Some(7.0), "old"), (1L, 10L, None, "new"))
+      .toDF("k", "t", "cv", "tag")
+    val out = JoinOps.asofJoin(left, right, "k", "t", Seq("cv", "tag")).collect().head
+    // matched row is (t=10): its null cv must NOT be replaced by the older
+    // row's 7.0, and tag must come from the same matched row
+    assert(out.isNullAt(out.fieldIndex("asof_cv")), out.toString)
+    assert(out.getString(out.fieldIndex("asof_tag")) === "new")
+  }
+
+  test("asof join rejects colliding column names") {
+    val left = Seq((1L, 2L)).toDF("k", "t").withColumn("_tag", lit(0))
+    val right = Seq((1L, 1L, 5.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      JoinOps.asofJoin(left, right, "k", "t", Seq("v"))
+    }
+  }
+
+  test("asof join plan is one shuffle + window — no join operator") {
+    val ev = Tables.events(spark, sf0001)
+    val plan = JoinOps.asofJoin(
+      ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "value"),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("value").as("cv")),
+      "user_id", "event_id", Seq("cv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof must compose without a join:\n$plan")
+    assert("(?s)Window".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("approx distinct is within rsd of exact") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = Aggregates.distinctCount(li).collect()
