@@ -46,6 +46,7 @@ object SparkEntry {
     "a9_pivot" -> ((s, dir) => Aggregates.pivotSummary(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "a10_collect" -> ((s, dir) => Aggregates.collectAggregates(Tables.lineitem(s, dir))),
     "t5_explode_tokens" -> ((s, dir) => TextOps.explodeTokens(Tables.documents(s, dir))),
+    "t6_array_ops" -> ((s, dir) => TextOps.arrayOps(Tables.documents(s, dir))),
     // Window family (W1-W3 + parity)
     "w_rank_family" -> ((s, dir) => WindowOps.rankFamily(Tables.lineitem(s, dir))),
     "w_moving_avg" -> ((s, dir) => WindowOps.movingAvg(Tables.events(s, dir))),
@@ -317,6 +318,15 @@ object SparkEntry {
       """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
         | CAST(COUNT(l_orderkey) AS INT) AS n_values
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "t6_array_ops" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        | list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+        | list_contains(toks, 'spark') AS has_spark,
+        | CAST(len(list_filter(toks, x -> x NOT IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS n_content_tokens,
+        | CAST(list_position(toks, 'spark') AS INT) AS spark_pos
+        |FROM t ORDER BY doc_id""".stripMargin,
     "t5_explode_tokens" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token

@@ -44,6 +44,26 @@ object TextOps {
         minShingleFingerprint(col("text")).as("fp_min_shingle"))
       .orderBy("doc_id")
 
+  /** Array-operation battery over token arrays: dedup, sort, slice,
+    * membership, stopword removal (the `array_*`/lambda surface a
+    * training-data pipeline filters with).
+    */
+  def arrayOps(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_distinct(toks)).as("n_distinct"),
+      org.apache.spark.sql.functions.slice(
+        org.apache.spark.sql.functions.array_sort(
+          org.apache.spark.sql.functions.array_distinct(toks)), 1, 3).as("first3_sorted"),
+      org.apache.spark.sql.functions.array_contains(toks, "spark").as("has_spark"),
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.filter(toks,
+          t => !t.isInCollection(EnglishStopwords))).as("n_content_tokens"),
+      org.apache.spark.sql.functions.array_position(toks, "spark").cast("int").as("spark_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Generator surface: posexplode of the token array (one row per token
     * with its position — the engine's UDTF-shaped operation).
     */
