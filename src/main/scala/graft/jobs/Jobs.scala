@@ -60,6 +60,22 @@ object TransformJob {
     spark.read.parquet(refinedPath).count()
   }
 
+  /** E4: the reference's documented Athena consumption SQL
+    * (`/root/reference/src/glue/b3_transform.py:367-380`, Req. 8 at
+    * `README.md:17`) answered by OUR SQL front door over the registered
+    * refined table — `user_id` standing in for ticker per the fixture
+    * role mapping.
+    */
+  def athenaStyleSummary(spark: SparkSession, refinedTable: String): DataFrame =
+    spark.sql(
+      s"""SELECT user_id, year, month,
+         |       COUNT(*) AS total_registros,
+         |       SUM(volume_negociado) AS volume_total,
+         |       ROUND(AVG(preco_fechamento), 2) AS media_preco
+         |FROM $refinedTable
+         |GROUP BY user_id, year, month
+         |ORDER BY user_id, year, month""".stripMargin)
+
   /** The post-write marts (A1/A2 consumption surface) over the refined
     * layer — what Athena reads in the reference (Req. 8).
     */

@@ -35,6 +35,15 @@ class JobsSpec extends SparkTestBase {
     assert(lvl1.nonEmpty)
     assert(lvl1.head.listFiles().exists(_.getName.startsWith("user_id=")))
 
+    // E4: the reference's documented Athena SQL runs verbatim over the
+    // registered refined table through spark.sql
+    val athena = TransformJob.athenaStyleSummary(spark, "jobs_refined")
+    assert(athena.count() > 0)
+    assert(athena.columns.toSeq ===
+      Seq("user_id", "year", "month", "total_registros", "volume_total", "media_preco"))
+    val a0 = athena.first()
+    assert(a0.getAs[Long]("total_registros") > 0)
+
     // marts over the refined layer match the direct in-memory pipeline
     val martRows = TransformJob.summaryMart(spark, refinedDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
