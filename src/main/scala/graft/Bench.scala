@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: every registered query against SPARK_GRAFT_SF_DIR,
+  * one JSON metric line on stdout AND in ./bench_result.json (the file is
+  * the robust channel — stdout is wrapped in sbt log noise).
+  *
+  * Queries are evaluated through the `noop` sink, which consumes every
+  * output row/column without writing: `.count()` would let Catalyst prune
+  * all columns of projection-only queries and time a bare scan+count
+  * instead of the expressions under test.
+  *
+  * Failures are NOT swallowed into timings: a failed query records its
+  * exception class in `errors` and bumps `n_errors`, so a broken query can
+  * never lower total time unnoticed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +28,22 @@ object Bench {
     // Warm the session (context init, codegen compiler, shuffle system)
     // so fixed JVM startup cost isn't attributed to the first query.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.getClass.getName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop()
   }
 }

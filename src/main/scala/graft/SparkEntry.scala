@@ -40,7 +40,9 @@ object SparkEntry {
     "a3_count_all" -> ((s, dir) => Aggregates.countAll(Tables.lineitem(s, dir))),
     "a4_distinct_count" -> ((s, dir) => Aggregates.distinctCount(Tables.lineitem(s, dir))),
     "a5_rollup" -> ((s, dir) => Aggregates.rollupSummary(Tables.lineitem(s, dir))),
-    "a6_approx_distinct" -> ((s, dir) => Aggregates.approxDistinct(Tables.lineitem(s, dir))),
+    // HLL sketch values aren't cross-engine comparable; the registered query
+    // compares the 3·rsd accuracy CONTRACT instead (oracle emits TRUE).
+    "a6_approx_distinct" -> ((s, dir) => Aggregates.approxDistinctChecked(Tables.lineitem(s, dir))),
     "a7_cube" -> ((s, dir) => Aggregates.cubeSummary(Tables.lineitem(s, dir))),
     "a8_percentiles" -> ((s, dir) => Aggregates.percentiles(Tables.lineitem(s, dir))),
     "a9_pivot" -> ((s, dir) => Aggregates.pivotSummary(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -79,9 +81,26 @@ object SparkEntry {
     // LLM-pipeline tier: dedup / text analysis / similarity search
     "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d2_dup_stats" -> ((s, dir) => Dedup.dupStats(Tables.documents(s, dir))),
-    "d3_minhash_pairs" -> ((s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5)),
-    "d4_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 8)),
-    "d5_corpus_signatures" -> ((s, dir) => Dedup.corpusSignatures(Tables.documents(s, dir))),
+    // materializeCandidates: the candidate subtree feeds both the semi-join
+    // pruning and the pair join — materializing halves the dominant stage.
+    "d3_minhash_pairs" -> ((s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5, materializeCandidates = true)),
+    // Oracle-proven fuzzy dedup: at threshold 0.9 the 8×4 banding recall is
+    // 1-(1-0.9^4)^8 ≈ 0.9998, so LSH output equals DuckDB's exact all-pairs
+    // 3-gram Jaccard — promoting the flagship LLM operator from rows-only
+    // to hash-compared.
+    "d3b_minhash_highsim" -> ((s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.9, materializeCandidates = true)),
+    // maxHamming = 3 → 16-bit chunks, 65k bucket values per chunk: bucket
+    // occupancy stays sublinear in corpus size (maxHamming = 8 would leave
+    // ~7-bit chunks whose buckets grow linearly — quadratic verify at 100×).
+    "d4_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
+    "d5_corpus_signatures" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat_ws}
+      // signature serialized '|'-joined (lossless for i64s) so the output
+      // is scalar-typed end-to-end; hash-seeded values → rows-only check.
+      Dedup.corpusSignatures(Tables.documents(s, dir))
+        .withColumn("corpus_signature",
+          concat_ws("|", col("corpus_signature").cast("array<string>")))
+    }),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
@@ -89,9 +108,23 @@ object SparkEntry {
     "e1_json_extract" -> ((s, dir) => TextOps.jsonExtract(Tables.events(s, dir))),
     "s1_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     "s2_ann_pairs" -> ((s, dir) => Similarity.nearNeighborPairs(Tables.embeddings(s, dir), minScore = 0.35, planes = 6)),
-    "m1_multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.fromDocuments(Tables.documents(s, dir)))
-        .orderBy("media_id")),
+    "m1_multimodal_features" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      // The float features are (nibble-count / n_bytes) in float32; since
+      // count ≤ n_bytes ≤ 5000 < 2^24 the counts round-trip EXACTLY through
+      // float32, so round(f * n_bytes) recovers the integer histogram —
+      // an engine-independent digest the DuckDB oracle reproduces from the
+      // hex expansion of the utf-8 payload. Integer compare, zero FP risk.
+      val media = Multimodal.fromDocuments(Tables.documents(s, dir))
+      Multimodal.extractFeatures(media)
+        .join(media.select(col("media_id"),
+          length(col("payload")).cast("int").as("n_bytes")), "media_id")
+        .select(col("media_id"), col("n_bytes"),
+          concat_ws("|", transform(col("features"),
+            f => round(f * col("n_bytes")).cast("long").cast("string")))
+            .as("nibble_counts"))
+        .orderBy("media_id")
+    }),
     // Set ops + top-k (U1, O3/O4)
     "u1_union_by_name" -> ((s, dir) => SetOps.unionByNameRoundTrip(Tables.orders(s, dir))),
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -314,15 +347,20 @@ object SparkEntry {
         | ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a6_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact_parts,
+        | TRUE AS approx_within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a10_collect" ->
-      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses,
+      """SELECT l_returnflag,
+        | array_to_string(list_sort(list(DISTINCT l_linestatus)), '|') AS statuses,
         | CAST(COUNT(l_orderkey) AS INT) AS n_values
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "t6_array_ops" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,
         | CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
-        | list_sort(list_distinct(toks))[1:3] AS first3_sorted,
+        | array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3_sorted,
         | list_contains(toks, 'spark') AS has_spark,
         | CAST(len(list_filter(toks, x -> x NOT IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS n_content_tokens,
         | CAST(list_position(toks, 'spark') AS INT) AS spark_pos
@@ -440,7 +478,46 @@ object SparkEntry {
       "SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey AS key FROM orders ORDER BY key",
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
-    // LLM tier (d3/d4/s2 are hash-seeded — not SQL-expressible, rows-only)
+    // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;
+    // d3b IS oracle-compared: at threshold 0.9 LSH recall ≈ 0.9998, so the
+    // banded engine result equals DuckDB's exact all-pairs Jaccard. The
+    // size-ratio prefilter is a necessary condition for J ≥ 0.9
+    // (J ≤ min/max of distinct-shingle counts) — it only prunes pairs the
+    // threshold would reject, keeping the quadratic oracle tractable.)
+    "d3b_minhash_highsim" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+        |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |   AND len(a.sh) * 10 >= len(b.sh) * 9 AND len(b.sh) * 10 >= len(a.sh) * 9
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "m1_multimodal_features" ->
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |  FROM documents
+        |), s AS (
+        |  SELECT media_id, n_bytes,
+        |    array_to_string(list_transform(range(0, CAST(n_bytes AS BIGINT)),
+        |      i -> hx[2*i+1]), '') AS ns
+        |  FROM h
+        |)
+        |SELECT media_id, n_bytes,
+        |  array_to_string(list_transform(range(0,16),
+        |    b -> CAST(length(ns) - length(replace(ns,
+        |           substring('0123456789ABCDEF', CAST(b+1 AS INT), 1), '')) AS VARCHAR)),
+        |    '|') AS nibble_counts
+        |FROM s ORDER BY media_id""".stripMargin,
     "d1_exact_dedup" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
     "d2_dup_stats" ->

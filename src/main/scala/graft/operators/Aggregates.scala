@@ -114,13 +114,35 @@ object Aggregates {
   /** Parity: collection aggregates. `collect_list`/`collect_set` order is
     * nondeterministic after a shuffle — wrapped in `array_sort` so the
     * result is comparable (same rule a user needs for reproducible output).
+    * The sorted set is emitted '|'-joined: a scalar column survives any
+    * downstream sink/compare that can't order array cells, with zero
+    * information loss for a set of scalar codes.
     */
   def collectAggregates(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy("l_returnflag")
       .agg(
-        array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        concat_ws("|", array_sort(collect_set(col("l_linestatus")))).as("statuses"),
         size(collect_list(col("l_orderkey"))).as("n_values"))
+      .orderBy("l_returnflag")
+
+  /** Parity: HLL++ accuracy witnessed THROUGH the oracle. Raw sketch
+    * estimates aren't portable across engines (DuckDB's approx sketch
+    * differs), so the query emits the exact distinct count plus a boolean
+    * asserting the HLL estimate landed within 3·rsd of exact; the oracle
+    * emits the exact count and literal TRUE. A broken sketch flips the
+    * boolean and hash-mismatches — the accuracy contract itself is what
+    * gets compared.
+    */
+  def approxDistinctChecked(lineitem: DataFrame, rsd: Double = 0.01): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact_parts"),
+        approx_count_distinct(col("l_partkey"), rsd).as("_approx"))
+      .select(col("l_returnflag"), col("n_exact_parts"),
+        (abs(col("_approx") - col("n_exact_parts")) <=
+          col("n_exact_parts") * (3 * rsd)).as("approx_within_3rsd"))
       .orderBy("l_returnflag")
 
   /** Parity: rollup over two keys with grouping flags; ordered by grouping

@@ -147,7 +147,12 @@ object JoinOps {
       lineitem: DataFrame, segment: String, k: Int): DataFrame =
     lineitem
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+      // NO broadcast hint on customer: it scales linearly with the fact
+      // tables (~1.5 TB at the 100 TB point) and a forced broadcast would
+      // override the size threshold that protects executors from OOM.
+      // AQE still broadcasts the segment-filtered side when it measures
+      // small at runtime — the hint was redundant locally, unsafe at scale.
+      .join(customer.filter(col("c_mktsegment") === segment),
         orders("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -155,14 +160,18 @@ object JoinOps {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(k)
 
-  /** Star join: fact + 3 broadcast dims, revenue per region (TPC-H
-    * Q5-shaped). Dims broadcast; only the lineitem⋈orders edge shuffles.
+  /** Star join: fact + dims, revenue per region (TPC-H Q5-shaped).
+    * nation/region are genuinely BOUNDED dims (25/5 rows at any scale) —
+    * explicit broadcast is always right for them. customer is NOT bounded
+    * (it grows with the fact tables), so it carries no hint: Catalyst/AQE
+    * broadcast it while its measured size is under threshold and fall back
+    * to shuffle join beyond — the safe behavior at 100 TB.
     */
   def starJoin(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame =
     lineitem
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy("r_name")

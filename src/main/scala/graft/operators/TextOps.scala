@@ -53,9 +53,12 @@ object TextOps {
     documents.select(col("doc_id"),
       org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.array_distinct(toks)).as("n_distinct"),
-      org.apache.spark.sql.functions.slice(
-        org.apache.spark.sql.functions.array_sort(
-          org.apache.spark.sql.functions.array_distinct(toks)), 1, 3).as("first3_sorted"),
+      // '|'-joined so the column is a comparable scalar (array cells don't
+      // sort in every downstream compare); lossless for whitespace tokens.
+      org.apache.spark.sql.functions.concat_ws("|",
+        org.apache.spark.sql.functions.slice(
+          org.apache.spark.sql.functions.array_sort(
+            org.apache.spark.sql.functions.array_distinct(toks)), 1, 3)).as("first3_sorted"),
       org.apache.spark.sql.functions.array_contains(toks, "spark").as("has_spark"),
       org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.filter(toks,
