@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import graft.sources.{FetcherRegistry, Ingest, RowFetcher}
+
+/** Class-based fetcher (the cluster-safe path): instantiated on the
+  * reader from its class name, no closure shipping.
+  */
+class FakeRowFetcher extends RowFetcher {
+  override def fetch(item: String): Seq[Row] = FakeRowFetcher.rows(item)
+}
+
+object FakeRowFetcher {
+  def rows(item: String): Seq[Row] = {
+    if (item == "BOOM") throw new RuntimeException("simulated fetch failure")
+    (0 until 3).map { d =>
+      Row(Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00"),
+        10.0 + d, 11.0 + d, 9.0 + d, 10.5 + d, 1000L + d, 0.0, 0.0, item)
+    }
+  }
+}
+
+/** DataSourceV2 `graft-fetch` source: schema, parallel partitioning,
+  * error isolation, column pruning, both fetcher resolution paths.
+  */
+class GraftFetchSourceSpec extends SparkTestBase {
+
+  private def read(items: String, extra: Map[String, String] = Map.empty) = {
+    var r = spark.read.format("graft-fetch").option("items", items)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.option("fetcherClass", classOf[FakeRowFetcher].getName).load()
+  }
+
+  test("reads per-item rows with the explicit raw schema") {
+    val df = read("AAA,BBB")
+    assert(df.schema === Ingest.rawSchema)
+    val rows = df.collect()
+    assert(rows.length === 6)
+    assert(rows.map(_.getString(8)).toSet === Set("AAA", "BBB"))
+  }
+
+  test("a failing item is skipped, not fatal (S2 error isolation)") {
+    val rows = read("AAA,BOOM,CCC").collect()
+    assert(rows.length === 6, "BOOM's failure must not kill the scan")
+    assert(rows.map(_.getString(8)).toSet === Set("AAA", "CCC"))
+  }
+
+  test("items split into one partition per batch — executor-parallel fetch") {
+    val df = read("a,b,c,d,e", Map("batchSize" -> "2"))
+    assert(df.rdd.getNumPartitions === 3) // ceil(5/2)
+  }
+
+  test("column pruning reaches the reader (select materializes 1 field, not 9)") {
+    val df = read("AAA").select("ticker")
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: BatchScanExec => b }
+    assert(scan.isDefined, df.queryExecution.executedPlan.toString)
+    assert(scan.get.scan.readSchema().fieldNames.toSeq === Seq("ticker"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("AAA", "AAA", "AAA"))
+  }
+
+  test("registry-named fetcher works for closure-based tests") {
+    FetcherRegistry.register("spec-fake", FakeRowFetcher.rows)
+    val df = spark.read.format("graft-fetch")
+      .option("items", "XYZ").option("fetcher", "spec-fake").load()
+    assert(df.collect().length === 3)
+  }
+
+  test("source feeds the full E1 normalize/stamp pipeline end-to-end") {
+    val df = Ingest.withDataproc(Ingest.ensureDateColumn(
+      Ingest.normalizeColumns(read("AAA,BBB"))))
+    assert(df.columns.contains("stock-splits"), "hyphen normalization")
+    assert(df.columns.contains("dataproc"))
+    assert(df.count() === 6)
+  }
+}
