@@ -93,6 +93,11 @@ object SparkEntry {
     // occupancy stays sublinear in corpus size (maxHamming = 8 would leave
     // ~7-bit chunks whose buckets grow linearly — quadratic verify at 100×).
     "d4_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
+    // Wide radius (8) via two-chunk combination banding — C(k,2) bands of
+    // double-width keys keep bucket occupancy subquadratic at 100× corpus
+    // size, with the same exact-recall pigeonhole guarantee. Rows-only
+    // (hash-seeded); equality with single-chunk banding is test-asserted.
+    "d4b_simhash_wide" -> ((s, dir) => Dedup.simhashPairsCombination(Tables.documents(s, dir), maxHamming = 8)),
     "d5_corpus_signatures" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat_ws}
       // signature serialized '|'-joined (lossless for i64s) so the output

@@ -139,21 +139,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 32,
       "need at least 2-bit chunks over 64 bits")
     val numChunks = maxHamming + 1
-    // chunk i covers bits [start(i), start(i+1)) with widths differing by
-    // at most 1 (64 = numChunks * base + rem)
-    val base = 64 / numChunks
-    val rem = 64 % numChunks
-    def start(i: Int) = i * base + math.min(i, rem)
-    val sigs = documents.select(col("doc_id"),
-      simhash64(tokens(col("text"))).as("sig"))
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until numChunks).map { i =>
-        val width = start(i + 1) - start(i)
-        val mask = if (width == 64) -1L else (1L << width) - 1L
-        struct(lit(i).as("chunk_id"),
-          (shiftrightunsigned(col("sig"), start(i)) bitwiseAND lit(mask)).as("chunk_val"))
-      }: _*)).as("c"))
-      .select(col("doc_id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
+    val chunks = simhashChunks(documents, numChunks)
     val a = chunks.select(col("chunk_id"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = chunks.select(col("chunk_id"), col("chunk_val"),
@@ -165,5 +151,64 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup for LARGE radii via two-chunk combination banding:
+    * `maxHamming + 2` chunks, bucket key = every PAIR of chunk values
+    * (C(k,2) bands). Pigeonhole: ≤ `maxHamming` differing bits dirty at
+    * most `maxHamming` chunks, leaving ≥ 2 clean chunks, so at least one
+    * pair-key matches — same exact-recall guarantee as [[simhashPairs]],
+    * but each bucket key carries ~2× the bits. At radius 8 this means 45
+    * bands of ~13-bit keys instead of 9 bands of ~7-bit keys: random
+    * bucket collisions drop ~13× (45/2^13 vs 9/2^7 of all pairs), which
+    * is what keeps the within-bucket join subquadratic on a 100× corpus.
+    * Output is identical to [[simhashPairs]] at the same radius (both are
+    * the exact Hamming ball; only candidate generation differs).
+    */
+  def simhashPairsCombination(documents: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 30, "radius must leave 2-bit chunks")
+    val numChunks = maxHamming + 2
+    val chunks = simhashChunks(documents, numChunks)
+    // pair the k chunk rows per doc into C(k,2) band keys; chunk widths are
+    // ≤ 32 bits so (hi << 32) | lo packs a pair key into one long
+    val ai = chunks.select(col("doc_id"), col("sig"),
+      col("chunk_id").as("ci"), col("chunk_val").as("vi"))
+    val aj = chunks.select(col("doc_id").as("doc_id_j"),
+      col("chunk_id").as("cj"), col("chunk_val").as("vj"))
+    val bands = ai
+      .join(aj, ai("doc_id") === aj("doc_id_j") && col("ci") < col("cj"))
+      .select(col("doc_id"), col("sig"),
+        (col("ci") * numChunks + col("cj")).as("band_id"),
+        (shiftleft(col("vi"), 32) bitwiseOR col("vj")).as("band_val"))
+    val a = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** (doc_id, sig, chunk_id, chunk_val): the 64-bit SimHash split into
+    * `numChunks` contiguous chunks with widths differing by at most 1.
+    */
+  private def simhashChunks(documents: DataFrame, numChunks: Int): DataFrame = {
+    val base = 64 / numChunks
+    val rem = 64 % numChunks
+    def start(i: Int) = i * base + math.min(i, rem)
+    documents
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until numChunks).map { i =>
+          val width = start(i + 1) - start(i)
+          val mask = if (width == 64) -1L else (1L << width) - 1L
+          struct(lit(i).as("chunk_id"),
+            (shiftrightunsigned(col("sig"), start(i)) bitwiseAND lit(mask)).as("chunk_val"))
+        }: _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
   }
 }

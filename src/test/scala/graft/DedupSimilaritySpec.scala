@@ -48,6 +48,19 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((2L, 4L)), s"$pairs")
   }
 
+  test("combination banding equals single-chunk banding at the same radius") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // planted docs at a radius wide enough to catch the near-dup
+    assert(pairs(Dedup.simhashPairsCombination(docs, maxHamming = 10)) ===
+      pairs(Dedup.simhashPairs(docs, maxHamming = 10)))
+    // fixture corpus at the registered wide radius — both are the exact
+    // Hamming-8 ball, only candidate generation differs
+    val fixture = Tables.documents(spark, sf0001)
+    assert(pairs(Dedup.simhashPairsCombination(fixture, maxHamming = 8)) ===
+      pairs(Dedup.simhashPairs(fixture, maxHamming = 8)))
+  }
+
   test("minhash union aggregator obeys the union property") {
     import graft.functions.{MinHash, MinHashUnionAgg}
     // sig(shingles(A) ∪ shingles(B)) == elementwise_min(sig(A), sig(B))
