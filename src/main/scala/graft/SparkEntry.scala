@@ -130,6 +130,17 @@ object SparkEntry {
             .as("nibble_counts"))
         .orderBy("media_id")
     }),
+    "m2_frame_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      // Frame sampling is deterministic substring arithmetic over the
+      // payload: frame i covers bytes [floor(n*i/k), floor(n*(i+1)/k)).
+      // Emitting per-frame byte counts makes the whole multimodal
+      // explode/schema path integer-exact against the oracle.
+      Multimodal.sampleFrames(Multimodal.fromDocuments(Tables.documents(s, dir)), 4)
+        .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+          length(col("frame_payload")).cast("int").as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    }),
     // Set ops + top-k (U1, O3/O4)
     "u1_union_by_name" -> ((s, dir) => SetOps.unionByNameRoundTrip(Tables.orders(s, dir))),
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -523,6 +534,15 @@ object SparkEntry {
         |           substring('0123456789ABCDEF', CAST(b+1 AS INT), 1), '')) AS VARCHAR)),
         |    '|') AS nibble_counts
         |FROM s ORDER BY media_id""".stripMargin,
+    "m2_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        |  FROM documents
+        |)
+        |SELECT media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(floor(n * (i + 1) / 4.0) - floor(n * i / 4.0) AS INT) AS frame_bytes
+        |FROM m, UNNEST([0, 1, 2, 3]) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "d1_exact_dedup" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
     "d2_dup_stats" ->

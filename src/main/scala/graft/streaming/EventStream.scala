@@ -62,6 +62,16 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: every micro-batch joins the (small)
+    * static dimension as a broadcast hash join — no streaming state, no
+    * shuffle of the stream side. The standard way to enrich a
+    * 100 TB/day stream with reference data; a stream-STREAM join would
+    * instead buffer both sides in watermark-bounded state.
+    */
+  def enrichedStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stateful streaming op: running per-user event count + last value via
     * `mapGroupsWithState` (the reference has no stateful analog; this is
     * the KeyValueGroupedDataset custom-state surface).

@@ -69,6 +69,23 @@ class StreamingSpec extends SparkTestBase {
       "each event_id must survive exactly once")
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val (dir, batch) = stageRawDir()
+    val dim = Seq(("click", "web"), ("purchase", "commerce"), ("view", "web"))
+      .toDF("event_type", "category")
+    val streamed = EventStream.enrichedStream(
+      EventStream.readRaw(spark, dir, batch.schema), dim, "event_type")
+      .select("event_id", "category")
+    val got = EventStream.runAvailableNow(spark, streamed, "enriched",
+      tmpDir("ckpt5"), outputMode = "append")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val want = batch.join(dim, Seq("event_type"), "left")
+      .select("event_id", "category")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("AvailableNow is exactly-once per file: second run with same checkpoint emits nothing new") {
     val (dir, batch) = stageRawDir()
     val ckpt = tmpDir("ckpt3")
