@@ -106,6 +106,7 @@ object SparkEntry {
         .withColumn("corpus_signature",
           concat_ws("|", col("corpus_signature").cast("array<string>")))
     }),
+    "d6_curated" -> ((s, dir) => Dedup.curatedCorpus(Tables.documents(s, dir))),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
@@ -547,6 +548,28 @@ object SparkEntry {
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
     "d2_dup_stats" ->
       "SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents GROUP BY lang ORDER BY lang",
+    "d6_curated" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |         length(text) AS nc
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text, nc, CAST(len(toks) AS INT) AS nt,
+        |   CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS nsw,
+        |   CAST(len(list_filter(toks, x -> length(x) > 25)) AS INT) AS nlong
+        |  FROM t
+        |), q AS (
+        |  SELECT doc_id, text, nt,
+        |    (CASE WHEN nc >= 100 AND nc <= 5000 THEN 1 ELSE 0 END
+        |     + CASE WHEN (nc - nt + 1) >= nt * 3 AND (nc - nt + 1) <= nt * 10 THEN 1 ELSE 0 END
+        |     + CASE WHEN nsw * 20 >= nt THEN 1 ELSE 0 END
+        |     + CASE WHEN nlong = 0 THEN 1 ELSE 0 END) AS score,
+        |    CASE WHEN nsw * 20 >= nt THEN 'en' ELSE 'unknown' END AS plang
+        |  FROM c
+        |)
+        |SELECT min(doc_id) AS doc_id, CAST(min(nt) AS INT) AS n_tokens
+        |FROM q WHERE score >= 3 AND plang = 'en'
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
     "t1_token_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS toks,

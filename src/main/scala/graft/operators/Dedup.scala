@@ -113,6 +113,21 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** End-to-end curation gate: quality score + language-ID filter, then
+    * exact dedup with the deterministic min-id representative — the
+    * composed filter a training-data pipeline runs BEFORE the expensive
+    * fuzzy pass ([[nearDupPairs]]). All stages are codegen'd column
+    * functions over one scan plus the single dedup shuffle.
+    */
+  def curatedCorpus(documents: DataFrame, minQuality: Int = 3): DataFrame =
+    documents
+      .filter(qualityScore(col("text")) >= minQuality &&
+        langIdHeuristic(col("text")) === "en")
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
   /** Corpus-level signatures: one MinHash signature per group (language),
     * via the custom union aggregator — estimates cross-group shingle
     * overlap without touching document text again.
