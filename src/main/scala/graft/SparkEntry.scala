@@ -123,8 +123,6 @@ object SparkEntry {
       // hex expansion of the utf-8 payload. Integer compare, zero FP risk.
       val media = Multimodal.fromDocuments(Tables.documents(s, dir))
       Multimodal.extractFeatures(media)
-        .join(media.select(col("media_id"),
-          length(col("payload")).cast("int").as("n_bytes")), "media_id")
         .select(col("media_id"), col("n_bytes"),
           concat_ws("|", transform(col("features"),
             f => round(f * col("n_bytes")).cast("long").cast("string")))

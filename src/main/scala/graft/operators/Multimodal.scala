@@ -60,18 +60,25 @@ object Multimodal {
   }
 
   /** Feature extraction over the media table: per-partition batch loop
-    * (decoder init once per partition), emitting `(media_id, features)`.
+    * (decoder init once per partition), emitting
+    * `(media_id, features, n_bytes)`. The payload size rides along from
+    * the reader — consumers that need it (e.g. to de-normalize the
+    * histogram) would otherwise have to join back against the media
+    * table, re-scanning the payload column.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = false)))
+      StructField("features", ArrayType(FloatType), nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       // real decoder/model init would happen HERE, once per partition
       rows.map { r =>
-        Row(r.getLong(0), stubDecode(r.getAs[Array[Byte]](1)).toIndexedSeq)
+        val payload = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), stubDecode(payload).toIndexedSeq,
+          if (payload == null) 0 else payload.length)
       }
     }(encoder)
   }
