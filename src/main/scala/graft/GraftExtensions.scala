@@ -18,11 +18,14 @@ import graft.functions.{CosineSimilarity, MinHash, MinHashTokens, SimHash64}
   * `minhash(array<string>, k)`, `minhash_tokens(array<string>, k)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.specs.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // memory-guard rewrite: size(collect_list/set(x)) → count([distinct] x)
+    e.injectOptimizerRule(_ => graft.plans.CollectSizeToCount)
+  }
 }
 
 object GraftFunctions {

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) ANN index over an embedding column — the
+  * k-means-quantizer scale path, complementing [[SimilarityIndex]]'s
+  * hyperplane LSH:
+  *
+  *  - TRAIN: MLlib k-means over L2-normalized embeddings (Euclidean on
+  *    the unit sphere ranks identically to cosine) learns `k` coarse
+  *    centroids. At 100 TB train on a sample — centroids need O(k·dim)
+  *    evidence, not the corpus.
+  *  - BUILD: every vector is assigned to its nearest centroid by an
+  *    argmax over k broadcast centroid literals (codegen'd cosine per
+  *    centroid, no UDF, no shuffle beyond the partitioned write), and the
+  *    corpus is written PARTITIONED BY inverted-list id.
+  *  - QUERY: rank centroids against the query on the driver (k values),
+  *    read only the `nprobe` nearest lists — file-level partition
+  *    pruning — and run exact cosine top-k within them.
+  *
+  * IVF vs LSH trade-off: LSH buckets need no training and handle
+  * adversarial distributions; IVF adapts its cells to the actual data
+  * density, giving better recall-per-probed-fraction on clustered real
+  * embeddings. Both are provided; both prune at the file level.
+  */
+object IvfIndex {
+
+  /** Train the coarse quantizer; returns centroids as float arrays (the
+    * same element type as the embedding column, so the assignment
+    * expression is literal-typed without casts).
+    */
+  def trainCentroids(embeddings: DataFrame, k: Int, seed: Long = 42L,
+      maxIter: Int = 20, sampleFraction: Double = 1.0): Array[Array[Float]] = {
+    val e = col("embedding")
+    val norm = sqrt(aggregate(zip_with(e, e,
+      (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val sample =
+      if (sampleFraction >= 1.0) embeddings
+      else embeddings.sample(withReplacement = false, sampleFraction, seed)
+    val train = sample.select(array_to_vector(
+      transform(e, x => x.cast("double") / norm)).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(train)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Nearest-centroid assignment: argmax of cosine over the k broadcast
+    * centroid literals via `array_max` on (sim, list_id) structs — struct
+    * ordering makes ties break to the larger id, deterministically.
+    */
+  def assignLists(embeddings: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        VectorFunctions.cosineSim(col("embedding"), typedlit(c.toSeq)).as("sim"),
+        lit(i).as("list_id"))
+    }
+    embeddings.withColumn("list_id",
+      array_max(array(scored.toIndexedSeq: _*)).getField("list_id"))
+  }
+
+  /** Build and persist: inverted lists as parquet partitions, centroids in
+    * an underscore-prefixed side directory (ignored by the data reader).
+    */
+  def writeIndex(embeddings: DataFrame, path: String, k: Int,
+      seed: Long = 42L): Array[Array[Float]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = trainCentroids(embeddings, k, seed)
+    assignLists(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+    centroids
+  }
+
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(s"$path/_centroids").orderBy("list_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Probe the `nprobe` centroid-nearest inverted lists only (partition
+    * pruning on disk), exact cosine top-k within them.
+    */
+  def queryIndex(spark: SparkSession, path: String, queryVec: Array[Float],
+      centroids: Array[Array[Float]], k: Int, nprobe: Int = 2): DataFrame = {
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cosine(queryVec, c), i) }
+      .take(nprobe).map(_._2)
+    val qLit = array(queryVec.map(v => lit(v)).toIndexedSeq: _*)
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probes: _*))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), qLit), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Driver-side cosine for centroid ranking (k values, not data-sized). */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+}
