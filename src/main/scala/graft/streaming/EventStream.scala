@@ -72,6 +72,27 @@ object EventStream {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream inner join within an event-time interval: for each
+    * purchase, the same user's clicks in the preceding `window`. BOTH
+    * sides buffer in state; the watermarks + the interval condition bound
+    * that state (without the time bound, a stream-stream join must keep
+    * every row forever — the unbounded-state trap at 100 TB/day).
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "user_id", "purchase_value", "click_id", "c_ts")
+  }
+
   /** Stateful streaming op: running per-user event count + last value via
     * `mapGroupsWithState` (the reference has no stateful analog; this is
     * the KeyValueGroupedDataset custom-state surface).

@@ -86,6 +86,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val (dir, batch) = stageRawDir()
+    def stream() = EventStream.readRaw(spark, dir, batch.schema)
+    val streamed = EventStream.purchaseClickJoin(
+      stream().filter(col("event_type") === "purchase"),
+      stream().filter(col("event_type") === "click"))
+    val got = EventStream.runAvailableNow(spark, streamed, "ss_join",
+      tmpDir("ckpt6"), outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = batch.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    val want = p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 hour") &&
+        col("c_ts") <= col("p_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must produce at least one joined pair")
+  }
+
   test("AvailableNow is exactly-once per file: second run with same checkpoint emits nothing new") {
     val (dir, batch) = stageRawDir()
     val ckpt = tmpDir("ckpt3")
