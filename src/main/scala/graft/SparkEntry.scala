@@ -77,6 +77,9 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "p12_null_handling" -> ((s, dir) => ColumnOps.nullHandling(Tables.lineitem(s, dir))),
+    // Spark side round-trips map/struct construction + extraction; the
+    // oracle checks the resulting scalars straight from the flat columns.
+    "p13_map_struct" -> ((s, dir) => NestedOps.mapStructFuncs(Tables.orders(s, dir))),
     "w_range_frame" -> ((s, dir) => WindowOps.rangeFrame(Tables.events(s, dir))),
     // LLM-pipeline tier: dedup / text analysis / similarity search
     "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
@@ -480,6 +483,16 @@ object SparkEntry {
         | CAST(CASE WHEN l_returnflag = 'A' THEN NULL END IS NULL AS INT) AS was_null
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
+    "p13_map_struct" ->
+      """SELECT o_orderkey,
+        | o_orderpriority AS priority,
+        | o_orderstatus AS status,
+        | 2 AS n_entries,
+        | 'priority|status' AS keys_sorted,
+        | (o_orderpriority = 'O' OR o_orderstatus = 'O') AS has_open_value,
+        | o_orderpriority AS s_priority,
+        | ROUND(o_totalprice, 2) AS s_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "w_range_frame" ->
       """SELECT event_id, user_id, value,
         | COUNT(*) OVER wr AS n_in_range,

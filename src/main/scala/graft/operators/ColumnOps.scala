@@ -3,6 +3,32 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Nested-type scalar surface (§2.8 parity): build a map and a struct
+  * from flat columns, then extract/inspect them — the round trip a user
+  * hits when shaping semi-structured output. All outputs are scalar, so
+  * the oracle can verify the VALUES directly while the Spark side is the
+  * one exercising map/struct construction and field access.
+  */
+object NestedOps {
+
+  def mapStructFuncs(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"),
+        map(lit("priority"), col("o_orderpriority"),
+          lit("status"), col("o_orderstatus")).as("m"),
+        struct(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("total")).as("s"))
+      .select(col("o_orderkey"),
+        col("m")(lit("priority")).as("priority"),
+        col("m")(lit("status")).as("status"),
+        size(col("m")).as("n_entries"),
+        concat_ws("|", array_sort(map_keys(col("m")))).as("keys_sorted"),
+        array_contains(map_values(col("m")), "O").as("has_open_value"),
+        col("s").getField("priority").as("s_priority"),
+        round(col("s").getField("total"), 2).as("s_total"))
+      .orderBy("o_orderkey")
+}
+
 /** Projection / filter / column-op inventory (SURVEY.md §2.2, P1-P9).
   *
   * Reference semantics from `/root/reference/src/glue/b3_collector.py`
