@@ -72,6 +72,28 @@ object EventStream {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** foreachBatch egress: write each micro-batch to a parquet target
+    * partitioned by a derived date column — the standard production sink
+    * when the target needs batch-writer features (partitioning, dynamic
+    * overwrite) the streaming parquet sink lacks. Append mode is
+    * idempotent under micro-batch REPLAY because the checkpoint tracks
+    * the last committed batch id: a replayed batch re-enters foreachBatch
+    * with the SAME id, and Spark only calls it for uncommitted ids.
+    */
+  def runForeachBatchSink(spark: SparkSession, streamed: DataFrame,
+      targetDir: String, checkpoint: String): Unit = {
+    val q = streamed.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch
+          .withColumn("date", to_date(col("ts")))
+          .write.mode("append").partitionBy("date").parquet(targetDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-stream inner join within an event-time interval: for each
     * purchase, the same user's clicks in the preceding `window`. BOTH
     * sides buffer in state; the watermarks + the interval condition bound

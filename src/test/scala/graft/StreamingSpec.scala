@@ -109,6 +109,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture must produce at least one joined pair")
   }
 
+  test("foreachBatch sink writes date-partitioned parquet, exactly-once per file") {
+    val (dir, batch) = stageRawDir()
+    val target = tmpDir("fbsink")
+    val ckpt = tmpDir("ckpt7")
+    def run() = EventStream.runForeachBatchSink(spark,
+      EventStream.readRaw(spark, dir, batch.schema), target, ckpt)
+    run()
+    val written = spark.read.parquet(target)
+    assert(written.count() === batch.count())
+    assert(new java.io.File(target).listFiles()
+      .count(_.getName.startsWith("date=")) > 0, "must partition by date")
+    // second run, same checkpoint, no new files → nothing re-written
+    run()
+    assert(spark.read.parquet(target).count() === batch.count(),
+      "replay with a committed checkpoint must not duplicate rows")
+  }
+
   test("AvailableNow is exactly-once per file: second run with same checkpoint emits nothing new") {
     val (dir, batch) = stageRawDir()
     val ckpt = tmpDir("ckpt3")
