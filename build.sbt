@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep the final stdout line of `sbt "runMain graft.Bench"` the JSON
+// metric line itself: the trailing "[success] Total time ..." banner was
+// breaking the driver's tail-parse (BENCH_r0{2,3}.json "parsed": null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

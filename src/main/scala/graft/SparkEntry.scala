@@ -90,7 +90,10 @@ object SparkEntry {
     // Oracle-proven fuzzy dedup: at threshold 0.9 the 8×4 banding recall is
     // 1-(1-0.9^4)^8 ≈ 0.9998, so LSH output equals DuckDB's exact all-pairs
     // 3-gram Jaccard — promoting the flagship LLM operator from rows-only
-    // to hash-compared.
+    // to hash-compared. That recall is PROBABILISTIC (per-pair, fixed
+    // seed → deterministic per dataset, but a qualifying pair CAN miss all
+    // bands); DedupSimilaritySpec's "d3b guard" pins the residual to zero
+    // on the current fixture by asserting banded == exact all-pairs.
     "d3b_minhash_highsim" -> ((s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.9, materializeCandidates = true)),
     // maxHamming = 3 → 16-bit chunks, 65k bucket values per chunk: bucket
     // occupancy stays sublinear in corpus size (maxHamming = 8 would leave

@@ -37,14 +37,23 @@ object IvfIndex {
   def trainCentroids(embeddings: DataFrame, k: Int, seed: Long = 42L,
       maxIter: Int = 20, sampleFraction: Double = 1.0): Array[Array[Float]] = {
     val e = col("embedding")
-    val norm = sqrt(aggregate(zip_with(e, e,
-      (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
     val sample =
       if (sampleFraction >= 1.0) embeddings
       else embeddings.sample(withReplacement = false, sampleFraction, seed)
-    val train = sample.select(array_to_vector(
-      transform(e, x => x.cast("double") / norm)).as("features"))
+    // The norm MUST be projected as its own column before the divide:
+    // referencing the aggregate subtree inside the transform() lambda
+    // would re-evaluate it per array ELEMENT — O(dim²) per row. A bound
+    // column reference inside the lambda is a plain attribute read.
+    // Zero vectors are dropped, not divided: x/0 → NaN features would
+    // poison k-means training.
+    val withNorm = sample
+      .select(e.as("embedding"),
+        sqrt(aggregate(zip_with(e, e,
+          (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("nrm"))
+      .filter(col("nrm") > 1e-12)
+    val train = withNorm.select(array_to_vector(
+      transform(col("embedding"), x => x.cast("double") / col("nrm"))).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .fit(train)
     model.clusterCenters.map(_.toArray.map(_.toFloat))

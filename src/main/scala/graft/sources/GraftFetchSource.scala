@@ -8,10 +8,12 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.slf4j.LoggerFactory
 
 /** Per-item batch fetcher contract for [[GraftFetchProvider]]. A real
   * implementation wraps an API client (the reference's yfinance call,
@@ -105,6 +107,28 @@ private[sources] class GraftFetchScanBuilder(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftFetchReaderFactory(fullSchema, required)
+
+  // Skipped-item count surfaces as a first-class scan metric (SQL UI /
+  // metrics sink), so partial ingest failure is an observable signal,
+  // not a silent row-count shortfall.
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new SkippedItemsMetric)
+}
+
+private[sources] class SkippedItemsMetric extends CustomSumMetric {
+  override def name(): String = "skippedItems"
+  override def description(): String = "fetch items skipped after an exception"
+}
+
+private[sources] case class SkippedItemsTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "skippedItems"
+}
+
+/** Process-wide skip counter: test-visible in local mode (executors share
+  * the JVM). Cluster-mode observability goes through the custom metric.
+  */
+object GraftFetchSkips {
+  val count = new java.util.concurrent.atomic.LongAdder
 }
 
 private[sources] case class GraftFetchPartition(
@@ -128,8 +152,22 @@ private[sources] class GraftFetchReaderFactory(
     val requiredIdx = requiredSchema.fieldNames
       .map(fullSchema.fieldIndex).toIndexedSeq
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(requiredSchema)
+    val log = LoggerFactory.getLogger(classOf[GraftFetchReaderFactory])
+    val skipped = new java.util.concurrent.atomic.LongAdder
+    // S2 isolation — but never SILENT: each skipped item is logged with
+    // its exception and counted into the scan's skippedItems metric (the
+    // reference collector logs every skip, `b3_collector.py:64-66`).
     val it: Iterator[InternalRow] = part.items.iterator
-      .flatMap(i => Try(fetch(i)).toOption.getOrElse(Seq.empty)) // S2 isolation
+      .flatMap { i =>
+        Try(fetch(i)) match {
+          case scala.util.Success(rows) => rows
+          case scala.util.Failure(e) =>
+            log.warn(s"graft-fetch: skipping item '$i' after ${e.getClass.getName}: ${e.getMessage}")
+            skipped.increment()
+            GraftFetchSkips.count.increment()
+            Seq.empty
+        }
+      }
       .map { row =>
         toCatalyst(Row.fromSeq(requiredIdx.map(row.get)))
           .asInstanceOf[InternalRow]
@@ -140,6 +178,8 @@ private[sources] class GraftFetchReaderFactory(
         if (it.hasNext) { current = it.next(); true } else false
       override def get(): InternalRow = current
       override def close(): Unit = ()
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        Array(SkippedItemsTaskMetric(skipped.sum()))
     }
   }
 }

@@ -73,20 +73,35 @@ object EventStream {
     events.join(broadcast(dim), Seq(key), "left")
 
   /** foreachBatch egress: write each micro-batch to a parquet target
-    * partitioned by a derived date column — the standard production sink
-    * when the target needs batch-writer features (partitioning, dynamic
-    * overwrite) the streaming parquet sink lacks. Append mode is
-    * idempotent under micro-batch REPLAY because the checkpoint tracks
-    * the last committed batch id: a replayed batch re-enters foreachBatch
-    * with the SAME id, and Spark only calls it for uncommitted ids.
+    * partitioned by batch id and a derived date column — the standard
+    * production sink when the target needs batch-writer features
+    * (partitioning, dynamic overwrite) the streaming parquet sink lacks.
+    *
+    * foreachBatch is AT-LEAST-ONCE: a crash between the parquet job
+    * commit and the streaming checkpoint commit replays the batch — same
+    * batchId, write job already committed — so a plain `append` would
+    * duplicate every row of that batch. [[writeBatchIdempotent]] makes
+    * the replay a no-op-equivalent: the batch lands under its own
+    * `batch_id=<id>` partitions via DYNAMIC partition overwrite, so a
+    * replayed attempt overwrites exactly the partitions the failed
+    * attempt wrote and nothing else (concurrent committed batches have
+    * different batch_ids and are untouched).
     */
+  def writeBatchIdempotent(batch: Dataset[org.apache.spark.sql.Row],
+      batchId: Long, targetDir: String): Unit =
+    batch
+      .withColumn("date", to_date(col("ts")))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "date")
+      .parquet(targetDir)
+
   def runForeachBatchSink(spark: SparkSession, streamed: DataFrame,
       targetDir: String, checkpoint: String): Unit = {
     val q = streamed.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch
-          .withColumn("date", to_date(col("ts")))
-          .write.mode("append").partitionBy("date").parquet(targetDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, targetDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

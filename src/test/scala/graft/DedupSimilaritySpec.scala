@@ -34,6 +34,39 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("d3b guard: banded LSH at threshold 0.9 equals exact all-pairs on the fixture") {
+    // The d3b oracle claim is probabilistic, not exact: 8×4 banding at
+    // J ≥ 0.9 has recall 1-(1-0.9⁴)⁸ ≈ 0.9998 PER PAIR, so a qualifying
+    // pair that misses all 8 bands would silently diverge from DuckDB's
+    // exact all-pairs join. This guard pins the residual to zero on the
+    // CURRENT fixture: if the fixture is regenerated and a pair starts
+    // missing, this fails before the driver compare does.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.shingles3
+    val fixture = Tables.documents(spark, sf0001)
+    val banded = Dedup.nearDupPairs(fixture, threshold = 0.9,
+      materializeCandidates = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = fixture.select(col("doc_id"),
+      array_distinct(shingles3(col("text"))).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      size(col("sh")).as("na"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      size(col("sh")).as("nb"))
+    // size-ratio prefilter is a necessary condition for J ≥ 0.9
+    // (J ≤ min/max of set sizes) — prunes only pairs 0.9 would reject
+    val exact = a.join(b, col("doc_a") < col("doc_b") &&
+        col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9)
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .filter(col("j") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === exact,
+      s"LSH banding missed/added pairs vs exact: ${banded.diff(exact)} / ${exact.diff(banded)}")
+    assert(exact.nonEmpty, "fixture must contain at least one J>=0.9 pair")
+  }
+
   test("minhash plan has no cartesian/nested-loop join") {
     val plan = Dedup.nearDupPairs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)

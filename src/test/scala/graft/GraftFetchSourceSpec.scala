@@ -43,9 +43,15 @@ class GraftFetchSourceSpec extends SparkTestBase {
   }
 
   test("a failing item is skipped, not fatal (S2 error isolation)") {
+    val before = graft.sources.GraftFetchSkips.count.sum()
     val rows = read("AAA,BOOM,CCC").collect()
     assert(rows.length === 6, "BOOM's failure must not kill the scan")
     assert(rows.map(_.getString(8)).toSet === Set("AAA", "CCC"))
+    // the skip must be OBSERVABLE, not silent: counted (and logged with
+    // its exception; cluster mode additionally reports the skippedItems
+    // scan metric)
+    assert(graft.sources.GraftFetchSkips.count.sum() === before + 1,
+      "skipped item must be counted")
   }
 
   test("items split into one partition per batch — executor-parallel fetch") {

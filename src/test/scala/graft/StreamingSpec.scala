@@ -119,11 +119,32 @@ class StreamingSpec extends SparkTestBase {
     val written = spark.read.parquet(target)
     assert(written.count() === batch.count())
     assert(new java.io.File(target).listFiles()
+      .count(_.getName.startsWith("batch_id=")) > 0, "must partition by batch id")
+    assert(new java.io.File(target).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles())
       .count(_.getName.startsWith("date=")) > 0, "must partition by date")
     // second run, same checkpoint, no new files → nothing re-written
     run()
     assert(spark.read.parquet(target).count() === batch.count(),
       "replay with a committed checkpoint must not duplicate rows")
+  }
+
+  test("foreachBatch sink is idempotent under at-least-once batch REPLAY") {
+    // Simulate the crash window foreachBatch exposes: the parquet write
+    // job committed but the streaming checkpoint did not, so the SAME
+    // batch (same id, same rows) is delivered to the sink again. The
+    // committed-checkpoint test above cannot catch this — it never
+    // re-enters the sink function.
+    val (_, batch) = stageRawDir()
+    val target = tmpDir("fbsink_replay")
+    EventStream.writeBatchIdempotent(batch, batchId = 0L, target)
+    val afterFirst = spark.read.parquet(target).count()
+    EventStream.writeBatchIdempotent(batch, batchId = 0L, target) // replay
+    assert(spark.read.parquet(target).count() === afterFirst,
+      "replayed batch id must overwrite, not append")
+    // a DIFFERENT batch id must append, not clobber batch 0
+    EventStream.writeBatchIdempotent(batch.limit(10), batchId = 1L, target)
+    assert(spark.read.parquet(target).count() === afterFirst + 10)
   }
 
   test("AvailableNow is exactly-once per file: second run with same checkpoint emits nothing new") {
