@@ -113,13 +113,38 @@ object SparkEntry {
           concat_ws("|", col("corpus_signature").cast("array<string>")))
     }),
     "d6_curated" -> ((s, dir) => Dedup.curatedCorpus(Tables.documents(s, dir))),
+    // Transitive closure of the near-dup relation: LSH pairs at 0.9 (the
+    // d3b-proven edge set) → alternating large-star/small-star connected
+    // components → every doc labeled with its cluster's min id. Oracle:
+    // the same edges via exact all-pairs Jaccard + a recursive-CTE
+    // min-label closure.
+    "d7_dup_clusters" -> ((s, dir) => Dedup.dupClusters(Tables.documents(s, dir), threshold = 0.9)),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
     "t4_lang_stats" -> ((s, dir) => TextOps.langStats(Tables.documents(s, dir))),
     "e1_json_extract" -> ((s, dir) => TextOps.jsonExtract(Tables.events(s, dir))),
+    // Deterministic content-addressed sampling (reproducible pipeline
+    // subsetting): keep iff first md5(doc_id) nibble < 6 → expected 6/16.
+    "t7_hash_sample" -> ((s, dir) => TextOps.deterministicSample(
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"), "doc_id", 6)),
+    // Stratified variant: downsample the over-represented language
+    // (en → 6/16) while keeping the tail at 12/16 — a map-side filter,
+    // no shuffle.
+    "t8_stratified_sample" -> ((s, dir) => TextOps.stratifiedSample(
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars"), "doc_id", "lang",
+      Map("en" -> 6), defaultSixteenths = 12)),
     "s1_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
+    // Rows-only by design: LSH bucket membership is hash-seeded. A
+    // d3b-style high-threshold oracle proof is IMPOSSIBLE on this fixture
+    // — the max pairwise cosine is ~0.51 (no planted near-dup pairs), and
+    // at thresholds that low, hyperplane banding with recall ≈ 1 needs so
+    // many tables it degenerates to all-pairs. The exact-equivalence
+    // evidence lives in s3_knn_join (oracle-proven) and the recall tests.
     "s2_ann_pairs" -> ((s, dir) => Similarity.nearNeighborPairs(Tables.embeddings(s, dir), minScore = 0.35, planes = 6)),
+    // Exact k-NN JOIN (batch similarity search): top-5 neighbors for each
+    // of 5 query vectors, broadcast query side, one corpus scan.
+    "s3_knn_join" -> ((s, dir) => Similarity.knnJoin(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)),
     "m1_multimodal_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       // The float features are (nibble-count / n_bytes) in float32; since
@@ -558,6 +583,70 @@ object SparkEntry {
         |  CAST(floor(n * (i + 1) / 4.0) - floor(n * i / 4.0) AS INT) AS frame_bytes
         |FROM m, UNNEST([0, 1, 2, 3]) AS t(i)
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // Connected components as a recursive min-label closure: edges are the
+    // exact all-pairs J ≥ 0.9 pairs (same derivation as d3b, both
+    // directions), the recursive CTE enumerates every (node, reachable
+    // label), and min per node is the component id. Tractable because the
+    // sf0.01 edge set is tiny; the ENGINE side is the one that has to be
+    // subquadratic (LSH edges + O(log² n) star rounds).
+    "d7_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |   AND len(a.sh) * 10 >= len(b.sh) * 9 AND len(b.sh) * 10 >= len(a.sh) * 9
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p
+        |), cc AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON cc.node = e.a
+        |), lab AS (
+        |  SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+        |), sz AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS INT) AS cluster_size
+        |  FROM lab GROUP BY cluster_id
+        |)
+        |SELECT lab.node AS doc_id, lab.cluster_id, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+    "s3_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |             * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rank, vec_id, score
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, vec_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "t7_hash_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 6
+        |ORDER BY doc_id""".stripMargin,
+    "t8_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        |      < CASE WHEN lang = 'en' THEN 6 ELSE 12 END
+        |ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
     "d2_dup_stats" ->

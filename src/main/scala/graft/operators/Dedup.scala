@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.SimHash64.simhash64
@@ -206,6 +206,118 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Connected components over an undirected edge set, by the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014). Returns
+    * (node, component) where component = the minimum node id reachable.
+    *
+    * Why not plain min-label propagation: propagation needs O(diameter)
+    * rounds — a chain of near-dup docs (common in crawl data: A≈B≈C≈…)
+    * makes that linear in cluster size. The alternating algorithm
+    * converges in O(log² n) rounds regardless of shape, and each round is
+    * two hash aggregations + two hash joins over the CURRENT edge set
+    * (which shrinks toward one star per component) — no adjacency lists
+    * are ever materialized per node, so a 100 TB pair set is just a few
+    * shuffles of its own size.
+    *
+    *  - large-star: every node connects its LARGER neighbors to its
+    *    minimum neighbor (or itself) — long tendrils collapse toward
+    *    minima without ever increasing edge count.
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    to their collective minimum — stars re-root at the true minimum.
+    *
+    * Each round is localCheckpoint'd: the fixpoint loop would otherwise
+    * grow an exponentially deep lazy plan (the classic iterative-algorithm
+    * trap on Spark).
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def canonical(src: Column, dst: Column) =
+      Seq(least(src, dst).as("src"), greatest(src, dst).as("dst"))
+    var e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(canonical(col("src"), col("dst")): _*)
+      .distinct()
+      .localCheckpoint(true)
+    val allNodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().localCheckpoint(true)
+
+    // edge-set identity: (count, order-independent hash) — equal across a
+    // round ⇔ the alternation reached its fixpoint (a forest of stars).
+    // XOR-fold, not SUM: order/partitioning-independent like sum, but
+    // cannot overflow under ANSI arithmetic (the set is distinct, so
+    // xor cancellation of duplicate rows cannot occur).
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val bidir = cur.select(col("src").as("u"), col("dst").as("v"))
+        .union(cur.select(col("dst").as("u"), col("src").as("v")))
+      val m = bidir.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      bidir.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("src"), col("v").as("dst")) // m ≤ u < v
+        .distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // group each edge under its LARGER endpoint; v < u throughout
+      val dir = cur.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val m = dir.groupBy("u").agg(min("v").as("m"))
+      val reRooted = dir.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("src"), col("v").as("dst")) // m < v
+      val toRoot = m.select(col("m").as("src"), col("u").as("dst")) // m < u
+      reRooted.union(toRoot).distinct()
+    }
+
+    var signature = sig(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = sig(next)
+      converged = nextSig == signature
+      e = next
+      signature = nextSig
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // fixpoint is a forest of stars: every edge is (component-min, member)
+    val members = e.select(col("dst").as("node"), col("src").as("component"))
+    val roots = allNodes.join(members, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    members.union(roots)
+  }
+
+  /** Duplicate CLUSTERS: the transitive closure of the near-dup relation.
+    * Pairwise output ([[nearDupPairs]]) under-reports duplication — if
+    * A≈B and B≈C, all three are one duplication cluster even when A,C
+    * don't pair directly. Edges = LSH pairs at `threshold`, components via
+    * [[connectedComponents]], every document labeled with its cluster's
+    * min doc_id (singletons label themselves — no join fan-out, the
+    * label set is only docs that appear in some pair).
+    */
+  def dupClusters(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val edges = nearDupPairs(documents, threshold, materializeCandidates = true)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = connectedComponents(edges)
+    val labeled = documents.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("int").as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** (doc_id, sig, chunk_id, chunk_val): the 64-bit SimHash split into

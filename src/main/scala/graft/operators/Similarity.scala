@@ -36,6 +36,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-NN JOIN: top-k cosine neighbors for EACH query vector in a
+    * (small) query set — the batch form of [[bruteForceTopK]]. The query
+    * side is broadcast, so the corpus is scanned once with |Q| fused
+    * cosine evaluations per row and never shuffled by the join; the only
+    * shuffle is the per-query ranking window over the scored rows.
+    *
+    * Scale shape: right for |Q| in the hundreds (broadcast-sized). The
+    * scored-row shuffle is |corpus|·|Q| rows — at 100 TB use the
+    * [[SimilarityIndex]] / [[IvfIndex]] pruned path per query, or raise
+    * the score floor below to pre-filter before the window.
+    */
+  def knnJoin(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      minScore: Double = -1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = embeddings.join(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineSim(col("embedding"), col("q_emb")), 6).as("score"))
+      .filter(col("score") >= minScore)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate DEDUP: cluster near-identical vectors
     * (LSH candidates ≥ minScore) and keep the min-vec_id representative of
     * each group. Representative choice is the transitive-closure-free

@@ -78,6 +78,46 @@ object TextOps {
       .withColumnRenamed("col", "token")
       .orderBy("doc_id", "pos")
 
+  /** Deterministic content-addressed sampling: keep a row iff the first
+    * hex nibble of md5(key) falls below `sixteenths`/16 — the
+    * reproducibility primitive of a training-data pipeline. Unlike
+    * `df.sample()` (seeded per-partition RNG: resampling after a
+    * repartition or a re-run over different file splits changes the
+    * selection), the decision is a pure function of the ROW KEY: stable
+    * across runs, partitionings, engines — and expressible in the oracle.
+    * Rate granularity is 1/16; chain a second nibble for 1/256.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 0 && sixteenths <= 16, "rate is n/16")
+    df.filter(hexNibble(keyCol) < sixteenths).orderBy(keyCol)
+  }
+
+  /** Stratified deterministic sampling: per-stratum rates (in 16ths) over
+    * the same md5-nibble decision — downsample over-represented strata
+    * (e.g. English crawl text) without a shuffle: the whole operator is a
+    * broadcast map-side filter.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Int], defaultSixteenths: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultSixteenths)).forall(r => r >= 0 && r <= 16))
+    import org.apache.spark.sql.functions.{coalesce, when}
+    val rateExpr = coalesce(
+      rates.toSeq.sorted.map { case (stratum, rate) =>
+        when(col(strataCol) === stratum, lit(rate))
+      } :+ lit(defaultSixteenths): _*)
+    df.filter(hexNibble(keyCol) < rateExpr).orderBy(keyCol)
+  }
+
+  /** Value of the first hex digit of md5(key) in [0,16) — `instr` over the
+    * hex alphabet rather than `conv`, because the oracle engine has the
+    * same `instr`/`strpos` semantics (1-based, 0 when absent).
+    */
+  private def hexNibble(keyCol: String) = {
+    import org.apache.spark.sql.functions.{instr, md5, substring}
+    instr(lit("0123456789abcdef"),
+      substring(md5(col(keyCol).cast("string")), 1, 1)) - 1
+  }
+
   /** JSON extraction from `events.props` — both the string-path form
     * (`get_json_object`) and the schema form (`from_json`).
     */

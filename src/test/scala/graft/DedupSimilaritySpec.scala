@@ -188,6 +188,83 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got.collect().head.getLong(0) === 5L)
   }
 
+  test("connected components: chain graph collapses to one component in few rounds") {
+    // a 30-node chain is the worst case for min-label PROPAGATION
+    // (diameter rounds); the alternating star algorithm must still
+    // converge well inside its O(log² n) budget
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(chain, maxRounds = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size === 30)
+    assert(labels.values.toSet === Set(0L), s"all nodes must label 0: $labels")
+  }
+
+  test("connected components match union-find ground truth on random graphs") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find as independent ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component label = min node id in the component
+          val r = find(v.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(u => find(u.toInt) == r).min
+        }).toMap
+      val got = Dedup.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("dup clusters: edges land in one cluster, labels are component minima") {
+    val fixture = Tables.documents(spark, sf0001)
+    val clusters = Dedup.dupClusters(fixture, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    val pairs = Dedup.nearDupPairs(fixture, threshold = 0.9,
+      materializeCandidates = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(label(a) === label(b), s"edge ($a,$b) split across clusters")
+    }
+    // every label is the min doc_id of its cluster; sizes are consistent
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.forall(_._3 === members.size))
+    }
+    // docs outside any pair are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot(c => paired(c._1)).foreach { c =>
+      assert(c._2 === c._1 && c._3 === 1, s"singleton mislabeled: $c")
+    }
+  }
+
+  test("knn join equals per-query brute force, query side broadcast") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val knn = Similarity.knnJoin(emb, Seq(0L, 3L), k = 4)
+    val got = knn.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    for (q <- Seq(0L, 3L)) {
+      val want = Similarity.bruteForceTopK(emb, q, 4).collect()
+        .zipWithIndex
+        .map { case (r, i) => (q, i + 1, r.getLong(0), r.getDouble(1)) }
+      assert(got.filter(_._1 == q).toSeq === want.toSeq, s"query $q")
+    }
+    val plan = knn.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$plan")
+  }
+
   test("similarity index: partition-pruned query matches brute force top-k") {
     val dir = tmpDir("simindex")
     SimilarityIndex.writeIndex(plantedVectors, dir, planes = 4)

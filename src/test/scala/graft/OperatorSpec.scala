@@ -185,4 +185,37 @@ class OperatorSpec extends SparkTestBase {
       assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: $n vs ${approx(k)}")
     }
   }
+
+  test("deterministic sample: stable across runs/partitionings, rate near target") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    val n = docs.count()
+    val ids = TextOps.deterministicSample(docs, "doc_id", 6)
+      .collect().map(_.getLong(0)).toSeq
+    // same selection regardless of physical layout — the whole point
+    // vs df.sample()'s per-partition RNG
+    val reparted = TextOps.deterministicSample(docs.repartition(13), "doc_id", 6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === reparted, "selection must not depend on partitioning")
+    val rate = ids.size.toDouble / n
+    assert(rate > 0.20 && rate < 0.55, s"expected ~6/16=0.375, got $rate")
+    assert(TextOps.deterministicSample(docs, "doc_id", 16).count() === n)
+    assert(TextOps.deterministicSample(docs, "doc_id", 0).count() === 0)
+  }
+
+  test("stratified sample applies per-stratum rates, subset semantics hold") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    val sampled = TextOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 6), defaultSixteenths = 12).collect()
+    val uniform6 = TextOps.deterministicSample(docs, "doc_id", 6)
+      .collect().map(_.getLong(0)).toSet
+    val uniform12 = TextOps.deterministicSample(docs, "doc_id", 12)
+      .collect().map(_.getLong(0)).toSet
+    // a rate-6 stratum is exactly the uniform-6 selection restricted to
+    // the stratum (nested samples — the nibble decision is shared)
+    val en = sampled.filter(_.getString(1) == "en").map(_.getLong(0)).toSet
+    val rest = sampled.filter(_.getString(1) != "en").map(_.getLong(0)).toSet
+    assert(en.subsetOf(uniform6))
+    assert(rest.subsetOf(uniform12))
+    assert((en ++ rest).subsetOf(uniform12), "rates nest: 6/16 ⊂ 12/16")
+  }
 }
