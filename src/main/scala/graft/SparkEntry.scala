@@ -124,6 +124,12 @@ object SparkEntry {
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
     "t4_lang_stats" -> ((s, dir) => TextOps.langStats(Tables.documents(s, dir))),
     "e1_json_extract" -> ((s, dir) => TextOps.jsonExtract(Tables.events(s, dir))),
+    // Vocabulary statistics: document frequency per (lang, term), top-10
+    // per language — the inverted-index/vocab-build shape, all-integer.
+    "t9_vocab_topk" -> ((s, dir) => TextOps.termDocFrequency(Tables.documents(s, dir), 10)),
+    // Token-budget sequence chunking: contiguous fill per language stream,
+    // chunk_id from a keyed window running sum — training-batch prep.
+    "t10_pack_chunks" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir), 512)),
     // Deterministic content-addressed sampling (reproducible pipeline
     // subsetting): keep iff first md5(doc_id) nibble < 6 → expected 6/16.
     "t7_hash_sample" -> ((s, dir) => TextOps.deterministicSample(
@@ -638,6 +644,26 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, vec_id)
         |QUALIFY ROW_NUMBER() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "t9_vocab_topk" ->
+      """WITH dt AS (
+        |  SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents
+        |), df AS (
+        |  SELECT lang, term, COUNT(*) AS doc_freq FROM dt GROUP BY lang, term
+        |)
+        |SELECT lang, CAST(ROW_NUMBER() OVER w AS INT) AS rank, term, doc_freq
+        |FROM df
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_freq DESC, term)
+        |QUALIFY ROW_NUMBER() OVER w <= 10
+        |ORDER BY lang, rank""".stripMargin,
+    "t10_pack_chunks" ->
+      """SELECT doc_id, lang,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        | CAST(floor((SUM(len(string_split(text, ' ')))
+        |        OVER (PARTITION BY lang ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - len(string_split(text, ' '))) / 512) AS INT) AS chunk_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t7_hash_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 6

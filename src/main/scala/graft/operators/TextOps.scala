@@ -78,6 +78,53 @@ object TextOps {
       .withColumnRenamed("col", "token")
       .orderBy("doc_id", "pos")
 
+  /** Vocabulary statistics / inverted-index summary: document frequency
+    * per (lang, term), top-k terms per language. The explode shuffles
+    * (lang, term) pairs with map-side partial counts — the standard
+    * vocab-build shape; the ranking window runs over the AGGREGATED
+    * per-language vocabulary, which is orders of magnitude smaller than
+    * the corpus, never over raw tokens. All-integer output: engine
+    * independent, no FP scoring.
+    */
+  def termDocFrequency(documents: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{array_distinct, explode, row_number}
+    val docTerms = documents
+      .select(col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val docFreq = docTerms.groupBy("lang", "term")
+      .agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("doc_freq").desc, col("term"))
+    docFreq.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("term"), col("doc_freq"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Token-budget sequence chunking (training-batch prep): assign each
+    * document to a fixed-token-budget chunk, filling contiguously in
+    * doc_id order WITHIN each language stream. chunk_id =
+    * floor(tokens-before-this-doc / budget) — pure integer window
+    * arithmetic, no driver loop. Keyed by lang so the running sum is a
+    * per-partition window, not a global single-partition sort (the
+    * global variant would serialize the corpus through one task at
+    * 100 TB).
+    */
+  def packSequences(documents: DataFrame, budgetTokens: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.floor
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("chunk_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+          / budgetTokens).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic content-addressed sampling: keep a row iff the first
     * hex nibble of md5(key) falls below `sixteenths`/16 — the
     * reproducibility primitive of a training-data pipeline. Unlike

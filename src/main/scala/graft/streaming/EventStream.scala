@@ -53,6 +53,24 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Session-window aggregation: per-user sessions that close after `gap`
+    * of event-time inactivity — the variable-length window family tumbling
+    * windows can't express (user activity bursts, not clock hours). State
+    * per open session, merged as late rows bridge sessions; with a
+    * watermark, closed sessions are evicted (production mode). The
+    * no-watermark + complete-mode form exists for bounded replays/tests.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: Option[String] = Some("10 minutes")): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id, with a
     * watermark bounding the dedup state (ids older than the watermark are
     * evicted — without it, state grows unboundedly at 100 TB/day rates).

@@ -147,6 +147,41 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(target).count() === afterFirst + 10)
   }
 
+  test("session windows match batch gap-based sessionization") {
+    val (dir, batch) = stageRawDir()
+    val gapSecs = 1800L
+    val streamed = EventStream.sessionCounts(
+      EventStream.readRaw(spark, dir, batch.schema), "30 minutes",
+      watermark = None)
+    val got = EventStream.runAvailableNow(spark, streamed, "sess_counts",
+      tmpDir("ckpt_sess"), outputMode = "complete")
+      .collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0)) -> (r.getLong(3), r.getTimestamp(1)))
+      .toMap
+
+    // independent batch derivation: a session starts where the gap from
+    // the previous event of the same user is > gap; end = last ts + gap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val want = batch
+      .withColumn("new_sess",
+        when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(w).cast("long") > gapSecs, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"),
+        (max(col("ts")) + expr("INTERVAL 30 minutes")).as("session_end"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2)) -> (r.getLong(3), r.getTimestamp(4)))
+      .toMap
+
+    assert(got.size === want.size)
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must contain at least one session")
+  }
+
   test("AvailableNow is exactly-once per file: second run with same checkpoint emits nothing new") {
     val (dir, batch) = stageRawDir()
     val ckpt = tmpDir("ckpt3")
