@@ -244,15 +244,17 @@ object Dedup {
     val allNodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().localCheckpoint(true)
 
-    // edge-set identity: (count, order-independent hash) — equal across a
-    // round ⇔ the alternation reached its fixpoint (a forest of stars).
-    // XOR-fold, not SUM: order/partitioning-independent like sum, but
-    // cannot overflow under ANSI arithmetic (the set is distinct, so
-    // xor cancellation of duplicate rows cannot occur).
-    def sig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // Convergence = the edge set IS the answer shape: a forest of stars
+    // rooted at component minima — every member appears as dst exactly
+    // once, and no root (src) is itself a member (dst). Checking the
+    // property directly instead of comparing consecutive edge sets saves
+    // a full no-op star round at the end (the compare only notices the
+    // fixpoint one round AFTER reaching it). Star forests are fixpoints
+    // of both star operations, so stopping here is sound.
+    def isStarForest(df: DataFrame): Boolean = {
+      val r = df.agg(count(lit(1)), countDistinct(col("dst"))).head()
+      r.getLong(0) == r.getLong(1) &&
+        df.join(df.select(col("dst").as("src")), Seq("src"), "left_semi").isEmpty
     }
 
     def largeStar(cur: DataFrame): DataFrame = {
@@ -278,15 +280,11 @@ object Dedup {
       reRooted.union(toRoot).distinct()
     }
 
-    var signature = sig(e)
-    var converged = false
+    var converged = isStarForest(e)
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = sig(next)
-      converged = nextSig == signature
-      e = next
-      signature = nextSig
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      converged = isStarForest(e)
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")

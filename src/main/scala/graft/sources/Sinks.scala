@@ -75,4 +75,45 @@ object Sinks {
   /** K5: schema diagnostics (`printSchema`/`schema`/`columns`). */
   def describe(df: DataFrame): (String, Seq[String]) =
     (df.schema.treeString, df.columns.toIndexedSeq)
+
+  /** Small-file COMPACTION: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files. Streaming sinks and
+    * fine-grained partitioned writes accumulate tiny files whose
+    * per-file open/footer cost eventually dominates scans (the classic
+    * 100 TB operational chore); compaction is a scheduled rewrite with
+    * file count derived from MEASURED input bytes, not a guessed
+    * `coalesce(n)`. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def dataFiles() = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    val totalBytes = before.map(_.length).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + "_compacting"
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    // swap via rename — atomic on a posix dir, staged-commit on object stores
+    val dst = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(dst)
+    require(new java.io.File(tmp).renameTo(dst), s"rename $tmp -> $path failed")
+    (before.length, dataFiles().length)
+  }
+
+  /** Range-CLUSTERED write: range-repartition + sort within partitions by
+    * the clustering columns before writing, so every parquet file covers
+    * a narrow, non-overlapping slice of the clustering key. Row-group
+    * min/max statistics then let any engine skip files/row-groups whose
+    * range can't match a predicate — data skipping for HIGH-cardinality
+    * columns where Hive-style `partitionBy` directories would explode
+    * into millions of tiny partitions.
+    */
+  def writeRangeClustered(df: DataFrame, path: String, numFiles: Int,
+      clusterCols: String*): Unit = {
+    val cols = clusterCols.map(df.col)
+    df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -71,4 +71,40 @@ class ScaleTechniquesSpec extends SparkTestBase {
       assert(files === 1, s"${d.getName} has $files files; repartition-first must yield 1")
     }
   }
+
+  test("compaction rewrites many small files into the byte-derived count, data intact") {
+    val dir = tmpDir("compact")
+    val df = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
+    df.repartition(40).write.mode("overwrite").parquet(dir) // simulate small-file debris
+    val beforeSum = spark.read.parquet(dir)
+      .agg(sum("event_id"), count(lit(1))).head()
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val (before, after) = Sinks.compact(spark, dir, targetFileBytes = totalBytes / 3)
+    assert(before === 40)
+    assert(after === 3 || after === 4, s"expected ~3 files, got $after") // ceil slack
+    val afterSum = spark.read.parquet(dir)
+      .agg(sum("event_id"), count(lit(1))).head()
+    assert(afterSum === beforeSum, "compaction must preserve every row")
+  }
+
+  test("range-clustered write yields non-overlapping per-file key ranges (data skipping)") {
+    val dir = tmpDir("clustered")
+    Sinks.writeRangeClustered(
+      Tables.events(spark, sf0001).select("event_id", "user_id", "value"),
+      dir, numFiles = 8, "event_id")
+    // per-file min/max of the clustering key must not overlap: that is
+    // precisely what lets parquet row-group stats skip files for a
+    // point/range predicate
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 2, s"need several files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
 }
