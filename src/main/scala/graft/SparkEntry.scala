@@ -112,6 +112,25 @@ object SparkEntry {
         .withColumn("corpus_signature",
           concat_ws("|", col("corpus_signature").cast("array<string>")))
     }),
+    // The corpus-signature VALUES are hash-seeded (rows-only, d5), but the
+    // custom Aggregator's merge correctness is driver-witnessable as a
+    // CONTRACT (a6 pattern): the signature must be partitioning-invariant
+    // — computing it over a 7-way hash repartition must merge partial
+    // states into the identical signature. A broken merge() flips the
+    // boolean and hash-mismatches the TRUE-emitting oracle.
+    "d5b_signature_contract" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat_ws}
+      def sigs(df: org.apache.spark.sql.DataFrame) =
+        Dedup.corpusSignatures(df).withColumn("sig",
+          concat_ws("|", col("corpus_signature").cast("array<string>")))
+          .select(col("lang"), col("sig"))
+      val docs = Tables.documents(s, dir)
+      sigs(docs).alias("a")
+        .join(sigs(docs.repartition(7, col("doc_id"))).alias("b"), "lang")
+        .select(col("lang"),
+          (col("a.sig") === col("b.sig")).as("partition_invariant"))
+        .orderBy("lang")
+    }),
     "d6_curated" -> ((s, dir) => Dedup.curatedCorpus(Tables.documents(s, dir))),
     // Transitive closure of the near-dup relation: LSH pairs at 0.9 (the
     // d3b-proven edge set) → alternating large-star/small-star connected
@@ -677,6 +696,8 @@ object SparkEntry {
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id",
     "d2_dup_stats" ->
       "SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents GROUP BY lang ORDER BY lang",
+    "d5b_signature_contract" ->
+      "SELECT lang, TRUE AS partition_invariant FROM documents GROUP BY lang ORDER BY lang",
     "d6_curated" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS toks,
