@@ -13,8 +13,12 @@ Test / fork := true
 run / fork := true
 // Keep the final stdout line of `sbt "runMain graft.Bench"` the JSON
 // metric line itself: the trailing "[success] Total time ..." banner was
-// breaking the driver's tail-parse (BENCH_r0{2,3}.json "parsed": null).
+// breaking the driver's tail-parse (BENCH_r0{2,3}.json "parsed": null),
+// and sbt's default LoggedOutput strategy prefixes every forked-JVM
+// stdout line with "[info] ". Raw pass-through + no success banner
+// leaves the bare JSON line as the last thing on stdout.
 Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
