@@ -132,6 +132,15 @@ object SparkEntry {
         .orderBy("lang")
     }),
     "d6_curated" -> ((s, dir) => Dedup.curatedCorpus(Tables.documents(s, dir))),
+    // Typed Dataset[T] surface: the SAME curation gate written against
+    // case classes (compile-time field safety, reduceGroups partial agg).
+    // Hash-compared against the SAME oracle SQL as d6_curated — the
+    // referee that the typed and untyped paths compute identically.
+    "d6b_curated_typed" -> ((s, dir) => {
+      import s.implicits._
+      TypedOps.curatedCorpusTyped(
+        Tables.documents(s, dir).as[TypedOps.Doc]).toDF()
+    }),
     // Transitive closure of the near-dup relation: LSH pairs at 0.9 (the
     // d3b-proven edge set) → alternating large-star/small-star connected
     // components → every doc labeled with its cluster's min id. Oracle:
@@ -202,6 +211,33 @@ object SparkEntry {
     "u3_intersect" -> ((s, dir) => SetOps.intersectKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
   )
+
+  /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
+    * typed (d6b_curated_typed) implementations: one SQL referee proving
+    * both paths compute the identical result.
+    */
+  private val CuratedSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+      |         length(text) AS nc
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, text, nc, CAST(len(toks) AS INT) AS nt,
+      |   CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS nsw,
+      |   CAST(len(list_filter(toks, x -> length(x) > 25)) AS INT) AS nlong
+      |  FROM t
+      |), q AS (
+      |  SELECT doc_id, text, nt,
+      |    (CASE WHEN nc >= 100 AND nc <= 5000 THEN 1 ELSE 0 END
+      |     + CASE WHEN (nc - nt + 1) >= nt * 3 AND (nc - nt + 1) <= nt * 10 THEN 1 ELSE 0 END
+      |     + CASE WHEN nsw * 20 >= nt THEN 1 ELSE 0 END
+      |     + CASE WHEN nlong = 0 THEN 1 ELSE 0 END) AS score,
+      |    CASE WHEN nsw * 20 >= nt THEN 'en' ELSE 'unknown' END AS plang
+      |  FROM c
+      |)
+      |SELECT min(doc_id) AS doc_id, CAST(min(nt) AS INT) AS n_tokens
+      |FROM q WHERE score >= 3 AND plang = 'en'
+      |GROUP BY text ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -698,28 +734,9 @@ object SparkEntry {
       "SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents GROUP BY lang ORDER BY lang",
     "d5b_signature_contract" ->
       "SELECT lang, TRUE AS partition_invariant FROM documents GROUP BY lang ORDER BY lang",
-    "d6_curated" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
-        |         length(text) AS nc
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, text, nc, CAST(len(toks) AS INT) AS nt,
-        |   CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS nsw,
-        |   CAST(len(list_filter(toks, x -> length(x) > 25)) AS INT) AS nlong
-        |  FROM t
-        |), q AS (
-        |  SELECT doc_id, text, nt,
-        |    (CASE WHEN nc >= 100 AND nc <= 5000 THEN 1 ELSE 0 END
-        |     + CASE WHEN (nc - nt + 1) >= nt * 3 AND (nc - nt + 1) <= nt * 10 THEN 1 ELSE 0 END
-        |     + CASE WHEN nsw * 20 >= nt THEN 1 ELSE 0 END
-        |     + CASE WHEN nlong = 0 THEN 1 ELSE 0 END) AS score,
-        |    CASE WHEN nsw * 20 >= nt THEN 'en' ELSE 'unknown' END AS plang
-        |  FROM c
-        |)
-        |SELECT min(doc_id) AS doc_id, CAST(min(nt) AS INT) AS n_tokens
-        |FROM q WHERE score >= 3 AND plang = 'en'
-        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "d6_curated" -> CuratedSql,
+    // typed path, same referee:
+    "d6b_curated_typed" -> CuratedSql,
     "t1_token_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS toks,

@@ -186,6 +186,17 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("typed curation gate equals the untyped column pipeline") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val untyped = Dedup.curatedCorpus(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val typed = TypedOps.curatedCorpusTyped(docs.as[TypedOps.Doc]).collect()
+      .map(c => (c.doc_id, c.n_tokens)).toSeq
+    assert(typed === untyped)
+    assert(typed.nonEmpty)
+  }
+
   test("deterministic sample: stable across runs/partitionings, rate near target") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
     val n = docs.count()
