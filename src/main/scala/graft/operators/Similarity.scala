@@ -43,9 +43,12 @@ object Similarity {
     * shuffle is the per-query ranking window over the scored rows.
     *
     * Scale shape: right for |Q| in the hundreds (broadcast-sized). The
-    * scored-row shuffle is |corpus|·|Q| rows — at 100 TB use the
-    * [[SimilarityIndex]] / [[IvfIndex]] pruned path per query, or raise
-    * the score floor below to pre-filter before the window.
+    * rank-≤-k filter is recognized by Catalyst and planned as a
+    * WindowGroupLimit BELOW the exchange (per-partition top-k heaps), so
+    * the ranking shuffle carries at most k·|Q| rows per input partition,
+    * not |corpus|·|Q| — asserted at plan level in the spec. For sublinear
+    * per-query cost at 100 TB use the [[SimilarityIndex]] / [[IvfIndex]]
+    * pruned path instead.
     */
   def knnJoin(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       minScore: Double = -1.0): DataFrame = {

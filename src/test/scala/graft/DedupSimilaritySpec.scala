@@ -263,6 +263,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     val plan = knn.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"query side must broadcast:\n$plan")
+    // the rank<=k filter must plan as per-partition top-k heaps BELOW the
+    // ranking exchange — the property that caps the shuffle at k rows per
+    // (query, partition) instead of |corpus|·|Q|
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
+  test("vocab top-k ranks over the aggregated vocabulary with pre-shuffle group limits") {
+    val plan = graft.operators.TextOps.termDocFrequency(
+      Tables.documents(spark, sf0001), 10).queryExecution.executedPlan.toString
+    // partial agg before the (lang, term) exchange + partial top-k before
+    // the ranking exchange: the two properties that keep the vocab build
+    // scan-bound at corpus scale
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 
   test("similarity index: partition-pruned query matches brute force top-k") {

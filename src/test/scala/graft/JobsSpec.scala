@@ -51,4 +51,24 @@ class JobsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
     assert(martRows === directRows)
   }
+
+  test("observe() + listener account rows in one pass (no recount actions)") {
+    import graft.jobs.Observability
+    val rec = Observability.register(spark)
+    try {
+      val events = Tables.events(spark, sf0001)
+      val expected = events.count()
+      rec.clear()
+      val observed = Observability.observeRows(events, "gate", "value")
+      observed.write.format("noop").mode("overwrite").save() // ONE action
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      def gate() = rec.records.flatMap(_.observed.get("gate")).headOption
+      while (gate().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val row = gate().getOrElse(fail(s"no observation delivered: ${rec.records}"))
+      assert(row.getAs[Long]("rows") === expected)
+      assert(row.getAs[Long]("value_not_null") <= expected)
+      assert(rec.records.forall(_.error.isEmpty))
+    } finally spark.listenerManager.unregister(rec)
+  }
 }
