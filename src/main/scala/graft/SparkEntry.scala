@@ -158,6 +158,8 @@ object SparkEntry {
     // Token-budget sequence chunking: contiguous fill per language stream,
     // chunk_id from a keyed window running sum — training-batch prep.
     "t10_pack_chunks" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir), 512)),
+    // Cross-document boilerplate lexicon: 8-grams shared by >= 3 docs.
+    "t11_boilerplate_ngrams" -> ((s, dir) => TextOps.repeatedNgrams(Tables.documents(s, dir), 8, 3)),
     // Deterministic content-addressed sampling (reproducible pipeline
     // subsetting): keep iff first md5(doc_id) nibble < 6 → expected 6/16.
     "t7_hash_sample" -> ((s, dir) => TextOps.deterministicSample(
@@ -699,6 +701,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, vec_id)
         |QUALIFY ROW_NUMBER() OVER w <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "t11_boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+        |    THEN list_transform(generate_series(1, len(toks)-7),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                          toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+        |    ELSE [] END)) AS gram
+        |  FROM t
+        |)
+        |SELECT gram, COUNT(*) AS n_docs FROM s GROUP BY gram
+        |HAVING COUNT(*) >= 3
+        |ORDER BY n_docs DESC, gram""".stripMargin,
     "t9_vocab_topk" ->
       """WITH dt AS (
         |  SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS term

@@ -87,6 +87,22 @@ object TextFunctions {
       .otherwise(array(text))
   }
 
+  /** Word k-gram shingles for arbitrary k, same slice/zip construction as
+    * [[shingles3]] (never `element_at` inside a lambda — that re-splits
+    * the text per shingle). Documents shorter than k tokens contribute no
+    * shingles (unlike [[shingles3]]'s whole-text fallback, callers of
+    * wide grams want absence, not a degenerate unit).
+    */
+  def shinglesK(text: Column, k: Int): Column = {
+    require(k >= 2, "use tokens() for k = 1")
+    val toks = tokens(text)
+    val m = size(toks) - (k - 1)
+    val joined = (2 to k).foldLeft(slice(toks, lit(1), m)) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i), m), (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(toks) >= k, joined).otherwise(typedlit(Seq.empty[String]))
+  }
+
   /** Document fingerprint: full-text md5. */
   def fingerprintMd5(text: Column): Column = md5(text)
 

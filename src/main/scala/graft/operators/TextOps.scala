@@ -78,6 +78,26 @@ object TextOps {
       .withColumnRenamed("col", "token")
       .orderBy("doc_id", "pos")
 
+  /** Cross-document BOILERPLATE detection: word n-grams repeated across
+    * `minDocs`+ distinct documents (nav chrome, disclaimers, shared
+    * templates in crawl data). Per-doc `array_distinct` BEFORE the
+    * explode means each (gram, doc) pair occurs exactly once, so the
+    * aggregate is a plain `count` — no distinct-rewrite Expand in the
+    * shuffle. The survivors are the (small) boilerplate lexicon a
+    * cleaning pass broadcasts back against the corpus.
+    */
+  def repeatedNgrams(documents: DataFrame, n: Int = 8,
+      minDocs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, explode}
+    documents
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesK(col("text"), n))).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("gram"))
+  }
+
   /** Vocabulary statistics / inverted-index summary: document frequency
     * per (lang, term), top-k terms per language. The explode shuffles
     * (lang, term) pairs with map-side partial counts — the standard

@@ -72,6 +72,42 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed join at runtime (skew=true in the final adaptive plan)") {
+    // the AQE-native complement to the manual salted join above: no code
+    // change in the query, the runtime detects the oversized partition
+    // from MEASURED map output and splits it. Thresholds lowered so the
+    // test-sized skew qualifies.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffled join
+      val fact = spark.range(60000)
+        .select(when(col("id") % 4 === 0, lit(1L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      val n = joined.count()
+      assert(n > 0)
+      joined.collect() // finalize joined's own adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(2000))
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew handling did not engage:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("compaction rewrites many small files into the byte-derived count, data intact") {
     val dir = tmpDir("compact")
     val df = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
