@@ -90,8 +90,9 @@ object TextOps {
       minDocs: Int = 3): DataFrame = {
     import org.apache.spark.sql.functions.{array_distinct, explode}
     documents
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // split ONCE
       .select(col("doc_id"),
-        explode(array_distinct(shinglesK(col("text"), n))).as("gram"))
+        explode(array_distinct(shinglesKTokens(col("toks"), n))).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
