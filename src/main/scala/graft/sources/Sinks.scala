@@ -76,6 +76,20 @@ object Sinks {
   def describe(df: DataFrame): (String, Seq[String]) =
     (df.schema.treeString, df.columns.toIndexedSeq)
 
+  /** Catalog STATISTICS: `ANALYZE TABLE` row/size stats (optionally
+    * per-column min/max/ndv histograms-free stats). Statistics are what
+    * the optimizer's size estimates — broadcast-vs-shuffle selection,
+    * join reordering under CBO — read for catalog tables; without them
+    * Spark falls back to raw file size, which over-estimates compressed,
+    * pruned scans. A 100 TB warehouse re-analyzes after large loads.
+    */
+  def analyzeTable(spark: SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
   /** Small-file COMPACTION: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files. Streaming sinks and
     * fine-grained partitioned writes accumulate tiny files whose

@@ -81,4 +81,22 @@ class IngestSinkSpec extends SparkTestBase {
     assert(tree.contains("stock-splits"))
     assert(cols.contains("dataproc"))
   }
+
+  test("ANALYZE TABLE feeds optimizer row/column statistics under CBO") {
+    val df = Ingest.ingest(spark, Seq("AAA.SA", "BBB.SA"), fakeFetch)
+    Sinks.saveAsManagedTable(df, "stocks_stats", Seq("ticker"))
+    Sinks.analyzeTable(spark, "stocks_stats", columns = Seq("close", "volume"))
+    // analyzed rowCount/column stats reach plan estimates when the
+    // cost-based optimizer reads them (size-only estimation otherwise)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("stocks_stats")
+        .queryExecution.optimizedPlan.stats
+      // rowCount comes ONLY from ANALYZE (file size alone can't provide it)
+      assert(stats.rowCount.contains(BigInt(10)), s"stats: $stats")
+      val colStats = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(colStats.contains("close"), s"column stats missing: ${colStats.keys}")
+      assert(colStats("close").distinctCount.isDefined)
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
 }
