@@ -147,6 +147,11 @@ object SparkEntry {
     // the same edges via exact all-pairs Jaccard + a recursive-CTE
     // min-label closure.
     "d7_dup_clusters" -> ((s, dir) => Dedup.dupClusters(Tables.documents(s, dir), threshold = 0.9)),
+    // Capstone: end-to-end training-data prep — sample → quality/lang
+    // gate → exact dedup → near-dup cluster representatives → token-
+    // budget packing, each stage individually oracle-proven (t7/d6/d1/
+    // d3b+d7/t10), the composition oracle-checked as one query.
+    "d8_training_prep" -> ((s, dir) => TrainingPipeline.trainingPrep(Tables.documents(s, dir))),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
@@ -753,6 +758,61 @@ object SparkEntry {
     "d6_curated" -> CuratedSql,
     // typed path, same referee:
     "d6b_curated_typed" -> CuratedSql,
+    "d8_training_prep" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, lang, string_split(text, ' ') AS toks,
+        |         length(text) AS nc
+        |  FROM documents
+        |  WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 12
+        |), c AS (
+        |  SELECT doc_id, text, lang, nc, CAST(len(toks) AS INT) AS nt,
+        |   CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS nsw,
+        |   CAST(len(list_filter(toks, x -> length(x) > 25)) AS INT) AS nlong
+        |  FROM base
+        |), q AS (
+        |  SELECT doc_id, text, lang, nt,
+        |    (CASE WHEN nc >= 100 AND nc <= 5000 THEN 1 ELSE 0 END
+        |     + CASE WHEN (nc - nt + 1) >= nt * 3 AND (nc - nt + 1) <= nt * 10 THEN 1 ELSE 0 END
+        |     + CASE WHEN nsw * 20 >= nt THEN 1 ELSE 0 END
+        |     + CASE WHEN nlong = 0 THEN 1 ELSE 0 END) AS score,
+        |    CASE WHEN nsw * 20 >= nt THEN 'en' ELSE 'unknown' END AS plang
+        |  FROM c
+        |), d AS (
+        |  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+        |         text, min(nt) AS nt
+        |  FROM q WHERE score >= 3 AND plang = 'en'
+        |  GROUP BY text
+        |), s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+        |    THEN list_transform(generate_series(1, len(string_split(text, ' '))-2),
+        |         i -> concat_ws(' ', string_split(text, ' ')[i],
+        |              string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM d
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |   AND len(a.sh) * 10 >= len(b.sh) * 9 AND len(b.sh) * 10 >= len(a.sh) * 9
+        |  WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.9
+        |), e AS (
+        |  SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p
+        |), cc AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM d
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON cc.node = e.a
+        |), lab AS (
+        |  SELECT node, min(label) AS lbl FROM cc GROUP BY node
+        |), reps AS (
+        |  SELECT d.doc_id, d.lang, CAST(d.nt AS INT) AS n_tokens
+        |  FROM d JOIN lab ON d.doc_id = lab.node
+        |  WHERE lab.lbl = d.doc_id
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       - n_tokens) / 512) AS INT) AS chunk_id
+        |FROM reps ORDER BY doc_id""".stripMargin,
     "t1_token_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS toks,

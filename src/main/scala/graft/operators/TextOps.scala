@@ -180,7 +180,7 @@ object TextOps {
     * hex alphabet rather than `conv`, because the oracle engine has the
     * same `instr`/`strpos` semantics (1-based, 0 when absent).
     */
-  private def hexNibble(keyCol: String) = {
+  private[operators] def hexNibble(keyCol: String) = {
     import org.apache.spark.sql.functions.{instr, md5, substring}
     instr(lit("0123456789abcdef"),
       substring(md5(col(keyCol).cast("string")), 1, 1)) - 1
