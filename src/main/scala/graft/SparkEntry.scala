@@ -605,9 +605,11 @@ object SparkEntry {
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;
     // d3b IS oracle-compared: at threshold 0.9 LSH recall ≈ 0.9998, so the
     // banded engine result equals DuckDB's exact all-pairs Jaccard. The
-    // size-ratio prefilter is a necessary condition for J ≥ 0.9
-    // (J ≤ min/max of distinct-shingle counts) — it only prunes pairs the
-    // threshold would reject, keeping the quadratic oracle tractable.)
+    // size-ratio prefilter is a necessary condition for the ROUNDED
+    // threshold round(J,4) ≥ 0.9 ⇔ J ≥ 0.89995 (J ≤ min/max of
+    // distinct-shingle counts, hence ratio ≥ 0.8999 with slack) — it only
+    // prunes pairs the threshold would reject, keeping the quadratic
+    // oracle tractable.)
     "d3b_minhash_highsim" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |s AS (
@@ -621,7 +623,7 @@ object SparkEntry {
         |    ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
         |          / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |   AND len(a.sh) * 10 >= len(b.sh) * 9 AND len(b.sh) * 10 >= len(a.sh) * 9
+        |   AND len(a.sh) * 10000 >= len(b.sh) * 8999 AND len(b.sh) * 10000 >= len(a.sh) * 8999
         |)
         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -669,9 +671,9 @@ object SparkEntry {
         |), p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |   AND len(a.sh) * 10 >= len(b.sh) * 9 AND len(b.sh) * 10 >= len(a.sh) * 9
-        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+        |   AND len(a.sh) * 10000 >= len(b.sh) * 8999 AND len(b.sh) * 10000 >= len(a.sh) * 8999
+        |  WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.9
         |), e AS (
         |  SELECT doc_a AS a, doc_b AS b FROM p
         |  UNION ALL SELECT doc_b, doc_a FROM p
@@ -792,7 +794,7 @@ object SparkEntry {
         |), p AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |   AND len(a.sh) * 10 >= len(b.sh) * 9 AND len(b.sh) * 10 >= len(a.sh) * 9
+        |   AND len(a.sh) * 10000 >= len(b.sh) * 8999 AND len(b.sh) * 10000 >= len(a.sh) * 8999
         |  WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
         |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.9
         |), e AS (

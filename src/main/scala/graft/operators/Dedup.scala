@@ -235,14 +235,17 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     def canonical(src: Column, dst: Column) =
       Seq(least(src, dst).as("src"), greatest(src, dst).as("dst"))
-    var e = edges
+    val raw = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // node universe BEFORE dropping self-loops: a node whose only edge is
+    // (v, v) is still a node and must come back as its own singleton
+    val allNodes = raw.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().localCheckpoint(true)
+    var e = raw
       .filter(col("src") =!= col("dst"))
       .select(canonical(col("src"), col("dst")): _*)
       .distinct()
       .localCheckpoint(true)
-    val allNodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
-      .distinct().localCheckpoint(true)
 
     // Convergence = the edge set IS the answer shape: a forest of stars
     // rooted at component minima — every member appears as dst exactly
@@ -311,9 +314,12 @@ object Dedup {
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
-    val sizes = labeled.groupBy("cluster_id")
-      .agg(count(lit(1)).cast("int").as("cluster_size"))
-    labeled.join(sizes, "cluster_id")
+    // cluster_size via a keyed window, not a groupBy + self-join: the
+    // aggregate-and-join form would execute the labeled lineage twice
+    labeled
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")).cast("int"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
   }

@@ -132,18 +132,26 @@ object TextOps {
     * global variant would serialize the corpus through one task at
     * 100 TB).
     */
-  def packSequences(documents: DataFrame, budgetTokens: Int = 512): DataFrame = {
+  def packSequences(documents: DataFrame, budgetTokens: Int = 512): DataFrame =
+    packTokenCounts(
+      documents.select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens")),
+      budgetTokens)
+      .orderBy("doc_id")
+
+  /** Chunk assignment over a frame that already carries `(doc_id, lang,
+    * n_tokens)` — the single definition of the packing arithmetic, shared
+    * by [[packSequences]] (t10) and the end-to-end training-prep
+    * composition (d8) so the two can't drift.
+    */
+  def packTokenCounts(counted: DataFrame, budgetTokens: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.floor
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
-      .select(col("doc_id"), col("lang"),
-        tokenCount(col("text")).as("n_tokens"))
-      .withColumn("chunk_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
-          / budgetTokens).cast("int"))
-      .orderBy("doc_id")
+    counted.withColumn("chunk_id",
+      floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+        / budgetTokens).cast("int"))
   }
 
   /** Deterministic content-addressed sampling: keep a row iff the first

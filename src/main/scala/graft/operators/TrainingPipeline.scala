@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -55,14 +54,11 @@ object TrainingPipeline {
       .join(labels, col("doc_id") === col("node"), "left")
       .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
       .select(col("doc_id"), col("lang"), col("nt"))
-    // 5: pack into token-budget chunks per language stream
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    reps
-      .select(col("doc_id"), col("lang"), col("nt").cast("int").as("n_tokens"))
-      .withColumn("chunk_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
-          / budgetTokens).cast("int"))
+    // 5: pack into token-budget chunks per language stream — the same
+    // packing definition as t10 (TextOps.packTokenCounts), not a copy
+    TextOps.packTokenCounts(
+      reps.select(col("doc_id"), col("lang"), col("nt").cast("int").as("n_tokens")),
+      budgetTokens)
       .orderBy("doc_id")
   }
 }

@@ -41,13 +41,16 @@ object TypedOps {
 
   private[operators] def qualityScoreOf(text: String): Int = {
     val toks = tokensOf(text)
-    val nChars = text.length
+    // CODE POINTS, not String.length: Spark's length() and the oracle's
+    // length() count code points, Java's counts UTF-16 units — they
+    // diverge on astral-plane characters (emoji, rare CJK)
+    val nChars = text.codePointCount(0, text.length)
     val nTok = toks.length
     val nStop = toks.count(graft.functions.TextFunctions.EnglishStopwords.contains)
     val lenOk = nChars >= 100 && nChars <= 5000
     val avgOk = (nChars - nTok + 1) >= nTok * 3 && (nChars - nTok + 1) <= nTok * 10
     val stopOk = nStop * 20 >= nTok
-    val noLongTok = !toks.exists(_.length > 25)
+    val noLongTok = !toks.exists(t => t.codePointCount(0, t.length) > 25)
     Seq(lenOk, avgOk, stopOk, noLongTok).count(identity)
   }
 

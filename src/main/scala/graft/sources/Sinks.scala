@@ -96,7 +96,9 @@ object Sinks {
     * per-file open/footer cost eventually dominates scans (the classic
     * 100 TB operational chore); compaction is a scheduled rewrite with
     * file count derived from MEASURED input bytes, not a guessed
-    * `coalesce(n)`. Returns (filesBefore, filesAfter).
+    * `coalesce(n)`. Returns (filesBefore, filesAfter). Local-filesystem
+    * implementation (the directory swap uses posix renames); an object
+    * store would commit the rewrite through a staging committer instead.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
@@ -108,10 +110,20 @@ object Sinks {
     val tmp = path.stripSuffix("/") + "_compacting"
     spark.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(tmp)
-    // swap via rename — atomic on a posix dir, staged-commit on object stores
+    // Two-rename swap (local FS; an object store would use a committer-
+    // based rewrite instead). NOT atomic — readers see a brief gap — but
+    // data-safe at every step: the original directory is only renamed
+    // aside, never deleted, until the new data is in place, and a failed
+    // swap rolls the original back.
     val dst = new java.io.File(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(dst)
-    require(new java.io.File(tmp).renameTo(dst), s"rename $tmp -> $path failed")
+    val old = new java.io.File(path.stripSuffix("/") + "_pre_compaction")
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    require(dst.renameTo(old), s"rename $path -> $old failed")
+    if (!new java.io.File(tmp).renameTo(dst)) {
+      require(old.renameTo(dst), s"swap AND rollback failed for $path")
+      throw new IllegalStateException(s"rename $tmp -> $path failed; original restored")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
     (before.length, dataFiles().length)
   }
 

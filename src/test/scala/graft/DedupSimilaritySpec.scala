@@ -53,13 +53,16 @@ class DedupSimilaritySpec extends SparkTestBase {
       size(col("sh")).as("na"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
       size(col("sh")).as("nb"))
-    // size-ratio prefilter is a necessary condition for J ≥ 0.9
-    // (J ≤ min/max of set sizes) — prunes only pairs 0.9 would reject
+    // size-ratio prefilter is a necessary condition for the engine's
+    // ROUNDED threshold round(J,4) ≥ 0.9 ⇔ J ≥ 0.89995 (J ≤ min/max of
+    // set sizes ⇒ ratio ≥ 0.8999 with slack) — prunes only pairs the
+    // threshold would reject; and the exact side must round exactly as
+    // the engine does (Dedup.nearDupPairs filters on round(jac, 4))
     val exact = a.join(b, col("doc_a") < col("doc_b") &&
-        col("na") * 10 >= col("nb") * 9 && col("nb") * 10 >= col("na") * 9)
+        col("na") * 10000 >= col("nb") * 8999 && col("nb") * 10000 >= col("na") * 8999)
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("j"))
       .filter(col("j") >= 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded === exact,
@@ -197,6 +200,13 @@ class DedupSimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(labels.size === 30)
     assert(labels.values.toSet === Set(0L), s"all nodes must label 0: $labels")
+  }
+
+  test("connected components keep self-loop-only nodes as singletons") {
+    val e = Seq((5L, 5L), (1L, 2L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
 
   test("connected components match union-find ground truth on random graphs") {

@@ -159,14 +159,17 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(2), r.getTimestamp(0)) -> (r.getLong(3), r.getTimestamp(1)))
       .toMap
 
-    // independent batch derivation: a session starts where the gap from
-    // the previous event of the same user is > gap; end = last ts + gap
+    // independent batch derivation: session windows are [start, last+gap)
+    // with the END EXCLUSIVE, so an event exactly `gap` after its
+    // predecessor starts a NEW session (>=, not >) — and the comparison
+    // must run at the data's microsecond precision: whole-second
+    // truncation would misclassify fractional gaps near the boundary
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts")
     val want = batch
       .withColumn("new_sess",
-        when(col("ts").cast("long") -
-          lag(col("ts"), 1).over(w).cast("long") > gapSecs, 1)
+        when(unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w) >= gapSecs * 1000000L, 1)
           .otherwise(0))
       .withColumn("sess_id", sum(col("new_sess")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
