@@ -35,13 +35,18 @@ object Bench {
         catch { case e: Throwable => Some(e.getClass.getName) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole line under the driver's stdout
+    // tail window (~2000 chars); full-precision floats overflowed it and the
+    // driver recorded "parsed": null in rounds 1-4. %f never emits exponents.
+    def sec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop()

@@ -254,10 +254,22 @@ object Dedup {
     // a full no-op star round at the end (the compare only notices the
     // fixpoint one round AFTER reaching it). Star forests are fixpoints
     // of both star operations, so stopping here is sound.
+    // One aggregation pass, one action: per node count its appearances as
+    // src and as dst, then fold globally. Star forest ⟺ every dst value
+    // appears exactly once (max per-node dst count == 1 ⟺ the old
+    // count == countDistinct(dst)) AND no node is both a root and a
+    // member (zero nodes with src>0 && dst>0 ⟺ the old semi-join check).
+    // The previous form ran an agg action PLUS a semi-join isEmpty action
+    // per round — two extra driver round-trips on top of the checkpoint.
     def isStarForest(df: DataFrame): Boolean = {
-      val r = df.agg(count(lit(1)), countDistinct(col("dst"))).head()
-      r.getLong(0) == r.getLong(1) &&
-        df.join(df.select(col("dst").as("src")), Seq("src"), "left_semi").isEmpty
+      val roles = df.select(col("src").as("node"), lit(1).as("as_src"), lit(0).as("as_dst"))
+        .union(df.select(col("dst").as("node"), lit(0).as("as_src"), lit(1).as("as_dst")))
+      val r = roles.groupBy("node")
+        .agg(sum("as_src").as("s"), sum("as_dst").as("d"))
+        .agg(coalesce(max(col("d")), lit(0L)).as("max_d"),
+          coalesce(sum(when(col("s") > 0 && col("d") > 0, 1L).otherwise(0L)), lit(0L)))
+        .head()
+      r.getLong(0) <= 1L && r.getLong(1) == 0L
     }
 
     def largeStar(cur: DataFrame): DataFrame = {

@@ -124,11 +124,24 @@ private[sources] case class SkippedItemsTaskMetric(value: Long) extends CustomTa
   override def name(): String = "skippedItems"
 }
 
-/** Process-wide skip counter: test-visible in local mode (executors share
-  * the JVM). Cluster-mode observability goes through the custom metric.
+/** Process-local skip counters, KEYED by fetcher identity (registry name
+  * or fetcher class name): test-visible in local mode (executors share the
+  * JVM) without cross-talk between concurrent scans that use different
+  * fetchers. Counters are cumulative for a fetcher's lifetime — tests
+  * register a unique fetcher name and read deltas on it. Cluster-mode
+  * observability goes through the custom scan metric instead.
   */
 object GraftFetchSkips {
-  val count = new java.util.concurrent.atomic.LongAdder
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  private[sources] def add(fetcherKey: String): Unit =
+    counts.computeIfAbsent(fetcherKey, _ => new java.util.concurrent.atomic.LongAdder)
+      .increment()
+  /** Cumulative skips recorded for one fetcher identity. */
+  def sum(fetcherKey: String): Long = {
+    val c = counts.get(fetcherKey)
+    if (c == null) 0L else c.sum()
+  }
 }
 
 private[sources] case class GraftFetchPartition(
@@ -142,6 +155,7 @@ private[sources] class GraftFetchReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftFetchPartition]
+    val fetcherKey = part.fetcherClass.orElse(part.registryName).get
     val fetch: String => Seq[Row] = part.fetcherClass match {
       case Some(cls) =>
         val f = Class.forName(cls).getDeclaredConstructor()
@@ -164,7 +178,7 @@ private[sources] class GraftFetchReaderFactory(
           case scala.util.Failure(e) =>
             log.warn(s"graft-fetch: skipping item '$i' after ${e.getClass.getName}: ${e.getMessage}")
             skipped.increment()
-            GraftFetchSkips.count.increment()
+            GraftFetchSkips.add(fetcherKey)
             Seq.empty
         }
       }

@@ -85,9 +85,13 @@ object Sinks {
     */
   def analyzeTable(spark: SparkSession, table: String,
       columns: Seq[String] = Nil): Unit = {
-    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    // backtick-quote every identifier part: unquoted interpolation breaks
+    // (or injects) on names that need quoting (`my-db.my table`)
+    def q(ident: String) = ident.split('.')
+      .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+    spark.sql(s"ANALYZE TABLE ${q(table)} COMPUTE STATISTICS")
     if (columns.nonEmpty)
-      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+      spark.sql(s"ANALYZE TABLE ${q(table)} COMPUTE STATISTICS FOR COLUMNS ${columns.map(q).mkString(", ")}")
   }
 
   /** Small-file COMPACTION: rewrite a parquet directory into
@@ -102,6 +106,17 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"compact: $path is not an existing directory")
+    // A partitioned layout (key=value subdirectories) must be compacted
+    // per LEAF directory: a whole-tree rewrite would silently flatten the
+    // partition structure (and this flat listing would count 0 bytes).
+    val subdirs = root.listFiles().filter(_.isDirectory)
+      .filterNot(_.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"compact: $path has partition subdirectories " +
+        s"(${subdirs.take(3).map(_.getName).mkString(", ")}…); " +
+        "use compactPartitioned to rewrite each leaf")
     def dataFiles() = new java.io.File(path).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val before = dataFiles()
@@ -125,6 +140,25 @@ object Sinks {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(old)
     (before.length, dataFiles().length)
+  }
+
+  /** Partition-aware compaction: walk a Hive-style partitioned tree and
+    * [[compact]] each LEAF directory in place. Rewriting per leaf keeps the
+    * `k=v` directory structure (and thus partition pruning) intact — the
+    * whole-tree alternative would flatten it. Returns summed
+    * (filesBefore, filesAfter) over all leaves.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"compactPartitioned: $path is not an existing directory")
+    def leaves(dir: java.io.File): Seq[java.io.File] = {
+      val kids = dir.listFiles().filter(_.isDirectory)
+        .filterNot(_.getName.startsWith("_"))
+      if (kids.isEmpty) Seq(dir) else kids.toSeq.flatMap(leaves)
+    }
+    leaves(root).map(l => compact(spark, l.getPath, targetFileBytes))
+      .foldLeft((0, 0)) { case ((b, a), (lb, la)) => (b + lb, a + la) }
   }
 
   /** Range-CLUSTERED write: range-repartition + sort within partitions by

@@ -34,40 +34,45 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
-  test("d3b guard: banded LSH at threshold 0.9 equals exact all-pairs on the fixture") {
+  test("d3b guard: banded LSH at threshold 0.9 equals exact all-pairs on the fixtures") {
     // The d3b oracle claim is probabilistic, not exact: 8×4 banding at
     // J ≥ 0.9 has recall 1-(1-0.9⁴)⁸ ≈ 0.9998 PER PAIR, so a qualifying
     // pair that misses all 8 bands would silently diverge from DuckDB's
     // exact all-pairs join. This guard pins the residual to zero on the
-    // CURRENT fixture: if the fixture is regenerated and a pair starts
-    // missing, this fails before the driver compare does.
+    // CURRENT fixtures — including sf0.01, the scale the driver compare
+    // actually runs at (and which d7/d8 inherit): if a fixture is
+    // regenerated and a pair starts missing, this fails with a pointed
+    // message before the driver surfaces an opaque hash mismatch.
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.shingles3
-    val fixture = Tables.documents(spark, sf0001)
-    val banded = Dedup.nearDupPairs(fixture, threshold = 0.9,
-      materializeCandidates = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sh = fixture.select(col("doc_id"),
-      array_distinct(shingles3(col("text"))).as("sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      size(col("sh")).as("na"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      size(col("sh")).as("nb"))
-    // size-ratio prefilter is a necessary condition for the engine's
-    // ROUNDED threshold round(J,4) ≥ 0.9 ⇔ J ≥ 0.89995 (J ≤ min/max of
-    // set sizes ⇒ ratio ≥ 0.8999 with slack) — prunes only pairs the
-    // threshold would reject; and the exact side must round exactly as
-    // the engine does (Dedup.nearDupPairs filters on round(jac, 4))
-    val exact = a.join(b, col("doc_a") < col("doc_b") &&
-        col("na") * 10000 >= col("nb") * 8999 && col("nb") * 10000 >= col("na") * 8999)
-      .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("j"))
-      .filter(col("j") >= 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(banded === exact,
-      s"LSH banding missed/added pairs vs exact: ${banded.diff(exact)} / ${exact.diff(banded)}")
-    assert(exact.nonEmpty, "fixture must contain at least one J>=0.9 pair")
+    for (sfDir <- Seq(sf0001, sf001)) {
+      val fixture = Tables.documents(spark, sfDir)
+      val banded = Dedup.nearDupPairs(fixture, threshold = 0.9,
+        materializeCandidates = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = fixture.select(col("doc_id"),
+        array_distinct(shingles3(col("text"))).as("sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("na"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        size(col("sh")).as("nb"))
+      // size-ratio prefilter is a necessary condition for the engine's
+      // ROUNDED threshold round(J,4) ≥ 0.9 ⇔ J ≥ 0.89995 (J ≤ min/max of
+      // set sizes ⇒ ratio ≥ 0.8999 with slack) — prunes only pairs the
+      // threshold would reject; and the exact side must round exactly as
+      // the engine does (Dedup.nearDupPairs filters on round(jac, 4))
+      val exact = a.join(b, col("doc_a") < col("doc_b") &&
+          col("na") * 10000 >= col("nb") * 8999 && col("nb") * 10000 >= col("na") * 8999)
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4).as("j"))
+        .filter(col("j") >= 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded === exact,
+        s"[$sfDir] LSH banding missed/added pairs vs exact: " +
+          s"${banded.diff(exact)} / ${exact.diff(banded)}")
+      assert(exact.nonEmpty, s"[$sfDir] fixture must contain at least one J>=0.9 pair")
+    }
   }
 
   test("minhash plan has no cartesian/nested-loop join") {

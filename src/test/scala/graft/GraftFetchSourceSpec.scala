@@ -43,14 +43,17 @@ class GraftFetchSourceSpec extends SparkTestBase {
   }
 
   test("a failing item is skipped, not fatal (S2 error isolation)") {
-    val before = graft.sources.GraftFetchSkips.count.sum()
+    // counters are keyed by fetcher identity, so a concurrently running
+    // scan with a different fetcher cannot interleave with this delta
+    val key = classOf[FakeRowFetcher].getName
+    val before = graft.sources.GraftFetchSkips.sum(key)
     val rows = read("AAA,BOOM,CCC").collect()
     assert(rows.length === 6, "BOOM's failure must not kill the scan")
     assert(rows.map(_.getString(8)).toSet === Set("AAA", "CCC"))
     // the skip must be OBSERVABLE, not silent: counted (and logged with
     // its exception; cluster mode additionally reports the skippedItems
     // scan metric)
-    assert(graft.sources.GraftFetchSkips.count.sum() === before + 1,
+    assert(graft.sources.GraftFetchSkips.sum(key) === before + 1,
       "skipped item must be counted")
   }
 

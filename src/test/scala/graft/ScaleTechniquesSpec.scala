@@ -124,6 +124,29 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(afterSum === beforeSum, "compaction must preserve every row")
   }
 
+  test("partitioned compaction preserves the partition directory layout") {
+    val dir = tmpDir("compact-part")
+    val df = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "value", "event_type")
+    df.repartition(10).write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val beforeSum = spark.read.parquet(dir)
+      .agg(sum("event_id"), count(lit(1))).head()
+    val partsBefore = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type=")).map(_.getName).sorted
+    // flat compact must REFUSE a partitioned tree rather than flatten it
+    intercept[IllegalArgumentException] { Sinks.compact(spark, dir) }
+    val (before, after) = Sinks.compactPartitioned(spark, dir)
+    assert(after < before, s"expected fewer files, got $before -> $after")
+    val partsAfter = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type=")).map(_.getName).sorted
+    assert(partsAfter.toSeq === partsBefore.toSeq, "partition dirs must survive")
+    val afterSum = spark.read.parquet(dir)
+      .agg(sum("event_id"), count(lit(1))).head()
+    assert(afterSum === beforeSum, "compaction must preserve every row")
+    // missing path must be a pointed error, not an NPE
+    intercept[IllegalArgumentException] { Sinks.compact(spark, dir + "/nope") }
+  }
+
   test("range-clustered write yields non-overlapping per-file key ranges (data skipping)") {
     val dir = tmpDir("clustered")
     Sinks.writeRangeClustered(
