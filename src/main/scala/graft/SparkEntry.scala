@@ -175,6 +175,14 @@ object SparkEntry {
     "t8_stratified_sample" -> ((s, dir) => TextOps.stratifiedSample(
       Tables.documents(s, dir).select("doc_id", "lang", "n_chars"), "doc_id", "lang",
       Map("en" -> 6), defaultSixteenths = 12)),
+    // Per-document keyword extraction, tf-idf-shaped with integer-exact
+    // rational scoring (tf·10⁶ ÷ df floor division — FP idf logs differ
+    // across engines in the last ulp; floor division doesn't).
+    "t12_doc_keywords" -> ((s, dir) => TextOps.docKeywords(Tables.documents(s, dir), 3)),
+    // SCD Type-2 merge (versioned dimension upsert): a deterministic CDC
+    // batch derived from md5-nibble buckets of the customer key exercises
+    // close+insert, no-op, and plain-insert branches in one merge pass.
+    "e2_scd2_merge" -> ((s, dir) => MergeOps.scd2Demo(Tables.customer(s, dir))),
     "s1_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     // Rows-only by design: LSH bucket membership is hash-seeded. A
     // d3b-style high-threshold oracle proof is IMPOSSIBLE on this fixture
@@ -722,6 +730,60 @@ object SparkEntry {
         |SELECT gram, COUNT(*) AS n_docs FROM s GROUP BY gram
         |HAVING COUNT(*) >= 3
         |ORDER BY n_docs DESC, gram""".stripMargin,
+    "t12_doc_keywords" ->
+      """WITH tc AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tc GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         tf.tf * 1000000 // df.df AS score
+        |  FROM tf JOIN df USING (term)
+        |)
+        |SELECT doc_id, CAST(ROW_NUMBER() OVER w AS INT) AS rank, term,
+        |       score, tf, df
+        |FROM scored
+        |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
+        |QUALIFY ROW_NUMBER() OVER w <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "e2_scd2_merge" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |), nib AS (
+        |  SELECT c_custkey,
+        |    instr('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM customer
+        |), upd AS (
+        |  SELECT d.c_custkey, 'RELOCATED' AS c_mktsegment, d.c_acctbal
+        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb < 4
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal
+        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 4 AND nb < 6
+        |  UNION ALL
+        |  SELECT d.c_custkey + 10000000, 'NEWSEG', 0.0
+        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 14
+        |), merged AS (
+        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+        |         CAST(0 AS BIGINT) AS valid_from,
+        |         CASE WHEN u.c_custkey IS NOT NULL AND
+        |                   (u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
+        |                    u.c_acctbal IS DISTINCT FROM d.c_acctbal)
+        |              THEN CAST(1 AS BIGINT) END AS valid_to,
+        |         NOT (u.c_custkey IS NOT NULL AND
+        |              (u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
+        |               u.c_acctbal IS DISTINCT FROM d.c_acctbal)) AS is_current
+        |  FROM dim d LEFT JOIN upd u USING (c_custkey)
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+        |         CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |  FROM upd u LEFT JOIN dim d USING (c_custkey)
+        |  WHERE d.c_custkey IS NULL OR
+        |        u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
+        |        u.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |)
+        |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
     "t9_vocab_topk" ->
       """WITH dt AS (
         |  SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS term

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (Type 2) MERGE — the versioned-upsert half of
+  * the medallion data plane (SURVEY.md §2.9's refined tier): apply a batch
+  * of dimension updates to a versioned snapshot, closing superseded rows
+  * and appending new versions, without ever rewriting history.
+  *
+  * Reference analog: the refined-zone overwrite in
+  * `/root/reference/src/glue/b3_transform.py:382-400` replaces the whole
+  * refined table per run; a warehouse consuming it loses row history. SCD2
+  * is the standard upgrade: every logical row carries
+  * `(valid_from, valid_to, is_current)` and an update CLOSES the old
+  * version (sets `valid_to`, clears `is_current`) and INSERTS the new one.
+  *
+  * Scale design (100 TB dimension):
+  *  - ONE full-outer shuffle join of the open snapshot against the update
+  *    batch on the business key — history rows (`is_current = false`) are
+  *    filtered out before the join and unioned back untouched, so the join
+  *    only carries the live snapshot.
+  *  - The matched/unmatched/changed branches are decided per joined row
+  *    and emitted via one `array(...)` + `explode` pass — NOT one join per
+  *    branch, which would execute the shuffle three times.
+  *  - No-op updates (every tracked attribute identical, null-safely) emit
+  *    no new version: idempotent re-delivery of a batch cannot grow the
+  *    table — the same guarantee the streaming tier's dedup sink provides.
+  */
+object MergeOps {
+
+  /** Current-snapshot bootstrap: stamp an unversioned dimension frame with
+    * `(valid_from = 0, valid_to = null, is_current = true)`.
+    */
+  def scd2Init(dim: DataFrame): DataFrame =
+    dim
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+
+  /** Apply one update batch to a versioned dimension.
+    *
+    * @param current  versioned rows: keyCols ++ trackedCols ++
+    *                 (valid_from, valid_to, is_current)
+    * @param updates  keyCols ++ trackedCols (the new attribute values)
+    * @param batchId  version stamp for rows closed/opened by this batch
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame,
+      keyCols: Seq[String], trackedCols: Seq[String], batchId: Long): DataFrame = {
+    val outCols = keyCols ++ trackedCols ++ Seq("valid_from", "valid_to", "is_current")
+    val history = current.filter(!col("is_current")).select(outCols.map(col): _*)
+    // row-presence markers survive the full-outer join where key columns
+    // alone cannot (a coalesced join key is non-null on either side)
+    val open = current.filter(col("is_current")).withColumn("_open", lit(1))
+    val upd = updates.select(
+      keyCols.map(col) ++ trackedCols.map(c => col(c).as("u_" + c)): _*)
+      .withColumn("_upd", lit(1))
+    val joined = open.join(upd, keyCols, "full_outer")
+
+    val hasOpen = col("_open").isNotNull
+    val hasUpd = col("_upd").isNotNull
+    // null-safe: a tracked value changing to/from NULL is still a change
+    val changed: Column = trackedCols
+      .map(c => !(col("u_" + c) <=> col(c)))
+      .reduce(_ || _)
+
+    // both output rows a joined row can produce, built in ONE projection:
+    //  - the pre-existing open row, closed iff a differing update matched
+    //  - the new version, present iff the update is an insert or a change
+    val oldVersion = struct(
+      keyCols.map(col) ++ trackedCols.map(col) ++ Seq(
+        col("valid_from"),
+        when(hasUpd && changed, lit(batchId)).otherwise(col("valid_to")).as("valid_to"),
+        (!(hasUpd && changed)).as("is_current")): _*)
+    val newVersion = struct(
+      keyCols.map(col) ++ trackedCols.map(c => col("u_" + c).as(c)) ++ Seq(
+        lit(batchId).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    val emitted = joined.select(explode(filter(array(
+      when(hasOpen, oldVersion),
+      when(hasUpd && (!hasOpen || changed), newVersion)),
+      v => v.isNotNull)).as("v"))
+      .select(outCols.map(c => col("v." + c)): _*)
+
+    history.unionByName(emitted)
+  }
+
+  /** Registered-query harness (e2_scd2_merge): a deterministic CDC batch
+    * derived from the customer dimension itself — md5-nibble buckets (the
+    * t7 sampling primitive) select which keys change, pass through
+    * unchanged, or arrive as brand-new keys — exercising every merge
+    * branch with update values the oracle can reconstruct:
+    *  - nibble < 4:       segment rewritten to 'RELOCATED'  → close + new version
+    *  - nibble in [4, 6): identical attribute values         → NO new version
+    *  - nibble >= 14:     key + 10_000_000, fresh attributes → plain insert
+    */
+  def scd2Demo(customer: DataFrame, batchId: Long = 1L): DataFrame = {
+    val dim = customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+    def nb = TextOps.hexNibble("c_custkey")
+    val changed = dim.filter(nb < 4).withColumn("c_mktsegment", lit("RELOCATED"))
+    val noop = dim.filter(nb >= 4 && nb < 6)
+    val inserts = dim.filter(nb >= 14)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        lit("NEWSEG").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+    scd2Merge(scd2Init(dim), changed.unionByName(noop).unionByName(inserts),
+      Seq("c_custkey"), Seq("c_mktsegment", "c_acctbal"), batchId)
+      // (key, valid_from) is unique — at most one closed + one opened row
+      // per key per batch — so the sort is total and oracle-comparable
+      .orderBy("c_custkey", "valid_from")
+  }
+}

@@ -123,6 +123,42 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  /** Per-DOCUMENT keyword extraction, tf-idf-shaped but integer-exact:
+    * score = tf · 10⁶ ÷ df (floor division). Corpus size N is constant per
+    * corpus, so ranking by tf/df orders identically to tf·(N/df) — the
+    * floating-point idf log is dropped deliberately: log is monotonic in
+    * 1/df, FP log values differ across engines in the last ulp, and
+    * integer floor division is engine-independent. Ties break on the term
+    * itself, so top-k per document is fully deterministic.
+    *
+    * Scale shape: the explode shuffles (doc_id, term) pairs with map-side
+    * partial counts; document frequency aggregates over the (already
+    * per-doc-distinct) pairs; the df join is on the VOCABULARY (orders of
+    * magnitude smaller than the corpus — AQE broadcasts it at typical
+    * skew); the ranking window partitions by doc_id over each document's
+    * own terms, never globally.
+    */
+  def docKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{explode, expr, row_number}
+    val termCounts = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termCounts
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    termCounts.join(docFreq, "term")
+      .withColumn("score", expr("tf * 1000000 DIV df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"),
+        col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Token-budget sequence chunking (training-batch prep): assign each
     * document to a fixed-token-budget chunk, filling contiguously in
     * doc_id order WITHIN each language stream. chunk_id =

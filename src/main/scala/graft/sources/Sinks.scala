@@ -176,4 +176,49 @@ object Sinks {
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-ORDER clustered write: interleave the bits of two rank-normalized
+    * columns into one Morton code, then range-cluster on that code.
+    * [[writeRangeClustered]] concentrates ALL its skipping power on the
+    * leading column — a predicate on the second column alone still reads
+    * every file. The Morton code alternates bits of both columns, so each
+    * written file covers a narrow range of BOTH: predicates on either
+    * column (or both) skip files via parquet min/max stats.
+    *
+    * Scale notes: the only driver-side action is a 4-value min/max agg
+    * (metadata-scale); everything else is codegen'd column arithmetic plus
+    * the same range-repartition + local sort as the 1-D variant. Min/max
+    * linearization assumes a roughly uniform value distribution — for
+    * heavy skew, substitute quantile boundaries (approx_quantile over a
+    * sample) for the linear map; the bit-interleave is unchanged.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      colA: String, colB: String): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    // scale to 16-bit [0, 65535]; clamp guards FP edge rounding at max
+    def norm(c: String, lo: Double, hi: Double): Column = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(
+        (((col(c).cast("double") - lo) / span) * 65535.0).cast("long"),
+        lit(0L)), lit(65535L))
+    }
+    // classic bit-spread: insert a zero between every bit of a 16-bit value
+    def spread16(c: Column): Column = {
+      val s1 = (c bitwiseOR shiftleft(c, 8)) bitwiseAND lit(0x00FF00FFL)
+      val s2 = (s1 bitwiseOR shiftleft(s1, 4)) bitwiseAND lit(0x0F0F0F0FL)
+      val s3 = (s2 bitwiseOR shiftleft(s2, 2)) bitwiseAND lit(0x33333333L)
+      (s3 bitwiseOR shiftleft(s3, 1)) bitwiseAND lit(0x55555555L)
+    }
+    val z = spread16(norm(colA, b.getDouble(0), b.getDouble(1))) bitwiseOR
+      shiftleft(spread16(norm(colB, b.getDouble(2), b.getDouble(3))), 1)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z") // projection after the local sort; file order is kept
+      .write.mode("overwrite").parquet(path)
+  }
 }

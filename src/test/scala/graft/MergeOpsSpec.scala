@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MergeOps
+
+/** SCD Type-2 merge invariants: one open version per key, closed rows
+  * stamped with the closing batch, no-op updates emit nothing, and the
+  * merge is idempotent under batch redelivery.
+  */
+class MergeOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dim = Seq(
+    (1L, "BUILDING", 10.0),
+    (2L, "MACHINERY", 20.0),
+    (3L, "HOUSEHOLD", 30.0)
+  ).toDF("k", "seg", "bal")
+
+  private def updates = Seq(
+    (1L, "RELOCATED", 10.0), // changed -> close + new version
+    (2L, "MACHINERY", 20.0), // identical -> no-op
+    (9L, "NEWSEG", 0.0)      // unknown key -> insert
+  ).toDF("k", "seg", "bal")
+
+  private def merge(cur: org.apache.spark.sql.DataFrame, batch: Long) =
+    MergeOps.scd2Merge(cur, updates, Seq("k"), Seq("seg", "bal"), batch)
+
+  test("scd2 merge closes changed, skips no-ops, inserts new keys") {
+    val out = merge(MergeOps.scd2Init(dim), 1L).cache()
+    // exactly one OPEN row per key, including the insert
+    val open = out.filter(col("is_current"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(open === Map(1L -> "RELOCATED", 2L -> "MACHINERY",
+      3L -> "HOUSEHOLD", 9L -> "NEWSEG"))
+    // the superseded row is closed AT the batch id, original values kept
+    val closed = out.filter(!col("is_current")).collect()
+    assert(closed.length === 1)
+    assert(closed.head.getLong(0) === 1L)
+    assert(closed.head.getString(1) === "BUILDING")
+    assert(closed.head.getLong(4) === 1L, "valid_to must be the closing batch")
+    // the no-op update must NOT have produced a second version for key 2
+    assert(out.filter(col("k") === 2L).count() === 1)
+    out.unpersist()
+  }
+
+  test("scd2 merge is idempotent under batch redelivery") {
+    val once = merge(MergeOps.scd2Init(dim), 1L)
+    val twice = merge(once, 2L)
+    // redelivering the same batch finds every update already applied:
+    // nothing closes, nothing inserts — byte-identical version table
+    val a = once.orderBy("k", "valid_from").collect().toSeq
+    val b = twice.orderBy("k", "valid_from").collect().toSeq
+    assert(a === b)
+  }
+
+  test("scd2 history rows pass through untouched across batches") {
+    val v1 = merge(MergeOps.scd2Init(dim), 1L)
+    // second batch changes key 1 again -> key 1 accumulates THREE versions
+    val upd2 = Seq((1L, "RELOCATED-2", 11.0)).toDF("k", "seg", "bal")
+    val v2 = MergeOps.scd2Merge(v1, upd2, Seq("k"), Seq("seg", "bal"), 2L)
+    val k1 = v2.filter(col("k") === 1L).orderBy("valid_from")
+      .collect().map(r => (r.getString(1), r.get(3), r.get(4), r.getBoolean(5)))
+    assert(k1.toSeq === Seq(
+      ("BUILDING", 0L, 1L, false),
+      ("RELOCATED", 1L, 2L, false),
+      ("RELOCATED-2", 2L, null, true)))
+  }
+
+  test("scd2 demo matches its oracle shape on the fixture") {
+    val out = MergeOps.scd2Demo(Tables.customer(spark, sf0001))
+    val total = Tables.customer(spark, sf0001).count()
+    // every pre-existing key keeps >= 1 row; inserts add more
+    assert(out.select("c_custkey").distinct().count() > total)
+    // at most one open row per key — the SCD2 core invariant
+    val maxOpen = out.filter(col("is_current")).groupBy("c_custkey")
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxOpen === 1L)
+  }
+}

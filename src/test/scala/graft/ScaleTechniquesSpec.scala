@@ -166,4 +166,77 @@ class ScaleTechniquesSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("z-ordered write narrows per-file ranges on BOTH clustering columns") {
+    // avg fraction of a column's global range that one file spans — the
+    // probability a random point predicate on that column CANNOT skip it
+    def coverage(dir: String, c: String): Double = {
+      val g = spark.read.parquet(dir)
+        .agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
+      val span = g.getDouble(1) - g.getDouble(0)
+      val per = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max(col(c).cast("double")) - min(col(c).cast("double"))).as("w"))
+        .agg(avg("w")).head().getDouble(0)
+      per / span
+    }
+    val df = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
+    val zDir = tmpDir("zorder")
+    val rDir = tmpDir("range1d")
+    Sinks.writeZOrdered(df, zDir, numFiles = 16, "user_id", "value")
+    Sinks.writeRangeClustered(df, rDir, numFiles = 16, "user_id")
+    // 16 z-range files over a 2-D Morton curve ≈ a 4×4 grid: each file
+    // should cover roughly a quarter of EACH dimension
+    assert(coverage(zDir, "user_id") < 0.5,
+      s"z-order must narrow user_id ranges, got ${coverage(zDir, "user_id")}")
+    assert(coverage(zDir, "value") < 0.5,
+      s"z-order must narrow value ranges, got ${coverage(zDir, "value")}")
+    // the 1-D range-clustered baseline leaves the SECOND column unclustered
+    // (per-file value ranges ≈ the full global range) — the gap z-order closes
+    assert(coverage(zDir, "value") < coverage(rDir, "value") * 0.7,
+      s"z-order value coverage ${coverage(zDir, "value")} must beat " +
+        s"1-D clustering's ${coverage(rDir, "value")}")
+    // row preservation
+    assert(spark.read.parquet(zDir).count() === df.count())
+  }
+
+  test("runtime bloom-filter pruning injects a fact-side filter from the dim predicate") {
+    // a selective dim-side predicate should produce a bloom filter APPLIED
+    // ON THE FACT SIDE before the shuffle — at 100 TB this prunes the fact
+    // scan's shuffle volume by the dim selectivity without any manual
+    // semi-join. Broadcast joins bypass it (they prune inside the hash
+    // join already), so force the shuffle path the big-fact plan takes.
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // fixture scans are far below the production 10 GB threshold
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom filter in:\n$plan")
+      // pruning must not change the result
+      val expected = Tables.lineitem(spark, sf0001).alias("l")
+        .join(Tables.orders(spark, sf0001).alias("o"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .filter(col("o.o_orderpriority") === "1-URGENT").count()
+      assert(joined.count() === expected)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
