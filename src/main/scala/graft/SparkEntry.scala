@@ -183,6 +183,15 @@ object SparkEntry {
     // batch derived from md5-nibble buckets of the customer key exercises
     // close+insert, no-op, and plain-insert branches in one merge pass.
     "e2_scd2_merge" -> ((s, dir) => MergeOps.scd2Demo(Tables.customer(s, dir))),
+    // CDC compaction: latest row per user by monotone event_id (ranked by
+    // id, not the ns timestamp — sub-µs ties rank nondeterministically
+    // after precision conversion). One row per key → user_id sort is total.
+    "e3_latest_per_key" -> ((s, dir) => MergeOps.latestByKey(
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"),
+      "user_id", "event_id").orderBy("user_id")),
+    // GK-sketch accuracy contract (a6/d5b pattern): the approx median's
+    // exact rank must sit within n/accuracy of n/2, checked integer-side.
+    "a8b_approx_percentile" -> ((s, dir) => Aggregates.approxPercentileChecked(Tables.lineitem(s, dir))),
     "s1_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     // Rows-only by design: LSH bucket membership is hash-seeded. A
     // d3b-style high-threshold oracle proof is IMPOSSIBLE on this fixture
@@ -748,6 +757,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
         |QUALIFY ROW_NUMBER() OVER w <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "e3_latest_per_key" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "a8b_approx_percentile" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+        |       TRUE AS median_within_rank_error
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e2_scd2_merge" ->
       """WITH dim AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer

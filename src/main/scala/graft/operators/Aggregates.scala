@@ -186,6 +186,40 @@ object Aggregates {
           col("n_exact_parts") * (3 * rsd)).as("approx_within_3rsd"))
       .orderBy("l_returnflag")
 
+  /** Parity: approximate percentile (Greenwald-Khanna sketch) witnessed
+    * through the oracle by its accuracy CONTRACT, like [[approxDistinctChecked]]
+    * for HLL: sketch internals aren't cross-engine comparable, but the
+    * guarantee — the returned value's RANK is within n/accuracy of the
+    * target rank — is checkable in exact integer arithmetic. Pass 1
+    * computes the sketch per group; pass 2 counts rows ≤ the sketch value
+    * (the value's actual rank). The emitted boolean asserts
+    * |2·rank − n| · accuracy ≤ 2·n + 2·accuracy, i.e. |rank − n/2| ≤
+    * n/accuracy + 1 scaled integer-side — engine-independent, no FP. A
+    * broken sketch lands outside the band and hash-mismatches the
+    * TRUE-emitting oracle.
+    *
+    * Scale note: the GK sketch is the 100 TB path — bounded memory per
+    * group vs the exact sort's full shuffle; the exact-rank verification
+    * pass here exists only to witness the contract.
+    */
+  def approxPercentileChecked(lineitem: DataFrame, accuracy: Int = 1000): DataFrame = {
+    val sketch = lineitem
+      .groupBy("l_returnflag")
+      .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(accuracy))
+        .as("apx"))
+    lineitem
+      .join(sketch, "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(col("l_extendedprice")).as("n"),
+        sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L))
+          .as("rank_apx"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("rank_apx") * 2 - col("n")) * accuracy <=
+          col("n") * 2 + lit(2L * accuracy)).as("median_within_rank_error"))
+      .orderBy("l_returnflag")
+  }
+
   /** Parity: rollup over two keys with grouping flags; ordered by grouping
     * level then keys NULLS FIRST so engine and oracle row streams align.
     */

@@ -86,6 +86,27 @@ object MergeOps {
     history.unionByName(emitted)
   }
 
+  /** CDC COMPACTION (latest-wins dedup): keep each key's most recent row
+    * by a monotone ordering column — the upsert-log → snapshot collapse
+    * that precedes an SCD2 merge when the change feed carries several
+    * versions of one key per batch.
+    *
+    * Scale shape: rank-1 window per key. Spark 4 plans `row_number = 1`
+    * as WindowGroupLimit BELOW the exchange — each map task keeps one
+    * candidate row per key before shuffling, so the exchange carries
+    * ~|keys| rows, not the log. The ordering column must be totally
+    * ordered per key (here: a monotone id, deliberately NOT a raw
+    * nanosecond timestamp — sub-microsecond ties rank nondeterministically
+    * after timestamp-precision conversion).
+    */
+  def latestByKey(df: DataFrame, keyCol: String, ordCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_rn", row_number().over(
+      Window.partitionBy(keyCol).orderBy(col(ordCol).desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Registered-query harness (e2_scd2_merge): a deterministic CDC batch
     * derived from the customer dimension itself — md5-nibble buckets (the
     * t7 sampling primitive) select which keys change, pass through

@@ -66,6 +66,22 @@ class MergeOpsSpec extends SparkTestBase {
       ("RELOCATED-2", 2L, null, true)))
   }
 
+  test("latestByKey is map-side-limited (WindowGroupLimit) and picks the max-ord row") {
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
+    val out = MergeOps.latestByKey(ev, "user_id", "event_id")
+    // Spark 4 plans row_number()=1 as WindowGroupLimit below the exchange:
+    // each map task forwards ONE candidate per key, so the shuffle carries
+    // ~|keys| rows, not the whole change log — the property that makes
+    // CDC compaction viable on a 100 TB upsert log
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    val expected = ev.groupBy("user_id")
+      .agg(max("event_id").as("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got === expected)
+  }
+
   test("scd2 demo matches its oracle shape on the fixture") {
     val out = MergeOps.scd2Demo(Tables.customer(spark, sf0001))
     val total = Tables.customer(spark, sf0001).count()
