@@ -32,9 +32,9 @@ object MergeOps {
   /** Current-snapshot bootstrap: stamp an unversioned dimension frame with
     * `(valid_from = 0, valid_to = null, is_current = true)`.
     */
-  def scd2Init(dim: DataFrame): DataFrame =
+  def scd2Init(dim: DataFrame, batchId: Long = 0L): DataFrame =
     dim
-      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_from", lit(batchId))
       .withColumn("valid_to", lit(null).cast("long"))
       .withColumn("is_current", lit(true))
 

@@ -185,6 +185,57 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture must contain at least one session")
   }
 
+  test("streaming SCD2 upsert maintains a versioned dimension, idempotent under replay") {
+    // change feed: events as CDC updates — key user_id, monotone ord
+    // event_id, tracked (event_type, value). One file → one micro-batch,
+    // so the final open row per key is the GLOBAL latest by event_id
+    // (cross-batch ordering is the feed's contract, not the sink's).
+    val batch = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = tmpDir("cdcfeed")
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    val dimDir = tmpDir("scd2dim") + "/dim"
+    val tracked = Seq("event_type", "value")
+    EventStream.runScd2Sink(spark,
+      spark.readStream.schema(batch.schema).parquet(dir),
+      dimDir, tmpDir("ckpt_scd2"), "user_id", "event_id", tracked)
+
+    def snapshot() = spark.read.parquet(dimDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.get(4), r.getBoolean(5))).toSet
+    val afterStream = snapshot()
+    // open rows == latest-wins compaction of the whole feed
+    val wantOpen = graft.operators.MergeOps.latestByKey(batch, "user_id", "event_id")
+      .collect().map(r => r.getLong(1) -> (r.getString(2), r.getDouble(3))).toMap
+    val gotOpen = afterStream.filter(_._6)
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(gotOpen === wantOpen)
+    // first batch: no history yet — exactly one row per key
+    assert(afterStream.size === wantOpen.size)
+
+    // at-least-once REPLAY of the same batch (same id, same rows) must be
+    // a fixpoint: the merge's no-op branch emits nothing
+    EventStream.scd2UpsertBatch(spark, batch, 0L, dimDir,
+      "user_id", "event_id", tracked)
+    assert(snapshot() === afterStream, "replayed batch must not change the snapshot")
+
+    // a genuine second batch versions the changed keys and keeps history
+    val upd2 = graft.operators.MergeOps.latestByKey(batch, "user_id", "event_id")
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("value", col("value") + 1.0)
+      .withColumn("event_id", col("event_id") + 100000L)
+    EventStream.scd2UpsertBatch(spark, upd2, 1L, dimDir,
+      "user_id", "event_id", tracked)
+    val after2 = spark.read.parquet(dimDir)
+    val evenUsers = upd2.count()
+    assert(after2.filter(!col("is_current")).count() === evenUsers,
+      "every updated key must keep its closed v0 row")
+    assert(after2.filter(col("is_current") && col("user_id") % 2 === 0)
+      .filter(col("valid_from") === 1L).count() === evenUsers,
+      "every updated key must have an open v1 row")
+    assert(after2.count() === afterStream.size + evenUsers)
+  }
+
   test("AvailableNow is exactly-once per file: second run with same checkpoint emits nothing new") {
     val (dir, batch) = stageRawDir()
     val ckpt = tmpDir("ckpt3")
