@@ -35,11 +35,13 @@ object Bench {
         catch { case e: Throwable => Some(e.getClass.getName) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // Millisecond precision keeps the whole line under the driver's stdout
-    // tail window (~2000 chars); full-precision floats overflowed it and the
-    // driver recorded "parsed": null in rounds 1-4. %f never emits exponents.
+    // Centisecond precision keeps the whole line under the driver's stdout
+    // tail window (~2000 chars) with headroom for the 81-query set —
+    // full-precision floats overflowed it ("parsed": null, rounds 1-4) and
+    // %.3f crossed 2000 bytes again at 81 queries. Run-to-run noise is
+    // ±1 s, so 10 ms resolution loses nothing. %f never emits exponents.
     def sec3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }

@@ -192,6 +192,23 @@ object SparkEntry {
     // GK-sketch accuracy contract (a6/d5b pattern): the approx median's
     // exact rank must sit within n/accuracy of n/2, checked integer-side.
     "a8b_approx_percentile" -> ((s, dir) => Aggregates.approxPercentileChecked(Tables.lineitem(s, dir))),
+    // Data-quality tier: single-pass column profile (unpivot-then-agg, one
+    // distinct rewrite) and a one-scan expectation report.
+    "dq1_profile" -> ((s, dir) => Quality.profile(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    "dq2_expectations" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Quality.expectations(Tables.orders(s, dir), Seq(
+        "status_known" -> col("o_orderstatus").isin("F", "O", "P"),
+        "total_positive" -> (col("o_totalprice") > 0),
+        "total_under_400k" -> (col("o_totalprice") <= 400000)))
+    }),
+    // Incremental aggregate maintenance contract: snapshot ⊕ delta must
+    // equal the one-shot aggregate, exactly (integer cents state).
+    "e4_incremental_agg" -> ((s, dir) => Quality.incrementalAggContract(Tables.events(s, dir))),
+    // Positional-index phrase search: postings filtered to the two query
+    // terms BEFORE the adjacency equi-join — index-sized work, not corpus.
+    "t13_phrase_search" -> ((s, dir) => TextOps.phraseSearch(Tables.documents(s, dir), "order", "fast")),
     "s1_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
     // Rows-only by design: LSH bucket membership is hash-seeded. A
     // d3b-style high-threshold oracle proof is IMPOSSIBLE on this fixture
@@ -757,6 +774,53 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
         |QUALIFY ROW_NUMBER() OVER w <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "dq1_profile" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        |)
+        |SELECT col_name,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct,
+        |       MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "dq2_expectations" ->
+      """WITH r AS (
+        |  SELECT 'status_known' AS rule,
+        |         CAST(COUNT(*) AS BIGINT) AS n_checked,
+        |         CAST(SUM(CASE WHEN NOT (o_orderstatus IN ('F','O','P')) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'total_positive', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'total_under_400k', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(CASE WHEN NOT (o_totalprice <= 400000) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |)
+        |SELECT rule, n_checked, n_violations FROM r ORDER BY rule""".stripMargin,
+    "e4_incremental_agg" ->
+      """SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |       TRUE AS incremental_matches
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "t13_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), o AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] = 'order' AND toks[i+1] = 'fast')) AS BIGINT) AS n_occurrences
+        |  FROM t
+        |)
+        |SELECT doc_id, n_occurrences FROM o
+        |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
     "e3_latest_per_key" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events

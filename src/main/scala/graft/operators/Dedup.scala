@@ -100,8 +100,13 @@ object Dedup {
     val candDocs = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
+    // no broadcast() hint on candDocs: it scales with the corpus DUP RATE
+    // (a crawl with heavy duplication can make it arbitrarily large), and
+    // a forced broadcast would override the very threshold that prevents
+    // an executor/driver OOM at 100×. AQE still broadcasts it when it
+    // measures small — which is the common case and every fixture's case.
     val shingleSets = documents
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality and warehouse-maintenance tier.
+  *
+  * Reference analog: `b3_transform.py:242-352` revalidates the refined
+  * frame with seven eager `count()` actions. These operators express the
+  * same intent — "prove the batch is sane before publishing" — as single-
+  * pass, query-shaped aggregations (the `Observability` listener covers
+  * the in-flight form).
+  */
+object Quality {
+
+  /** Column PROFILE: per-column row count, null count, exact distinct
+    * count, min and max — the publish-gate summary a warehouse stores next
+    * to each batch.
+    *
+    * Scale shape: the columns are UNPIVOTED first (`stack` → one
+    * (col_name, value) stream), so the whole profile is ONE hash aggregate
+    * keyed by column name with a single distinct-rewrite — profiling k
+    * columns via k separate `countDistinct` aggs in one `agg(...)` would
+    * instead Expand the input k× through one shuffle with per-group
+    * distinct state. The unpivot multiplies rows by k but carries two
+    * columns, and partial aggregation collapses it map-side.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    df.select(expr(s"stack(${cols.size}, $pairs) AS (col_name, value)"))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("value")).as("n_distinct"),
+        min("value").as("min_v"),
+        max("value").as("max_v"))
+      .orderBy("col_name")
+  }
+
+  /** EXPECTATION report: named boolean rules evaluated corpus-wide in one
+    * pass — (rule, rows checked, violations). Rules are plain `Column`
+    * predicates, so every rule is codegen'd into the same scan; the output
+    * is one row per rule regardless of input size. A CI-style gate then
+    * fails the publish when any `n_violations` exceeds its budget.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = rules.flatMap { case (name, pred) => Seq(
+      count(lit(1)).as(s"__n_$name"),
+      sum(when(!pred, 1L).otherwise(0L)).as(s"__v_$name"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map { case (name, _) =>
+      s"'$name', `__n_$name`, `__v_$name`"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${rules.size}, $stackArgs) AS (rule, n_checked, n_violations)"))
+      .orderBy("rule")
+  }
+
+  /** INCREMENTAL aggregate maintenance: merge a keyed aggregate snapshot
+    * with the aggregate of a delta batch — the materialized-view update
+    * path that never rescans history. Works for any associative state;
+    * here (count, integer sum) so the merge is exact (double sums would
+    * reassociate).
+    *
+    * Scale: the snapshot is |keys|-sized, the delta agg is map-side
+    * combined before its shuffle, and the merge is a full-outer join on
+    * the group key — cost proportional to the DELTA + key space, not the
+    * accumulated history. That asymmetry is the whole point at 100 TB:
+    * the history is petabytes; its aggregate is kilobytes.
+    */
+  def mergeAggSnapshot(snapshot: DataFrame, deltaAgg: DataFrame,
+      keys: Seq[String]): DataFrame =
+    snapshot.join(deltaAgg
+        .withColumnsRenamed(Map("cnt" -> "d_cnt", "total" -> "d_total")),
+      keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("d_total"), lit(0L))).as("total")): _*)
+
+  /** The (count, cents-sum) aggregate shape [[mergeAggSnapshot]] maintains. */
+  def centsAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("total"))
+
+  /** Driver-witnessable CONTRACT (a6/d5b pattern): splitting the corpus by
+    * a deterministic hash, aggregating the halves independently, and
+    * merging MUST equal the one-shot aggregate — exactly, because the
+    * state is integer. A broken merge (lost key, double count) flips a
+    * boolean against the TRUE-emitting oracle.
+    */
+  def incrementalAggContract(events: DataFrame): DataFrame = {
+    val nb = TextOps.hexNibble("event_id")
+    val merged = mergeAggSnapshot(
+      centsAgg(events.filter(nb < 8)), centsAgg(events.filter(nb >= 8)),
+      Seq("event_type"))
+    val full = centsAgg(events)
+      .withColumnsRenamed(Map("cnt" -> "f_cnt", "total" -> "f_total"))
+    merged.join(full, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        col("f_cnt").as("cnt"), col("f_total").as("total_cents"),
+        (col("cnt") <=> col("f_cnt") && col("total") <=> col("f_total"))
+          .as("incremental_matches"))
+      .orderBy("event_type")
+  }
+}

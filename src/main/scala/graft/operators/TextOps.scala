@@ -159,6 +159,30 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** PHRASE SEARCH over a positional inverted index: documents containing
+    * the exact two-token phrase, with occurrence counts. The postings are
+    * filtered to the QUERY TERMS before any join — at 100 TB the index
+    * (term → (doc, pos) postings) is term-partitioned, so a phrase query
+    * touches two postings lists, not the corpus; adjacency is then an
+    * equi-join on (doc_id, pos) with the second term's positions shifted
+    * by one. The naive alternative — `contains` over every document —
+    * rescans the corpus per query and can't use any index.
+    */
+  def phraseSearch(documents: DataFrame, first: String, second: String): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    val postings = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnRenamed("col", "term")
+    val a = postings.filter(col("term") === first)
+      .select(col("doc_id"), col("pos"))
+    val b = postings.filter(col("term") === second)
+      .select(col("doc_id").as("doc_id_b"), (col("pos") - 1).as("pos_b"))
+    a.join(b, col("doc_id") === col("doc_id_b") && col("pos") === col("pos_b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget sequence chunking (training-batch prep): assign each
     * document to a fixed-token-budget chunk, filling contiguously in
     * doc_id order WITHIN each language stream. chunk_id =
