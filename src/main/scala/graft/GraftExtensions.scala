@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // memory-guard rewrite: size(collect_list/set(x)) → count([distinct] x)
     e.injectOptimizerRule(_ => graft.plans.CollectSizeToCount)
+    // governance guard: unhinted condition-less inner joins fail at plan
+    // time instead of scheduling |L|·|R| work on the cluster
+    e.injectOptimizerRule(_ => graft.plans.CartesianGuard)
   }
 }
 

@@ -81,6 +81,10 @@ object SparkEntry {
     // oracle checks the resulting scalars straight from the flat columns.
     "p13_map_struct" -> ((s, dir) => NestedOps.mapStructFuncs(Tables.orders(s, dir))),
     "w_range_frame" -> ((s, dir) => WindowOps.rangeFrame(Tables.events(s, dir))),
+    // Calendar gap-fill + forward-fill (time-series resampling): the
+    // missing-trading-day repair the reference's lag-7/30 bar analytics
+    // silently needs. Daily close = max_by(value, event_id) (determinism).
+    "w_gap_fill" -> ((s, dir) => WindowOps.gapFill(Tables.events(s, dir))),
     // LLM-pipeline tier: dedup / text analysis / similarity search
     "d1_exact_dedup" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "d2_dup_stats" -> ((s, dir) => Dedup.dupStats(Tables.documents(s, dir))),
@@ -774,6 +778,26 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
         |QUALIFY ROW_NUMBER() OVER w <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "w_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS date, max_by(value, event_id) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id, CAST(ts AS DATE)
+        |), bounds AS (
+        |  SELECT user_id, min(date) AS lo, max(date) AS hi FROM daily GROUP BY user_id
+        |), cal AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM bounds
+        |)
+        |SELECT c.user_id, c.date,
+        |       LAST_VALUE(d.v IGNORE NULLS) OVER (
+        |         PARTITION BY c.user_id ORDER BY c.date
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |       d.v IS NULL AS is_filled
+        |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.date = d.date
+        |ORDER BY c.user_id, c.date""".stripMargin,
     "dq1_profile" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem

@@ -122,4 +122,39 @@ object WindowOps {
         ntile(4).over(unique).as("quartile"))
       .orderBy("l_orderkey", "rn")
   }
+
+  /** Calendar GAP-FILL with forward-fill (time-series resampling): the
+    * reference's domain is daily OHLCV bars, where non-trading days leave
+    * holes that break row-offset analytics (`lag(7)` means "7 bars", not
+    * "7 days", exactly because of gaps). This operator materializes each
+    * key's full calendar between its first and last observation and
+    * carries the last observation forward into the holes.
+    *
+    * Scale shape: the per-key daily aggregate shuffles once;
+    * `sequence(min, max)` explodes bounded-by-span calendar rows per key
+    * (dates, not data — a 20-year daily calendar is ~7 k rows/key); the
+    * left join is keyed; the forward-fill is `last(value, ignoreNulls)`
+    * over a keyed running frame — one keyed sort, no global window.
+    * The daily "close" is `max_by(value, event_id)` — the LAST event of
+    * the day by monotone id, deterministic under shuffle order.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val calendar = daily
+      .groupBy("user_id")
+      .agg(min("date").as("lo"), max("date").as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"))).as("date"))
+    val w = Window.partitionBy("user_id").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar
+      .join(daily, Seq("user_id", "date"), "left")
+      .select(col("user_id"), col("date"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
+        col("v").isNull.as("is_filled"))
+      .orderBy("user_id", "date")
+  }
 }

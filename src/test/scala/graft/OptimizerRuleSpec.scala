@@ -41,4 +41,48 @@ class OptimizerRuleSpec extends SparkTestBase {
     assert(df.queryExecution.optimizedPlan.toString.contains("collect_list"))
     assert(df.collect().head.getSeq[String](1) === Seq("a", "b"))
   }
+
+  // CartesianGuard — registered SCOPED per test (register + deregister):
+  // other suites on the shared session legitimately crossJoin tiny test
+  // frames, and suites run sequentially in the forked test JVM
+  // (testForkedParallel = false), so scoping cannot race them.
+  private def withGuard[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.CartesianGuard
+    try f
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.CartesianGuard)
+  }
+
+  test("unhinted condition-less inner join is rejected at plan time") { withGuard {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    val e = intercept[IllegalStateException] {
+      a.crossJoin(b).queryExecution.optimizedPlan
+    }
+    assert(e.getMessage.contains("CartesianGuard"))
+  }}
+
+  test("broadcast-hinted small side passes the guard (intentional NL join)") { withGuard {
+    val corpus = Seq(1, 2, 3).toDF("x")
+    val tiny = Seq(10).toDF("y")
+    val out = corpus.join(broadcast(tiny)) // the s1/range-join shape
+    assert(out.collect().length === 3)
+  }}
+
+  test("guard is conf-disableable per session") { withGuard {
+    val a = Seq(1).toDF("x")
+    val b = Seq(2).toDF("y")
+    spark.conf.set("graft.cartesianGuard.enabled", "false")
+    try assert(a.crossJoin(b).collect().length === 1)
+    finally spark.conf.set("graft.cartesianGuard.enabled", "true")
+  }}
+
+  test("equi and non-equi conditioned joins are untouched by the guard") { withGuard {
+    val a = Seq((1, 10), (2, 20)).toDF("k", "va")
+    val b = Seq((1, 5), (2, 30)).toDF("k2", "vb")
+    assert(a.join(b, a("k") === b("k2")).collect().length === 2)
+    assert(a.join(b, a("va") > b("vb")).collect().length === 2)
+  }}
 }
