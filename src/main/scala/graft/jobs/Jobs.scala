@@ -88,3 +88,40 @@ object TransformJob {
         .withColumn("variacao_7d_q", round(col("variacao_7d") * 100).cast("long"))
         .withColumn("variacao_30d_q", round(col("variacao_30d") * 100).cast("long")))
 }
+
+/** Table MAINTENANCE job: the recurring housekeeping pass a long-lived
+  * 100 TB lake needs between transform runs, composed from the engine's
+  * own pieces — compact small files (streaming/micro-batch writers leave
+  * thousands), refresh catalog statistics for the CBO, profile the data,
+  * and GATE publication on the expectation report. A gate failure throws
+  * BEFORE any consumer-visible mutation; compaction and stats are
+  * consumer-transparent and run first.
+  */
+object MaintenanceJob {
+
+  /** @param rules   named expectation predicates; any violation count
+    *                above `maxViolations` aborts with the offending rules
+    * @return (filesBefore, filesAfter, profile rows) on success
+    */
+  def run(spark: SparkSession, path: String,
+      profileCols: Seq[String],
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      table: Option[String] = None,
+      maxViolations: Long = 0L): (Int, Int, Array[Row]) = {
+    val (before, after) = Sinks.compact(spark, path)
+    table.foreach { t =>
+      // compaction rewrote files under the table's location — refresh the
+      // catalog's file listing AND its CBO statistics in one maintenance
+      // pass (stale cached listings would read deleted files)
+      spark.catalog.refreshTable(t)
+      Sinks.analyzeTable(spark, t)
+    }
+    val df = spark.read.parquet(path)
+    val gate = graft.operators.Quality.expectations(df, rules)
+      .filter(col("n_violations") > maxViolations)
+      .collect()
+    require(gate.isEmpty,
+      s"maintenance gate failed: ${gate.map(r => s"${r.getString(0)}=${r.getLong(2)}").mkString(", ")}")
+    (before, after, graft.operators.Quality.profile(df, profileCols).collect())
+  }
+}

@@ -52,6 +52,51 @@ class JobsSpec extends SparkTestBase {
     assert(martRows === directRows)
   }
 
+  test("maintenance job compacts, refreshes stats, and gates publish on expectations") {
+    import graft.jobs.MaintenanceJob
+    val dir = tmpDir("maint")
+    Tables.orders(spark, sf0001).repartition(12)
+      .write.mode("overwrite").parquet(dir)
+    spark.sql(s"CREATE TABLE maint_t USING parquet LOCATION '$dir'")
+    try {
+      val (before, after, profile) = MaintenanceJob.run(spark, dir,
+        profileCols = Seq("o_totalprice"),
+        rules = Seq("total_positive" -> (col("o_totalprice") > 0)),
+        table = Some("maint_t"))
+      assert(after < before, s"expected compaction, got $before -> $after")
+      assert(profile.length === 1 && profile.head.getLong(2) === 0) // no nulls
+      // catalog stats refreshed: CBO sees a row count (rowCount is only
+      // surfaced in plan estimates when the cost-based optimizer is on)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val stats = spark.table("maint_t").queryExecution.optimizedPlan.stats
+        assert(stats.rowCount.exists(_.longValue > 0), s"rowCount missing: $stats")
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
+      // the table reads cleanly after the rewrite (no stale file listings)
+      assert(spark.table("maint_t").count() === Tables.orders(spark, sf0001).count())
+      // gate failure: an impossible rule aborts with the rule named
+      val e = intercept[IllegalArgumentException] {
+        MaintenanceJob.run(spark, dir, Seq("o_totalprice"),
+          Seq("impossible" -> (col("o_totalprice") < 0)))
+      }
+      assert(e.getMessage.contains("impossible"))
+    } finally spark.sql("DROP TABLE IF EXISTS maint_t")
+  }
+
+  test("schema-evolved parquet generations merge into the superset schema") {
+    // long-lived lakes accrete columns; readers must see old + new files
+    // as ONE relation with nulls for pre-evolution rows
+    val dir = tmpDir("evolve")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")), "old files read as null")
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
+  }
+
   test("observe() + listener account rows in one pass (no recount actions)") {
     import graft.jobs.Observability
     val rec = Observability.register(spark)
