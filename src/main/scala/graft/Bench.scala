@@ -44,11 +44,17 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
-      .mkString("{", ",", "}")
+    // errors object only when non-empty, sf as basename: every byte
+    // counts against the ~2000-byte tail window at 83+ queries
+    val nErr = results.count(_._3.isDefined)
+    val errs =
+      if (nErr == 0) ""
+      else results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+        .mkString(""""errors":{""", ",", "},")
     val total = results.map(_._2).sum
+    val sfName = Paths.get(sfDir).getFileName.toString
     val line =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,$errs"n_errors":$nErr,"sf":"$sfName"}"""
     println(line)
     Files.writeString(Paths.get("bench_result.json"), line + "\n")
     spark.stop()

@@ -210,6 +210,23 @@ object SparkEntry {
     // Incremental aggregate maintenance contract: snapshot ⊕ delta must
     // equal the one-shot aggregate, exactly (integer cents state).
     "e4_incremental_agg" -> ((s, dir) => Quality.incrementalAggContract(Tables.events(s, dir))),
+    // E4 SQL front door, oracle-proven: the Athena-style consumption SQL
+    // (reference b3_transform.py:367-380 shape) runs VERBATIM through
+    // spark.sql over a registered view — the text-SQL path a reference
+    // user migrates to, not just the DataFrame API. Money stays in cents.
+    "e5_sql_front_door" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_sqlv")
+      s.sql("""SELECT user_id,
+              |       year(to_date(ts)) AS year, month(to_date(ts)) AS month,
+              |       COUNT(*) AS total_registros,
+              |       SUM(event_id) AS volume_total,
+              |       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+              |FROM events_sqlv
+              |WHERE value IS NOT NULL AND ts IS NOT NULL
+              |  AND user_id IS NOT NULL AND event_id IS NOT NULL
+              |GROUP BY user_id, year(to_date(ts)), month(to_date(ts))
+              |ORDER BY user_id, year, month""".stripMargin)
+    }),
     // Positional-index phrase search: postings filtered to the two query
     // terms BEFORE the adjacency equi-join — index-sized work, not corpus.
     "t13_phrase_search" -> ((s, dir) => TextOps.phraseSearch(Tables.documents(s, dir), "order", "fast")),
@@ -828,6 +845,19 @@ object SparkEntry {
         |  FROM orders
         |)
         |SELECT rule, n_checked, n_violations FROM r ORDER BY rule""".stripMargin,
+    "e5_sql_front_door" ->
+      """SELECT user_id,
+        |       EXTRACT(year FROM CAST(ts AS DATE)) AS year,
+        |       EXTRACT(month FROM CAST(ts AS DATE)) AS month,
+        |       CAST(COUNT(*) AS BIGINT) AS total_registros,
+        |       CAST(SUM(event_id) AS BIGINT) AS volume_total,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  AND user_id IS NOT NULL AND event_id IS NOT NULL
+        |GROUP BY user_id, EXTRACT(year FROM CAST(ts AS DATE)),
+        |         EXTRACT(month FROM CAST(ts AS DATE))
+        |ORDER BY user_id, year, month""".stripMargin,
     "e4_incremental_agg" ->
       """SELECT event_type,
         |       CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -42,7 +42,11 @@ object MergeOps {
     *
     * @param current  versioned rows: keyCols ++ trackedCols ++
     *                 (valid_from, valid_to, is_current)
-    * @param updates  keyCols ++ trackedCols (the new attribute values)
+    * @param updates  keyCols ++ trackedCols (the new attribute values).
+    *                 MUST be key-unique — a batch carrying several
+    *                 versions of one key fans out the join and breaks the
+    *                 one-open-row invariant; collapse it with
+    *                 [[latestByKey]] first (the streaming sink does).
     * @param batchId  version stamp for rows closed/opened by this batch
     */
   def scd2Merge(current: DataFrame, updates: DataFrame,
