@@ -269,6 +269,10 @@ object SparkEntry {
     }),
     // Set ops + top-k (U1, O3/O4)
     "u1_union_by_name" -> ((s, dir) => SetOps.unionByNameRoundTrip(Tables.orders(s, dir))),
+    // Schema-drift union: generations with missing columns → NULL fill.
+    "u4_union_missing" -> ((s, dir) => SetOps.unionMissingColumns(Tables.orders(s, dir))),
+    // Governance masking: sha2-256 identifiers + banded quasi-identifiers.
+    "dq3_masking" -> ((s, dir) => Quality.maskPii(Tables.customer(s, dir))),
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "u3_intersect" -> ((s, dir) => SetOps.intersectKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
@@ -815,6 +819,19 @@ object SparkEntry {
         |       d.v IS NULL AS is_filled
         |FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.date = d.date
         |ORDER BY c.user_id, c.date""".stripMargin,
+    "u4_union_missing" ->
+      """SELECT * FROM (
+        |  (SELECT o_orderkey, o_orderstatus FROM orders)
+        |  UNION ALL BY NAME
+        |  (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000)
+        |)
+        |ORDER BY o_orderkey, o_orderstatus NULLS FIRST""".stripMargin,
+    "dq3_masking" ->
+      """SELECT c_custkey,
+        |       sha256(c_name) AS name_masked,
+        |       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+        |       c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "dq1_profile" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem

@@ -58,6 +58,21 @@ object Quality {
       .orderBy("rule")
   }
 
+  /** PII MASKING (governance gate before data leaves the refined zone):
+    * direct identifiers are one-way hashed (sha2-256 — joinable across
+    * datasets, not reversible), quasi-identifiers are GENERALIZED to
+    * bands (k-anonymity-style coarsening) so individuals can't be singled
+    * out by precise values. Pure codegen'd column functions — masking a
+    * 100 TB export is scan-bound, no shuffle.
+    */
+  def maskPii(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_custkey"),
+        sha2(col("c_name"), 256).as("name_masked"),
+        (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("acctbal_band"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+
   /** INCREMENTAL aggregate maintenance: merge a keyed aggregate snapshot
     * with the aggregate of a delta batch — the materialized-view update
     * path that never rescans history. Works for any associative state;

@@ -24,6 +24,22 @@ object SetOps {
     open.unionByName(others).orderBy("o_orderkey")
   }
 
+  /** Schema-DRIFT union: two generations of a feed that no longer share
+    * every column, combined with `allowMissingColumns` — each side's
+    * missing columns come back NULL (the long-lived-pipeline reality
+    * `unionByName` alone rejects). Total order: (key, status) is unique
+    * here — per key at most one row from each branch, distinguished by
+    * the status column's nullness — with null placement pinned explicitly
+    * (engines disagree on default NULL ordering).
+    */
+  def unionMissingColumns(orders: DataFrame): DataFrame = {
+    val gen1 = orders.select(col("o_orderkey"), col("o_orderstatus"))
+    val gen2 = orders.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"), col("o_orderstatus").asc_nulls_first)
+  }
+
   /** EXCEPT parity: customer keys with no order. */
   def exceptKeys(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.select(col("c_custkey").as("key"))

