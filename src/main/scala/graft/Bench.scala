@@ -35,17 +35,15 @@ object Bench {
         catch { case e: Throwable => Some(e.getClass.getName) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // Centisecond precision keeps the whole line under the driver's stdout
-    // tail window (~2000 chars) with headroom for the 81-query set —
-    // full-precision floats overflowed it ("parsed": null, rounds 1-4) and
-    // %.3f crossed 2000 bytes again at 81 queries. Run-to-run noise is
-    // ±1 s, so 10 ms resolution loses nothing. %f never emits exponents.
-    def sec3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec3(v) }
-      .mkString("{", ",", "}")
-    // errors object only when non-empty, sf as basename: every byte
-    // counts against the ~2000-byte tail window at 83+ queries
+    // The consumer captures only the LAST ~2000 bytes of stdout and JSON-
+    // parses them: a line longer than the window gets its head cut off and
+    // parses as nothing (observed "parsed": null, rounds 1-4). Full fidelity
+    // always goes to ./bench_result.json; the stdout line degrades
+    // deterministically until it fits — first centisecond precision, then
+    // decisecond, then a map of only the slowest queries (the performance-
+    // relevant ones) with a "q_omitted" count so truncation is explicit.
+    def fmt(v: Double, p: String): String =
+      String.format(java.util.Locale.ROOT, p, Double.box(v))
     val nErr = results.count(_._3.isDefined)
     val errs =
       if (nErr == 0) ""
@@ -53,10 +51,21 @@ object Bench {
         .mkString(""""errors":{""", ",", "},")
     val total = results.map(_._2).sum
     val sfName = Paths.get(sfDir).getFileName.toString
-    val line =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,$errs"n_errors":$nErr,"sf":"$sfName"}"""
-    println(line)
-    Files.writeString(Paths.get("bench_result.json"), line + "\n")
+    def line(prec: String, keep: Int): String = {
+      val bySlow = results.sortBy(-_._2).take(keep).sortBy(_._1)
+      val qs = bySlow.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
+        .mkString("{", ",", "}")
+      val omitted =
+        if (keep >= results.size) "" else s""""q_omitted":${results.size - keep},"""
+      s"""{"metric":"total","value":${fmt(total, "%.2f")},"unit":"sec","queries":$qs,$omitted$errs"n_errors":$nErr,"sf":"$sfName"}"""
+    }
+    val budget = 1900 // window is 2000; leave room for the newline + stray output
+    val full = line("%.2f", results.size)
+    val candidates =
+      Iterator(full, line("%.1f", results.size)) ++
+        Iterator.iterate(results.size - 5)(_ - 5).takeWhile(_ > 0).map(line("%.1f", _))
+    println(candidates.find(_.length <= budget).getOrElse(line("%.1f", 0)))
+    Files.writeString(Paths.get("bench_result.json"), full + "\n")
     spark.stop()
   }
 }
