@@ -56,9 +56,24 @@ object MergeOps {
     // row-presence markers survive the full-outer join where key columns
     // alone cannot (a coalesced join key is non-null on either side)
     val open = current.filter(col("is_current")).withColumn("_open", lit(1))
+    // ENFORCE key-uniqueness of the batch (doc contract above): a
+    // duplicate key would fan out the join and silently leave several
+    // open rows per key. The per-key count windows on the SAME key the
+    // join shuffles on, so the gate reuses the join's exchange; the
+    // raise_error fires at execution time on the first duplicate.
+    val keyW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
     val upd = updates.select(
       keyCols.map(col) ++ trackedCols.map(c => col(c).as("u_" + c)): _*)
-      .withColumn("_upd", lit(1))
+      .withColumn("_kn", count(lit(1)).over(keyW))
+      .withColumn("_upd",
+        when(col("_kn") > 1, raise_error(concat(
+          lit("scd2Merge: updates batch is not key-unique (key "),
+          concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+          lit(" appears more than once); collapse with latestByKey first"))
+          .cast("int")))
+        .otherwise(lit(1)))
+      .drop("_kn")
     val joined = open.join(upd, keyCols, "full_outer")
 
     val hasOpen = col("_open").isNotNull

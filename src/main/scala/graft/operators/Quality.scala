@@ -17,8 +17,8 @@ object Quality {
     * count, min and max — the publish-gate summary a warehouse stores next
     * to each batch.
     *
-    * Scale shape: the columns are UNPIVOTED first (`stack` → one
-    * (col_name, value) stream), so the whole profile is ONE hash aggregate
+    * Scale shape: the columns are UNPIVOTED first (`inline(array(...))` →
+    * one (col_name, value) stream), so the whole profile is ONE hash aggregate
     * keyed by column name with a single distinct-rewrite — profiling k
     * columns via k separate `countDistinct` aggs in one `agg(...)` would
     * instead Expand the input k× through one shuffle with per-group
@@ -26,8 +26,11 @@ object Quality {
     * columns, and partial aggregation collapses it map-side.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val pairs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
-    df.select(expr(s"stack(${cols.size}, $pairs) AS (col_name, value)"))
+    // typed Column construction (not an interpolated SQL string): a column
+    // name containing a quote/comma/backtick is data here, never syntax
+    val entries = cols.map(c => struct(
+      lit(c).as("col_name"), col(quoteIdent(c)).cast("double").as("value")))
+    df.select(inline(array(entries: _*)))
       .groupBy("col_name")
       .agg(
         count(lit(1)).as("n"),
@@ -45,18 +48,27 @@ object Quality {
     * fails the publish when any `n_violations` exceeds its budget.
     */
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val aggs = rules.flatMap { case (name, pred) => Seq(
-      count(lit(1)).as(s"__n_$name"),
-      sum(when(!pred, 1L).otherwise(0L)).as(s"__v_$name"))
+    // intermediate aliases are POSITIONAL (__n_0, __v_0, ...) so arbitrary
+    // rule names never touch an identifier; names surface only as literals
+    val aggs = rules.zipWithIndex.flatMap { case ((_, pred), i) => Seq(
+      count(lit(1)).as(s"__n_$i"),
+      sum(when(!pred, 1L).otherwise(0L)).as(s"__v_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = rules.map { case (name, _) =>
-      s"'$name', `__n_$name`, `__v_$name`"
-    }.mkString(", ")
-    one.select(expr(
-        s"stack(${rules.size}, $stackArgs) AS (rule, n_checked, n_violations)"))
+    val entries = rules.zipWithIndex.map { case ((name, _), i) => struct(
+      lit(name).as("rule"),
+      col(s"__n_$i").as("n_checked"),
+      col(s"__v_$i").as("n_violations"))
+    }
+    one.select(inline(array(entries: _*)))
       .orderBy("rule")
   }
+
+  /** Backtick-quote an identifier for `col(...)` resolution, escaping
+    * embedded backticks (mirror of `Sinks.analyzeTable`'s quoting).
+    */
+  private def quoteIdent(name: String): String =
+    "`" + name.replace("`", "``") + "`"
 
   /** PII MASKING (governance gate before data leaves the refined zone):
     * direct identifiers are one-way hashed (sha2-256 — joinable across

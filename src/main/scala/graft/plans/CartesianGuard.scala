@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Plan-time GOVERNANCE guard: reject condition-less inner/cross joins
@@ -29,8 +29,11 @@ object CartesianGuard extends Rule[LogicalPlan] {
     if (conf.getConfString("graft.cartesianGuard.enabled", "true") == "true")
       plan.foreach {
         case j @ Join(_, _, Inner | Cross, None, hint) =>
+          // ONLY a broadcast hint blesses: it bounds the work at |small|
+          // per probe row. A merge/shuffle_hash hint on a condition-less
+          // join still computes the full cartesian — no escape for those.
           val blessed = (hint.leftHint ++ hint.rightHint)
-            .exists(_.strategy.isDefined)
+            .exists(_.strategy.contains(BROADCAST))
           if (!blessed)
             throw new IllegalStateException(
               "CartesianGuard: condition-less inner join would compute a " +

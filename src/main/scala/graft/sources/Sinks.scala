@@ -199,6 +199,12 @@ object Sinks {
     val b = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty input (or an all-null cluster column): no bounds to
+      // linearize — write the empty dataset like writeRangeClustered does
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     // scale to 16-bit [0, 65535]; clamp guards FP edge rounding at max
     def norm(c: String, lo: Double, hi: Double): Column = {
       val span = if (hi > lo) hi - lo else 1.0

@@ -66,6 +66,19 @@ class MergeOpsSpec extends SparkTestBase {
       ("RELOCATED-2", 2L, null, true)))
   }
 
+  test("scd2 merge rejects a non-key-unique updates batch at runtime") {
+    // two versions of key 1 in one batch would fan out the join and leave
+    // two open rows — the in-plan gate must fail the action instead
+    val dup = Seq((1L, "X", 1.0), (1L, "Y", 2.0)).toDF("k", "seg", "bal")
+    val e = intercept[Exception] {
+      MergeOps.scd2Merge(MergeOps.scd2Init(dim), dup,
+        Seq("k"), Seq("seg", "bal"), 1L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not key-unique")), e.toString)
+  }
+
   test("latestByKey is map-side-limited (WindowGroupLimit) and picks the max-ord row") {
     val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
     val out = MergeOps.latestByKey(ev, "user_id", "event_id")

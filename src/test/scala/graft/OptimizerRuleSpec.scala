@@ -64,6 +64,17 @@ class OptimizerRuleSpec extends SparkTestBase {
     assert(e.getMessage.contains("CartesianGuard"))
   }}
 
+  test("non-broadcast strategy hint does NOT bypass the guard") { withGuard {
+    // a merge/shuffle_hash hint still computes the full cartesian — only
+    // broadcast (bounded |small| per probe row) is a signed small-claim
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    val e = intercept[IllegalStateException] {
+      a.crossJoin(b.hint("shuffle_hash")).queryExecution.optimizedPlan
+    }
+    assert(e.getMessage.contains("CartesianGuard"))
+  }}
+
   test("broadcast-hinted small side passes the guard (intentional NL join)") { withGuard {
     val corpus = Seq(1, 2, 3).toDF("x")
     val tiny = Seq(10).toDF("y")

@@ -74,6 +74,7 @@ class PropertySpec extends SparkTestBase {
     samples(batchGen, 8).zipWithIndex.foldLeft(
       MergeOps.scd2Init(Seq((1L, "A")).toDF("k", "seg"))) {
       case (cur, (batch, i)) =>
+        val prevRows = cur.collect()
         val next = MergeOps.scd2Merge(cur,
           batch.toDF("k", "seg"), Seq("k"), Seq("seg"), i + 1L)
           .localCheckpoint(true) // bound the 8-deep iterative lineage
@@ -89,9 +90,15 @@ class PropertySpec extends SparkTestBase {
             assert(!v.isNullAt(3) && v.getLong(3) > v.getLong(2), v.toString)
           }
         }
-        // versions only accumulate — history is never rewritten
-        assert(rows.length >= cur.collect().length ||
-          rows.length >= byKey.size)
+        // versions only accumulate — history is never rewritten: every
+        // already-CLOSED row survives byte-identical, and the row count
+        // is monotone (an open row is either kept open or kept closed)
+        val newSet = rows.map(_.toString).toSet
+        prevRows.filterNot(_.getBoolean(4)).foreach { closed =>
+          assert(newSet.contains(closed.toString),
+            s"closed row rewritten after batch $i: $closed")
+        }
+        assert(rows.length >= prevRows.length)
         next
     }
   }

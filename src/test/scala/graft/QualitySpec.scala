@@ -21,6 +21,20 @@ class QualitySpec extends SparkTestBase {
     assert(got("b") === ((4L, 2L, 2L, 2.0, 4.0)))
   }
 
+  test("profile and expectations treat hostile names as data, not syntax") {
+    // a column/rule name carrying quote, comma, and backtick must neither
+    // break the expression nor inject into it (round-5 advice finding)
+    val weird = "a'b,`c"
+    val df = Seq(1.0, 2.0).toDF(weird)
+    val prof = Quality.profile(df, Seq(weird)).collect()
+    assert(prof.length === 1 && prof.head.getString(0) === weird)
+    assert(prof.head.getLong(1) === 2L)
+    val exp = Quality.expectations(df, Seq(weird -> (col("`a'b,``c`") > 0)))
+      .collect()
+    assert(exp.length === 1 && exp.head.getString(0) === weird)
+    assert(exp.head.getLong(1) === 2L && exp.head.getLong(2) === 0L)
+  }
+
   test("expectations reports per-rule violation counts from one scan") {
     val df = Seq(1, 2, 3, -4, 5).toDF("x")
     val got = Quality.expectations(df, Seq(

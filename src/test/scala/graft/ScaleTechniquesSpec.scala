@@ -198,6 +198,11 @@ class ScaleTechniquesSpec extends SparkTestBase {
         s"1-D clustering's ${coverage(rDir, "value")}")
     // row preservation
     assert(spark.read.parquet(zDir).count() === df.count())
+    // empty input: no bounds to linearize — must write an empty dataset,
+    // not NPE on the null min/max row (round-5 advice finding)
+    val eDir = tmpDir("zorder-empty")
+    Sinks.writeZOrdered(df.filter(lit(false)), eDir, 4, "user_id", "value")
+    assert(spark.read.parquet(eDir).count() === 0L)
   }
 
   test("runtime bloom-filter pruning injects a fact-side filter from the dim predicate") {
