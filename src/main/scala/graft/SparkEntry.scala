@@ -210,6 +210,9 @@ object SparkEntry {
     // Incremental aggregate maintenance contract: snapshot ⊕ delta must
     // equal the one-shot aggregate, exactly (integer cents state).
     "e4_incremental_agg" -> ((s, dir) => Quality.incrementalAggContract(Tables.events(s, dir))),
+    // Batch sessionization: inactivity-gap session carving per user (the
+    // batch analog of the streaming session_window), integer-µs endpoints.
+    "e6_sessionize" -> ((s, dir) => Sessions.sessionize(Tables.events(s, dir))),
     // E4 SQL front door, oracle-proven: the Athena-style consumption SQL
     // (reference b3_transform.py:367-380 shape) runs VERBATIM through
     // spark.sql over a registered view — the text-SQL path a reference
@@ -875,6 +878,29 @@ object SparkEntry {
         |GROUP BY user_id, EXTRACT(year FROM CAST(ts AS DATE)),
         |         EXTRACT(month FROM CAST(ts AS DATE))
         |ORDER BY user_id, year, month""".stripMargin,
+    "e6_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 86400000000 THEN 1
+        |            ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MIN(us) AS BIGINT) AS start_us,
+        |       CAST(MAX(us) AS BIGINT) AS end_us,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "e4_incremental_agg" ->
       """SELECT event_type,
         |       CAST(COUNT(*) AS BIGINT) AS cnt,

@@ -43,7 +43,7 @@ object Sessions {
     * day of silence is a natural boundary).
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 86400L): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
     val flagged = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Sessions
+
+/** Inactivity-gap sessionization semantics on crafted event streams, plus
+  * the one-exchange plan shape (lag window, running-sum window, and the
+  * (user, session) aggregate all reuse the user_id partitioning).
+  */
+class SessionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gap strictly over the threshold opens a session; ties never do") {
+    val ev = Seq(
+      // user 1: two sessions separated by exactly 2h + 1µs against a 2h gap
+      (1L, 10L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, 11L, ts("2024-01-01 01:00:00"), 2.0),
+      (1L, 12L, Timestamp.from(
+        ts("2024-01-01 03:00:00").toInstant.plusNanos(1000)), 4.0),
+      // user 2: equal timestamps (gap 0) stay one session
+      (2L, 20L, ts("2024-01-01 00:00:00"), 10.0),
+      (2L, 21L, ts("2024-01-01 00:00:00"), 20.0),
+      // boundary case: a gap of EXACTLY the threshold is not an opener
+      (3L, 30L, ts("2024-01-01 00:00:00"), 1.0),
+      (3L, 31L, ts("2024-01-01 02:00:00"), 1.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = Sessions.sessionize(ev, gapSeconds = 7200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5))).toMap
+    assert(got === Map(
+      (1L, 1L) -> ((2L, 300L)),  // events 10+11, 100+200 cents
+      (1L, 2L) -> ((1L, 400L)),  // event 12 alone (gap > threshold)
+      (2L, 1L) -> ((2L, 3000L)), // simultaneous events, one session
+      (3L, 1L) -> ((2L, 200L)))) // gap == threshold stays inside
+  }
+
+  test("sessionize plans ONE exchange: windows and agg share user_id partitioning") {
+    val out = Sessions.sessionize(Tables.events(spark, sf0001))
+    val plan = out.queryExecution.executedPlan.toString
+    val nExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(nExchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
+    val nWindows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(nWindows <= 2)
+    assert(out.count() > 0)
+  }
+}
