@@ -156,6 +156,12 @@ object SparkEntry {
     // budget packing, each stage individually oracle-proven (t7/d6/d1/
     // d3b+d7/t10), the composition oracle-checked as one query.
     "d8_training_prep" -> ((s, dir) => TrainingPipeline.trainingPrep(Tables.documents(s, dir))),
+    // Benchmark decontamination: training docs sharing any 5-token gram
+    // with the held-out (nibble-15) eval split, with distinct-hit counts.
+    "d9_decontaminate" -> ((s, dir) => Decontam.contaminationReport(Tables.documents(s, dir))),
+    // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
+    // top-count / duplicated instances, computed shuffle-free per row.
+    "t14_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
@@ -878,6 +884,42 @@ object SparkEntry {
         |GROUP BY user_id, EXTRACT(year FROM CAST(ts AS DATE)),
         |         EXTRACT(month FROM CAST(ts AS DATE))
         |ORDER BY user_id, year, month""".stripMargin,
+    "d9_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         instr('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, nb,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, len(toks) - 4),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                          toks[i+3], toks[i+4])))) AS gram
+        |  FROM t WHERE len(toks) >= 5
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM g
+        |WHERE nb < 15 AND gram IN (SELECT gram FROM g WHERE nb = 15)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t14_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+        |)
+        |SELECT doc_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_grams,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+        |       CAST(MAX(c) AS BIGINT) AS top_gram_count,
+        |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |         AS dup_gram_count
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e6_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

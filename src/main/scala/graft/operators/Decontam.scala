@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{tokens, shinglesKTokens}
+
+/** Benchmark DECONTAMINATION: flag training documents that share any
+  * token n-gram with an evaluation/benchmark set — the standard guard
+  * against test-set leakage when assembling LLM training data (the
+  * 13-gram collision rule of GPT-3 appendix C / PaLM; n is a parameter
+  * and the fixture's short documents use n = 5).
+  *
+  * Scale design (100 TB corpus, benchmark-sized eval set):
+  *  - The eval side collapses to its DISTINCT n-gram set before the join.
+  *    Eval suites are millions of grams at most — orders of magnitude
+  *    below the corpus — so the semi join broadcasts (AQE picks it up
+  *    from the aggregated size; no forced hint needed, same reasoning as
+  *    the d3 candidate join).
+  *  - The train side is scan-shaped: tokenize → shingle → explode, one
+  *    pass, no corpus-sized shuffle. Per-doc `array_distinct` keeps
+  *    repeated boilerplate from inflating the exploded stream.
+  *  - Output is the CONTAMINATED doc list with its distinct-gram hit
+  *    count — the small frame a cleaning pass anti-joins back against
+  *    the corpus (compose with [[TrainingPipeline]]'s gate).
+  *
+  * Reference scope: the reference engine has no training-data tier; this
+  * extends its curated-zone gate (`b3_transform.py:242-352` row-quality
+  * checks) to corpus-vs-benchmark hygiene.
+  */
+object Decontam {
+
+  /** Distinct (doc_id, gram) pairs of `n`-token shingles. */
+  private def docGrams(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesKTokens(tokens(col("text")), n))).as("gram"))
+
+  /** Training docs sharing at least one n-gram with the eval set, with
+    * the count of distinct colliding grams (`n_hits`) — descending hit
+    * count is the triage order a pipeline reviews before dropping.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 5): DataFrame = {
+    val evalGrams = docGrams(evalSet, n).select("gram").distinct()
+    docGrams(train, n)
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus split for the registered query: docs whose
+    * first md5(doc_id) nibble is 15 act as the held-out benchmark
+    * (1/16 of the corpus), the rest as training data — the same
+    * content-addressed split rule as t7/t8 sampling.
+    */
+  def contaminationReport(documents: DataFrame, n: Int = 5): DataFrame = {
+    val nb = TextOps.hexNibble("doc_id")
+    decontaminate(documents.filter(nb < 15), documents.filter(nb === 15), n)
+  }
+}

@@ -44,6 +44,62 @@ object TextOps {
         minShingleFingerprint(col("text")).as("fp_min_shingle"))
       .orderBy("doc_id")
 
+  /** Per-document REPETITION metrics (Gopher-rule-style quality signals:
+    * a document dominated by one repeated phrase is low-quality training
+    * data): over the document's token 2-grams, emit total grams, distinct
+    * grams, the top gram's occurrence count, and how many gram instances
+    * belong to a repeated gram. All-integer output; a cleaning pass
+    * thresholds ratios like `top_gram_count / n_grams` downstream.
+    *
+    * Scale shape: ZERO shuffle. The per-doc gram histogram never
+    * materializes — the grams are sorted per row (array-local) and every
+    * metric reads adjacent-equality runs of the sorted array: the top
+    * count is the longest run, the duplicated-instance count is
+    * `m - singletons`. A groupBy-(doc, gram) formulation would shuffle
+    * the full exploded gram stream (corpus × ~doc_len rows) twice; this
+    * is scan-bound, codegen'd, and embarrassingly parallel. Intermediates
+    * are staged through separate projections so the sort isn't
+    * re-evaluated per metric (CollapseProject keeps non-cheap expressions
+    * single-use).
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{
+      aggregate, array, array_distinct, array_sort, concat, greatest,
+      size, slice, struct, when, zip_with}
+    val toks = tokens(col("text"))
+    documents
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), array_sort(shinglesKTokens(toks, 2)).as("sorted"))
+      .withColumn("m", size(col("sorted")))
+      // eq(i) = 1 iff sorted(i) == sorted(i+1): run-length encoding seed
+      .withColumn("eq", zip_with(
+        slice(col("sorted"), lit(1), col("m") - 1),
+        slice(col("sorted"), lit(2), col("m") - 1),
+        (a, b) => when(a === b, 1).otherwise(0)))
+      .select(
+        col("doc_id"),
+        col("m").cast("long").as("n_grams"),
+        size(array_distinct(col("sorted"))).cast("long").as("n_distinct_grams"),
+        // longest equal-run + 1, via a sequential fold (cur, best)
+        (aggregate(col("eq"),
+          struct(lit(0).as("cur"), lit(0).as("best")),
+          (acc, x) => {
+            val cur = when(x === 1, acc("cur") + 1).otherwise(lit(0))
+            struct(cur.as("cur"), greatest(acc("best"), cur).as("best"))
+          },
+          acc => acc("best")) + 1).cast("long").as("top_gram_count"),
+        // a gram instance is a SINGLETON iff no equal neighbor on either
+        // side of its sorted position (pad the run-flags with 0 at both
+        // ends so the borders read cleanly)
+        (col("m") - aggregate(
+          zip_with(
+            slice(concat(array(lit(0)), col("eq")), lit(1), col("m")),
+            slice(concat(col("eq"), array(lit(0))), lit(1), col("m")),
+            (l, r) => when(l === 0 && r === 0, 1).otherwise(0)),
+          lit(0), (a, x) => a + x)).cast("long").as("dup_gram_count"))
+      .orderBy("doc_id")
+  }
+
   /** Array-operation battery over token arrays: dedup, sort, slice,
     * membership, stopword removal (the `array_*`/lambda surface a
     * training-data pipeline filters with).

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontam, TextOps}
+
+/** Decontamination and repetition-quality semantics on crafted corpora,
+  * plus the shuffle-free plan shape of the per-doc repetition metrics.
+  */
+class DecontamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decontaminate flags train docs sharing a 5-gram with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // shares a 5-gram
+      (2L, "completely different text with no overlap here"), // clean
+      (3L, "quick brown fox jumps over and over again")       // shares one
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix words the quick brown fox jumps over suffix")
+    ).toDF("doc_id", "text")
+    val got = Decontam.decontaminate(train, eval, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown fox jumps" + "quick brown fox jumps over"
+    // doc 3 shares "quick brown fox jumps over"; doc 2 is absent entirely
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("repetition metrics count sorted-run statistics exactly") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // grams: 3x"a b", 2x"b a" -> top 3, all duplicated
+      (2L, "x y z"),       // grams: "x y","y z" -> all singletons
+      (3L, "w w"),         // one gram -> top 1, no dup
+      (4L, "solo")         // < 2 tokens -> filtered out
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      1L -> ((5L, 2L, 3L, 5L)),
+      2L -> ((2L, 2L, 1L, 0L)),
+      3L -> ((1L, 1L, 1L, 0L))))
+  }
+
+  test("repetition metrics are shuffle-free (no hash exchange, scan-shaped)") {
+    val out = TextOps.repetitionStats(Tables.documents(spark, sf0001))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-doc metrics must not shuffle, plan:\n$plan")
+    assert(out.count() > 0)
+  }
+}
