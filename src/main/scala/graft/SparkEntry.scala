@@ -162,6 +162,10 @@ object SparkEntry {
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
     // top-count / duplicated instances, computed shuffle-free per row.
     "t14_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
+    // Misra-Gries frequent items: constant-memory top terms per language
+    // (exact at capacity 64 > fixture vocab -> oracle-proven; the sketch
+    // bound contract is unit-tested).
+    "t15_heavy_hitters" -> ((s, dir) => TextOps.heavyHitterTerms(Tables.documents(s, dir))),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
@@ -884,6 +888,20 @@ object SparkEntry {
         |GROUP BY user_id, EXTRACT(year FROM CAST(ts AS DATE)),
         |         EXTRACT(month FROM CAST(ts AS DATE))
         |ORDER BY user_id, year, month""".stripMargin,
+    "t15_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+        |), c AS (
+        |  SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY lang, term
+        |), r AS (
+        |  SELECT lang, term, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY cnt DESC, term) AS rank
+        |  FROM c
+        |)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, term,
+        |       CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "d9_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -44,6 +44,30 @@ object TextOps {
         minShingleFingerprint(col("text")).as("fp_min_shingle"))
       .orderBy("doc_id")
 
+  /** Frequent terms per language via the Misra-Gries sketch
+    * ([[graft.functions.HeavyHittersAgg]]): top-k tokens by occurrence
+    * count in CONSTANT memory per group. Unlike [[termDocFrequency]]
+    * (exact, shuffles the distinct vocabulary), this shuffles one
+    * ≤capacity-entry summary per (lang × partition) — the sketch path for
+    * web-scale vocabularies. Registered with capacity 64 > the fixture's
+    * 31-token vocabulary, where MG is provably exact, so DuckDB's exact
+    * top-k oracle hash-matches; the approximation contract is asserted in
+    * `HeavyHittersSpec`.
+    */
+  def heavyHitterTerms(documents: DataFrame, capacity: Int = 64,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, posexplode}
+    documents
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(col("tok"), capacity).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .filter(col("pos") < k)
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), col("col.cnt").as("cnt"))
+      .orderBy("lang", "rank")
+  }
+
   /** Per-document REPETITION metrics (Gopher-rule-style quality signals:
     * a document dominated by one repeated phrase is low-quality training
     * data): over the document's token 2-grams, emit total grams, distinct
