@@ -108,6 +108,9 @@ object SparkEntry {
     // size, with the same exact-recall pigeonhole guarantee. Rows-only
     // (hash-seeded); equality with single-chunk banding is test-asserted.
     "d4b_simhash_wide" -> ((s, dir) => Dedup.simhashPairsCombination(Tables.documents(s, dir), maxHamming = 8)),
+    // SimHash banding completeness/soundness vs brute force, driver-
+    // witnessed as booleans (DuckDB can't compute SimHash; d5b pattern).
+    "d4c_simhash_contract" -> ((s, dir) => Dedup.simhashContract(Tables.documents(s, dir), maxHamming = 3)),
     "d5_corpus_signatures" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat_ws}
       // signature serialized '|'-joined (lossless for i64s) so the output
@@ -1059,6 +1062,8 @@ object SparkEntry {
       "SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique FROM documents GROUP BY lang ORDER BY lang",
     "d5b_signature_contract" ->
       "SELECT lang, TRUE AS partition_invariant FROM documents GROUP BY lang ORDER BY lang",
+    "d4c_simhash_contract" ->
+      "SELECT TRUE AS nonempty, TRUE AS complete, TRUE AS sound",
     "d6_curated" -> CuratedSql,
     // typed path, same referee:
     "d6b_curated_typed" -> CuratedSql,

@@ -173,6 +173,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Driver-witnessed CONTRACT for the SimHash banding (d5b pattern):
+    * DuckDB cannot compute SimHash, so the d4 pair set itself is
+    * rows-only — but the pigeonhole guarantee ("banding finds EXACTLY
+    * the Hamming-ball pairs") is checkable engine-side against the
+    * brute-force all-pairs scan, and the resulting booleans hash-compare
+    * against a TRUE-emitting oracle. A wrong chunk mask, width split, or
+    * band join key silently loses pairs in d4; here it flips `complete`
+    * and fails the driver gate. Brute force is a conditioned
+    * nested-loop join — quadratic, fine at fixture scale, never the
+    * production path (that's what the banding is for).
+    */
+  def simhashContract(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = documents.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val brute = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .select("doc_a", "doc_b")
+    val banded = simhashPairs(documents, maxHamming).select("doc_a", "doc_b")
+    val nBrute = brute.agg(count(lit(1)).as("n_brute")).withColumn("k", lit(1))
+    val missed = brute.join(banded, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed")).withColumn("k", lit(1))
+    val spurious = banded.join(brute, Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("n_spurious")).withColumn("k", lit(1))
+    nBrute.join(missed, "k").join(spurious, "k")
+      .select(
+        (col("n_brute") > 0).as("nonempty"), // guards a vacuous pass
+        (col("n_missed") === 0).as("complete"),
+        (col("n_spurious") === 0).as("sound"))
+  }
+
   /** SimHash near-dup for LARGE radii via two-chunk combination banding:
     * `maxHamming + 2` chunks, bucket key = every PAIR of chunk values
     * (C(k,2) bands). Pigeonhole: ≤ `maxHamming` differing bits dirty at

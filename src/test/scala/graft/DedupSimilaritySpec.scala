@@ -89,6 +89,14 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((2L, 4L)), s"$pairs")
   }
 
+  test("simhash contract reports complete+sound vs brute force on the fixture") {
+    val r = Dedup.simhashContract(Tables.documents(spark, sf0001), maxHamming = 3)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getBoolean(0), "fixture must contain at least one pair")
+    assert(r.head.getBoolean(1) && r.head.getBoolean(2), r.head.toString)
+  }
+
   test("combination banding equals single-chunk banding at the same radius") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
