@@ -76,27 +76,37 @@ object LshSignatureUtil {
     (z & 0xFFFFFL).toDouble / 0x80000L.toDouble - 1.0
   }
 
-  def signatureOf(vec: Array[Float], planes: Int): Int = {
+  def signatureOf(vec: Array[Float], planes: Int): Int =
+    signatureOf(vec, planes, 0)
+
+  /** `offset` selects an independent plane family (planes `offset` to
+    * `offset + planes - 1`) — how multiband LSH derives band b's planes
+    * (offset = b * planes) from the same deterministic stream.
+    */
+  def signatureOf(vec: Array[Float], planes: Int, offset: Int): Int = {
     var sig = 0
     var i = 0
     while (i < planes) {
       var dot = 0.0
       var d = 0
-      while (d < vec.length) { dot += vec(d) * planeComponent(i, d); d += 1 }
+      while (d < vec.length) { dot += vec(d) * planeComponent(offset + i, d); d += 1 }
       if (dot >= 0) sig |= (1 << i)
       i += 1
     }
     sig
   }
 
-  def signature(vec: ArrayData, planes: Int): Int = {
+  def signature(vec: ArrayData, planes: Int): Int =
+    signature(vec, planes, 0)
+
+  def signature(vec: ArrayData, planes: Int, offset: Int): Int = {
     var sig = 0
     var i = 0
     while (i < planes) {
       var dot = 0.0
       var d = 0
       val n = vec.numElements()
-      while (d < n) { dot += vec.getFloat(d) * planeComponent(i, d); d += 1 }
+      while (d < n) { dot += vec.getFloat(d) * planeComponent(offset + i, d); d += 1 }
       if (dot >= 0) sig |= (1 << i)
       i += 1
     }
@@ -108,27 +118,31 @@ object LshSignatureUtil {
   * (the builtin formulation runs `planes` separate interpreted
   * zip_with+aggregate lambda chains per row).
   */
-case class LshSignature(child: Expression, planes: Int) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+case class LshSignature(child: Expression, planes: Int, offset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(planes > 0 && planes <= 30, "bucket is an int bitmask")
+  require(offset >= 0, "offset selects a plane family; must be >= 0")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lsh_signature"
 
   override protected def nullSafeEval(input: Any): Any =
-    LshSignatureUtil.signature(input.asInstanceOf[ArrayData], planes)
+    LshSignatureUtil.signature(input.asInstanceOf[ArrayData], planes, offset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.LshSignatureUtil.signature($c, $planes)")
+      c => s"graft.functions.LshSignatureUtil.signature($c, $planes, $offset)")
 
   override protected def withNewChildInternal(newChild: Expression): LshSignature =
     copy(child = newChild)
 }
 
 object VectorFunctions {
-  /** Native LSH signature column (see [[LshSignature]]). */
-  def lshSignature(embedding: Column, planes: Int): Column =
-    GraftShims.toColumn(LshSignature(GraftShims.toExpression(embedding), planes))
+  /** Native LSH signature column (see [[LshSignature]]); `offset` picks
+    * an independent plane family for multiband candidate generation.
+    */
+  def lshSignature(embedding: Column, planes: Int, offset: Int = 0): Column =
+    GraftShims.toColumn(LshSignature(GraftShims.toExpression(embedding), planes, offset))
 
   /** Native-expression cosine similarity (codegen'd fused loop). */
   def cosineSim(a: Column, b: Column): Column =

@@ -89,6 +89,42 @@ object Similarity {
   /** All-pairs-free near-neighbor pairs: LSH signature → bucket equi-join
     * → exact cosine on candidates only (same shape as MinHash dedup).
     */
+  /** MULTIBAND hyperplane LSH near-neighbor pairs: `bands` independent
+    * plane families, candidate = same bucket in ANY band, exact cosine on
+    * the deduped candidates. Single-band recall at modest cosine is
+    * intrinsically poor — p = (1 - θ/π)^planes per band (≈ 5% per band at
+    * cos 0.35 with 6 planes) — and the fix is the same AND-OR
+    * amplification MinHash banding uses: recall = 1 - (1 - p)^bands,
+    * tunable to any target by adding bands at linear cost. Candidates
+    * are deduped to (vec_a, vec_b) BEFORE the embedding join, so the
+    * exact cosine runs once per pair no matter how many bands collide.
+    * Same no-all-pairs scale shape as [[nearNeighborPairs]]; the banded
+    * stream is `bands`× the input, never quadratic.
+    */
+  def nearNeighborPairsMultiband(embeddings: DataFrame, minScore: Double = 0.95,
+      planes: Int = 8, bands: Int = 4): DataFrame = {
+    require(planes <= 30, "bucket is an int bitmask")
+    require(bands >= 1, "need at least one band")
+    val banded = embeddings.select(col("vec_id"),
+        posexplode(array((0 until bands).map(bd =>
+          SimilarityIndex.signature(col("embedding"), planes, bd * planes)): _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineSim(col("emb_a"), col("emb_b")), 6).as("score"))
+      .filter(col("score") >= minScore)
+      .orderBy("vec_a", "vec_b")
+  }
+
   def nearNeighborPairs(embeddings: DataFrame, minScore: Double = 0.95,
       planes: Int = 16): DataFrame = {
     require(planes <= 30, "bucket is an int bitmask")
@@ -120,8 +156,9 @@ object SimilarityIndex {
     * zip_with/aggregate formulation runs `planes` interpreted lambda
     * chains per row.
     */
-  def signature(embedding: org.apache.spark.sql.Column, planes: Int = 16): org.apache.spark.sql.Column =
-    graft.functions.VectorFunctions.lshSignature(embedding, planes)
+  def signature(embedding: org.apache.spark.sql.Column, planes: Int = 16,
+      offset: Int = 0): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.lshSignature(embedding, planes, offset)
 
   /** Build: signatures computed once, written partitioned by bucket —
     * queries prune to probed buckets at the file level.

@@ -172,6 +172,21 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-12))
   }
 
+  test("multiband LSH recall dominates single-band at the same plane width") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairSet(Similarity.nearNeighborPairs(emb, 0.35, planes = 6))
+    val multi = pairSet(Similarity.nearNeighborPairsMultiband(
+      emb, 0.35, planes = 6, bands = 8))
+    // band 0 of the multiband uses the same planes as the single-band
+    // query, so its pair set must be a superset; amplification must add
+    // real recall on top, not just duplicate band 0
+    assert(single.subsetOf(multi), "multiband must contain the band-0 pairs")
+    assert(multi.size > single.size,
+      s"8-band recall (${multi.size}) must beat 1-band (${single.size})")
+  }
+
   test("LSH near-neighbor pairs finds the planted pair without all-pairs") {
     val pairs = Similarity.nearNeighborPairs(plantedVectors, minScore = 0.99, planes = 8)
     assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)))
