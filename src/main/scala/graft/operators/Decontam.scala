@@ -29,11 +29,16 @@ import graft.functions.TextFunctions.{tokens, shinglesKTokens}
   */
 object Decontam {
 
-  /** Distinct (doc_id, gram) pairs of `n`-token shingles. */
+  /** Distinct (doc_id, gram) pairs of `n`-token shingles. Tokens are
+    * projected ONCE before the shingle builder: the builder references
+    * its input k+2 times and higher-order functions run interpreted,
+    * outside common-subexpression elimination (the t11 lesson).
+    */
   private def docGrams(documents: DataFrame, n: Int): DataFrame =
     documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(shinglesKTokens(tokens(col("text")), n))).as("gram"))
+        explode(array_distinct(shinglesKTokens(col("toks"), n))).as("gram"))
 
   /** Training docs sharing at least one n-gram with the eval set, with
     * the count of distinct colliding grams (`n_hits`) — descending hit

@@ -76,34 +76,55 @@ object TextOps {
     * thresholds ratios like `top_gram_count / n_grams` downstream.
     *
     * Scale shape: ZERO shuffle. The per-doc gram histogram never
-    * materializes — the grams are sorted per row (array-local) and every
-    * metric reads adjacent-equality runs of the sorted array: the top
-    * count is the longest run, the duplicated-instance count is
-    * `m - singletons`. A groupBy-(doc, gram) formulation would shuffle
-    * the full exploded gram stream (corpus × ~doc_len rows) twice; this
-    * is scan-bound, codegen'd, and embarrassingly parallel. Intermediates
-    * are staged through separate projections so the sort isn't
-    * re-evaluated per metric (CollapseProject keeps non-cheap expressions
-    * single-use).
+    * materializes — a groupBy-(doc, gram) formulation would shuffle the
+    * full exploded gram stream (corpus × ~doc_len rows) twice; this is
+    * scan-bound and embarrassingly parallel. The registered query runs
+    * the fused [[graft.functions.RepetitionCounts]] expression (one
+    * sorted-index scan per row, inside codegen); the builtin higher-order
+    * -function formulation below computes identical counts and referees
+    * it in `DecontamSpec`.
     */
   def repetitionStats(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{
-      aggregate, array, array_distinct, array_sort, concat, greatest,
-      size, slice, struct, when, zip_with}
-    val toks = tokens(col("text"))
+    import org.apache.spark.sql.functions.size
     documents
-      .filter(size(toks) >= 2)
-      .select(col("doc_id"), array_sort(shinglesKTokens(toks, 2)).as("sorted"))
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // split ONCE
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        graft.functions.RepetitionCounts.repetitionCounts(col("toks")).as("rc"))
+      .select(col("doc_id"), col("rc.n_grams").as("n_grams"),
+        col("rc.n_distinct_grams").as("n_distinct_grams"),
+        col("rc.top_gram_count").as("top_gram_count"),
+        col("rc.dup_gram_count").as("dup_gram_count"))
+      .orderBy("doc_id")
+  }
+
+  /** Builtin-composition form of [[repetitionStats]] (array_sort +
+    * zip_with adjacency runs + aggregate folds — the (a)-tier compose-
+    * existing-ops variant): identical output, kept as the referee for the
+    * fused expression and for engines without the extension. HOF lambdas
+    * evaluate interpreted per element, which is why the fused kernel owns
+    * the registered query.
+    */
+  def repetitionStatsBuiltin(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{
+      aggregate, array, array_sort, concat, greatest,
+      size, slice, struct, when, zip_with}
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // split ONCE
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), array_sort(shinglesKTokens(col("toks"), 2)).as("sorted"))
       .withColumn("m", size(col("sorted")))
       // eq(i) = 1 iff sorted(i) == sorted(i+1): run-length encoding seed
       .withColumn("eq", zip_with(
         slice(col("sorted"), lit(1), col("m") - 1),
         slice(col("sorted"), lit(2), col("m") - 1),
         (a, b) => when(a === b, 1).otherwise(0)))
+      // sum(eq) = number of adjacent-equal positions = m - distinct count
+      .withColumn("n_eq", aggregate(col("eq"), lit(0), (a, x) => a + x))
       .select(
         col("doc_id"),
         col("m").cast("long").as("n_grams"),
-        size(array_distinct(col("sorted"))).cast("long").as("n_distinct_grams"),
+        (col("m") - col("n_eq")).cast("long").as("n_distinct_grams"),
         // longest equal-run + 1, via a sequential fold (cur, best)
         (aggregate(col("eq"),
           struct(lit(0).as("cur"), lit(0).as("best")),

@@ -48,4 +48,11 @@ class DecontamSpec extends SparkTestBase {
       s"per-doc metrics must not shuffle, plan:\n$plan")
     assert(out.count() > 0)
   }
+
+  test("fused repetition expression equals the builtin HOF formulation") {
+    val docs = Tables.documents(spark, sf0001)
+    val fused = TextOps.repetitionStats(docs).collect().toSeq
+    val builtin = TextOps.repetitionStatsBuiltin(docs).collect().toSeq
+    assert(fused === builtin)
+  }
 }
