@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftShims, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, MinHash, MinHashTokens, SimHash64}
+import graft.functions.{CosineSimilarity, LshSignature, MinHash, MinHashTokens, RepetitionCounts, SimHash64}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -15,7 +15,9 @@ import graft.functions.{CosineSimilarity, MinHash, MinHashTokens, SimHash64}
   *
   * After either, plain SQL can use `simhash64(array<string>)`,
   * `cosine_similarity(array<float>, array<float>)`,
-  * `minhash(array<string>, k)`, `minhash_tokens(array<string>, k)`.
+  * `minhash(array<string>, k)`, `minhash_tokens(array<string>, k)`,
+  * `lsh_signature(array<float>[, planes[, offset]])`, and
+  * `repetition_counts(array<string>)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
@@ -41,7 +43,9 @@ object GraftFunctions {
     "simhash64" -> (args => SimHash64(one(args))),
     "cosine_similarity" -> (args => CosineSimilarity(args(0), args(1))),
     "minhash" -> (args => MinHash(args.head, intArg(args, 1, 32))),
-    "minhash_tokens" -> (args => MinHashTokens(args.head, intArg(args, 1, 32))))
+    "minhash_tokens" -> (args => MinHashTokens(args.head, intArg(args, 1, 32))),
+    "lsh_signature" -> (args => LshSignature(args.head, intArg(args, 1, 16), intArg(args, 2, 0))),
+    "repetition_counts" -> (args => RepetitionCounts(one(args))))
 
   /** Register all custom functions on a live session. */
   def registerAll(spark: SparkSession): Unit =

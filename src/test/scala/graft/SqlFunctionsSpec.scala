@@ -21,6 +21,23 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(r.getSeq[Long](3).length === 8)
   }
 
+  test("lsh_signature and repetition_counts are callable from SQL") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT lsh_signature(array(1.0f, 0.5f), 8) AS sig0,
+        |       lsh_signature(array(1.0f, 0.5f), 8, 8) AS sig1,
+        |       repetition_counts(split('a b a b', ' ')) AS rc""".stripMargin)
+      .collect().head
+    assert(r.getInt(0) === graft.functions.LshSignatureUtil.signatureOf(
+      Array(1.0f, 0.5f), 8))
+    assert(r.getInt(1) === graft.functions.LshSignatureUtil.signatureOf(
+      Array(1.0f, 0.5f), 8, 8), "offset must select a different plane family")
+    // grams of "a b a b": [a b, b a, a b] -> 3 total, 2 distinct, top 2
+    val rc = r.getStruct(2)
+    assert((rc.getLong(0), rc.getLong(1), rc.getLong(2), rc.getLong(3)) ===
+      ((3L, 2L, 2L, 2L)))
+  }
+
   test("SQL minhash agrees with the Column-API pipeline") {
     GraftFunctions.registerAll(spark)
     Tables.documents(spark, sf0001).limit(20).createOrReplaceTempView("docs_v")
