@@ -111,6 +111,18 @@ object SparkEntry {
     // SimHash banding completeness/soundness vs brute force, driver-
     // witnessed as booleans (DuckDB can't compute SimHash; d5b pattern).
     "d4c_simhash_contract" -> ((s, dir) => Dedup.simhashContract(Tables.documents(s, dir), maxHamming = 3)),
+    // Incremental corpus maintenance: the (nibble >= 12) batch deduped
+    // against the (nibble < 12) corpus through its precomputed band
+    // index — corpus text touched only for candidate docs. Threshold 0.9
+    // -> banded recall ~1 (d3b argument), so exact cross-set Jaccard is
+    // the oracle.
+    "d10_incremental_dedup" -> ((s, dir) => {
+      val nb = TextOps.hexNibble("doc_id")
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(nb < 12)
+      val incoming = docs.filter(nb >= 12)
+      Dedup.incrementalNearDups(Dedup.bandIndex(corpus), corpus, incoming, 0.9)
+    }),
     "d5_corpus_signatures" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat_ws}
       // signature serialized '|'-joined (lossless for i64s) so the output
@@ -702,6 +714,26 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d10_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |  instr('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nb, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc,
+        |    ROUND(len(list_intersect(n.sh, c.sh)) * 1.0
+        |          / len(list_distinct(list_concat(n.sh, c.sh))), 4) AS jaccard
+        |  FROM s n JOIN s c ON n.nb >= 12 AND c.nb < 12
+        |   AND len(n.sh) * 10000 >= len(c.sh) * 8999 AND len(c.sh) * 10000 >= len(n.sh) * 8999
+        |)
+        |SELECT new_doc, corpus_doc, jaccard FROM p WHERE jaccard >= 0.9
+        |ORDER BY new_doc, corpus_doc""".stripMargin,
     "m1_multimodal_features" ->
       """WITH h AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,

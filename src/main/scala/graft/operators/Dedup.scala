@@ -118,6 +118,58 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The persistable LSH BAND INDEX of a corpus: one (doc_id, band_id,
+    * band_hash) row per band — what [[incrementalNearDups]] joins new
+    * batches against. Write it bucketed on `band_hash` (see
+    * `Sinks.createBucketedTable`) and the incremental join needs no
+    * corpus-side shuffle at all.
+    */
+  def bandIndex(documents: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    lshBuckets(minhashSignatures(documents, numHashes), bands, numHashes / bands)
+
+  /** INCREMENTAL near-dup detection: an incoming batch against the
+    * EXISTING corpus through the corpus's precomputed [[bandIndex]] — the
+    * production shape for corpus maintenance at 100 TB, where re-LSHing
+    * petabytes per ingest is not an option:
+    *
+    *  - the corpus side contributes only its stored band rows (index-
+    *    sized, never the text) to the candidate join;
+    *  - corpus TEXT is touched only for docs that land in a candidate
+    *    pair (semi-join pruning — point-lookup-sized at realistic dup
+    *    rates), to exact-verify Jaccard;
+    *  - cost scales with |incoming| + |collisions|, independent of
+    *    corpus size.
+    *
+    * Same banding/verify semantics as [[nearDupPairs]], so at threshold
+    * 0.9 the banded recall argument of d3b applies and the output equals
+    * exact cross-set Jaccard (driver-proven as `d10_incremental_dedup`).
+    */
+  def incrementalNearDups(corpusIndex: DataFrame, corpus: DataFrame,
+      incoming: DataFrame, threshold: Double = 0.9,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val newBands = bandIndex(incoming, numHashes, bands)
+    val cand = corpusIndex
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("corpus_doc"))
+      .join(newBands.select(col("band_id"), col("band_hash"), col("doc_id").as("new_doc")),
+        Seq("band_id", "band_hash"))
+      .select("new_doc", "corpus_doc")
+      .distinct()
+    val shC = corpus
+      .join(cand.select(col("corpus_doc").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_doc"),
+        array_distinct(shingles3(col("text"))).as("sh_c"))
+    val shN = incoming
+      .join(cand.select(col("new_doc").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("new_doc"),
+        array_distinct(shingles3(col("text"))).as("sh_n"))
+    val jac = size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+      size(array_union(col("sh_n"), col("sh_c")))
+    cand.join(shN, "new_doc").join(shC, "corpus_doc")
+      .select(col("new_doc"), col("corpus_doc"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   /** End-to-end curation gate: quality score + language-ID filter, then
     * exact dedup with the deterministic min-id representative — the
     * composed filter a training-data pipeline runs BEFORE the expensive

@@ -347,9 +347,11 @@ object TextOps {
 
   /** Value of the first hex digit of md5(key) in [0,16) — `instr` over the
     * hex alphabet rather than `conv`, because the oracle engine has the
-    * same `instr`/`strpos` semantics (1-based, 0 when absent).
+    * same `instr`/`strpos` semantics (1-based, 0 when absent). Public:
+    * the engine's standard content-addressed split/sample rule (t7, t8,
+    * d8, d9, d10 all derive their deterministic subsets from it).
     */
-  private[operators] def hexNibble(keyCol: String) = {
+  def hexNibble(keyCol: String) = {
     import org.apache.spark.sql.functions.{instr, md5, substring}
     instr(lit("0123456789abcdef"),
       substring(md5(col(keyCol).cast("string")), 1, 1)) - 1

@@ -89,6 +89,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((2L, 4L)), s"$pairs")
   }
 
+  test("incremental dedup via a parquet-persisted band index equals recompute") {
+    val docs = Tables.documents(spark, sf0001)
+    val nb = graft.operators.TextOps.hexNibble("doc_id")
+    val corpus = docs.filter(nb < 12)
+    val incoming = docs.filter(nb >= 12)
+    def pairs(index: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDups(index, corpus, incoming, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = pairs(Dedup.bandIndex(corpus))
+    assert(live.nonEmpty, "fixture must have cross-split near-dups")
+    // the index survives a storage round trip — the production shape
+    // where the corpus is never re-LSH'd per ingest
+    val dir = tmpDir("band-index")
+    Dedup.bandIndex(corpus).write.mode("overwrite").parquet(dir)
+    assert(pairs(spark.read.parquet(dir)) === live)
+    // every reported pair straddles the split, new side first
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    live.foreach { case (n, c) =>
+      assert(!corpusIds.contains(n) && corpusIds.contains(c), s"($n, $c)")
+    }
+  }
+
   test("simhash contract reports complete+sound vs brute force on the fixture") {
     val r = Dedup.simhashContract(Tables.documents(spark, sf0001), maxHamming = 3)
       .collect()
