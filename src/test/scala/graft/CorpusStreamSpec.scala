@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.CorpusStream
+
+/** Streaming corpus ingestion with a fuzzy-dedup gate: within-batch
+  * exact + near dedup, cross-batch dedup via the persisted band index,
+  * and replay idempotency of the derived outputs.
+  */
+class CorpusStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 60 distinct tokens; the near-dup changes only the last token ->
+  // 3-gram Jaccard = 56/60 ~ 0.933 >= the 0.9 gate
+  private val baseText = (1 to 60).map(i => s"w$i").mkString(" ")
+  private val nearText = (1 to 59).map(i => s"w$i").mkString(" ") + " CHANGED"
+  private val novelText = (1 to 40).map(i => s"x$i").mkString(" ")
+
+  test("ingest sink admits only novel docs across batches and replays to a fixpoint") {
+    val rawDir = tmpDir("corpus-raw")
+    val corpusDir = tmpDir("corpus-store")
+    val indexDir = tmpDir("corpus-index")
+    val ckpt = tmpDir("corpus-ckpt")
+    def run(): Unit = CorpusStream.runDedupIngestSink(spark,
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(rawDir),
+      corpusDir, indexDir, ckpt)
+
+    // batch 1: two distinct docs
+    Seq((1L, baseText), (2L, "completely different short doc"))
+      .toDF("doc_id", "text").write.mode("append").parquet(rawDir)
+    run()
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+
+    // batch 2: a near-dup of doc 1, a novel doc, and an in-batch exact
+    // dup pair (5, 6 share 4's text -> min-id rep 4 survives)
+    Seq((3L, nearText), (4L, novelText), (5L, novelText), (6L, novelText))
+      .toDF("doc_id", "text").write.mode("append").parquet(rawDir)
+    run()
+    val afterB2 = spark.read.parquet(corpusDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_id")).toMap
+    assert(afterB2.keySet === Set(1L, 2L, 4L),
+      s"near-dup 3 and exact dups 5,6 must be gated: $afterB2")
+    assert(afterB2(4L) === 1L, "batch-2 survivor must carry batch_id 1")
+
+    // the index mirrors the corpus docs
+    assert(spark.read.parquet(indexDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+
+    // at-least-once REPLAY of batch 2 (same batchId, same data) must
+    // reproduce identical state: the history read excludes batch_id=1,
+    // so the batch never matches its own previous attempt
+    CorpusStream.dedupIngestBatch(spark,
+      Seq((3L, nearText), (4L, novelText), (5L, novelText), (6L, novelText))
+        .toDF("doc_id", "text"), 1L, corpusDir, indexDir)
+    val replayed = spark.read.parquet(corpusDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_id")).toMap
+    assert(replayed === afterB2, "replay must be a fixpoint")
+  }
+}
