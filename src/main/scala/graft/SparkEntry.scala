@@ -121,7 +121,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val corpus = docs.filter(nb < 12)
       val incoming = docs.filter(nb >= 12)
-      Dedup.incrementalNearDups(Dedup.bandIndex(corpus), corpus, incoming, 0.9)
+      Dedup.incrementalNearDups(Dedup.bandIndex(corpus), corpus, incoming, 0.9,
+        materializeCandidates = true)
     }),
     "d5_corpus_signatures" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat_ws}

@@ -146,14 +146,20 @@ object Dedup {
     */
   def incrementalNearDups(corpusIndex: DataFrame, corpus: DataFrame,
       incoming: DataFrame, threshold: Double = 0.9,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8,
+      materializeCandidates: Boolean = false): DataFrame = {
     val newBands = bandIndex(incoming, numHashes, bands)
-    val cand = corpusIndex
+    // same diamond as nearDupPairs: the candidate set feeds both semi
+    // joins and the pair join — materialize for batch jobs (3× otherwise),
+    // lazy by default for plan-inspection callers
+    val candLazy = corpusIndex
       .select(col("band_id"), col("band_hash"), col("doc_id").as("corpus_doc"))
       .join(newBands.select(col("band_id"), col("band_hash"), col("doc_id").as("new_doc")),
         Seq("band_id", "band_hash"))
       .select("new_doc", "corpus_doc")
       .distinct()
+    val cand =
+      if (materializeCandidates) candLazy.localCheckpoint(true) else candLazy
     val shC = corpus
       .join(cand.select(col("corpus_doc").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("corpus_doc"),

@@ -33,18 +33,29 @@ object CorpusStream {
     val docs = batch.toDF().select("doc_id", "text")
     // exact dedup keeps the deterministic min-id representative
     val exact = Dedup.exactDedup(docs)
-    // near-dup within the batch: greedy drop of the larger id of a pair
-    // (pairs are emitted doc_a < doc_b)
-    val nearB = Dedup.nearDupPairs(exact, threshold, materializeCandidates = true)
-      .select(col("doc_b").as("doc_id")).distinct()
-    val inBatchUnique = exact.join(nearB, Seq("doc_id"), "left_anti")
+    // near-dup within the batch: ONE representative (the component min)
+    // per transitive near-dup cluster — the d7 convention. A greedy
+    // drop-doc_b rule would over-delete chains (a~b, b~c, a!~c leaves
+    // cluster {b,c} with no representative once b goes).
+    val nearEdges = Dedup.nearDupPairs(exact, threshold, materializeCandidates = true)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = Dedup.connectedComponents(nearEdges)
+    val inBatchUnique = exact
+      .join(labels, col("doc_id") === col("node"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select("doc_id", "text")
     // vs prior state: candidate bands from the STORED index, excluding
-    // this batch_id so an at-least-once replay never matches itself
-    // "state exists" = the index dir has content (a bare pre-created
-    // empty directory must read as no-prior-state, not a schema error)
+    // this batch_id so an at-least-once replay never matches itself.
+    // "state exists" = the index dir holds committed content beyond
+    // marker files (a pre-created empty dir, or a zero-survivor batch
+    // that wrote only _SUCCESS, must read as no-prior-state, not as a
+    // schema error). Probed through the Hadoop FileSystem API so the
+    // check holds on hdfs://s3a:// deployments, not just local paths.
     def hasData(dir: String): Boolean = {
-      val fs = new java.io.File(dir).listFiles()
-      fs != null && fs.nonEmpty
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && fs.listStatus(p).exists(
+        st => !st.getPath.getName.startsWith("_"))
     }
     val survivors =
       if (hasData(indexDir)) {
@@ -53,21 +64,16 @@ object CorpusStream {
         val priorCorpus = spark.read.parquet(corpusDir)
           .filter(col("batch_id") =!= batchId)
         val dupNew = Dedup.incrementalNearDups(
-            priorIndex, priorCorpus, inBatchUnique, threshold)
+            priorIndex, priorCorpus, inBatchUnique, threshold,
+            materializeCandidates = true)
           .select(col("new_doc").as("doc_id")).distinct()
         inBatchUnique.join(dupNew, Seq("doc_id"), "left_anti")
       } else inBatchUnique
     // materialize before the writes: the corpus append's lineage reads
     // the corpus directory being written (other partitions)
     val kept = survivors.localCheckpoint(true)
-    def appendIdempotent(df: DataFrame, dir: String): Unit =
-      df.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(dir)
-    appendIdempotent(kept, corpusDir)
-    appendIdempotent(Dedup.bandIndex(kept), indexDir)
+    EventStream.writeBatchPartitioned(kept, batchId, corpusDir)
+    EventStream.writeBatchPartitioned(Dedup.bandIndex(kept), batchId, indexDir)
   }
 
   def runDedupIngestSink(spark: SparkSession, streamed: DataFrame,

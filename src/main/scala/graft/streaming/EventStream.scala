@@ -107,12 +107,23 @@ object EventStream {
     */
   def writeBatchIdempotent(batch: Dataset[org.apache.spark.sql.Row],
       batchId: Long, targetDir: String): Unit =
-    batch
-      .withColumn("date", to_date(col("ts")))
-      .withColumn("batch_id", lit(batchId))
+    writeBatchPartitioned(batch.toDF().withColumn("date", to_date(col("ts"))),
+      batchId, targetDir, Seq("date"))
+
+  /** The generic form of the replay-idempotent append: any derived batch
+    * output lands under its own `batch_id=<id>` partitions (plus
+    * `extraPartitionCols`) via dynamic overwrite, so a replayed attempt
+    * overwrites exactly what the failed attempt wrote — ONE audited
+    * implementation of the exactly-once argument, shared by the event
+    * egress above and the corpus-ingest sink
+    * ([[graft.streaming.CorpusStream]]).
+    */
+  def writeBatchPartitioned(df: DataFrame, batchId: Long, targetDir: String,
+      extraPartitionCols: Seq[String] = Nil): Unit =
+    df.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "date")
+      .partitionBy("batch_id" +: extraPartitionCols: _*)
       .parquet(targetDir)
 
   def runForeachBatchSink(spark: SparkSession, streamed: DataFrame,

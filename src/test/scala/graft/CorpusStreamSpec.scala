@@ -57,4 +57,35 @@ class CorpusStreamSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("batch_id")).toMap
     assert(replayed === afterB2, "replay must be a fixpoint")
   }
+
+  test("in-batch near-dup chains keep exactly the cluster-min representative") {
+    // a ~ b and b ~ c but a !~ c (transitivity failure): component {a,b,c}
+    // must keep only its min id — a greedy drop-doc_b rule would also
+    // delete c after its only near-dup b is gone
+    val b = (1 to 60).map(i => s"w$i").mkString(" ")
+    val a = (1 to 59).map(i => s"w$i").mkString(" ") + " TAIL"
+    val c = "HEAD " + (2 to 60).map(i => s"w$i").mkString(" ")
+    val corpusDir = tmpDir("chain-store")
+    val indexDir = tmpDir("chain-index")
+    CorpusStream.dedupIngestBatch(spark,
+      Seq((10L, a), (11L, b), (12L, c)).toDF("doc_id", "text"),
+      0L, corpusDir, indexDir)
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(10L))
+  }
+
+  test("a zero-survivor first batch does not wedge the next batch") {
+    val corpusDir = tmpDir("empty-store")
+    val indexDir = tmpDir("empty-index")
+    // batch 0 carries no rows: only _SUCCESS markers land on disk
+    CorpusStream.dedupIngestBatch(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      0L, corpusDir, indexDir)
+    // batch 1 must read "no prior state", not a parquet schema error
+    CorpusStream.dedupIngestBatch(spark,
+      Seq((1L, novelText)).toDF("doc_id", "text"),
+      1L, corpusDir, indexDir)
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+  }
 }
