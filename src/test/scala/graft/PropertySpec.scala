@@ -18,6 +18,48 @@ class PropertySpec extends SparkTestBase {
   private val price = Gen.choose(1.0, 1000.0)
     .map(v => math.rint(v * 100) / 100)
 
+  test("fused repetition kernel equals a naive gram-histogram model on random docs") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // small alphabet forces repeated grams, runs, and ties
+    val doc = Gen.choose(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab")))
+    samples(doc, 300).foreach { toks =>
+      val row = graft.functions.RepetitionCountsUtil.counts(
+        ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray))
+      val grams = toks.zip(toks.drop(1)).map { case (x, y) => s"$x $y" }
+      val hist = grams.groupBy(identity).view.mapValues(_.size).toMap
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      if (grams.isEmpty)
+        assert(got === ((0L, 0L, 0L, 0L)), s"toks=$toks")
+      else assert(got === ((
+        grams.size.toLong,
+        hist.size.toLong,
+        hist.values.max.toLong,
+        hist.values.filter(_ > 1).sum.toLong)), s"toks=$toks hist=$hist")
+    }
+  }
+
+  test("Misra-Gries at exact capacity is partition-invariant on random streams") {
+    import scala.collection.mutable
+    val stream = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w", "v")))
+    samples(stream, 100).foreach { items =>
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // any split into partial buffers + merges must reproduce exact
+      // counts when capacity >= distinct items (here alphabet = 5 <= 8)
+      for (splitAt <- Seq(0, items.size / 3, items.size / 2)) {
+        val agg = new graft.functions.HeavyHittersAgg(8)
+        val (l, r) = items.splitAt(splitAt)
+        val bufL = l.foldLeft(agg.zero)(agg.reduce)
+        val bufR = r.foldLeft(mutable.Map.empty[String, Long])(agg.reduce)
+        val merged = agg.finish(agg.merge(bufL, bufR))
+          .map(tc => tc.term -> tc.cnt).toMap
+        assert(merged === truth, s"items=$items splitAt=$splitAt")
+      }
+    }
+  }
+
   test("variation sign agrees with price direction; zero for equal prices") {
     samples(Gen.zip(price, price)).foreach { case (cur, prev) =>
       val v = variation(cur, prev)
