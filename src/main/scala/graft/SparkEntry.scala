@@ -182,6 +182,14 @@ object SparkEntry {
     // (exact at capacity 64 > fixture vocab -> oracle-proven; the sketch
     // bound contract is unit-tested).
     "t15_heavy_hitters" -> ((s, dir) => TextOps.heavyHitterTerms(Tables.documents(s, dir))),
+    // Capstone + decontamination: the d8 pipeline with the d9 stage wired
+    // between the quality gate and dedup (eval split = nibble 15, disjoint
+    // from the nibble<12 training sample).
+    "d8b_training_prep_decon" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TrainingPipeline.trainingPrep(docs,
+        evalSet = Some(docs.filter(TextOps.hexNibble("doc_id") === 15)))
+    }),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
@@ -735,6 +743,79 @@ object SparkEntry {
         |)
         |SELECT new_doc, corpus_doc, jaccard FROM p WHERE jaccard >= 0.9
         |ORDER BY new_doc, corpus_doc""".stripMargin,
+    "d8b_training_prep_decon" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, lang, string_split(text, ' ') AS toks,
+        |         length(text) AS nc
+        |  FROM documents
+        |  WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 12
+        |), c AS (
+        |  SELECT doc_id, text, lang, nc, toks, CAST(len(toks) AS INT) AS nt,
+        |   CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS nsw,
+        |   CAST(len(list_filter(toks, x -> length(x) > 25)) AS INT) AS nlong
+        |  FROM base
+        |), q AS (
+        |  SELECT doc_id, text, lang, nt, toks,
+        |    (CASE WHEN nc >= 100 AND nc <= 5000 THEN 1 ELSE 0 END
+        |     + CASE WHEN (nc - nt + 1) >= nt * 3 AND (nc - nt + 1) <= nt * 10 THEN 1 ELSE 0 END
+        |     + CASE WHEN nsw * 20 >= nt THEN 1 ELSE 0 END
+        |     + CASE WHEN nlong = 0 THEN 1 ELSE 0 END) AS score,
+        |    CASE WHEN nsw * 20 >= nt THEN 'en' ELSE 'unknown' END AS plang
+        |  FROM c
+        |), qq AS (
+        |  SELECT doc_id, text, lang, nt, toks FROM q
+        |  WHERE score >= 3 AND plang = 'en'
+        |), tg AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(toks)-4),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS gram
+        |  FROM qq WHERE len(toks) >= 5
+        |), evt AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 = 15
+        |), evg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, len(toks)-4),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS gram
+        |  FROM evt WHERE len(toks) >= 5
+        |), bad AS (
+        |  SELECT DISTINCT doc_id FROM tg WHERE gram IN (SELECT gram FROM evg)
+        |), d AS (
+        |  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+        |         text, min(nt) AS nt
+        |  FROM qq WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |  GROUP BY text
+        |), s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+        |    THEN list_transform(generate_series(1, len(string_split(text, ' '))-2),
+        |         i -> concat_ws(' ', string_split(text, ' ')[i],
+        |              string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM d
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |   AND len(a.sh) * 10000 >= len(b.sh) * 8999 AND len(b.sh) * 10000 >= len(a.sh) * 8999
+        |  WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.9
+        |), e AS (
+        |  SELECT da AS a, db AS b FROM p UNION ALL SELECT db, da FROM p
+        |), cc AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM d
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON cc.node = e.a
+        |), lab AS (
+        |  SELECT node, min(label) AS lbl FROM cc GROUP BY node
+        |), reps AS (
+        |  SELECT d.doc_id, d.lang, CAST(d.nt AS INT) AS n_tokens
+        |  FROM d JOIN lab ON d.doc_id = lab.node
+        |  WHERE lab.lbl = d.doc_id
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       - n_tokens) / 512) AS INT) AS chunk_id
+        |FROM reps ORDER BY doc_id""".stripMargin,
     "m1_multimodal_features" ->
       """WITH h AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,

@@ -28,12 +28,25 @@ object TrainingPipeline {
 
   def trainingPrep(documents: DataFrame, sampleSixteenths: Int = 12,
       minQuality: Int = 3, nearDupThreshold: Double = 0.9,
-      budgetTokens: Int = 512): DataFrame = {
+      budgetTokens: Int = 512,
+      evalSet: Option[DataFrame] = None): DataFrame = {
     // 1-2: sample + gate (single scan, all codegen'd predicates)
-    val curated = documents
+    val gated = documents
       .filter(TextOps.hexNibble("doc_id") < sampleSixteenths)
       .filter(qualityScore(col("text")) >= minQuality &&
         langIdHeuristic(col("text")) === "en")
+    // 2b (optional): benchmark DECONTAMINATION (d9) — drop curated docs
+    // sharing any 5-gram with the held-out eval set, before any dedup
+    // (identical texts share contamination status, so ordering vs the
+    // exact dedup is immaterial; near-dup clusters can legitimately
+    // split when a contaminated bridge doc leaves)
+    val curated = evalSet match {
+      case Some(ev) =>
+        val contaminated = Decontam.decontaminate(gated, ev)
+          .select("doc_id")
+        gated.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => gated
+    }
     // 3: exact dedup; representative carries its own lang label
     // materialized once: the survivor set feeds LSH signature building,
     // candidate shingle verification AND the representative join — left
