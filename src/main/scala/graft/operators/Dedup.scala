@@ -51,26 +51,29 @@ object Dedup {
         tokens(col("text")), numHashes).as("minhash"))
 
   /** LSH banding: split the signature into `bands` rows-per-band groups,
-    * hash each band → (band_id, band_hash) bucket keys, one row per band.
+    * one row per band keyed by a SINGLE `band_key` = xxhash64(band id,
+    * band slice). Folding the band id into the hash (instead of carrying
+    * a (band_id, band_hash) pair) keeps bands disjoint AND makes the
+    * bucket join single-key — which is what lets a persisted index
+    * bucketed on `band_key` join with zero corpus-side exchange
+    * (Spark's v1 bucketing eliminates the shuffle only when the bucket
+    * column set equals the join key set).
     */
   def lshBuckets(signatures: DataFrame, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        xxhash64(slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))
-          .as("band_hash"))
+      xxhash64(lit(b), slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))
     }
     signatures
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
   }
 
-  /** Candidate pairs: equi-join on (band_id, band_hash) — the LSH bucket
-    * join. Distinct because pairs can collide in several bands.
+  /** Candidate pairs: equi-join on `band_key` — the LSH bucket join.
+    * Distinct because pairs can collide in several bands.
     */
   def candidatePairs(buckets: DataFrame): DataFrame = {
-    val a = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = buckets.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    val a = buckets.select(col("band_key"), col("doc_id").as("doc_a"))
+    val b = buckets.select(col("band_key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
@@ -118,11 +121,11 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The persistable LSH BAND INDEX of a corpus: one (doc_id, band_id,
-    * band_hash) row per band — what [[incrementalNearDups]] joins new
-    * batches against. Write it bucketed on `band_hash` (see
-    * `Sinks.createBucketedTable`) and the incremental join needs no
-    * corpus-side shuffle at all.
+  /** The persistable LSH BAND INDEX of a corpus: one (doc_id, band_key)
+    * row per band — what [[incrementalNearDups]] joins new batches
+    * against. Write it bucketed on `band_key` (`Sinks.saveBucketed`) and
+    * the incremental candidate join runs with ZERO corpus-side exchange
+    * (plan-asserted in `DedupSimilaritySpec`).
     */
   def bandIndex(documents: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame =
     lshBuckets(minhashSignatures(documents, numHashes), bands, numHashes / bands)
@@ -153,9 +156,9 @@ object Dedup {
     // joins and the pair join — materialize for batch jobs (3× otherwise),
     // lazy by default for plan-inspection callers
     val candLazy = corpusIndex
-      .select(col("band_id"), col("band_hash"), col("doc_id").as("corpus_doc"))
-      .join(newBands.select(col("band_id"), col("band_hash"), col("doc_id").as("new_doc")),
-        Seq("band_id", "band_hash"))
+      .select(col("band_key"), col("doc_id").as("corpus_doc"))
+      .join(newBands.select(col("band_key"), col("doc_id").as("new_doc")),
+        Seq("band_key"))
       .select("new_doc", "corpus_doc")
       .distinct()
     val cand =

@@ -111,6 +111,29 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("bucketed band index joins an incoming batch with no corpus-side shuffle") {
+    // substantiates the bandIndex scaladoc claim: persist the index
+    // bucketed on band_key and only the (small) incoming side shuffles
+    val docs = Tables.documents(spark, sf0001)
+    val nb = graft.operators.TextOps.hexNibble("doc_id")
+    graft.sources.Sinks.saveBucketed(
+      Dedup.bandIndex(docs.filter(nb < 12)), "band_idx_bucketed", "band_key", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val corpusIndex = spark.table("band_idx_bucketed")
+      val newBands = Dedup.bandIndex(docs.filter(nb >= 12))
+      val cand = corpusIndex
+        .select(col("band_key"), col("doc_id").as("corpus_doc"))
+        .join(newBands.select(col("band_key"),
+          col("doc_id").as("new_doc")), Seq("band_key"))
+      val plan = cand.queryExecution.executedPlan.toString
+      val nEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(nEx === 1, s"only the incoming side may shuffle, got $nEx:\n$plan")
+      assert(cand.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhash contract reports complete+sound vs brute force on the fixture") {
     val r = Dedup.simhashContract(Tables.documents(spark, sf0001), maxHamming = 3)
       .collect()
