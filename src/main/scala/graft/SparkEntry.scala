@@ -275,6 +275,9 @@ object SparkEntry {
     // many tables it degenerates to all-pairs. The exact-equivalence
     // evidence lives in s3_knn_join (oracle-proven) and the recall tests.
     "s2_ann_pairs" -> ((s, dir) => Similarity.nearNeighborPairs(Tables.embeddings(s, dir), minScore = 0.35, planes = 6)),
+    // Exact-integer per-label centroids via a mergeable Aggregator (one
+    // (dim+1)-long state per group-partition, no dim-fold explode shuffle).
+    "s4_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
     // Exact k-NN JOIN (batch similarity search): top-5 neighbors for each
     // of 5 query vectors, broadcast query side, one corpus scan.
     "s3_knn_join" -> ((s, dir) => Similarity.knnJoin(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)),
@@ -723,6 +726,17 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "s4_centroids" ->
+      """WITH e AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |         unnest(generate_series(1, len(embedding))) AS d
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |)
+        |SELECT label, CAST(d - 1 AS INT) AS dim,
+        |       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |            // COUNT(*) AS BIGINT) AS centroid_scaled
+        |FROM e GROUP BY label, d ORDER BY label, dim""".stripMargin,
     "d10_incremental_dedup" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
         |  instr('0123456789abcdef',

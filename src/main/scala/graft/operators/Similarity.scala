@@ -89,6 +89,25 @@ object Similarity {
   /** All-pairs-free near-neighbor pairs: LSH signature → bucket equi-join
     * → exact cosine on candidates only (same shape as MinHash dedup).
     */
+  /** Per-label embedding CENTROIDS in exact integer micro-units
+    * ([[graft.functions.CentroidAgg]]): the class-prototype /
+    * cluster-center computation of an embedding pipeline (IVF coarse
+    * quantizers, label prototypes for classification-by-nearest-centroid,
+    * drift monitoring). Emitted one row per (label, dim) so the result is
+    * scalar-typed end-to-end; exact integer arithmetic makes it
+    * engine-independent (float mean reassociates under partial
+    * aggregation and is not).
+    */
+  def labelCentroids(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .groupBy("label")
+      .agg(graft.functions.CentroidAgg.centroid(col("embedding"), dim).as("c"))
+      .select(col("label"), posexplode(col("c")))
+      .select(col("label"), col("pos").cast("int").as("dim"),
+        col("col").as("centroid_scaled"))
+      .orderBy("label", "dim")
+
   /** MULTIBAND hyperplane LSH near-neighbor pairs: `bands` independent
     * plane families, candidate = same bucket in ANY band, exact cosine on
     * the deduped candidates. Single-band recall at modest cosine is

@@ -217,6 +217,21 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-12))
   }
 
+  test("integer centroids are partition-invariant and match a driver-side model") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Similarity.labelCentroids(df).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val base = rows(emb)
+    assert(base === rows(emb.repartition(7, col("vec_id"))),
+      "integer sums must merge identically under any partitioning")
+    // driver-side model for one label: truncating mean of floored micros
+    val rs = emb.filter(col("label") === 0).select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    val dim0 = rs.map(v => math.floor(v.head.toDouble * 1e6).toLong).sum / rs.length
+    assert(base((0, 0)) === dim0)
+  }
+
   test("multiband LSH recall dominates single-band at the same plane width") {
     val emb = Tables.embeddings(spark, sf0001)
     def pairSet(df: org.apache.spark.sql.DataFrame) =
