@@ -278,6 +278,9 @@ object SparkEntry {
     // Exact-integer per-label centroids via a mergeable Aggregator (one
     // (dim+1)-long state per group-partition, no dim-fold explode shuffle).
     "s4_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
+    // IVF coarse-assign / classify-by-prototype: argmin over exact
+    // integer squared L2 to the broadcast centroid table.
+    "s5_nearest_centroid" -> ((s, dir) => Similarity.nearestCentroid(Tables.embeddings(s, dir))),
     // Exact k-NN JOIN (batch similarity search): top-5 neighbors for each
     // of 5 query vectors, broadcast query side, one corpus scan.
     "s3_knn_join" -> ((s, dir) => Similarity.knnJoin(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)),
@@ -737,6 +740,31 @@ object SparkEntry {
         |       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
         |            // COUNT(*) AS BIGINT) AS centroid_scaled
         |FROM e GROUP BY label, d ORDER BY label, dim""".stripMargin,
+    "s5_nearest_centroid" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xs
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), s AS (
+        |  SELECT label, unnest(xs) AS v,
+        |         unnest(generate_series(1, len(xs))) AS d
+        |  FROM e WHERE label IS NOT NULL
+        |), cdim AS (
+        |  SELECT label AS c_label, d, CAST(SUM(v) // COUNT(*) AS BIGINT) AS cv
+        |  FROM s GROUP BY label, d
+        |), cent AS (
+        |  SELECT c_label, list(cv ORDER BY d) AS c FROM cdim GROUP BY c_label
+        |), dist AS (
+        |  SELECT e.vec_id, cent.c_label,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.xs)),
+        |      i -> (e.xs[i] - cent.c[i]) * (e.xs[i] - cent.c[i]))) AS BIGINT) AS dist2
+        |  FROM e, cent
+        |)
+        |SELECT vec_id, c_label AS label_assigned, dist2
+        |FROM dist
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) = 1
+        |ORDER BY vec_id""".stripMargin,
     "d10_incremental_dedup" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
         |  instr('0123456789abcdef',

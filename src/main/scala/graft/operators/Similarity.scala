@@ -108,6 +108,41 @@ object Similarity {
         col("col").as("centroid_scaled"))
       .orderBy("label", "dim")
 
+  /** NEAREST-CENTROID assignment (the IVF coarse-assign / classify-by-
+    * prototype step): every vector scored against every label centroid,
+    * argmin by exact integer squared L2 distance in micro-units —
+    * deterministic across engines because scaled components and
+    * centroids are integers, so distances are exact BIGINTs and ties
+    * break on the label.
+    *
+    * Scale shape: the centroid table is |labels| rows — broadcast
+    * (explicitly: it IS the intentionally-small side of a condition-less
+    * join, the CartesianGuard-blessed pattern); the vector side streams
+    * map-only, then one per-vector argmin (min_by) — no shuffle of the
+    * embedding column itself beyond the vec_id aggregation.
+    */
+  def nearestCentroid(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val cents = embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .groupBy(col("label").as("c_label"))
+      .agg(graft.functions.CentroidAgg.centroid(col("embedding"), dim).as("c"))
+    val scaled = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long")).as("xs"))
+    scaled.join(broadcast(cents))
+      .select(col("vec_id"), col("c_label"),
+        aggregate(
+          zip_with(col("xs"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("dist2"))
+      .groupBy("vec_id")
+      .agg(
+        min_by(col("c_label"), struct(col("dist2"), col("c_label"))).as("label_assigned"),
+        min(col("dist2")).as("dist2"))
+      .orderBy("vec_id")
+  }
+
   /** MULTIBAND hyperplane LSH near-neighbor pairs: `bands` independent
     * plane families, candidate = same bucket in ANY band, exact cosine on
     * the deduped candidates. Single-band recall at modest cosine is
