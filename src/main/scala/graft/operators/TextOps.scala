@@ -359,14 +359,22 @@ object TextOps {
 
   /** JSON extraction from `events.props` — both the string-path form
     * (`get_json_object`) and the schema form (`from_json`).
+    *
+    * The parses are projected AFTER the global sort: a project below a
+    * range exchange is evaluated twice (once by the range-partitioner's
+    * bounds-sampling pass, once for real), so putting the expensive
+    * expressions above the Sort halves the JSON work. The exchange then
+    * carries the raw `props` string instead of two parsed copies — at
+    * corpus scale that is also the smaller shuffle payload.
     */
   def jsonExtract(events: DataFrame): DataFrame =
     events
+      .select(col("event_id"), col("props"))
+      .orderBy("event_id")
       .select(col("event_id"),
         org.apache.spark.sql.functions.get_json_object(col("props"), "$.k")
           .cast("int").as("k"),
         org.apache.spark.sql.functions.from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k_typed"))
-      .orderBy("event_id")
 }
