@@ -284,6 +284,9 @@ object SparkEntry {
     // Exact k-NN JOIN (batch similarity search): top-5 neighbors for each
     // of 5 query vectors, broadcast query side, one corpus scan.
     "s3_knn_join" -> ((s, dir) => Similarity.knnJoin(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)),
+    // Uint8 scalar quantization (ANN index compression): integer-exact
+    // codes + per-vector worst-case reconstruction error, scan-bound.
+    "s6_quantize" -> ((s, dir) => Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))),
     "m1_multimodal_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       // The float features are (nibble-count / n_bytes) in float32; since
@@ -316,6 +319,18 @@ object SparkEntry {
     "u4_union_missing" -> ((s, dir) => SetOps.unionMissingColumns(Tables.orders(s, dir))),
     // Governance masking: sha2-256 identifiers + banded quasi-identifiers.
     "dq3_masking" -> ((s, dir) => Quality.maskPii(Tables.customer(s, dir))),
+    // Percentile outlier gate: exact [p(1/64), p(63/64)] band over integer
+    // cents (binary-exact fractions -> engine-identical interpolation).
+    "dq4_outlier_gate" -> ((s, dir) => Quality.outlierGate(Tables.lineitem(s, dir))),
+    // Snapshot diff: added/removed/changed between two table versions via
+    // one full-outer join; unchanged mass dropped before the sort.
+    "e7_snapshot_diff" -> ((s, dir) => MergeOps.snapshotDiffDemo(Tables.orders(s, dir))),
+    // Domain caps: at most 10 docs per source, deterministic keep-set,
+    // WindowGroupLimit caps the shuffle at cap rows/source per map task.
+    "t16_source_caps" -> ((s, dir) => TextOps.sourceCaps(Tables.documents(s, dir), 10)),
+    // Tokenizer-coverage check: per-doc OOV rate vs the top-50 corpus
+    // vocabulary (broadcast as ONE array row; no (doc,term) shuffle).
+    "t17_oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir), 50)),
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "u3_intersect" -> ((s, dir) => SetOps.intersectKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
@@ -1004,6 +1019,97 @@ object SparkEntry {
         |       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
         |       c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "dq4_outlier_gate" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT CAST(ceil(quantile_cont(cents, 0.015625)) AS BIGINT) AS lo,
+        |         CAST(floor(quantile_cont(cents, 0.984375)) AS BIGINT) AS hi
+        |  FROM c
+        |)
+        |SELECT l_returnflag,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  MIN(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS kept_min,
+        |  MAX(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS kept_max
+        |FROM c, b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e7_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         instr('0123456789abcdef',
+        |               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM orders
+        |), o AS (
+        |  SELECT o_orderkey, o_orderstatus AS old_o_orderstatus, cents AS old_cents
+        |  FROM base WHERE nb <= 11
+        |), n AS (
+        |  SELECT o_orderkey, o_orderstatus AS new_o_orderstatus,
+        |         CASE WHEN nb IN (4, 5) THEN cents + 100 ELSE cents END AS new_cents
+        |  FROM base WHERE nb >= 2
+        |), j AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         old_o_orderstatus, new_o_orderstatus, old_cents, new_cents,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+        |                   OR old_cents IS DISTINCT FROM new_cents THEN 'changed'
+        |         END AS change_type
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |)
+        |SELECT o_orderkey, change_type,
+        |       old_o_orderstatus, new_o_orderstatus, old_cents, new_cents
+        |FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "t16_source_caps" ->
+      """SELECT source, doc_id, lang, n_chars, rk FROM (
+        |  SELECT source, doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+    "t17_oov_rate" ->
+      """WITH vocab AS (
+        |  SELECT term FROM (
+        |    SELECT unnest(list_distinct(string_split(text, ' '))) AS term
+        |    FROM documents
+        |  ) GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT 50
+        |), va AS (
+        |  SELECT list(term ORDER BY term) AS arr FROM vocab
+        |)
+        |SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> NOT list_contains(arr, t))) AS n_oov,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       t -> NOT list_contains(arr, t))) * 1000
+        |       // len(string_split(text, ' ')) AS BIGINT) AS oov_permille
+        |FROM documents, va ORDER BY doc_id""".stripMargin,
+    "s6_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS xs
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), b AS (
+        |  SELECT vec_id, xs, list_min(xs) AS qmin,
+        |         list_max(xs) - list_min(xs) AS qrange
+        |  FROM m
+        |)
+        |SELECT vec_id, qmin, qrange,
+        |  CASE WHEN qrange = 0
+        |       THEN array_to_string(list_transform(xs, x -> '0'), ',')
+        |       ELSE array_to_string(list_transform(xs,
+        |         x -> CAST(CAST(floor(CAST(x - qmin AS DOUBLE) * 255 / qrange)
+        |                        AS BIGINT) AS VARCHAR)), ',')
+        |  END AS codes_str,
+        |  CASE WHEN qrange = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE list_max(list_transform(xs,
+        |         x -> abs(x - (qmin + CAST(floor(
+        |                CAST(floor(CAST(x - qmin AS DOUBLE) * 255 / qrange)
+        |                     * qrange AS DOUBLE) / 255) AS BIGINT)))))
+        |  END AS max_err
+        |FROM b ORDER BY vec_id""".stripMargin,
     "dq1_profile" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem

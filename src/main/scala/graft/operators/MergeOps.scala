@@ -126,6 +126,61 @@ object MergeOps {
       .drop("_rn")
   }
 
+  /** SNAPSHOT DIFF: classify every logical row of two table versions as
+    * `added` / `removed` / `changed` — the audit view behind "what did
+    * this batch actually do", and the generator for a CDC feed when the
+    * upstream can only hand over full snapshots.
+    *
+    * Scale shape: ONE co-partitioned full-outer join on the key; unchanged
+    * rows — the overwhelming mass between two versions of a 100 TB table —
+    * are dropped before the output sort, so downstream work scales with
+    * the CHANGE volume. Row-presence markers classify sides (a coalesced
+    * key column cannot — it is non-null for every joined row); attribute
+    * changes compare null-safely. For very wide rows, project each side to
+    * `(key, xxhash64(attrs))` first so the shuffle carries 16 bytes per
+    * row; here the attributes ride along so the oracle can re-derive the
+    * classification exactly.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select((keyCols ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"old_$c").toMap)
+      .withColumn("_in_old", lit(1))
+    val n = newSnap.select((keyCols ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"new_$c").toMap)
+      .withColumn("_in_new", lit(1))
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("change_type")) ++
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+      .orderBy(keyCols.map(col): _*)
+  }
+
+  /** Registered-query harness (e7_snapshot_diff): two order-table versions
+    * derived from md5-nibble buckets of the key — nibble 0-1 rows exist
+    * only in the old version (`removed`), 12-15 only in the new
+    * (`added`), 4-5 get a one-dollar price bump (`changed`), the rest are
+    * identical and must NOT appear in the diff. Money is compared in
+    * integer cents.
+    */
+  def snapshotDiffDemo(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def nb = TextOps.hexNibble("o_orderkey")
+    val oldSnap = base.filter(nb <= 11)
+    val newSnap = base.filter(nb >= 2)
+      .withColumn("cents",
+        when(nb.isin(4, 5), col("cents") + 100L).otherwise(col("cents")))
+    snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"), Seq("o_orderstatus", "cents"))
+  }
+
   /** Registered-query harness (e2_scd2_merge): a deterministic CDC batch
     * derived from the customer dimension itself — md5-nibble buckets (the
     * t7 sampling primitive) select which keys change, pass through

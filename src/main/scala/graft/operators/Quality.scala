@@ -113,6 +113,42 @@ object Quality {
       .agg(count(lit(1)).as("cnt"),
         sum(round(col("value") * 100).cast("long")).as("total"))
 
+  /** Percentile OUTLIER gate: flag values outside the exact
+    * [p(1/64), p(63/64)] band of `l_extendedprice`, reported per return
+    * flag — the numeric-sanity cousin of [[expectations]]: instead of a
+    * hand-written threshold, the band comes from the data itself.
+    *
+    * Engine-exactness: the percentiles run over integer CENTS at
+    * fractions that are exact binary rationals (1/64, 63/64), so the rank
+    * index `p·(n−1)` and the linear interpolation between the two
+    * bracketing integers are computed WITHOUT rounding error — every
+    * IEEE-754 engine derives the identical rational, and the gate compares
+    * integers against its `ceil`/`floor`. A fraction like 0.01 is not
+    * binary-exact and would leave the bound one ulp apart across engines,
+    * flipping rows that sit exactly on it.
+    *
+    * Scale shape: two passes — a one-row percentile aggregate (state ∝
+    * distinct cents, not rows), then a broadcast of that single row into a
+    * scan-bound gate + per-group aggregate. The exact percentile never
+    * sees more state than a8's sort-based variant.
+    */
+  def outlierGate(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val bounds = base.agg(
+      ceil(expr("percentile(cents, 0.015625d)")).cast("long").as("lo"),
+      floor(expr("percentile(cents, 0.984375d)")).cast("long").as("hi"))
+    base.crossJoin(broadcast(bounds))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        min(when(col("cents").between(col("lo"), col("hi")), col("cents"))).as("kept_min"),
+        max(when(col("cents").between(col("lo"), col("hi")), col("cents"))).as("kept_max"))
+      .orderBy("l_returnflag")
+  }
+
   /** Driver-witnessable CONTRACT (a6/d5b pattern): splitting the corpus by
     * a deterministic hash, aggregating the halves independently, and
     * merging MUST equal the one-shot aggregate — exactly, because the

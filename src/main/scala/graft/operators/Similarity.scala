@@ -193,6 +193,48 @@ object Similarity {
       .filter(col("score") >= minScore)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Uint8 scalar QUANTIZATION of embeddings (asymmetric, per-vector
+    * min/max): `code_i = ⌊(x_i − min)·255 / range⌋` — the 4× memory
+    * compression an ANN index applies before serving (float32 → one byte
+    * per dimension), reported with each vector's worst-case reconstruction
+    * error so the recall cost is observable.
+    *
+    * Engine-exactness: components are floor-scaled to integer micro-units
+    * first (the [[graft.functions.CentroidAgg]] convention); every
+    * subsequent step is integer arithmetic or an exact-decidable
+    * floor-of-division (the quotient of two bounded integers is never
+    * within one ulp of the floor boundary), so codes and errors are
+    * bit-identical on any IEEE-754 engine.
+    *
+    * Scale shape: entirely row-local — a scan-bound map with no shuffle,
+    * no state; composes with [[SimilarityIndex.writeIndex]] as the storage
+    * format of the inverted lists.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val micro = transform(col("embedding"),
+      x => floor(x.cast("double") * 1e6).cast("long"))
+    val code = (x: org.apache.spark.sql.Column) =>
+      floor((x - col("qmin")).cast("double") * 255 / col("qrange"))
+    val dequant = (x: org.apache.spark.sql.Column) =>
+      col("qmin") + floor(code(x) * col("qrange") / lit(255)).cast("long")
+    embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), micro.as("xs"))
+      .select(col("vec_id"), col("xs"),
+        array_min(col("xs")).as("qmin"),
+        (array_max(col("xs")) - array_min(col("xs"))).as("qrange"))
+      .select(col("vec_id"), col("qmin"), col("qrange"),
+        when(col("qrange") === 0,
+          concat_ws(",", transform(col("xs"), _ => lit("0"))))
+          .otherwise(concat_ws(",",
+            transform(col("xs"), x => code(x).cast("long").cast("string"))))
+          .as("codes_str"),
+        when(col("qrange") === 0, lit(0L))
+          .otherwise(array_max(transform(col("xs"),
+            x => abs(x - dequant(x))))).as("max_err"))
+      .orderBy("vec_id")
+  }
 }
 
 /** Random-hyperplane LSH index over an embedding column.

@@ -357,6 +357,66 @@ object TextOps {
       substring(md5(col(keyCol).cast("string")), 1, 1)) - 1
   }
 
+  /** Per-SOURCE document caps — the domain-cap rule of crawl curation: no
+    * single domain may contribute more than `cap` documents, so boilerplate
+    * farms can't dominate the training mix. Kept documents are chosen
+    * deterministically (lowest `doc_id` first), so the capped corpus is
+    * reproducible across runs and engines.
+    *
+    * Scale shape: `row_number <= cap` over `Window.partitionBy(source)`
+    * plans as `WindowGroupLimit` — every map task keeps at most `cap` rows
+    * per source BEFORE the exchange, so the shuffle carries ≤ cap·|sources|
+    * rows per task rather than the corpus (same plan pin as
+    * [[Similarity.knnJoin]]'s ranking).
+    */
+  def sourceCaps(documents: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    documents
+      .select(col("source"), col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .orderBy("source", "doc_id")
+  }
+
+  /** Per-document OUT-OF-VOCABULARY rate against the corpus top-`vocabSize`
+    * vocabulary — the tokenizer-coverage check run before committing a
+    * vocab: a document whose tokens mostly fall outside the vocabulary
+    * will shred into subword soup at training time.
+    *
+    * Scale shape: the vocabulary is aggregated once (map-side-combined
+    * term counts, then a `TakeOrderedAndProject` top-k — never a global
+    * sort), collapsed to ONE array row, and broadcast; the per-document
+    * OOV count is then a row-local `filter(tokens, !array_contains(...))`
+    * — no (doc, term) explode-shuffle at all. The corpus pass is
+    * scan-bound; only the vocab build shuffles (by term, map-combined).
+    * The 1-row broadcast nested-loop join is exactly the pattern
+    * [[graft.plans.CartesianGuard]] blesses.
+    *
+    * Determinism: vocab ties at the cutoff break on the term itself
+    * (`ORDER BY df DESC, term`); the per-mille ratio is integer floor
+    * division, so every engine agrees bit-for-bit.
+    */
+  def oovRate(documents: DataFrame, vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array_contains, array_distinct, broadcast,
+      collect_list, explode, expr, filter, size, sort_array}
+    val vocab = documents
+      .select(explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(vocabSize)
+    val vocabRow = vocab.agg(sort_array(collect_list(col("term"))).as("vocab"))
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .crossJoin(broadcast(vocabRow))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(filter(col("toks"), t => !array_contains(col("vocab"), t))).as("n_oov"))
+      .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** JSON extraction from `events.props` — both the string-path form
     * (`get_json_object`) and the schema form (`from_json`).
     *

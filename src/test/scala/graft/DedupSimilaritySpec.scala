@@ -393,4 +393,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     val planStr = got.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters"), planStr)
   }
+
+  test("uint8 quantization: exact codes, constant-vector case, error bound") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 1.0f)),        // micro [0, 1000000] -> codes 0, 255
+      (1L, Array(0.5f, 0.5f, 0.5f)),  // constant -> qrange 0, all-zero codes
+      (2L, Array(-1.0f, 0.0f, 1.0f))  // negative min
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.quantizeEmbeddings(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got(0L) === ((0L, 1000000L, "0,255", got(0L)._4)))
+    assert(got(1L) === ((500000L, 0L, "0,0,0", 0L)))
+    assert(got(2L)._3 === "0,127,255")
+    // reconstruction error is bounded by one quantization step
+    got.values.foreach { case (_, qrange, _, err) =>
+      assert(err <= qrange / 255 + 1, s"err $err exceeds step bound for range $qrange")
+    }
+    // fixture-wide: every code parses in [0, 255] and the bound holds
+    val fx = graft.operators.Similarity.quantizeEmbeddings(
+      Tables.embeddings(spark, sf001)).collect()
+    assert(fx.length > 0)
+    fx.foreach { r =>
+      val codes = r.getString(3).split(",").map(_.toInt)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      assert(r.getLong(4) <= r.getLong(2) / 255 + 1)
+    }
+  }
 }

@@ -95,6 +95,18 @@ class MergeOpsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    val oldSnap = Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "C", 30L),
+      (5L, null.asInstanceOf[String], 50L)).toDF("k", "seg", "cents")
+    val newSnap = Seq((2L, "B", 20L), (3L, "C", 31L), (4L, "D", 40L),
+      (5L, "E", 50L)).toDF("k", "seg", "cents")
+    val got = MergeOps.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("seg", "cents"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2L unchanged -> absent; 5L null -> non-null is a change (null-safe)
+    assert(got === Map(1L -> "removed", 3L -> "changed", 4L -> "added",
+      5L -> "changed"))
+  }
+
   test("scd2 demo matches its oracle shape on the fixture") {
     val out = MergeOps.scd2Demo(Tables.customer(spark, sf0001))
     val total = Tables.customer(spark, sf0001).count()

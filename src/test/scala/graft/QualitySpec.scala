@@ -58,6 +58,41 @@ class QualitySpec extends SparkTestBase {
     assert(out.collect().forall(_.getBoolean(3)))
   }
 
+  test("outlier gate: exact 1/64 band bounds, counts, and kept extrema") {
+    // 64 rows at whole-dollar cents 100, 200, ..., 6400:
+    // p(1/64) index = 63/64 -> 100 + 0.984375*100 = 198.4375 -> ceil 199
+    // p(63/64) index = 62 + 1/64 -> 6300 + 0.015625*100 = 6301.5625 -> floor 6301
+    val li = (1 to 64).map(i => ("A", i.toDouble)).toDF("l_returnflag", "l_extendedprice")
+    val r = Quality.outlierGate(li).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 64L)           // n_rows
+    assert(r.head.getLong(2) === 1L, "one low outlier (100)")
+    assert(r.head.getLong(3) === 1L, "one high outlier (6400)")
+    assert(r.head.getLong(4) === 200L && r.head.getLong(5) === 6300L)
+  }
+
+  test("source caps keep the lowest doc_ids and plan as WindowGroupLimit") {
+    val docs = Seq(
+      (5L, "s1", "en", 10L), (1L, "s1", "en", 10L), (3L, "s1", "en", 10L),
+      (2L, "s2", "en", 10L), (9L, "s2", "en", 10L)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+    val out = TextOps.sourceCaps(docs, 2)
+    val kept = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.toSeq === Seq(("s1", 1L), ("s1", 3L), ("s2", 2L), ("s2", 9L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("oov rate against the top-k vocabulary, ties broken by term") {
+    // df: each term appears in exactly one doc -> all tie at 1; the
+    // vocab of size 2 must be the lexicographically first terms (a, b)
+    val docs = Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = TextOps.oovRate(docs, 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(got(1L) === ((3, 0, 0L)))
+    assert(got(2L) === ((2, 2, 1000L)))
+  }
+
   test("phrase search finds exact adjacent pairs with occurrence counts") {
     val docs = Seq(
       (1L, "order fast order fast slow"), // 2 occurrences
