@@ -328,6 +328,9 @@ object SparkEntry {
     // Domain caps: at most 10 docs per source, deterministic keep-set,
     // WindowGroupLimit caps the shuffle at cap rows/source per map task.
     "t16_source_caps" -> ((s, dir) => TextOps.sourceCaps(Tables.documents(s, dir), 10)),
+    // Deterministic train/val/test split (12/2/2 sixteenths of the key
+    // hash) with the disjoint+covering contract driver-witnessed as TRUE.
+    "d11_split_contract" -> ((s, dir) => TextOps.splitContract(Tables.documents(s, dir))),
     // Tokenizer-coverage check: per-doc OOV rate vs the top-50 corpus
     // vocabulary (broadcast as ONE array row; no (doc,term) shuffle).
     "t17_oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir), 50)),
@@ -1062,6 +1065,28 @@ object SparkEntry {
         |SELECT o_orderkey, change_type,
         |       old_o_orderstatus, new_o_orderstatus, old_cents, new_cents
         |FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    "d11_split_contract" ->
+      """WITH tagged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN instr('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 12
+        |         THEN 'train'
+        |         WHEN instr('0123456789abcdef',
+        |                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 14
+        |         THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), per AS (
+        |  SELECT split, COUNT(*) AS n_docs FROM tagged GROUP BY split
+        |), tot AS (
+        |  SELECT COUNT(DISTINCT doc_id) AS n_total FROM documents
+        |), asg AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_assigned FROM per
+        |)
+        |SELECT split, n_docs, n_total,
+        |       n_assigned = n_total AS covers_and_disjoint,
+        |       n_docs > 0 AS nonempty
+        |FROM per, tot, asg ORDER BY split""".stripMargin,
     "t16_source_caps" ->
       """SELECT source, doc_id, lang, n_chars, rk FROM (
         |  SELECT source, doc_id, lang, n_chars,

@@ -211,9 +211,14 @@ object Similarity {
     * no state; composes with [[SimilarityIndex.writeIndex]] as the storage
     * format of the inverted lists.
     */
+  /** Floor-scaled integer micro-units of the embedding column — the shared
+    * exactness convention of the centroid/quantization tier.
+    */
+  private[operators] def microUnits: org.apache.spark.sql.Column =
+    transform(col("embedding"), x => floor(x.cast("double") * 1e6).cast("long"))
+
   def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
-    val micro = transform(col("embedding"),
-      x => floor(x.cast("double") * 1e6).cast("long"))
+    val micro = microUnits
     val code = (x: org.apache.spark.sql.Column) =>
       floor((x - col("qmin")).cast("double") * 255 / col("qrange"))
     val dequant = (x: org.apache.spark.sql.Column) =>
@@ -234,6 +239,26 @@ object Similarity {
           .otherwise(array_max(transform(col("xs"),
             x => abs(x - dequant(x))))).as("max_err"))
       .orderBy("vec_id")
+  }
+
+  /** Adds `(qmin, qrange, codes)` quantization columns for index STORAGE:
+    * same exact-integer codes as [[quantizeEmbeddings]], but kept as an
+    * `array<tinyint>` (values shifted by −128 into byte range) so the
+    * persisted element really is one byte — the schema-level form of the
+    * 4× compression claim, consumed by `IvfIndex.writeQuantizedIndex`.
+    */
+  def withQuantization(df: DataFrame): DataFrame = {
+    val code = (x: org.apache.spark.sql.Column) =>
+      floor((x - col("qmin")).cast("double") * 255 / col("qrange"))
+    df.withColumn("xs", microUnits)
+      .withColumn("qmin", array_min(col("xs")))
+      .withColumn("qrange", array_max(col("xs")) - col("qmin"))
+      .withColumn("codes",
+        when(col("qrange") === 0,
+          transform(col("xs"), _ => lit(-128).cast("byte")))
+          .otherwise(transform(col("xs"),
+            x => (code(x) - 128).cast("byte"))))
+      .drop("xs")
   }
 }
 

@@ -357,6 +357,45 @@ object TextOps {
       substring(md5(col(keyCol).cast("string")), 1, 1)) - 1
   }
 
+  /** Deterministic TRAIN/VAL/TEST split with a driver-witnessable
+    * contract: assignment is a pure function of the row key (the
+    * [[hexNibble]] primitive — nibble < `trainSixteenths` → train, next
+    * `valSixteenths` → val, rest → test), so the split is reproducible
+    * across runs, partitionings, and engines, and every leakage audit can
+    * re-derive membership from the key alone. The output is one row per
+    * split with its size plus corpus-level booleans proving the partition
+    * property the pipeline depends on: splits are DISJOINT and COVER the
+    * corpus (sizes sum to the distinct-key count) and none is empty. A
+    * broken assignment flips a boolean against the TRUE-emitting oracle
+    * (the a6/d5b contract pattern).
+    *
+    * Scale shape: one map-side CASE over the scan, one count aggregate by
+    * split (3 groups), one single-row total joined by broadcast — no
+    * shuffle of the corpus beyond the 3-group partial-agg collapse.
+    */
+  def splitContract(documents: DataFrame, trainSixteenths: Int = 12,
+      valSixteenths: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, countDistinct, when}
+    require(trainSixteenths > 0 && valSixteenths > 0
+      && trainSixteenths + valSixteenths < 16)
+    val nb = hexNibble("doc_id")
+    val tagged = documents.select(col("doc_id"),
+      when(nb < trainSixteenths, "train")
+        .when(nb < trainSixteenths + valSixteenths, "val")
+        .otherwise("test").as("split"))
+    val perSplit = tagged.groupBy("split").agg(count(lit(1)).as("n_docs"))
+    val total = documents.agg(countDistinct(col("doc_id")).as("n_total"))
+    // the assigned-total rides in as a second 1-row broadcast rather than
+    // an empty-partition window (a global window is a single-reducer plan
+    // shape this codebase bans even when the input is 3 rows)
+    val assigned = perSplit.agg(sum(col("n_docs")).as("n_assigned"))
+    perSplit.crossJoin(broadcast(total)).crossJoin(broadcast(assigned))
+      .select(col("split"), col("n_docs"), col("n_total"),
+        (col("n_assigned") === col("n_total")).as("covers_and_disjoint"),
+        (col("n_docs") > 0).as("nonempty"))
+      .orderBy("split")
+  }
+
   /** Per-SOURCE document caps — the domain-cap rule of crawl curation: no
     * single domain may contribute more than `cap` documents, so boilerplate
     * farms can't dominate the training mix. Kept documents are chosen

@@ -61,4 +61,52 @@ class IvfIndexSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaIndex === exact)
   }
+
+  test("quantized index stores bytes only, prunes, and finds the planted near-dup") {
+    val dir = tmpDir("ivfq")
+    val cents = IvfIndex.writeQuantizedIndex(plantedVectors, dir, k = 8)
+    val stored = spark.read.parquet(dir)
+    // the compression claim at schema level: no float embedding survives,
+    // codes are one byte per dimension
+    assert(!stored.columns.contains("embedding"))
+    val codesType = stored.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(codesType === org.apache.spark.sql.types.ByteType)
+    assert(stored.count() === 50)
+    val q = plantedVectors.filter(col("vec_id") === 0L)
+      .collect().head.getSeq[Float](1).toArray
+    val got = IvfIndex.queryQuantizedIndex(spark, dir, q, cents, k = 3, nprobe = 2)
+    assert(got.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    val ids = got.collect().map(_.getLong(0)).toSeq
+    assert(ids.head === 0L, "the query vector itself must rank first")
+    assert(ids.contains(1L), s"planted near-identical vector must be probed: $ids")
+  }
+
+  test("quantized probe equals a driver-side reconstruction referee on all lists") {
+    val dir = tmpDir("ivfq2")
+    val cents = IvfIndex.writeQuantizedIndex(plantedVectors, dir, k = 8)
+    val q = plantedVectors.filter(col("vec_id") === 0L)
+      .collect().head.getSeq[Float](1).toArray
+    val qMicro = q.map(v => math.floor(v.toDouble * 1e6).toLong)
+    // independent referee: reconstruct every stored code in plain Scala
+    // with the same integer dequantization, score, rank
+    val referee = spark.read.parquet(dir).collect().map { r =>
+      val qmin = r.getLong(r.fieldIndex("qmin"))
+      val qrange = r.getLong(r.fieldIndex("qrange"))
+      val recon = r.getSeq[Byte](r.fieldIndex("codes")).map(c =>
+        qmin + math.floor(((c.toLong + 128L) * qrange).toDouble / 255).toLong)
+      val dot = recon.zip(qMicro).map { case (a, b) => a * b }.sum
+      val nr = recon.map(x => x * x).sum
+      val nq = qMicro.map(x => x * x).sum
+      val score = BigDecimal(dot.toDouble / (math.sqrt(nr.toDouble) * math.sqrt(nq.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r.getLong(r.fieldIndex("vec_id")), score)
+    }.sortBy { case (id, s) => (-s, id) }.take(6).toSeq
+    val viaIndex = IvfIndex.queryQuantizedIndex(spark, dir, q, cents, k = 6, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex.map(_._1) === referee.map(_._1))
+    viaIndex.zip(referee).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-6, s"score drift: $a vs $b")
+    }
+  }
 }

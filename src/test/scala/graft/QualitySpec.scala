@@ -93,6 +93,18 @@ class QualitySpec extends SparkTestBase {
     assert(got(2L) === ((2, 2, 1000L)))
   }
 
+  test("split contract: covering partition on unique keys, flagged on dup keys") {
+    val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val ok = TextOps.splitContract(docs).collect()
+    assert(ok.map(_.getString(0)).toSeq === Seq("test", "train", "val"))
+    assert(ok.forall(_.getBoolean(3)), "unique keys must satisfy the contract")
+    assert(ok.forall(_.getBoolean(4)))
+    assert(ok.map(_.getLong(1)).sum === 200L)
+    // a duplicated key breaks covers_and_disjoint (rows > distinct keys)
+    val dup = TextOps.splitContract(docs.union(docs.limit(1))).collect()
+    assert(dup.forall(!_.getBoolean(3)), "dup keys must flip the contract")
+  }
+
   test("phrase search finds exact adjacent pairs with occurrence counts") {
     val docs = Seq(
       (1L, "order fast order fast slow"), // 2 occurrences
