@@ -175,6 +175,10 @@ object SparkEntry {
     // Benchmark decontamination: training docs sharing any 5-token gram
     // with the held-out (nibble-15) eval split, with distinct-hit counts.
     "d9_decontaminate" -> ((s, dir) => Decontam.contaminationReport(Tables.documents(s, dir))),
+    // Same report through the mergeable-bloom prefilter (the 100 TB shape:
+    // eval grams -> ONE bloom row, scan-side might_contain, exact verify
+    // on the sliver). Output must be byte-identical to d9 -> same oracle.
+    "d9b_decontaminate_bloom" -> ((s, dir) => Decontam.contaminationReportBloom(Tables.documents(s, dir))),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
     // top-count / duplicated instances, computed shuffle-free per row.
     "t14_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
@@ -1193,6 +1197,24 @@ object SparkEntry {
         |       CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "d9_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         instr('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, nb,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, len(toks) - 4),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                          toks[i+3], toks[i+4])))) AS gram
+        |  FROM t WHERE len(toks) >= 5
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM g
+        |WHERE nb < 15 AND gram IN (SELECT gram FROM g WHERE nb = 15)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d9b_decontaminate_bloom" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
         |         instr('0123456789abcdef',

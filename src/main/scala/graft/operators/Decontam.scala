@@ -53,6 +53,48 @@ object Decontam {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered variant of [[decontaminate]] — the shape for when
+    * the eval gram set outgrows a comfortable broadcast hash table: the
+    * distinct eval grams collapse further into ONE mergeable bloom filter
+    * (a few MB for millions of grams at `fpp` ≈ 3%), which broadcasts as
+    * a single row; the train side applies `might_contain(xxhash64(gram))`
+    * as a SCAN-SIDE prefilter, so the semi-join exchange carries only the
+    * bloom-positive sliver of the corpus gram stream instead of all of
+    * it. False positives are then removed by the exact semi join over
+    * that sliver — the output is IDENTICAL to [[decontaminate]] (the
+    * oracle-equality the spec and the registered query both witness);
+    * the bloom changes only where the data gets dropped.
+    *
+    * Uses Spark's own runtime-filter kernel (`BloomFilterAggregate` /
+    * `BloomFilterMightContain` — what `InjectRuntimeFilter` plants under
+    * AQE) composed explicitly, because the optimizer only injects it for
+    * equi-JOIN keys, not for a semi join consumed by an aggregate.
+    */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame, n: Int = 5,
+      expectedGrams: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.GraftShims.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val evalGrams = docGrams(evalSet, n).select("gram").distinct()
+    // might_contain requires its filter side as a constant or a SCALAR
+    // SUBQUERY (not a join column): the 1-row bloom aggregate rides in as
+    // .scalar(), evaluated once and inlined for every scan task
+    val bloom = evalGrams.agg(toColumn(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(toExpression(col("gram")))), expectedGrams)
+        .toAggregateExpression()).as("bloom")).scalar()
+    val prefiltered = docGrams(train, n)
+      .filter(toColumn(new BloomFilterMightContain(
+        toExpression(bloom),
+        new XxHash64(Seq(toExpression(col("gram")))))))
+      .select("doc_id", "gram")
+    prefiltered
+      .join(evalGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic corpus split for the registered query: docs whose
     * first md5(doc_id) nibble is 15 act as the held-out benchmark
     * (1/16 of the corpus), the rest as training data — the same
@@ -61,5 +103,13 @@ object Decontam {
   def contaminationReport(documents: DataFrame, n: Int = 5): DataFrame = {
     val nb = TextOps.hexNibble("doc_id")
     decontaminate(documents.filter(nb < 15), documents.filter(nb === 15), n)
+  }
+
+  /** [[contaminationReport]] through the bloom prefilter — must produce
+    * byte-identical output (same oracle SQL as d9).
+    */
+  def contaminationReportBloom(documents: DataFrame, n: Int = 5): DataFrame = {
+    val nb = TextOps.hexNibble("doc_id")
+    decontaminateBloom(documents.filter(nb < 15), documents.filter(nb === 15), n)
   }
 }

@@ -25,6 +25,29 @@ class DecontamSpec extends SparkTestBase {
     assert(got === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("bloom-prefiltered decontamination equals the exact semi join") {
+    // crafted case (verifies classification) + fixture-wide equality
+    // (verifies the bloom prefilter drops nothing the exact join keeps)
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text with no overlap here"),
+      (3L, "quick brown fox jumps over and over again")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix words the quick brown fox jumps over suffix")
+    ).toDF("doc_id", "text")
+    val viaBloom = Decontam.decontaminateBloom(train, eval, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBloom === Map(1L -> 2L, 3L -> 1L))
+    val docs = Tables.documents(spark, sf001)
+    assert(Decontam.contaminationReportBloom(docs).collect().toSeq ===
+      Decontam.contaminationReport(docs).collect().toSeq)
+    // the prefilter is really in the plan, on the scan side of the join
+    val plan = Decontam.contaminationReportBloom(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom filter missing from:\n$plan")
+  }
+
   test("repetition metrics count sorted-run statistics exactly") {
     val docs = Seq(
       (1L, "a b a b a b"), // grams: 3x"a b", 2x"b a" -> top 3, all duplicated
