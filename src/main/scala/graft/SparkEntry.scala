@@ -326,6 +326,9 @@ object SparkEntry {
     // Percentile outlier gate: exact [p(1/64), p(63/64)] band over integer
     // cents (binary-exact fractions -> engine-identical interpolation).
     "dq4_outlier_gate" -> ((s, dir) => Quality.outlierGate(Tables.lineitem(s, dir))),
+    // Key-skew diagnostic: top-5 heaviest o_custkey groups with size
+    // relative to the mean group (the pre-flight check before salting).
+    "dq5_skew_report" -> ((s, dir) => Quality.skewReport(Tables.orders(s, dir), "o_custkey")),
     // Snapshot diff: added/removed/changed between two table versions via
     // one full-outer join; unchanged mass dropped before the sort.
     "e7_snapshot_diff" -> ((s, dir) => MergeOps.snapshotDiffDemo(Tables.orders(s, dir))),
@@ -1042,6 +1045,16 @@ object SparkEntry {
         |  MIN(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS kept_min,
         |  MAX(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS kept_max
         |FROM c, b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "dq5_skew_report" ->
+      """WITH sizes AS (
+        |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+        |), stats AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows, COUNT(*) AS n_keys
+        |  FROM sizes
+        |)
+        |SELECT o_custkey, cnt, total_rows, n_keys,
+        |       CAST(cnt * n_keys * 1000 // total_rows AS BIGINT) AS x_mean_permille
+        |FROM sizes, stats ORDER BY cnt DESC, o_custkey LIMIT 5""".stripMargin,
     "e7_snapshot_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,

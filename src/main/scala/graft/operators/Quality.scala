@@ -149,6 +149,30 @@ object Quality {
       .orderBy("l_returnflag")
   }
 
+  /** Key-SKEW report — the diagnostic run before choosing a join/agg
+    * strategy at scale: the top-k heaviest keys of a prospective shuffle
+    * key with their absolute size and their size relative to the MEAN
+    * group (per-mille, integer-exact). A key at 50× mean is the one you
+    * salt ([[JoinOps.saltedJoin]]) or let AQE split; this query is how it
+    * gets found before it burns a 100 TB run.
+    *
+    * Scale shape: one map-combined count by key (the same exchange the
+    * diagnosed join would pay), a TakeOrderedAndProject top-k (heap per
+    * partition, k rows to the driver), and a broadcast 1-row stats join.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val sizes = df.groupBy(col(quoteIdent(keyCol))).agg(count(lit(1)).as("cnt"))
+    val stats = sizes.agg(sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    sizes
+      .orderBy(col("cnt").desc, col(quoteIdent(keyCol)))
+      .limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col(quoteIdent(keyCol)), col("cnt"), col("total_rows"), col("n_keys"),
+        expr("cnt * n_keys * 1000 div total_rows").as("x_mean_permille"))
+      .orderBy(col("cnt").desc, col(quoteIdent(keyCol)))
+  }
+
   /** Driver-witnessable CONTRACT (a6/d5b pattern): splitting the corpus by
     * a deterministic hash, aggregating the halves independently, and
     * merging MUST equal the one-shot aggregate — exactly, because the

@@ -93,6 +93,18 @@ class QualitySpec extends SparkTestBase {
     assert(got(2L) === ((2, 2, 1000L)))
   }
 
+  test("skew report ranks heavy keys with per-mille ratio to the mean group") {
+    val rows = (Seq.fill(10)("hot") ++ Seq("a", "b")).map(k => (k, 1)).toDF("k", "v")
+    val out = Quality.skewReport(rows, "k", topK = 2)
+    val got = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // mean group = 12/3 = 4 rows; hot is 10/4 = 2.5x mean
+    assert(got.head === (("hot", 10L, 12L, 3L, 2500L)))
+    assert(got(1) === (("a", 1L, 12L, 3L, 250L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must heap, not sort:\n$plan")
+  }
+
   test("split contract: covering partition on unique keys, flagged on dup keys") {
     val docs = (1L to 200L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val ok = TextOps.splitContract(docs).collect()

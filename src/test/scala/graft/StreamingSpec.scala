@@ -39,6 +39,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("throttled backfill drains in bounded micro-batches, same final result") {
+    val batch = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = tmpDir("rawbackfill")
+    batch.repartition(6).write.mode("overwrite").parquet(dir) // 6-file backlog
+    val files = spark.read.parquet(dir)
+    val streamed = EventStream.windowedCounts(
+      EventStream.readRawThrottled(spark, dir, files.schema, maxFilesPerTrigger = 2))
+    val q = streamed.writeStream
+      .outputMode("complete").format("memory").queryName("backfill")
+      .option("checkpointLocation", tmpDir("ckpt_bf"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"6 files at 2/trigger must take >= 3 micro-batches, got ${batches.length}")
+    val maxRows = batches.map(_.numInputRows).max
+    assert(maxRows < files.count(),
+      s"no single micro-batch may swallow the whole backlog ($maxRows)")
+    // and the drained result equals the one-shot batch aggregate
+    val got = spark.table("backfill")
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = files
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
   test("mapGroupsWithState accumulates per-user running state") {
     val (dir, batch) = stageRawDir()
     val streamed = EventStream.runningUserState(
