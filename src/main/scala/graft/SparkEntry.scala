@@ -376,6 +376,25 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  private val d9OracleSql: String =
+    """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         instr('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, nb,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, len(toks) - 4),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                          toks[i+3], toks[i+4])))) AS gram
+        |  FROM t WHERE len(toks) >= 5
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM g
+        |WHERE nb < 15 AND gram IN (SELECT gram FROM g WHERE nb = 15)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // b3 family: % variation and rounded averages mirrored in EXACT scaled-
     // integer arithmetic (cents / basis points, half-away-from-zero via the
@@ -1053,7 +1072,7 @@ object SparkEntry {
         |  FROM sizes
         |)
         |SELECT o_custkey, cnt, total_rows, n_keys,
-        |       CAST(cnt * n_keys * 1000 // total_rows AS BIGINT) AS x_mean_permille
+        |       CAST(cnt * 1000 // (total_rows // n_keys) AS BIGINT) AS x_mean_permille
         |FROM sizes, stats ORDER BY cnt DESC, o_custkey LIMIT 5""".stripMargin,
     "e7_snapshot_diff" ->
       """WITH base AS (
@@ -1094,7 +1113,11 @@ object SparkEntry {
         |         ELSE 'test' END AS split
         |  FROM documents
         |), per AS (
-        |  SELECT split, COUNT(*) AS n_docs FROM tagged GROUP BY split
+        |  SELECT s.split, COALESCE(n.n_docs, 0) AS n_docs
+        |  FROM (VALUES ('train'), ('val'), ('test')) s(split)
+        |  LEFT JOIN (
+        |    SELECT split, COUNT(*) AS n_docs FROM tagged GROUP BY split
+        |  ) n USING (split)
         |), tot AS (
         |  SELECT COUNT(DISTINCT doc_id) AS n_total FROM documents
         |), asg AS (
@@ -1209,42 +1232,10 @@ object SparkEntry {
         |SELECT lang, CAST(rank AS BIGINT) AS rank, term,
         |       CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
-    "d9_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |         instr('0123456789abcdef',
-        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nb
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id, nb,
-        |         unnest(list_distinct(list_transform(
-        |           generate_series(1, len(toks) - 4),
-        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-        |                          toks[i+3], toks[i+4])))) AS gram
-        |  FROM t WHERE len(toks) >= 5
-        |)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-        |FROM g
-        |WHERE nb < 15 AND gram IN (SELECT gram FROM g WHERE nb = 15)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "d9b_decontaminate_bloom" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |         instr('0123456789abcdef',
-        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nb
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id, nb,
-        |         unnest(list_distinct(list_transform(
-        |           generate_series(1, len(toks) - 4),
-        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-        |                          toks[i+3], toks[i+4])))) AS gram
-        |  FROM t WHERE len(toks) >= 5
-        |)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-        |FROM g
-        |WHERE nb < 15 AND gram IN (SELECT gram FROM g WHERE nb = 15)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d9_decontaminate" -> d9OracleSql,
+    // d9b is CONTRACTUALLY the same oracle: the bloom prefilter may
+    // only change where rows are dropped, never the result
+    "d9b_decontaminate_bloom" -> d9OracleSql,
     "t14_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -78,17 +78,34 @@ object IvfIndex {
     * an underscore-prefixed side directory (ignored by the data reader).
     */
   def writeIndex(embeddings: DataFrame, path: String, k: Int,
-      seed: Long = 42L): Array[Array[Float]] = {
+      seed: Long = 42L): Array[Array[Float]] =
+    writeIndexWith(embeddings, path, k, seed, identity)
+
+  /** Shared build skeleton: train -> assign -> storage projection ->
+    * partitioned write + centroid sidecar. The float and quantized
+    * layouts differ ONLY in `storage`.
+    */
+  private def writeIndexWith(embeddings: DataFrame, path: String, k: Int,
+      seed: Long, storage: DataFrame => DataFrame): Array[Array[Float]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val centroids = trainCentroids(embeddings, k, seed)
-    assignLists(embeddings, centroids)
+    storage(assignLists(embeddings, centroids))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
     centroids
   }
+
+  /** Centroid-nearest `nprobe` list ids for a query (driver-side, k
+    * cosines — shared probe-selection preamble of both query paths).
+    */
+  private def rankProbes(queryVec: Array[Float],
+      centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cosine(queryVec, c), i) }
+      .take(nprobe).map(_._2).toSeq
 
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
     spark.read.parquet(s"$path/_centroids").orderBy("list_id").collect()
@@ -99,9 +116,7 @@ object IvfIndex {
     */
   def queryIndex(spark: SparkSession, path: String, queryVec: Array[Float],
       centroids: Array[Array[Float]], k: Int, nprobe: Int = 2): DataFrame = {
-    val probes = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-cosine(queryVec, c), i) }
-      .take(nprobe).map(_._2)
+    val probes = rankProbes(queryVec, centroids, nprobe)
     val qLit = array(queryVec.map(v => lit(v)).toIndexedSeq: _*)
     spark.read.parquet(path)
       .filter(col("list_id").isin(probes: _*))
@@ -119,19 +134,13 @@ object IvfIndex {
     * bytes before pruning even starts.
     */
   def writeQuantizedIndex(embeddings: DataFrame, path: String, k: Int,
-      seed: Long = 42L): Array[Array[Float]] = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val centroids = trainCentroids(embeddings, k, seed)
-    Similarity.withQuantization(assignLists(embeddings, centroids))
-      .select(col("vec_id"), col("qmin"), col("qrange"), col("codes"),
-        col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
-    centroids
-  }
+      seed: Long = 42L): Array[Array[Float]] =
+    // null embeddings carry no direction to index (trainCentroids already
+    // drops them); storing them would surface NaN-scored rows at query time
+    writeIndexWith(embeddings.filter(col("embedding").isNotNull), path, k, seed,
+      assigned => Similarity.withQuantization(assigned)
+        .select(col("vec_id"), col("qmin"), col("qrange"), col("codes"),
+          col("list_id")))
 
   /** Probe the quantized index: asymmetric distance computation — the raw
     * query vector (in integer micro-units) is scored against the DEQUANTIZED
@@ -143,23 +152,29 @@ object IvfIndex {
   def queryQuantizedIndex(spark: SparkSession, path: String,
       queryVec: Array[Float], centroids: Array[Array[Float]], k: Int,
       nprobe: Int = 2): DataFrame = {
-    val probes = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-cosine(queryVec, c), i) }
-      .take(nprobe).map(_._2)
-    val qLit = array(queryVec.map(v =>
-      lit(math.floor(v.toDouble * 1e6).toLong)).toIndexedSeq: _*)
+    val probes = rankProbes(queryVec, centroids, nprobe)
+    val qMicro = queryVec.map(v => math.floor(v.toDouble * 1e6).toLong)
+    val qLit = array(qMicro.map(lit).toIndexedSeq: _*)
+    // the query self-dot is a constant: computed ONCE on the driver, not
+    // as an interpreted lambda chain per scanned row
+    val nq = qMicro.map(x => x * x).sum
     val recon = transform(col("codes"), c =>
       col("qmin") + floor(((c.cast("long") + 128L) * col("qrange")).cast("double") / 255)
         .cast("long"))
     val dot = aggregate(zip_with(col("r"), qLit, (a, b) => a * b), lit(0L), _ + _)
     val nr = aggregate(zip_with(col("r"), col("r"), (a, b) => a * b), lit(0L), _ + _)
-    val nq = aggregate(zip_with(qLit, qLit, (a, b) => a * b), lit(0L), _ + _)
     spark.read.parquet(path)
       .filter(col("list_id").isin(probes: _*))
       .select(col("vec_id"), recon.as("r"))
+      .select(col("vec_id"), dot.as("dot"), nr.as("nr"))
+      // an all-zero reconstruction (e.g. a zero embedding) has no cosine
+      // direction: nr = 0 would score NaN, and Spark sorts NaN ABOVE every
+      // double under desc — it would top every probed top-k. Drop it, the
+      // same rule trainCentroids applies to zero vectors.
+      .filter(col("nr") > 0)
       .select(col("vec_id"),
-        round(dot.cast("double") /
-          (sqrt(nr.cast("double")) * sqrt(nq.cast("double"))), 6).as("score"))
+        round(col("dot").cast("double") /
+          (sqrt(col("nr").cast("double")) * sqrt(lit(nq).cast("double"))), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

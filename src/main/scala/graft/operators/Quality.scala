@@ -168,8 +168,11 @@ object Quality {
       .orderBy(col("cnt").desc, col(quoteIdent(keyCol)))
       .limit(topK)
       .crossJoin(broadcast(stats))
+      // ratio-to-mean computed as cnt·1000 ÷ ⌊mean⌋, NOT cnt·n_keys·1000 ÷
+      // total: the latter's numerator overflows Long exactly at the corpus
+      // sizes this diagnostic exists for (cnt ~ 1e10 × n_keys ~ 1e9)
       .select(col(quoteIdent(keyCol)), col("cnt"), col("total_rows"), col("n_keys"),
-        expr("cnt * n_keys * 1000 div total_rows").as("x_mean_permille"))
+        expr("cnt * 1000 div (total_rows div n_keys)").as("x_mean_permille"))
       .orderBy(col("cnt").desc, col(quoteIdent(keyCol)))
   }
 

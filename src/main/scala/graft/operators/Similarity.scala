@@ -194,6 +194,12 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Floor-scaled integer micro-units of the embedding column — the shared
+    * exactness convention of the centroid/quantization tier.
+    */
+  private[operators] def microUnits: org.apache.spark.sql.Column =
+    transform(col("embedding"), x => floor(x.cast("double") * 1e6).cast("long"))
+
   /** Uint8 scalar QUANTIZATION of embeddings (asymmetric, per-vector
     * min/max): `code_i = ⌊(x_i − min)·255 / range⌋` — the 4× memory
     * compression an ANN index applies before serving (float32 → one byte
@@ -211,12 +217,6 @@ object Similarity {
     * no state; composes with [[SimilarityIndex.writeIndex]] as the storage
     * format of the inverted lists.
     */
-  /** Floor-scaled integer micro-units of the embedding column — the shared
-    * exactness convention of the centroid/quantization tier.
-    */
-  private[operators] def microUnits: org.apache.spark.sql.Column =
-    transform(col("embedding"), x => floor(x.cast("double") * 1e6).cast("long"))
-
   def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
     val micro = microUnits
     val code = (x: org.apache.spark.sql.Column) =>

@@ -383,7 +383,15 @@ object TextOps {
       when(nb < trainSixteenths, "train")
         .when(nb < trainSixteenths + valSixteenths, "val")
         .otherwise("test").as("split"))
-    val perSplit = tagged.groupBy("split").agg(count(lit(1)).as("n_docs"))
+    // outer-join against the literal split list: an EMPTY split would
+    // otherwise simply emit no row, leaving `nonempty` vacuously true on
+    // every row that exists — the contract must surface the absence
+    val allSplits = documents.sparkSession
+      .createDataFrame(Seq(Tuple1("train"), Tuple1("val"), Tuple1("test")))
+      .toDF("split")
+    val perSplit = allSplits.join(
+      tagged.groupBy("split").agg(count(lit(1)).as("n_docs")), Seq("split"), "left")
+      .na.fill(0L, Seq("n_docs"))
     val total = documents.agg(countDistinct(col("doc_id")).as("n_total"))
     // the assigned-total rides in as a second 1-row broadcast rather than
     // an empty-partition window (a global window is a single-reducer plan
@@ -452,7 +460,9 @@ object TextOps {
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(filter(col("toks"), t => !array_contains(col("vocab"), t))).as("n_oov"))
-      .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+      // n_oov is an Int (size()): widen BEFORE the multiply — a >2.1M-token
+      // document would wrap Int and diverge from the BIGINT oracle
+      .withColumn("oov_permille", expr("cast(n_oov AS BIGINT) * 1000 div n_tokens"))
       .orderBy("doc_id")
   }
 

@@ -115,6 +115,14 @@ class QualitySpec extends SparkTestBase {
     // a duplicated key breaks covers_and_disjoint (rows > distinct keys)
     val dup = TextOps.splitContract(docs.union(docs.limit(1))).collect()
     assert(dup.forall(!_.getBoolean(3)), "dup keys must flip the contract")
+    // an EMPTY split still emits its row, with nonempty = false (the
+    // outer join against the literal split list makes absence visible)
+    val empty = TextOps.splitContract(
+      docs.filter(TextOps.hexNibble("doc_id") < 14), 14, 1).collect()
+    assert(empty.length === 3)
+    val byName = empty.map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    assert(byName("val") === ((0L, false)) && byName("test") === ((0L, false)))
+    assert(empty.forall(_.getBoolean(3)), "empty splits still cover the corpus")
   }
 
   test("phrase search finds exact adjacent pairs with occurrence counts") {
