@@ -329,6 +329,9 @@ object SparkEntry {
     // Key-skew diagnostic: top-5 heaviest o_custkey groups with size
     // relative to the mean group (the pre-flight check before salting).
     "dq5_skew_report" -> ((s, dir) => Quality.skewReport(Tables.orders(s, dir), "o_custkey")),
+    // Right-to-erasure audit: per-subject rows-removed proof, including
+    // never-existed subjects (found = false).
+    "e8_erasure_audit" -> ((s, dir) => Quality.erasureAuditDemo(Tables.events(s, dir))),
     // Snapshot diff: added/removed/changed between two table versions via
     // one full-outer join; unchanged mass dropped before the sort.
     "e7_snapshot_diff" -> ((s, dir) => MergeOps.snapshotDiffDemo(Tables.orders(s, dir))),
@@ -1064,6 +1067,23 @@ object SparkEntry {
         |  MIN(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS kept_min,
         |  MAX(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS kept_max
         |FROM c, b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e8_erasure_audit" ->
+      """WITH req AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE instr('0123456789abcdef',
+        |              substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 = 7
+        |  UNION ALL SELECT CAST(1000001 AS BIGINT)
+        |  UNION ALL SELECT CAST(1000002 AS BIGINT)
+        |), hits AS (
+        |  SELECT user_id, COUNT(*) AS n FROM events
+        |  WHERE user_id IN (SELECT user_id FROM req)
+        |  GROUP BY user_id
+        |)
+        |SELECT r.user_id,
+        |       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_rows_removed,
+        |       h.n IS NOT NULL AS found
+        |FROM req r LEFT JOIN hits h USING (user_id)
+        |ORDER BY r.user_id""".stripMargin,
     "dq5_skew_report" ->
       """WITH sizes AS (
         |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey

@@ -149,6 +149,45 @@ object Quality {
       .orderBy("l_returnflag")
   }
 
+  /** Right-to-ERASURE propagation (GDPR/CCPA delete): rewrite a dataset
+    * without the listed subjects. Delete lists are human-scale against a
+    * corpus — the anti join broadcasts and the rewrite is scan-bound.
+    */
+  def eraseKeys(df: DataFrame, keyCol: String, deleteKeys: DataFrame): DataFrame =
+    df.join(broadcast(deleteKeys), Seq(keyCol), "left_anti")
+
+  /** The AUDIT side of [[eraseKeys]] — the per-subject deletion proof a
+    * governed warehouse must retain: for every requested key, how many
+    * rows the rewrite removed and whether the subject existed at all
+    * (`found = false` is itself evidence: nothing was held). One
+    * broadcast semi-side aggregate over the corpus scan; cost does not
+    * depend on the number of requests.
+    */
+  def erasureAudit(df: DataFrame, keyCol: String,
+      deleteKeys: DataFrame): DataFrame = {
+    val hits = df.join(broadcast(deleteKeys), Seq(keyCol), "left_semi")
+      .groupBy(col(quoteIdent(keyCol)))
+      .agg(count(lit(1)).as("n_rows_removed"))
+    deleteKeys.join(hits, Seq(keyCol), "left")
+      .select(col(quoteIdent(keyCol)),
+        coalesce(col("n_rows_removed"), lit(0L)).as("n_rows_removed"),
+        col("n_rows_removed").isNotNull.as("found"))
+      .orderBy(quoteIdent(keyCol))
+  }
+
+  /** Registered-query harness (e8_erasure_audit): the delete list is the
+    * md5-nibble-7 slice of observed users plus two synthetic ids that
+    * never existed — exercising both audit branches deterministically.
+    */
+  def erasureAuditDemo(events: DataFrame): DataFrame = {
+    val users = events.select(col("user_id")).distinct()
+    val requests = users
+      .filter(TextOps.hexNibble("user_id") === 7)
+      .unionByName(events.sparkSession.range(1000001, 1000003)
+        .select(col("id").as("user_id")))
+    erasureAudit(events, "user_id", requests)
+  }
+
   /** Key-SKEW report — the diagnostic run before choosing a join/agg
     * strategy at scale: the top-k heaviest keys of a prospective shuffle
     * key with their absolute size and their size relative to the MEAN

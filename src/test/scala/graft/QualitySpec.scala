@@ -93,6 +93,18 @@ class QualitySpec extends SparkTestBase {
     assert(got(2L) === ((2, 2, 1000L)))
   }
 
+  test("erasure: rewrite drops exactly the requested subjects, audit proves it") {
+    val data = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
+    val requests = Seq(1L, 9L).toDF("k")
+    val erased = Quality.eraseKeys(data, "k", requests)
+    assert(erased.collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    val audit = Quality.erasureAudit(data, "k", requests)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(audit === Map(1L -> ((2L, true)), 9L -> ((0L, false))))
+    // conservation: removed + surviving == original
+    assert(audit.values.map(_._1).sum + erased.count() === data.count())
+  }
+
   test("skew report ranks heavy keys with per-mille ratio to the mean group") {
     val rows = (Seq.fill(10)("hot") ++ Seq("a", "b")).map(k => (k, 1)).toDF("k", "v")
     val out = Quality.skewReport(rows, "k", topK = 2)
