@@ -39,6 +39,64 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("a finalized window is immutable: stragglers cannot resurrect or re-emit it") {
+    val dir = tmpDir("rawlate")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def batch(rows: (Long, Double)*) = rows.map { case (id, hours) =>
+      (id, new java.sql.Timestamp(base + (hours * 3600e3).toLong), 1L, "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // four single-file drops, processed oldest-modified first. Each part
+    // file is renamed + mtime-stamped so BOTH the name and modification-
+    // time orders match the intended arrival order (random part-file
+    // uuids otherwise make the listing order arbitrary):
+    //   0: hour-5 on-time rows
+    //   1: hour-8 row  -> watermark 7:50 finalizes + emits window 5
+    //   2: hour-5.3 straggler -> races window 5's eviction
+    //   3: hour-11 row -> watermark 10:50 evicts everything still live
+    new java.io.File(dir).mkdirs()
+    def drop(idx: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = tmpDir(s"stage_late_$idx")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, f"drop-$idx%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(base + idx * 60000L)
+    }
+    drop(0, batch((1L, 5.0), (2L, 5.2)))
+    drop(1, batch((3L, 8.0)))
+    drop(2, batch((4L, 5.3)))
+    drop(3, batch((5L, 11.0)))
+    val schema = spark.read.parquet(dir).schema
+    val streamed = EventStream.windowedCounts(
+      EventStream.readRawThrottled(spark, dir, schema, maxFilesPerTrigger = 1))
+    val q = streamed.writeStream
+      .outputMode("append").format("memory").queryName("late_drop")
+      .option("checkpointLocation", tmpDir("ckpt_late"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the four files must have drained as separate micro-batches, in
+    // modification-time order - the premise of the scenario
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    // append mode's exactly-once window contract: every window arrives
+    // AT MOST ONCE downstream, no matter how stragglers interleave with
+    // eviction. (Whether the hour-5.3 straggler is merged or dropped is
+    // explicitly NOT guaranteed by Spark - eviction timing decides; both
+    // n=2 and n=3 are legal. Duplicate emission of window 5 is the
+    // failure mode that would break downstream consumers.)
+    val rows = spark.table("late_drop")
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(2)).toSeq.sorted
+    val byWindow = rows.groupBy(_._1)
+    assert(byWindow.values.forall(_.size === 1),
+      s"every window must be emitted exactly once, got $rows")
+    assert(byWindow.keySet === Set(base + 5 * 3600 * 1000L, base + 8 * 3600 * 1000L))
+    val h5 = rows.toMap.apply(base + 5 * 3600 * 1000L)
+    assert(h5 === 2L || h5 === 3L,
+      s"window 5 must hold the on-time rows (straggler merge optional), got $h5")
+    assert(rows.toMap.apply(base + 8 * 3600 * 1000L) === 1L)
+  }
+
   test("throttled backfill drains in bounded micro-batches, same final result") {
     val batch = Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
