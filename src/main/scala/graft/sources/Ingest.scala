@@ -84,4 +84,28 @@ object Ingest {
       fetch: String => Seq[Row]): DataFrame =
     withDataproc(ensureDateColumn(normalizeColumns(
       toDataFrame(spark, fetchAll(items, fetch)))))
+
+  /** JSONL corpus egress — the interchange format LLM corpora actually
+    * ship in (one JSON document per line, splittable, appendable).
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL corpus ingest with CORRUPT-RECORD isolation — the format-level
+    * form of the S2 error-isolation contract: a malformed line (truncated
+    * upload, encoding damage, a stray log line) must neither kill the
+    * 100 TB read nor silently vanish. PERMISSIVE mode parses what it can;
+    * broken lines surface whole in `_corrupt_record` for quarantine, so
+    * `good + quarantined == input lines` is auditable.
+    *
+    * The schema is EXPLICIT (never inferred): inference reads the corpus
+    * twice and locks in whatever the first sample implied.
+    */
+  def readJsonlCorpus(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 }

@@ -37,6 +37,35 @@ class IngestSinkSpec extends SparkTestBase {
     assert(df.schema.fieldNames.contains("ticker"))
   }
 
+  test("jsonl round-trip quarantines corrupt lines without losing good rows") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text", "lang")
+    val dir = tmpDir("jsonl")
+    Ingest.writeJsonl(docs, dir)
+    // damage the corpus: a truncated record, a stray log line, one good row
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-damaged.json"),
+      """{"doc_id": 999001, "text": "good extra row", "lang": "en"}
+        |{"doc_id": 999002, "text": "truncated
+        |WARN some stray log line, not json at all
+        |""".stripMargin)
+    val got = Ingest.readJsonlCorpus(spark, dir, docs.schema).cache()
+    val good = got.filter(col("_corrupt_record").isNull)
+    val quarantined = got.filter(col("_corrupt_record").isNotNull)
+    // every original row + the extra good row parse; both broken lines
+    // are isolated whole, and nothing vanishes
+    assert(good.count() === docs.count() + 1)
+    assert(quarantined.count() === 2)
+    assert(quarantined.collect().forall(r =>
+      r.getString(r.fieldIndex("_corrupt_record")).nonEmpty))
+    val roundTrip = good.select("doc_id", "text", "lang")
+      .filter(col("doc_id") < 999000)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val orig = docs.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(roundTrip === orig, "jsonl round-trip must preserve every field")
+  }
+
   test("K1/K2: partitioned writes produce hive-style directory layouts") {
     val df = Ingest.ingest(spark, Seq("AAA.SA", "BBB.SA"), fakeFetch)
     val p1 = tmpDir("sink1")
