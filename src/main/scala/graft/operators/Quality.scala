@@ -135,9 +135,15 @@ object Quality {
   def outlierGate(lineitem: DataFrame): DataFrame = {
     val base = lineitem.select(col("l_returnflag"),
       round(col("l_extendedprice") * 100).cast("long").as("cents"))
-    val bounds = base.agg(
-      ceil(expr("percentile(cents, 0.015625d)")).cast("long").as("lo"),
-      floor(expr("percentile(cents, 0.984375d)")).cast("long").as("hi"))
+    // the rows are collapsed to a (cents, freq) histogram FIRST: the
+    // distributed hash agg does the heavy lifting map-side, and the
+    // single-reducer percentile then merges |distinct cents| entries
+    // instead of row-count-sized per-partition maps (frequency-weighted
+    // percentile is defined as the expanded-rows percentile — exact)
+    val hist = base.groupBy("cents").agg(count(lit(1)).as("freq"))
+    val bounds = hist.agg(
+      ceil(expr("percentile(cents, 0.015625d, freq)")).cast("long").as("lo"),
+      floor(expr("percentile(cents, 0.984375d, freq)")).cast("long").as("hi"))
     base.crossJoin(broadcast(bounds))
       .groupBy("l_returnflag")
       .agg(
