@@ -344,6 +344,9 @@ object SparkEntry {
     // Tokenizer-coverage check: per-doc OOV rate vs the top-50 corpus
     // vocabulary (broadcast as ONE array row; no (doc,term) shuffle).
     "t17_oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir), 50)),
+    // Overlapping token-window chunking (32-token windows, stride 24 ->
+    // 8-token overlap): the embedding-prep cut that loses no boundary.
+    "t18_chunk_overlap" -> ((s, dir) => TextOps.chunkWithOverlap(Tables.documents(s, dir), 32, 24)),
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "u3_intersect" -> ((s, dir) => SetOps.intersectKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
@@ -1153,6 +1156,20 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+    "t18_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      CAST((greatest(len(toks) - 32, 0) + 23) // 24 AS BIGINT))) AS chunk_idx
+        |  FROM t
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS n_tokens,
+        |  array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "t17_oov_rate" ->
       """WITH vocab AS (
         |  SELECT term FROM (

@@ -357,6 +357,39 @@ object TextOps {
       substring(md5(col(keyCol).cast("string")), 1, 1)) - 1
   }
 
+  /** Overlapping token-window CHUNKING — the embedding-prep step between
+    * [[packSequences]] (contiguous budget fill for training) and the
+    * similarity tier: long documents become windows of `chunkTokens`
+    * tokens advancing by `stride` (< chunkTokens ⇒ consecutive chunks
+    * share `chunkTokens − stride` tokens, so no semantic boundary is
+    * lost at a cut). Chunk identity is the deterministic
+    * (doc_id, chunk_idx) pair — reproducible across runs and engines.
+    *
+    * Scale shape: a generator explode over a row-local `sequence` +
+    * `slice` — scan-bound, no shuffle; output size is input tokens ×
+    * (chunkTokens / stride) by construction, visible in the plan as a
+    * single Generate.
+    */
+  def chunkWithOverlap(documents: DataFrame, chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(stride > 0 && stride <= chunkTokens,
+      "stride must be in (0, chunkTokens] - a larger stride would drop tokens")
+    import org.apache.spark.sql.functions.{concat_ws, explode, expr, sequence, slice}
+    val lastIdx =
+      expr(s"(greatest(size(toks) - $chunkTokens, 0) + ${stride - 1}) div $stride")
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("chunk")).as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Deterministic TRAIN/VAL/TEST split with a driver-witnessable
     * contract: assignment is a pure function of the row key (the
     * [[hexNibble]] primitive — nibble < `trainSixteenths` → train, next

@@ -93,6 +93,27 @@ class QualitySpec extends SparkTestBase {
     assert(got(2L) === ((2, 2, 1000L)))
   }
 
+  test("chunking: full coverage, exact overlap, short-doc and tail cases") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens, k=4 s=3
+      (2L, "a b"),                                    // shorter than one chunk
+      (3L, "x y z q")                                 // exactly one chunk
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkWithOverlap(docs, 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    // doc 1: starts at tokens 1,4,7 -> 3 chunks; the last full window
+    // reaches the end, so no redundant 1-token tail chunk is emitted
+    assert(got((1L, 0L)) === "w1 w2 w3 w4")
+    assert(got((1L, 1L)) === "w4 w5 w6 w7", "consecutive chunks overlap by k-s")
+    assert(got((1L, 2L)) === "w7 w8 w9 w10")
+    assert(got((2L, 0L)) === "a b")
+    assert(got((3L, 0L)) === "x y z q")
+    assert(got.size === 5)
+    // coverage: every token of doc 1 appears in some chunk
+    val covered = got.collect { case ((1L, _), txt) => txt.split(" ") }.flatten.toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("erasure: rewrite drops exactly the requested subjects, audit proves it") {
     val data = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "v")
     val requests = Seq(1L, 9L).toDF("k")
