@@ -346,7 +346,9 @@ object SparkEntry {
     "t17_oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir), 50)),
     // Overlapping token-window chunking (32-token windows, stride 24 ->
     // 8-token overlap): the embedding-prep cut that loses no boundary.
-    "t18_chunk_overlap" -> ((s, dir) => TextOps.chunkWithOverlap(Tables.documents(s, dir), 32, 24)),
+    "t18_chunk_overlap" -> ((s, dir) =>
+      TextOps.chunkWithOverlap(Tables.documents(s, dir), 32, 24)
+        .orderBy("doc_id", "chunk_idx")),
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "u3_intersect" -> ((s, dir) => SetOps.intersectKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),

@@ -368,7 +368,9 @@ object TextOps {
     * Scale shape: a generator explode over a row-local `sequence` +
     * `slice` — scan-bound, no shuffle; output size is input tokens ×
     * (chunkTokens / stride) by construction, visible in the plan as a
-    * single Generate.
+    * single Generate. (The registered query adds a total sort on top for
+    * the oracle compare — that exchange belongs to the harness, not the
+    * operator.)
     */
   def chunkWithOverlap(documents: DataFrame, chunkTokens: Int,
       stride: Int): DataFrame = {
@@ -387,7 +389,6 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx"),
         org.apache.spark.sql.functions.size(col("chunk")).as("n_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   /** Deterministic TRAIN/VAL/TEST split with a driver-witnessable

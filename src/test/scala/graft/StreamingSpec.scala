@@ -41,7 +41,10 @@ class StreamingSpec extends SparkTestBase {
 
   test("a finalized window is immutable: stragglers cannot resurrect or re-emit it") {
     val dir = tmpDir("rawlate")
-    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    // UTC-anchored: window(ts, "1 hour") aligns to epoch hours, so the
+    // base must be an exact UTC hour or the asserted window starts shift
+    // on any JVM whose default timezone has a fractional-hour offset
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
     def batch(rows: (Long, Double)*) = rows.map { case (id, hours) =>
       (id, new java.sql.Timestamp(base + (hours * 3600e3).toLong), 1L, "click", 1.0)
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
