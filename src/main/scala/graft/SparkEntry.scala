@@ -196,6 +196,8 @@ object SparkEntry {
     }),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    // Label-vs-prediction agreement audit over the lang-ID heuristic.
+    "t19_lang_confusion" -> ((s, dir) => TextOps.langConfusion(Tables.documents(s, dir))),
     "t3_fingerprints" -> ((s, dir) => TextOps.fingerprints(Tables.documents(s, dir))),
     "t4_lang_stats" -> ((s, dir) => TextOps.langStats(Tables.documents(s, dir))),
     "e1_json_extract" -> ((s, dir) => TextOps.jsonExtract(Tables.events(s, dir))),
@@ -1503,6 +1505,20 @@ object SparkEntry {
         |SELECT doc_id, lang,
         |  CASE WHEN nsw * 20 >= nt THEN 'en' ELSE 'unknown' END AS predicted_lang
         |FROM c ORDER BY doc_id""".stripMargin,
+    "t19_lang_confusion" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |   len(list_filter(string_split(text, ' '), x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS nsw,
+        |   len(string_split(text, ' ')) AS nt
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang,
+        |    CASE WHEN nsw * 20 >= nt THEN 'en' ELSE 'unknown' END AS predicted_lang
+        |  FROM c
+        |)
+        |SELECT lang, predicted_lang, COUNT(*) AS n_docs
+        |FROM p GROUP BY lang, predicted_lang
+        |ORDER BY lang, predicted_lang""".stripMargin,
     "t3_fingerprints" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents

@@ -27,6 +27,18 @@ object TextOps {
         langIdHeuristic(col("text")).as("predicted_lang"))
       .orderBy("doc_id")
 
+  /** Language-ID CONFUSION matrix — the eval-audit shape run after any
+    * classifier stage: declared label × heuristic prediction with counts,
+    * so per-language precision/recall fall out by row division. One
+    * scan-bound prediction + one tiny (|langs|²-row) aggregate.
+    */
+  def langConfusion(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), langIdHeuristic(col("text")).as("predicted_lang"))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+
   /** Corpus stats per language label. */
   def langStats(documents: DataFrame): DataFrame =
     documents

@@ -161,6 +161,34 @@ object Sinks {
       .foldLeft((0, 0)) { case ((b, a), (lb, la)) => (b + lb, a + la) }
   }
 
+  /** RETENTION sweep: drop whole Hive-style partitions whose value sorts
+    * below `keepFrom` — the TTL/compliance expiry a partitioned warehouse
+    * runs nightly (e.g. `dataproc < 20240101`). Deleting at the DIRECTORY
+    * level is the point: expiry costs O(expired partitions) file-system
+    * operations and zero data rewrite, which is why retention-partitioned
+    * layouts (K1/K2) exist in the first place — row-level deletes would
+    * rewrite the table. Returns the audit list of (partitionValue,
+    * filesRemoved) actually dropped; values compare as zero-padded
+    * strings, the standard yyyyMMdd convention of the `dataproc` column.
+    */
+  def retentionSweep(path: String, partitionCol: String,
+      keepFrom: String): Seq[(String, Int)] = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"retentionSweep: $path is not an existing directory")
+    val prefix = partitionCol + "="
+    val expired = root.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .filter(_.getName.stripPrefix(prefix) < keepFrom)
+      .sortBy(_.getName)
+    expired.map { dir =>
+      val files = dir.listFiles()
+      val nData = files.count(!_.getName.startsWith("_"))
+      files.foreach(_.delete())
+      dir.delete()
+      (dir.getName.stripPrefix(prefix), nData)
+    }
+  }
+
   /** Range-CLUSTERED write: range-repartition + sort within partitions by
     * the clustering columns before writing, so every parquet file covers
     * a narrow, non-overlapping slice of the clustering key. Row-group

@@ -111,6 +111,28 @@ class IngestSinkSpec extends SparkTestBase {
     assert(cols.contains("dataproc"))
   }
 
+  test("retention sweep drops only expired partitions and audits the removal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("20240101", 1L), ("20240101", 2L),
+      ("20240215", 3L),
+      ("20240401", 4L), ("20240401", 5L)
+    ).toDF("dataproc", "v")
+    val path = tmpDir("retention")
+    Sinks.writePartitioned(df, path, "dataproc")
+    val audit = Sinks.retentionSweep(path, "dataproc", keepFrom = "20240301")
+    // both pre-cutoff partitions dropped, each with >= 1 data file
+    assert(audit.map(_._1) === Seq("20240101", "20240215"))
+    assert(audit.forall(_._2 >= 1))
+    // the surviving partition is intact and fully readable
+    val back = spark.read.parquet(path)
+    assert(back.select("v").collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L))
+    assert(back.filter(col("dataproc") === "20240401").count() === 2)
+    // idempotent: a second sweep finds nothing
+    assert(Sinks.retentionSweep(path, "dataproc", "20240301").isEmpty)
+  }
+
   test("ANALYZE TABLE feeds optimizer row/column statistics under CBO") {
     val df = Ingest.ingest(spark, Seq("AAA.SA", "BBB.SA"), fakeFetch)
     Sinks.saveAsManagedTable(df, "stocks_stats", Seq("ticker"))
