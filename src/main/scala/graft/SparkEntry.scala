@@ -293,6 +293,9 @@ object SparkEntry {
     // Uint8 scalar quantization (ANN index compression): integer-exact
     // codes + per-vector worst-case reconstruction error, scan-bound.
     "s6_quantize" -> ((s, dir) => Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))),
+    // Embedding drift monitor: candidate-half vs reference-half mean
+    // distance to the reference centroids, exact-integer per-mille.
+    "s7_embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(Tables.embeddings(s, dir))),
     "m1_multimodal_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       // The float features are (nibble-count / n_bytes) in float32; since
@@ -794,6 +797,43 @@ object SparkEntry {
         |       CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
         |            // COUNT(*) AS BIGINT) AS centroid_scaled
         |FROM e GROUP BY label, d ORDER BY label, dim""".stripMargin,
+    "s7_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xs,
+        |         instr('0123456789abcdef',
+        |               substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |), s AS (
+        |  SELECT label, unnest(xs) AS v,
+        |         unnest(generate_series(1, len(xs))) AS d
+        |  FROM e WHERE nb < 8
+        |), cdim AS (
+        |  SELECT label, d, CAST(SUM(v) // COUNT(*) AS BIGINT) AS cv
+        |  FROM s GROUP BY label, d
+        |), cent AS (
+        |  SELECT label, list(cv ORDER BY d) AS c FROM cdim GROUP BY label
+        |), dist AS (
+        |  SELECT e.label, e.nb,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.xs)),
+        |      i -> (e.xs[i] - cent.c[i]) * (e.xs[i] - cent.c[i]))) AS BIGINT) AS dist2
+        |  FROM e JOIN cent USING (label)
+        |), agg AS (
+        |  SELECT label,
+        |    COUNT(*) FILTER (nb < 8) AS n_ref,
+        |    CAST(SUM(dist2) FILTER (nb < 8) AS BIGINT) AS sum_ref,
+        |    COUNT(*) FILTER (nb >= 8) AS n_cand,
+        |    CAST(SUM(dist2) FILTER (nb >= 8) AS BIGINT) AS sum_cand
+        |  FROM dist GROUP BY label
+        |)
+        |SELECT label, n_ref,
+        |  CAST(sum_ref // n_ref AS BIGINT) AS mean_ref_d2,
+        |  n_cand,
+        |  CAST(sum_cand // n_cand AS BIGINT) AS mean_cand_d2,
+        |  CAST((sum_cand // n_cand) * 1000
+        |       // NULLIF(sum_ref // n_ref, 0) AS BIGINT) AS drift_permille
+        |FROM agg ORDER BY label""".stripMargin,
     "s5_nearest_centroid" ->
       """WITH e AS (
         |  SELECT vec_id, label,

@@ -200,6 +200,51 @@ object Similarity {
   private[operators] def microUnits: org.apache.spark.sql.Column =
     transform(col("embedding"), x => floor(x.cast("double") * 1e6).cast("long"))
 
+  /** Embedding DRIFT monitor — the ML-ops audit run before trusting an
+    * index/classifier built on yesterday's distribution: the corpus is
+    * split content-addressed (md5-nibble of `vec_id`) into a REFERENCE
+    * half and a CANDIDATE half; per label, each half's mean squared-L2
+    * distance to the REFERENCE centroid is compared. A healthy stable
+    * distribution drifts near 1000 per-mille; a shifted candidate half
+    * inflates `drift_permille`. All arithmetic is exact integers (micro-
+    * unit distances, floor-divided means), so every engine agrees.
+    *
+    * Scale shape: one pass builds |labels| reference centroids (the
+    * mergeable [[graft.functions.CentroidAgg]] state), broadcast into a
+    * scan-bound distance pass, then a |labels|-row aggregate with
+    * filtered counts — no shuffle of the embedding column beyond the
+    * centroid partial agg.
+    */
+  def embeddingDrift(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val nb = TextOps.hexNibble("vec_id")
+    val valid = embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"), nb.as("nb"))
+    val cents = valid.filter(col("nb") < 8)
+      .groupBy("label")
+      .agg(graft.functions.CentroidAgg.centroid(col("embedding"), dim).as("c"))
+    val scored = valid
+      .select(col("label"), col("nb"), microUnits.as("xs"))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("nb"),
+        aggregate(zip_with(col("xs"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("dist2"))
+    scored.groupBy("label")
+      .agg(
+        count(when(col("nb") < 8, lit(1))).as("n_ref"),
+        sum(when(col("nb") < 8, col("dist2"))).as("sum_ref"),
+        count(when(col("nb") >= 8, lit(1))).as("n_cand"),
+        sum(when(col("nb") >= 8, col("dist2"))).as("sum_cand"))
+      .select(col("label"),
+        col("n_ref"),
+        expr("sum_ref div n_ref").as("mean_ref_d2"),
+        col("n_cand"),
+        expr("sum_cand div n_cand").as("mean_cand_d2"),
+        expr("(sum_cand div n_cand) * 1000 div nullif(sum_ref div n_ref, 0)")
+          .as("drift_permille"))
+      .orderBy("label")
+  }
+
   /** Uint8 scalar QUANTIZATION of embeddings (asymmetric, per-vector
     * min/max): `code_i = ⌊(x_i − min)·255 / range⌋` — the 4× memory
     * compression an ANN index applies before serving (float32 → one byte

@@ -394,6 +394,37 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(planStr.contains("PartitionFilters"), planStr)
   }
 
+  test("embedding drift flags a shifted candidate half, null-guards zero reference") {
+    def nibble(id: Long): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(h(0)).charAt(0) match {
+        case c if c.isDigit => c - '0'
+        case c => c - 'a' + 10
+      }
+    }
+    val ids = (0L until 100L)
+    val refIds = ids.filter(nibble(_) < 8)
+    val candIds = ids.filter(nibble(_) >= 8)
+    assert(refIds.nonEmpty && candIds.nonEmpty)
+    // candidate half planted far from the reference cluster; the reference
+    // needs nonzero spread or its mean distance is 0 and drift is null
+    val shifted = (refIds.zipWithIndex.map { case (i, k) =>
+      (i, if (k % 2 == 0) Array(1.0f, 0.0f) else Array(0.8f, 0.2f), 0)
+    } ++ candIds.map(i => (i, Array(0.0f, 1.0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val drift = graft.operators.Similarity.embeddingDrift(shifted, dim = 2).collect()
+    assert(drift.length === 1)
+    val r = drift.head
+    assert(r.getLong(5) > 1000L,
+      s"shifted candidates must drift above 1000 permille, got ${r.getLong(5)}")
+    // identical halves: reference distance 0 -> drift is NULL, not an error
+    val stable = ids.map(i => (i, Array(0.5f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val s0 = graft.operators.Similarity.embeddingDrift(stable, dim = 2).collect().head
+    assert(s0.getLong(2) === 0L && s0.isNullAt(5))
+  }
+
   test("uint8 quantization: exact codes, constant-vector case, error bound") {
     val vecs = Seq(
       (0L, Array(0.0f, 1.0f)),        // micro [0, 1000000] -> codes 0, 255
