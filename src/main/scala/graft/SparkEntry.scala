@@ -337,6 +337,10 @@ object SparkEntry {
     // Right-to-erasure audit: per-subject rows-removed proof, including
     // never-existed subjects (found = false).
     "e8_erasure_audit" -> ((s, dir) => Quality.erasureAuditDemo(Tables.events(s, dir))),
+    // Referential-integrity publish gate: FK orphans + PK uniqueness for
+    // the star schema's four core constraints, one row each.
+    "dq6_integrity" -> ((s, dir) => Quality.integrityAudit(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
     // Snapshot diff: added/removed/changed between two table versions via
     // one full-outer join; unchanged mass dropped before the sort.
     "e7_snapshot_diff" -> ((s, dir) => MergeOps.snapshotDiffDemo(Tables.orders(s, dir))),
@@ -1131,6 +1135,26 @@ object SparkEntry {
         |       h.n IS NOT NULL AS found
         |FROM req r LEFT JOIN hits h USING (user_id)
         |ORDER BY r.user_id""".stripMargin,
+    "dq6_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_checked,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey unique',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey unique',
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+        |) ORDER BY relation""".stripMargin,
     "dq5_skew_report" ->
       """WITH sizes AS (
         |  SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey

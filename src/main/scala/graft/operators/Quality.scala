@@ -155,6 +155,44 @@ object Quality {
       .orderBy("l_returnflag")
   }
 
+  /** REFERENTIAL-integrity audit: orphan foreign keys — child rows whose
+    * key has no parent — as one (relation, n_checked, n_violations) row.
+    * The orphan count is an anti-join aggregate: at scale the parent key
+    * set is dimension-sized and broadcasts; the child side never shuffles.
+    */
+  def fkOrphans(relation: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val keys = parent.select(col(quoteIdent(parentKey)).as(childKey)).distinct()
+    val total = child.agg(count(lit(1)).as("n_checked"))
+    val orphans = child.join(broadcast(keys), Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    total.crossJoin(orphans)
+      .select(lit(relation).as("relation"), col("n_checked"), col("n_violations"))
+  }
+
+  /** PRIMARY-key audit: rows in excess of one per key (0 = key is unique).
+    * One map-combined count by key, then a |keys|-row aggregate.
+    */
+  def pkDuplicates(relation: String, df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(quoteIdent(key))).agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("n_checked"),
+        sum(col("cnt") - 1).as("n_violations"))
+      .select(lit(relation).as("relation"), col("n_checked"), col("n_violations"))
+
+  /** Registered-query harness (dq6_integrity): the star schema's four core
+    * constraints audited in one result — the publish gate a warehouse runs
+    * before exposing a batch to joins that silently drop or fan out rows.
+    */
+  def integrityAudit(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame): DataFrame =
+    fkOrphans("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+        orders, "o_orderkey")
+      .unionByName(fkOrphans("orders.o_custkey->customer", orders, "o_custkey",
+        customer, "c_custkey"))
+      .unionByName(pkDuplicates("orders.o_orderkey unique", orders, "o_orderkey"))
+      .unionByName(pkDuplicates("customer.c_custkey unique", customer, "c_custkey"))
+      .orderBy("relation")
+
   /** Right-to-ERASURE propagation (GDPR/CCPA delete): rewrite a dataset
     * without the listed subjects. Delete lists are human-scale against a
     * corpus — the anti join broadcasts and the rewrite is scan-bound.

@@ -93,6 +93,22 @@ class QualitySpec extends SparkTestBase {
     assert(got(2L) === ((2, 2, 1000L)))
   }
 
+  test("integrity audit counts fk orphans and pk duplicates exactly") {
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
+    val child = Seq((1L, 10), (1L, 11), (9L, 12), (8L, 13)).toDF("fk", "y")
+    val fk = Quality.fkOrphans("child->parent", child, "fk", parent, "pk").collect().head
+    assert(fk.getString(0) === "child->parent")
+    assert(fk.getLong(1) === 4L && fk.getLong(2) === 2L, "rows 9L and 8L are orphans")
+    val dupped = parent.union(Seq((2L, "b2"), (2L, "b3")).toDF("pk", "x"))
+    val pk = Quality.pkDuplicates("parent unique", dupped, "pk").collect().head
+    assert(pk.getLong(1) === 4L && pk.getLong(2) === 2L, "two extra rows for key 2")
+    // the fixture star schema must audit clean
+    val audit = Quality.integrityAudit(Tables.lineitem(spark, sf0001),
+      Tables.orders(spark, sf0001), Tables.customer(spark, sf0001)).collect()
+    assert(audit.length === 4)
+    assert(audit.forall(_.getLong(2) === 0L), "fixture constraints must hold")
+  }
+
   test("chunking: full coverage, exact overlap, short-doc and tail cases") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens, k=4 s=3
