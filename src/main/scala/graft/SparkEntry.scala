@@ -61,6 +61,11 @@ object SparkEntry {
     "j3_left_outer" -> ((s, dir) => JoinOps.leftOuter(Tables.customer(s, dir), Tables.orders(s, dir))),
     "j4_semi_join" -> ((s, dir) => JoinOps.semiJoin(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "j5_anti_join" -> ((s, dir) => JoinOps.antiJoin(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q5 shape: six tables, the supplier edge closes a join CYCLE
+    // (customer and supplier constrained to the same nation).
+    "j10_local_supplier" -> ((s, dir) => JoinOps.localSupplierRevenue(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "j6_star_join" -> ((s, dir) => JoinOps.starJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "j7_range_join" -> ((s, dir) => JoinOps.rangeJoin(Tables.events(s, dir))),
     "j8_top_revenue" -> ((s, dir) => JoinOps.topRevenueOrders(Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), "BUILDING", 10)),
@@ -708,6 +713,20 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "j10_local_supplier" ->
+      """SELECT n_name,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |       AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "j6_star_join" ->
       """SELECT r_name, COUNT(*) AS n_lines,
         | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -179,4 +179,36 @@ object JoinOps {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
       .orderBy("r_name")
+
+  /** TPC-H Q5-shaped SIX-table join — the one join graph the star join
+    * lacks: the supplier edge closes a CYCLE (`c_nationkey = s_nationkey`
+    * constrains customer and supplier to the same nation), so the
+    * optimizer must order a join DAG, not a tree. Local-supplier revenue
+    * per nation inside one region and one order-date year.
+    *
+    * Scale shape: the two fact edges (lineitem⋈orders, ⋈supplier-filtered
+    * rows) shuffle; nation/region broadcast and their region filter
+    * prunes customer/supplier BEFORE the fact joins (predicate pushdown
+    * through the dimension chain); supplier is tiny and broadcasts. Money
+    * is summed in integer cents from an expression both engines evaluate
+    * with identical IEEE steps.
+    */
+  def localSupplierRevenue(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = "ASIA",
+      year: Int = 1996): DataFrame =
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey")
+        && customer("c_nationkey") === supplier("s_nationkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .filter(col("r_name") === regionName
+        && org.apache.spark.sql.functions.year(col("o_orderdate")) === year)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
 }
