@@ -40,6 +40,37 @@ object SparkEntry {
     "a3_count_all" -> ((s, dir) => Aggregates.countAll(Tables.lineitem(s, dir))),
     "a4_distinct_count" -> ((s, dir) => Aggregates.distinctCount(Tables.lineitem(s, dir))),
     "a5_rollup" -> ((s, dir) => Aggregates.rollupSummary(Tables.lineitem(s, dir))),
+    // Arbitrary GROUPING SETS (the general form rollup/cube specialize),
+    // verbatim through the SQL surface with GROUPING() disambiguation.
+    "a11_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sqlv")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+              |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+              |  COUNT(*) AS n,
+              |  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+              |FROM lineitem_sqlv
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+              |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+    // Correlated scalar + EXISTS subqueries (Catalyst decorrelates both to
+    // aggregate/semi joins): orders strictly above their customer's mean
+    // order value, integer cross-multiplied so no FP average compares.
+    "e9_correlated_sql" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_sqlv")
+      s.sql("""SELECT o_orderkey, o_custkey,
+              |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              |FROM orders_sqlv o
+              |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+              |      (SELECT COUNT(*) FROM orders_sqlv o2
+              |       WHERE o2.o_custkey = o.o_custkey)
+              |    > (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+              |       FROM orders_sqlv o2 WHERE o2.o_custkey = o.o_custkey)
+              |  AND EXISTS (SELECT 1 FROM orders_sqlv o3
+              |              WHERE o3.o_custkey = o.o_custkey
+              |                AND o3.o_orderstatus = 'F')
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
     // HLL sketch values aren't cross-engine comparable; the registered query
     // compares the 3·rsd accuracy CONTRACT instead (oracle emits TRUE).
     "a6_approx_distinct" -> ((s, dir) => Aggregates.approxDistinctChecked(Tables.lineitem(s, dir))),
@@ -602,6 +633,27 @@ object SparkEntry {
     "a3_count_all" -> "SELECT COUNT(*) AS n FROM lineitem",
     "a4_distinct_count" ->
       "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "a11_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "e9_correlated_sql" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+        |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT CAST(SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM orders o3
+        |              WHERE o3.o_custkey = o.o_custkey
+        |                AND o3.o_orderstatus = 'F')
+        |ORDER BY o_orderkey""".stripMargin,
     "a5_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_registros,
         | ROUND(SUM(l_quantity), 2) AS sum_qty,
