@@ -389,6 +389,9 @@ object SparkEntry {
     // Tokenizer-coverage check: per-doc OOV rate vs the top-50 corpus
     // vocabulary (broadcast as ONE array row; no (doc,term) shuffle).
     "t17_oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir), 50)),
+    // Corpus top-20 5-gram phrases via the native streaming Generator
+    // (the UDTF leg of the custom-extension trio).
+    "t20_top_shingles" -> ((s, dir) => TextOps.topShingles(Tables.documents(s, dir))),
     // Overlapping token-window chunking (32-token windows, stride 24 ->
     // 8-token overlap): the embedding-prep cut that loses no boundary.
     "t18_chunk_overlap" -> ((s, dir) =>
@@ -1295,6 +1298,18 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+    "t20_top_shingles" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+        |                   toks[i+3], toks[i+4]))) AS gram
+        |  FROM t WHERE len(toks) >= 5
+        |)
+        |SELECT gram, COUNT(*) AS n_occurrences
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
     "t18_chunk_overlap" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -369,6 +369,23 @@ object TextOps {
       substring(md5(col(keyCol).cast("string")), 1, 1)) - 1
   }
 
+  /** Corpus-wide TOP-k 5-gram phrases via the native streaming generator
+    * ([[graft.functions.ShingleExplode]] — the UDTF leg of the custom-
+    * extension trio): every gram occurrence (not per-doc-distinct, unlike
+    * t11's boilerplate lexicon) counted with map-side combine, top-k as a
+    * TakeOrderedAndProject heap. The generator never materializes a
+    * per-row shingle array, so the scan's transient allocation is one
+    * gram regardless of document length.
+    */
+  def topShingles(documents: DataFrame, n: Int = 5, k: Int = 20): DataFrame =
+    documents
+      .select(tokens(col("text")).as("toks"))
+      .select(graft.functions.ShingleExplode.shingleExplode(col("toks"), n))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+
   /** Overlapping token-window CHUNKING — the embedding-prep step between
     * [[packSequences]] (contiguous budget fill for training) and the
     * similarity tier: long documents become windows of `chunkTokens`

@@ -394,6 +394,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(planStr.contains("PartitionFilters"), planStr)
   }
 
+  test("shingle generator equals the builtin explode composition, streams via Generate") {
+    import graft.functions.{ShingleExplode, TextFunctions}
+    val fixture = Tables.documents(spark, sf001)
+    val viaGen = fixture
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), ShingleExplode.shingleExplode(col("toks"), 5))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    val viaBuiltin = fixture
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.shinglesKTokens(col("toks"), 5)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(viaGen.nonEmpty && viaGen === viaBuiltin)
+    // short/null inputs produce no rows instead of failing
+    val edge = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        ShingleExplode.shingleExplode(TextFunctions.tokens(col("text")), 5))
+    assert(edge.count() === 0)
+    // the plan is one Generate over the scan - no intermediate array column
+    val plan = fixture
+      .select(ShingleExplode.shingleExplode(TextFunctions.tokens(col("text")), 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate shingleexplode") || plan.contains("Generate ShingleExplode")
+      || plan.toLowerCase.contains("shingleexplode"), plan)
+  }
+
   test("embedding drift flags a shifted candidate half, null-guards zero reference") {
     def nibble(id: Long): Int = {
       val h = java.security.MessageDigest.getInstance("MD5")
