@@ -896,7 +896,7 @@ object SparkEntry {
         |  SELECT e.label, e.nb,
         |    CAST(list_sum(list_transform(generate_series(1, len(e.xs)),
         |      i -> (e.xs[i] - cent.c[i]) * (e.xs[i] - cent.c[i]))) AS BIGINT) AS dist2
-        |  FROM e JOIN cent USING (label)
+        |  FROM e LEFT JOIN cent USING (label)
         |), agg AS (
         |  SELECT label,
         |    COUNT(*) FILTER (nb < 8) AS n_ref,
@@ -906,11 +906,11 @@ object SparkEntry {
         |  FROM dist GROUP BY label
         |)
         |SELECT label, n_ref,
-        |  CAST(sum_ref // n_ref AS BIGINT) AS mean_ref_d2,
+        |  CAST(sum_ref // NULLIF(n_ref, 0) AS BIGINT) AS mean_ref_d2,
         |  n_cand,
-        |  CAST(sum_cand // n_cand AS BIGINT) AS mean_cand_d2,
-        |  CAST((sum_cand // n_cand) * 1000
-        |       // NULLIF(sum_ref // n_ref, 0) AS BIGINT) AS drift_permille
+        |  CAST(sum_cand // NULLIF(n_cand, 0) AS BIGINT) AS mean_cand_d2,
+        |  CAST((sum_cand // NULLIF(n_cand, 0)) * 1000
+        |       // NULLIF(sum_ref // NULLIF(n_ref, 0), 0) AS BIGINT) AS drift_permille
         |FROM agg ORDER BY label""".stripMargin,
     "s5_nearest_centroid" ->
       """WITH e AS (
@@ -1213,21 +1213,23 @@ object SparkEntry {
       """SELECT * FROM (
         |  SELECT 'lineitem.l_orderkey->orders' AS relation,
         |    (SELECT COUNT(*) FROM lineitem) AS n_checked,
-        |    (SELECT COUNT(*) FROM lineitem
-        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_violations
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
         |  UNION ALL
         |  SELECT 'orders.o_custkey->customer',
         |    (SELECT COUNT(*) FROM orders),
-        |    (SELECT COUNT(*) FROM orders
-        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |  UNION ALL
         |  SELECT 'orders.o_orderkey unique',
         |    (SELECT COUNT(*) FROM orders),
-        |    (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+        |    (SELECT CAST(SUM(cnt - 1) AS BIGINT) FROM
+        |      (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey))
         |  UNION ALL
         |  SELECT 'customer.c_custkey unique',
         |    (SELECT COUNT(*) FROM customer),
-        |    (SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+        |    (SELECT CAST(SUM(cnt - 1) AS BIGINT) FROM
+        |      (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey))
         |) ORDER BY relation""".stripMargin,
     "dq5_skew_report" ->
       """WITH sizes AS (

@@ -161,14 +161,18 @@ object Quality {
     * set is dimension-sized and broadcasts; the child side never shuffles.
     */
   def fkOrphans(relation: String, child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String): DataFrame = {
-    val keys = parent.select(col(quoteIdent(parentKey)).as(childKey)).distinct()
-    val total = child.agg(count(lit(1)).as("n_checked"))
-    val orphans = child.join(broadcast(keys), Seq(childKey), "left_anti")
-      .agg(count(lit(1)).as("n_violations"))
-    total.crossJoin(orphans)
+      parent: DataFrame, parentKey: String): DataFrame =
+    // ONE pass over the (fact-sized) child: a broadcast left join with a
+    // presence marker, counting unmatched rows - a separate anti-join
+    // aggregate would scan the child twice. A NULL child key matches no
+    // parent and counts as an orphan (NOT EXISTS semantics; NOT IN would
+    // silently zero the audit the moment any key is null).
+    child
+      .join(broadcast(parent.select(col(quoteIdent(parentKey)).as(childKey))
+        .distinct().withColumn("_present", lit(1))), Seq(childKey), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        count(when(col("_present").isNull, lit(1))).as("n_violations"))
       .select(lit(relation).as("relation"), col("n_checked"), col("n_violations"))
-  }
 
   /** PRIMARY-key audit: rows in excess of one per key (0 = key is unique).
     * One map-combined count by key, then a |keys|-row aggregate.

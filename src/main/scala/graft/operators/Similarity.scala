@@ -89,6 +89,15 @@ object Similarity {
   /** All-pairs-free near-neighbor pairs: LSH signature → bucket equi-join
     * → exact cosine on candidates only (same shape as MinHash dedup).
     */
+  /** Shared per-label centroid aggregate over valid rows (the recipe
+    * labelCentroids / nearestCentroid / embeddingDrift all build on).
+    */
+  private def labelCentroidAgg(embeddings: DataFrame, dim: Int): DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .groupBy("label")
+      .agg(graft.functions.CentroidAgg.centroid(col("embedding"), dim).as("c"))
+
   /** Per-label embedding CENTROIDS in exact integer micro-units
     * ([[graft.functions.CentroidAgg]]): the class-prototype /
     * cluster-center computation of an embedding pipeline (IVF coarse
@@ -99,10 +108,7 @@ object Similarity {
     * aggregation and is not).
     */
   def labelCentroids(embeddings: DataFrame, dim: Int = 64): DataFrame =
-    embeddings
-      .filter(col("embedding").isNotNull && col("label").isNotNull)
-      .groupBy("label")
-      .agg(graft.functions.CentroidAgg.centroid(col("embedding"), dim).as("c"))
+    labelCentroidAgg(embeddings, dim)
       .select(col("label"), posexplode(col("c")))
       .select(col("label"), col("pos").cast("int").as("dim"),
         col("col").as("centroid_scaled"))
@@ -122,10 +128,8 @@ object Similarity {
     * embedding column itself beyond the vec_id aggregation.
     */
   def nearestCentroid(embeddings: DataFrame, dim: Int = 64): DataFrame = {
-    val cents = embeddings
-      .filter(col("embedding").isNotNull && col("label").isNotNull)
-      .groupBy(col("label").as("c_label"))
-      .agg(graft.functions.CentroidAgg.centroid(col("embedding"), dim).as("c"))
+    val cents = labelCentroidAgg(embeddings, dim)
+      .withColumnRenamed("label", "c_label")
     val scaled = embeddings
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"),
@@ -220,15 +224,18 @@ object Similarity {
     val valid = embeddings
       .filter(col("embedding").isNotNull && col("label").isNotNull)
       .select(col("vec_id"), col("label"), col("embedding"), nb.as("nb"))
-    val cents = valid.filter(col("nb") < 8)
-      .groupBy("label")
-      .agg(graft.functions.CentroidAgg.centroid(col("embedding"), dim).as("c"))
+    val cents = labelCentroidAgg(valid.filter(col("nb") < 8), dim)
+    // LEFT join: a label with no reference-half rows has no centroid, but
+    // a brand-new label appearing IS drift - it must stay visible (null
+    // means/drift) rather than vanish through an inner join
     val scored = valid
       .select(col("label"), col("nb"), microUnits.as("xs"))
-      .join(broadcast(cents), Seq("label"))
+      .join(broadcast(cents), Seq("label"), "left")
       .select(col("label"), col("nb"),
         aggregate(zip_with(col("xs"), col("c"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, v) => acc + v).as("dist2"))
+    // every division is nullif-guarded: an empty half yields null, never
+    // a divide-by-zero (ANSI) or an engine-divergent value
     scored.groupBy("label")
       .agg(
         count(when(col("nb") < 8, lit(1))).as("n_ref"),
@@ -237,10 +244,11 @@ object Similarity {
         sum(when(col("nb") >= 8, col("dist2"))).as("sum_cand"))
       .select(col("label"),
         col("n_ref"),
-        expr("sum_ref div n_ref").as("mean_ref_d2"),
+        expr("sum_ref div nullif(n_ref, 0)").as("mean_ref_d2"),
         col("n_cand"),
-        expr("sum_cand div n_cand").as("mean_cand_d2"),
-        expr("(sum_cand div n_cand) * 1000 div nullif(sum_ref div n_ref, 0)")
+        expr("sum_cand div nullif(n_cand, 0)").as("mean_cand_d2"),
+        expr("""(sum_cand div nullif(n_cand, 0)) * 1000
+                div nullif(sum_ref div nullif(n_ref, 0), 0)""")
           .as("drift_permille"))
       .orderBy("label")
   }

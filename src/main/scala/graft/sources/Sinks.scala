@@ -176,15 +176,25 @@ object Sinks {
     val root = new java.io.File(path)
     require(root.isDirectory, s"retentionSweep: $path is not an existing directory")
     val prefix = partitionCol + "="
+    // recursive: K2 layouts nest sub-partition directories under the
+    // expired partition; a flat delete would fail on them silently
+    def dataFileCount(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(dataFileCount).sum
+      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0
+      else 1 // hidden _SUCCESS/.crc bookkeeping is not data
+    def deleteTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteTree)
+      // an audit that claims expiry while bytes remain readable is a
+      // compliance incident, not a warning - fail the sweep loudly
+      require(f.delete(), s"retentionSweep: could not delete ${f.getPath}")
+    }
     val expired = root.listFiles().toSeq
       .filter(d => d.isDirectory && d.getName.startsWith(prefix))
       .filter(_.getName.stripPrefix(prefix) < keepFrom)
       .sortBy(_.getName)
     expired.map { dir =>
-      val files = dir.listFiles()
-      val nData = files.count(!_.getName.startsWith("_"))
-      files.foreach(_.delete())
-      dir.delete()
+      val nData = dataFileCount(dir)
+      deleteTree(dir)
       (dir.getName.stripPrefix(prefix), nData)
     }
   }

@@ -450,6 +450,14 @@ class DedupSimilaritySpec extends SparkTestBase {
       .toDF("vec_id", "embedding", "label")
     val s0 = graft.operators.Similarity.embeddingDrift(stable, dim = 2).collect().head
     assert(s0.getLong(2) === 0L && s0.isNullAt(5))
+    // a BRAND-NEW label (candidate-half only) must stay VISIBLE with
+    // n_ref = 0 and null means - appearing labels are textbook drift
+    val withNew = shifted.union(
+      candIds.take(3).map(i => (i + 1000L, Array(0.3f, 0.3f), 7)).toDF("vec_id", "embedding", "label"))
+    val rows = graft.operators.Similarity.embeddingDrift(withNew, dim = 2)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(rows.contains(7), "new label must not vanish through the centroid join")
+    assert(rows(7).getLong(1) >= 0L && rows(7).isNullAt(2) && rows(7).isNullAt(5))
   }
 
   test("uint8 quantization: exact codes, constant-vector case, error bound") {

@@ -131,6 +131,16 @@ class IngestSinkSpec extends SparkTestBase {
     assert(back.filter(col("dataproc") === "20240401").count() === 2)
     // idempotent: a second sweep finds nothing
     assert(Sinks.retentionSweep(path, "dataproc", "20240301").isEmpty)
+    // K2 layouts nest sub-partition directories: the sweep must remove
+    // the whole expired tree, not fail silently on non-empty dirs
+    val df2 = Seq(("20240101", "AAA", 1L), ("20240101", "BBB", 2L),
+      ("20240401", "AAA", 3L)).toDF("dataproc", "ticker", "v")
+    val path2 = tmpDir("retention2")
+    Sinks.writePartitioned2(df2, path2, "dataproc", "ticker")
+    val audit2 = Sinks.retentionSweep(path2, "dataproc", "20240301")
+    assert(audit2.map(_._1) === Seq("20240101"))
+    assert(audit2.head._2 >= 2, "both nested ticker partitions' files counted")
+    assert(spark.read.parquet(path2).select("v").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
   test("ANALYZE TABLE feeds optimizer row/column statistics under CBO") {
