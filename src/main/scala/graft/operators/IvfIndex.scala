@@ -158,6 +158,10 @@ object IvfIndex {
     // the query self-dot is a constant: computed ONCE on the driver, not
     // as an interpreted lambda chain per scanned row
     val nq = qMicro.map(x => x * x).sum
+    // a zero-norm query has no cosine direction: nq = 0 would make every
+    // score 0/0 = NaN, and NaN sorts ABOVE every real double under desc —
+    // the same trap the nr > 0 filter guards on the stored side
+    require(nq > 0, "queryQuantizedIndex: query vector has zero norm")
     val recon = transform(col("codes"), c =>
       col("qmin") + floor(((c.cast("long") + 128L) * col("qrange")).cast("double") / 255)
         .cast("long"))

@@ -136,14 +136,46 @@ object Quality {
     val base = lineitem.select(col("l_returnflag"),
       round(col("l_extendedprice") * 100).cast("long").as("cents"))
     // the rows are collapsed to a (cents, freq) histogram first by the
-    // codegen'd hash aggregate, so the interpreted ObjectHashAggregate
-    // percentile touches |distinct cents| weighted rows instead of every
-    // row (frequency-weighted percentile is defined as the expanded-rows
-    // percentile — exact; measured 4.9 -> 3.8 s at sf0.1)
+    // codegen'd hash aggregate, so percentile state is ∝ |distinct cents|
+    // (bounded by the price domain, not the row count), not ∝ rows
     val hist = base.groupBy("cents").agg(count(lit(1)).as("freq"))
-    val bounds = hist.agg(
-      ceil(expr("percentile(cents, 0.015625d, freq)")).cast("long").as("lo"),
-      floor(expr("percentile(cents, 0.984375d, freq)")).cast("long").as("hi"))
+    // exact POSITIONAL percentile over the histogram, fully codegen'd —
+    // no interpreted ObjectHashAggregate `percentile` (which was the
+    // suite's 4.5 s floor): cumulative-sum the sorted histogram, pick the
+    // values at the two interpolation positions, and reproduce
+    // Percentile.getPercentile's arithmetic bit-for-bit:
+    //   pos = p * (N-1);  v = (ceil(pos)-pos)*v_floor + (pos-floor(pos))*v_ceil
+    // The single-partition window is ~|distinct cents| rows — the same
+    // bounded state the previous formulation shipped to one agg anyway.
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist.select(col("cents"), col("freq"),
+      sum("freq").over(wCum).as("cum"),
+      sum("freq").over(wAll).as("n"))
+    // value at expanded position i: the unique histogram row covering i,
+    // i.e. cum - freq <= i < cum (positions are 0-based over N rows)
+    def valueAt(i: Column): Column =
+      max(when(col("cum") - col("freq") <= i && i < col("cum"),
+        col("cents").cast("double")))
+    def pct(p: Double): Column = lit(p) * (col("n") - 1L).cast("double")
+    val posLo = pct(0.015625)
+    val posHi = pct(0.984375)
+    def interp(pos: Column, v0: Column, v1: Column): Column =
+      when(floor(pos) === ceil(pos), v0)
+        .otherwise((ceil(pos) - pos) * v0 + (pos - floor(pos)) * v1)
+    val bounds = cum.agg(
+      valueAt(floor(posLo).cast("long")).as("vlo0"),
+      valueAt(ceil(posLo).cast("long")).as("vlo1"),
+      valueAt(floor(posHi).cast("long")).as("vhi0"),
+      valueAt(ceil(posHi).cast("long")).as("vhi1"),
+      first(posLo).as("plo"),
+      first(posHi).as("phi"))
+      .select(
+        ceil(interp(col("plo"), col("vlo0"), col("vlo1"))).cast("long").as("lo"),
+        floor(interp(col("phi"), col("vhi0"), col("vhi1"))).cast("long").as("hi"))
     base.crossJoin(broadcast(bounds))
       .groupBy("l_returnflag")
       .agg(
@@ -157,19 +189,22 @@ object Quality {
 
   /** REFERENTIAL-integrity audit: orphan foreign keys — child rows whose
     * key has no parent — as one (relation, n_checked, n_violations) row.
-    * The orphan count is an anti-join aggregate: at scale the parent key
-    * set is dimension-sized and broadcasts; the child side never shuffles.
+    * The orphan count is an anti-join aggregate. No broadcast hint: the
+    * parent key set may itself be fact-sized (orders, customer), and a
+    * forced broadcast of billions of distinct keys would OOM the driver —
+    * AQE upgrades the join to broadcast at runtime whenever the distinct
+    * key set actually turns out dimension-sized.
     */
   def fkOrphans(relation: String, child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): DataFrame =
-    // ONE pass over the (fact-sized) child: a broadcast left join with a
-    // presence marker, counting unmatched rows - a separate anti-join
-    // aggregate would scan the child twice. A NULL child key matches no
-    // parent and counts as an orphan (NOT EXISTS semantics; NOT IN would
-    // silently zero the audit the moment any key is null).
+    // ONE pass over the (fact-sized) child: a left join with a presence
+    // marker, counting unmatched rows - a separate anti-join aggregate
+    // would scan the child twice. A NULL child key matches no parent and
+    // counts as an orphan (NOT EXISTS semantics; NOT IN would silently
+    // zero the audit the moment any key is null).
     child
-      .join(broadcast(parent.select(col(quoteIdent(parentKey)).as(childKey))
-        .distinct().withColumn("_present", lit(1))), Seq(childKey), "left")
+      .join(parent.select(col(quoteIdent(parentKey)).as(childKey))
+        .distinct().withColumn("_present", lit(1)), Seq(childKey), "left")
       .agg(count(lit(1)).as("n_checked"),
         count(when(col("_present").isNull, lit(1))).as("n_violations"))
       .select(lit(relation).as("relation"), col("n_checked"), col("n_violations"))

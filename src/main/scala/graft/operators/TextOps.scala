@@ -48,13 +48,22 @@ object TextOps {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
-  /** Document fingerprints: full-text md5 + min-shingle fingerprint. */
+  /** Document fingerprints: full-text md5 + min-shingle fingerprint.
+    *
+    * The fingerprints are projected AFTER the global sort (same pattern as
+    * [[jsonExtract]]): a project below a range exchange is evaluated twice
+    * by the range-partitioner's bounds-sampling pass, and
+    * `minShingleFingerprint` is an interpreted HOF — the expensive one to
+    * double-evaluate. Sorting on the raw `(doc_id, text)` also keeps the
+    * exchange payload to the source columns.
+    */
   def fingerprints(documents: DataFrame): DataFrame =
     documents
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
       .select(col("doc_id"),
         fingerprintMd5(col("text")).as("fp_md5"),
         minShingleFingerprint(col("text")).as("fp_min_shingle"))
-      .orderBy("doc_id")
 
   /** Frequent terms per language via the Misra-Gries sketch
     * ([[graft.functions.HeavyHittersAgg]]): top-k tokens by occurrence

@@ -173,29 +173,34 @@ object Sinks {
     */
   def retentionSweep(path: String, partitionCol: String,
       keepFrom: String): Seq[(String, Int)] = {
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"retentionSweep: $path is not an existing directory")
+    // Hadoop FileSystem, not java.io.File: the sweep must work wherever
+    // the warehouse lives (HDFS, S3A, local), and listStatus raises
+    // IOException on I/O error instead of java.io's silent null
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val root = new HPath(path)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    require(fs.getFileStatus(root).isDirectory,
+      s"retentionSweep: $path is not an existing directory")
     val prefix = partitionCol + "="
     // recursive: K2 layouts nest sub-partition directories under the
-    // expired partition; a flat delete would fail on them silently
-    def dataFileCount(f: java.io.File): Int =
-      if (f.isDirectory) f.listFiles().map(dataFileCount).sum
-      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0
+    // expired partition; a flat count would miss them silently
+    def dataFileCount(p: HPath): Int = fs.listStatus(p).map { st =>
+      if (st.isDirectory) dataFileCount(st.getPath)
+      else if (st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith(".")) 0
       else 1 // hidden _SUCCESS/.crc bookkeeping is not data
-    def deleteTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteTree)
+    }.sum
+    val expired = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(_.getPath.getName.stripPrefix(prefix) < keepFrom)
+      .sortBy(_.getPath.getName)
+    expired.map { st =>
+      val nData = dataFileCount(st.getPath)
       // an audit that claims expiry while bytes remain readable is a
       // compliance incident, not a warning - fail the sweep loudly
-      require(f.delete(), s"retentionSweep: could not delete ${f.getPath}")
-    }
-    val expired = root.listFiles().toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
-      .filter(_.getName.stripPrefix(prefix) < keepFrom)
-      .sortBy(_.getName)
-    expired.map { dir =>
-      val nData = dataFileCount(dir)
-      deleteTree(dir)
-      (dir.getName.stripPrefix(prefix), nData)
+      require(fs.delete(st.getPath, true),
+        s"retentionSweep: could not delete ${st.getPath}")
+      (st.getPath.getName.stripPrefix(prefix), nData)
     }
   }
 
