@@ -332,6 +332,12 @@ object SparkEntry {
     // Embedding drift monitor: candidate-half vs reference-half mean
     // distance to the reference centroids, exact-integer per-mille.
     "s7_embedding_drift" -> ((s, dir) => Similarity.embeddingDrift(Tables.embeddings(s, dir))),
+    // ANN recall contract: the quantized IVF serving path recovers at
+    // least `threshold` of the exact s3 k-NN — driver-witnessed TRUE
+    // (d4c pattern; makes s2's rows-only status moot).
+    "s8_ann_contract" -> ((s, dir) =>
+      IvfIndex.annRecallContract(Tables.embeddings(s, dir),
+        queryIds = 0L until 16L, k = 10)),
     "m1_multimodal_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       // The float features are (nibble-count / n_bytes) in float32; since
@@ -373,6 +379,12 @@ object SparkEntry {
     // Right-to-erasure audit: per-subject rows-removed proof, including
     // never-existed subjects (found = false).
     "e8_erasure_audit" -> ((s, dir) => Quality.erasureAuditDemo(Tables.events(s, dir))),
+    // Erasure PROPAGATION contract: incremental repair of the derived
+    // artifacts (band index, corpus signatures, IVF lists) equals each
+    // artifact rebuilt from the erased corpus, and no erased key survives
+    // — all booleans driver-witnessed TRUE (d4c pattern).
+    "e8b_erasure_propagation" -> ((s, dir) =>
+      Erasure.erasureContract(Tables.documents(s, dir), Tables.embeddings(s, dir))),
     // Referential-integrity publish gate: FK orphans + PK uniqueness for
     // the star schema's four core constraints, one row each.
     "dq6_integrity" -> ((s, dir) => Quality.integrityAudit(
@@ -1570,6 +1582,13 @@ object SparkEntry {
       "SELECT lang, TRUE AS partition_invariant FROM documents GROUP BY lang ORDER BY lang",
     "d4c_simhash_contract" ->
       "SELECT TRUE AS nonempty, TRUE AS complete, TRUE AS sound",
+    "e8b_erasure_propagation" ->
+      """SELECT TRUE AS bands_nonempty, TRUE AS bands_equal,
+        |       TRUE AS bands_clean, TRUE AS sigs_equal,
+        |       TRUE AS ivf_nonempty, TRUE AS ivf_equal,
+        |       TRUE AS ivf_clean""".stripMargin,
+    "s8_ann_contract" ->
+      "SELECT TRUE AS nonempty, TRUE AS recall_ok",
     "d6_curated" -> CuratedSql,
     // typed path, same referee:
     "d6b_curated_typed" -> CuratedSql,

@@ -52,11 +52,50 @@ object IvfIndex {
           (a, b) => a.cast("double") * b.cast("double")),
           lit(0.0), (acc, x) => acc + x)).as("nrm"))
       .filter(col("nrm") > 1e-12)
+    // CACHE the prepared features: k-means re-reads its input every
+    // iteration (plus the k-means|| init rounds) — uncached, that is
+    // 20+ re-executions of the scan + normalization lineage (MLlib warns
+    // about exactly this). Storage cost is the sample, not the corpus.
+    // COALESCE to a few partitions: the training input is a bounded
+    // sample by design (O(k·dim) evidence), and every k-means iteration
+    // schedules one task per partition — hundreds of near-empty tasks
+    // per iteration is pure scheduling overhead, not parallelism.
     val train = withNorm.select(array_to_vector(
       transform(col("embedding"), x => x.cast("double") / col("nrm"))).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .fit(train)
-    model.clusterCenters.map(_.toArray.map(_.toFloat))
+      .coalesce(8)
+      .cache()
+    try {
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .fit(train)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    } finally train.unpersist(blocking = false)
+  }
+
+  /** Deterministic data-derived coarse quantizer WITHOUT iterative
+    * training: the k nonzero corpus vectors minimizing a seeded
+    * xxhash64 of their id — a seeded random draw expressed as one
+    * scan-bound top-k (TakeOrdered, no shuffle of the corpus). Cosine
+    * probe ranking is scale-invariant, so unnormalized corpus vectors
+    * are valid centroids as-is.
+    *
+    * This is the quantizer for CONTRACT queries (s8/e8b), where the
+    * property under test — probe selection, asymmetric scoring, repair
+    * equality — is orthogonal to centroid quality, and an iterative
+    * k-means (20+ driver-coordinated jobs) would dominate the query's
+    * cost. Production index builds use [[trainCentroids]].
+    */
+  def sampleCentroids(embeddings: DataFrame, k: Int,
+      seed: Long = 42L): Array[Array[Float]] = {
+    val picked = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        xxhash64(lit(seed), col("vec_id")).as("h"))
+      .orderBy("h", "vec_id").limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+      .filter(v => v.exists(_ != 0.0f)) // zero vector: no cosine direction
+    require(picked.nonEmpty, "sampleCentroids: no nonzero vectors to sample")
+    picked
   }
 
   /** Nearest-centroid assignment: argmax of cosine over the k broadcast
@@ -181,6 +220,88 @@ object IvfIndex {
           (sqrt(col("nr").cast("double")) * sqrt(lit(nq).cast("double"))), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Driver-witnessed ANN RECALL contract (s8, the d4c pattern): the
+    * quantized IVF serving path — coarse probe selection + asymmetric
+    * scoring over ONE-BYTE codes — must recover at least `threshold` of
+    * the exact float k-NN ([[Similarity.knnJoin]], the s3 oracle-green
+    * ground truth) on the fixture's query set. Hash-seeded centroids make
+    * the ANN rows themselves un-oracle-able (s2 precedent); the recall
+    * boolean is checkable against a TRUE-emitting oracle. A broken probe
+    * ranking, a wrong dequantization, or a NaN leak in scoring drops
+    * recall and fails the driver gate.
+    *
+    * Recall is micro-averaged (Σ matched / Σ |exact top-k|) over the
+    * query set — per-query jitter from quantization near-ties cancels
+    * out, which is what makes the threshold stable across scale factors.
+    * Measured on the fixtures: 0.67-0.72 at sf0.001/0.01/0.1 with the
+    * default nprobe=4 of ivfK=8 over [[sampleCentroids]] — the 0.55
+    * threshold leaves ≥ 12 points of margin.
+    * Scale shape: queries broadcast; the corpus is scanned once for the
+    * exact side and once (probed lists only) for the ANN side; both
+    * rankings are WindowGroupLimit top-k heaps.
+    */
+  def annRecallContract(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 10, ivfK: Int = 8, nprobe: Int = 4,
+      threshold: Double = 0.55): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val clean = embeddings.filter(col("embedding").isNotNull)
+    val centroids = sampleCentroids(clean, ivfK)
+    val lists = Similarity.withQuantization(assignLists(clean, centroids))
+      .select("vec_id", "qmin", "qrange", "codes", "list_id")
+      .localCheckpoint(true) // feeds |Q| probe joins below
+    // probe selection is driver-side BY DESIGN (same as queryQuantizedIndex:
+    // ivfK centroid cosines per query, never data-sized); ship one
+    // (query_id, probed list, micro query vector, query self-dot) row per
+    // probe and broadcast it into the list scan
+    val qRows = clean.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "embedding").collect()
+    val probeRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).toArray
+      val qMicro = qv.map(v => math.floor(v.toDouble * 1e6).toLong)
+      val nq = qMicro.map(x => x * x).sum
+      if (nq == 0L) Seq.empty // zero-norm query: no cosine direction
+      else rankProbes(qv, centroids, nprobe)
+        .map(listId => (qid, listId, qMicro.toSeq, nq))
+    }.toSeq
+    val probes = probeRows.toDF("query_id", "list_id", "q_micro", "nq")
+    val recon = transform(col("codes"), c =>
+      col("qmin") + floor(((c.cast("long") + 128L) * col("qrange")).cast("double") / 255)
+        .cast("long"))
+    val dot = aggregate(zip_with(col("r"), col("q_micro"), (a, b) => a * b),
+      lit(0L), _ + _)
+    val nr = aggregate(zip_with(col("r"), col("r"), (a, b) => a * b),
+      lit(0L), _ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    val annTopK = lists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("nq"), col("q_micro"),
+        recon.as("r"))
+      .select(col("query_id"), col("vec_id"), col("nq"),
+        dot.as("dot"), nr.as("nr"))
+      .filter(col("nr") > 0) // zero recon has no direction (NaN-sorts-first)
+      .select(col("query_id"), col("vec_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("nr").cast("double")) * sqrt(col("nq").cast("double"))))
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id")
+    val exact = Similarity.knnJoin(clean, queryIds, k)
+      .select("query_id", "vec_id")
+    val matched = exact.join(annTopK, Seq("query_id", "vec_id"), "left_semi")
+    val nExact = exact.agg(count(lit(1)).as("n_exact")).withColumn("j", lit(1))
+    val nMatch = matched.agg(count(lit(1)).as("n_match")).withColumn("j", lit(1))
+    nExact.join(nMatch, "j")
+      .select(
+        (col("n_exact") >= queryIds.size).as("nonempty"), // guards vacuity
+        (col("n_match").cast("double") >= lit(threshold) * col("n_exact"))
+          .as("recall_ok"))
   }
 
   /** Driver-side cosine for centroid ranking (k values, not data-sized). */

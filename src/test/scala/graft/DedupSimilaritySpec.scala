@@ -485,4 +485,43 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(r.getLong(4) <= r.getLong(2) / 255 + 1)
     }
   }
+
+  test("erasure propagation: repaired artifacts equal a rebuild from the erased corpus") {
+    val row = graft.operators.Erasure.erasureContract(
+      Tables.documents(spark, sf0001), Tables.embeddings(spark, sf0001),
+      ivfK = 4).collect()
+    assert(row.length === 1)
+    val r = row.head
+    (0 until r.length).foreach { i =>
+      assert(r.getBoolean(i), s"contract column ${r.schema(i).name} is false")
+    }
+  }
+
+  test("signature repair keeps unaffected groups VERBATIM, re-aggregates affected ones") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en"),
+      (1L, "un deux trois quatre cinq six sept", "fr"),
+      (2L, "acht neun zehn elf zwoelf dreizehn vierzehn", "de"),
+      (3L, "more english words to aggregate here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val deleteDocs = Seq(0L).toDF("doc_id") // touches only 'en'
+    // tamper the stored fr/de signatures: a repair that recomputes
+    // instead of keeping the stored row would silently "fix" them —
+    // surviving tampering proves the incremental claim (no re-read)
+    val tampered = Dedup.corpusSignatures(corpus, 8)
+      .withColumn("corpus_signature",
+        when(col("lang") =!= "en",
+          transform(col("corpus_signature"), _ => lit(-1L)))
+          .otherwise(col("corpus_signature")))
+    val repaired = graft.operators.Erasure.repairCorpusSignatures(
+      tampered, corpus, deleteDocs, numHashes = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(repaired("fr").forall(_ == -1L), "unaffected group was recomputed")
+    assert(repaired("de").forall(_ == -1L), "unaffected group was recomputed")
+    val rebuiltEn = Dedup.corpusSignatures(
+      corpus.filter(col("doc_id") =!= 0L), 8)
+      .filter(col("lang") === "en")
+      .collect().head.getSeq[Long](1)
+    assert(repaired("en") === rebuiltEn, "affected group must equal rebuild")
+  }
 }

@@ -109,4 +109,29 @@ class IvfIndexSpec extends SparkTestBase {
       assert(math.abs(a - b) <= 1e-6, s"score drift: $a vs $b")
     }
   }
+
+  test("sampled centroids: deterministic, nonzero, drawn from the corpus") {
+    val withZero = plantedVectors.unionByName(
+      Seq((99L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val c1 = IvfIndex.sampleCentroids(withZero, 8)
+    val c2 = IvfIndex.sampleCentroids(withZero, 8)
+    assert(c1.map(_.toSeq) === c2.map(_.toSeq), "sampler must be deterministic")
+    assert(c1.forall(_.exists(_ != 0.0f)), "zero vectors must not be centroids")
+    val corpus = plantedVectors.collect().map(_.getSeq[Float](1)).toSet
+    assert(c1.forall(c => corpus.contains(c.toSeq)),
+      "sampled centroids must be actual corpus vectors")
+  }
+
+  test("ann recall contract: quantized probes recover the exact knn above threshold") {
+    val got = IvfIndex.annRecallContract(plantedVectors,
+      queryIds = 0L until 8L, k = 5, ivfK = 4, nprobe = 4,
+      threshold = 0.9).collect()
+    // nprobe = ivfK probes every list: the only loss is quantization,
+    // which on unit vectors is far under 10% of top-5 — a broken probe
+    // ranking, dequantization, or join key would fail loudly here
+    assert(got.length === 1)
+    assert(got.head.getBoolean(0), "contract must not be vacuous")
+    assert(got.head.getBoolean(1), "full-probe recall must clear 0.9")
+  }
 }
