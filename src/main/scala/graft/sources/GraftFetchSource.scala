@@ -22,6 +22,11 @@ import org.slf4j.LoggerFactory
   * without shipping a closure.
   */
 trait RowFetcher extends Serializable {
+  /** Called once per reader with the scan's options (keys lowercased)
+    * before any [[fetch]] — how a no-arg-constructed fetcher receives
+    * endpoint/retry/rate configuration from `spark.read.option(...)`.
+    */
+  def init(options: Map[String, String]): Unit = ()
   def fetch(item: String): Seq[Row]
 }
 
@@ -100,8 +105,16 @@ private[sources] class GraftFetchScanBuilder(
     val registryName = Option(options.get("fetcher"))
     require(fetcherClass.isDefined || registryName.isDefined,
       "graft-fetch requires 'fetcherClass' or 'fetcher'")
+    // lowercased option map rides along so class-named fetchers can
+    // configure themselves (retry budget, rate limit, endpoint root)
+    // without a closure; CaseInsensitiveStringMap already lowercases
+    val opts = {
+      val m = scala.collection.mutable.Map[String, String]()
+      options.entrySet().forEach(e => m(e.getKey.toLowerCase) = e.getValue)
+      m.toMap
+    }
     items.grouped(batchSize)
-      .map(g => GraftFetchPartition(g, fetcherClass, registryName))
+      .map(g => GraftFetchPartition(g, fetcherClass, registryName, opts))
       .toArray[InputPartition]
   }
 
@@ -147,7 +160,8 @@ object GraftFetchSkips {
 private[sources] case class GraftFetchPartition(
     items: Array[String],
     fetcherClass: Option[String],
-    registryName: Option[String]) extends InputPartition
+    registryName: Option[String],
+    options: Map[String, String] = Map.empty) extends InputPartition
 
 private[sources] class GraftFetchReaderFactory(
     fullSchema: StructType, requiredSchema: StructType)
@@ -160,6 +174,7 @@ private[sources] class GraftFetchReaderFactory(
       case Some(cls) =>
         val f = Class.forName(cls).getDeclaredConstructor()
           .newInstance().asInstanceOf[RowFetcher]
+        f.init(part.options)
         f.fetch
       case None => FetcherRegistry.get(part.registryName.get)
     }

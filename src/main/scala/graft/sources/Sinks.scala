@@ -49,6 +49,59 @@ object Sinks {
       s"CREATE TABLE $table ($colsDdl) USING parquet OPTIONS (path '$path')$partClause")
   }
 
+  /** K3 update-in-place: evolve a LIVE external table's schema to the
+    * files' current schema — the reference's get-then-create-**or-update**
+    * probe (`b3_collector.py:224-237`, the `update_table` branch), which
+    * [[createOrReplaceExternal]]'s drop/recreate does not express: on a
+    * warehouse table, dropping loses grants/stats/partition metadata and
+    * races readers, while ADD COLUMNS is a metadata-only edit.
+    *
+    *  - columns present in the files but not the table are APPENDED
+    *    (ALTER TABLE ADD COLUMNS; rows in pre-evolution files read as
+    *    null for them — standard parquet missing-column semantics);
+    *  - a same-name column with a DIFFERENT type is rejected loudly
+    *    (silent type evolution corrupts downstream casts);
+    *  - partitions are untouched: ADD COLUMNS is metadata-only, so
+    *    registered partitions and their data stay live throughout.
+    *
+    * Returns the added column names (empty = schema already current).
+    */
+  def alterExternalAddColumns(spark: SparkSession, table: String,
+      path: String): Seq[String] = {
+    val current = spark.table(table).schema
+    // mergeSchema: the new column may exist only in the newest files
+    val incoming = spark.read.option("mergeSchema", "true").parquet(path).schema
+    val curByName = current.fields.map(f => f.name.toLowerCase -> f).toMap
+    incoming.fields.foreach { f =>
+      curByName.get(f.name.toLowerCase).foreach { c =>
+        require(c.dataType == f.dataType,
+          s"incompatible evolution for column '${f.name}': " +
+            s"${c.dataType.sql} -> ${f.dataType.sql}")
+      }
+    }
+    val added = incoming.fields
+      .filterNot(f => curByName.contains(f.name.toLowerCase)).toSeq
+    if (added.nonEmpty) {
+      val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE ${quoteParts(table)} ADD COLUMNS ($ddl)")
+    }
+    added.map(_.name)
+  }
+
+  /** The reference's full catalog probe: create the external table if
+    * absent, otherwise evolve it in place (`b3_collector.py:183-237`).
+    */
+  def createOrEvolveExternal(spark: SparkSession, table: String, path: String,
+      partitionCols: Seq[String]): Seq[String] =
+    if (!spark.catalog.tableExists(table)) {
+      createOrReplaceExternal(spark, table, path, partitionCols)
+      Seq.empty
+    } else alterExternalAddColumns(spark, table, path)
+
+  /** Backtick-quote each part of a (possibly qualified) identifier. */
+  private def quoteParts(ident: String): String = ident.split('.')
+    .map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+
   /** K4: partition discovery (MSCK analog). */
   def recoverPartitions(spark: SparkSession, table: String): Unit =
     spark.catalog.recoverPartitions(table)

@@ -85,4 +85,83 @@ class GraftFetchSourceSpec extends SparkTestBase {
     assert(df.columns.contains("dataproc"))
     assert(df.count() === 6)
   }
+
+  // ---- FileBackedHttpFetcher: the concrete retry/backoff/rate-limit path
+
+  private def writeServer(root: String, payloads: Map[String, Seq[String]],
+      failFirst: Map[String, Int] = Map.empty): Unit = {
+    payloads.foreach { case (item, lines) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, s"$item.csv"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    failFirst.foreach { case (item, n) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, s"$item.unavailable"),
+        n.toString.getBytes("UTF-8"))
+    }
+  }
+
+  private def readFiles(items: String, root: String,
+      extra: Map[String, String] = Map.empty) = {
+    var r = spark.read.format("graft-fetch")
+      .option("items", items).option("fetchRoot", root)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.option("fetcherClass",
+      classOf[graft.sources.FileBackedHttpFetcher].getName).load()
+  }
+
+  private val line = "2024-01-02,10.0,11.0,9.0,10.5,1000,0.0,0.0"
+
+  test("file-backed fetcher: transient 503s are retried with backoff, then succeed") {
+    val root = tmpDir("fetchsrv1")
+    writeServer(root,
+      payloads = Map("RET-A" -> Seq(line, line), "RET-B" -> Seq(line)),
+      failFirst = Map("RET-A" -> 2)) // first two attempts 503
+    val key = classOf[graft.sources.FileBackedHttpFetcher].getName
+    val skipsBefore = graft.sources.GraftFetchSkips.sum(key)
+    val rows = readFiles("RET-A,RET-B", root,
+      Map("maxAttempts" -> "3", "backoffMs" -> "1")).collect()
+    assert(rows.length === 3, "both items must deliver after retries")
+    assert(rows.map(_.getString(8)).toSet === Set("RET-A", "RET-B"))
+    assert(graft.sources.FetchTrace.attempts("RET-A") === 3,
+      "two scripted failures + one success")
+    assert(graft.sources.FetchTrace.attempts("RET-B") === 1)
+    assert(graft.sources.GraftFetchSkips.sum(key) === skipsBefore,
+      "a recovered item is not a skip")
+  }
+
+  test("file-backed fetcher: exhausted retries and 404s skip per-item; 404 burns no retries") {
+    val root = tmpDir("fetchsrv2")
+    writeServer(root,
+      payloads = Map("EXH-A" -> Seq(line), "EXH-C" -> Seq(line)),
+      failFirst = Map("EXH-A" -> 99)) // never recovers
+    // EXH-B has no payload at all -> 404
+    val key = classOf[graft.sources.FileBackedHttpFetcher].getName
+    val skipsBefore = graft.sources.GraftFetchSkips.sum(key)
+    val rows = readFiles("EXH-A,EXH-B,EXH-C", root,
+      Map("maxAttempts" -> "3", "backoffMs" -> "1")).collect()
+    assert(rows.map(_.getString(8)).toSet === Set("EXH-C"),
+      "failed items are isolated, healthy item still delivers")
+    assert(graft.sources.FetchTrace.attempts("EXH-A") === 3,
+      "transient failure uses the full attempt budget")
+    assert(graft.sources.FetchTrace.attempts("EXH-B") === 1,
+      "a permanent 404 must not be retried")
+    assert(graft.sources.GraftFetchSkips.sum(key) === skipsBefore + 2)
+  }
+
+  test("file-backed fetcher: minIntervalMs paces consecutive outbound requests") {
+    val root = tmpDir("fetchsrv3")
+    val items = Seq("P1", "P2", "P3", "P4")
+    writeServer(root, items.map(_ -> Seq(line)).toMap)
+    val t0 = System.nanoTime()
+    val rows = readFiles(items.mkString(","), root,
+      Map("minIntervalMs" -> "60", "batchSize" -> "16")).collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(rows.length === 4)
+    // 4 requests on ONE task (batchSize 16 -> single partition): three
+    // inter-request gaps of >= 60 ms must be enforced
+    assert(elapsedMs >= 180,
+      s"pacing not enforced: 4 requests in ${elapsedMs}ms")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
 import graft.sources.{Ingest, Sinks}
 
 /** Serializable fetch stub — ships to executors in the distributed test
@@ -95,6 +96,45 @@ class IngestSinkSpec extends SparkTestBase {
     Sinks.createOrReplaceExternal(spark, "stocks_ext", path, Seq("dataproc", "ticker"))
     Sinks.recoverPartitions(spark, "stocks_ext")
     assert(spark.table("stocks_ext").count() === 10)
+  }
+
+  test("K3 evolution: live external table gains new file columns in place") {
+    val df = Ingest.ingest(spark, Seq("AAA.SA", "BBB.SA"), fakeFetch)
+    val path = tmpDir("evolve")
+    Sinks.writePartitioned2(df, path, "dataproc", "ticker")
+    // first probe: table absent -> create branch
+    assert(Sinks.createOrEvolveExternal(spark, "stocks_evolve", path,
+      Seq("dataproc", "ticker")) === Seq.empty)
+    Sinks.recoverPartitions(spark, "stocks_evolve")
+    assert(spark.table("stocks_evolve").count() === 10)
+    // a later batch lands with an extra column (appended, not overwrite:
+    // evolution must coexist with the already-registered partitions)
+    val df2 = Ingest.ingest(spark, Seq("CCC.SA"), fakeFetch)
+      .withColumn("adjusted", col("close") * lit(2))
+    df2.write.mode("append").partitionBy("dataproc", "ticker").parquet(path)
+    // second probe: update branch — ADD COLUMNS in place, report it
+    assert(Sinks.createOrEvolveExternal(spark, "stocks_evolve", path,
+      Seq("dataproc", "ticker")) === Seq("adjusted"))
+    Sinks.recoverPartitions(spark, "stocks_evolve")
+    val evolved = spark.table("stocks_evolve")
+    assert(evolved.schema.fieldNames.contains("adjusted"))
+    assert(evolved.count() === 15, "pre-evolution partitions must stay live")
+    // pre-evolution rows read null for the new column; new rows carry it
+    assert(evolved.filter(col("ticker") =!= "CCC" && col("adjusted").isNotNull)
+      .count() === 0)
+    assert(evolved.filter(col("ticker") === "CCC" && col("adjusted").isNull)
+      .count() === 0)
+    // idempotent when already current
+    assert(Sinks.alterExternalAddColumns(spark, "stocks_evolve", path)
+      === Seq.empty)
+    // incompatible candidate (same column, different type) is rejected
+    val bad = tmpDir("evolvebad")
+    df.withColumn("volume", col("volume").cast("double"))
+      .write.mode("overwrite").partitionBy("dataproc", "ticker").parquet(bad)
+    val err = intercept[IllegalArgumentException] {
+      Sinks.alterExternalAddColumns(spark, "stocks_evolve", bad)
+    }
+    assert(err.getMessage.contains("volume"), err.getMessage)
   }
 
   test("K3: saveAsTable managed variant + tableExists probe") {
