@@ -7,16 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, batch-shaped feature extraction.
   *
-  * The Spark-side plumbing — schema, partitioning, per-partition batch
-  * iteration, output shape — is real and tested. The actual media DECODE
-  * step is a clearly-marked deterministic stub ([[stubDecode]]): codec
-  * libraries are unavailable in this environment, and the engine contract
-  * is the dataflow, not the codec.
+  * The IMAGE decode path is REAL: [[imageDecode]] goes through the JDK's
+  * own `javax.imageio` (PNG/JPEG/BMP/GIF — no external codec library
+  * needed) and emits a luminance histogram from actual decoded pixels;
+  * `MultimodalSpec` proves it on synthesized PNGs. Payloads no image
+  * reader claims (the fixture's text stand-ins; real audio/video, whose
+  * codecs the JDK does not ship) fall back to the clearly-marked
+  * byte-histogram stub [[stubDecode]] — same fixed-length feature
+  * contract either way.
   *
   * Scale notes: payloads stay opaque binary end-to-end (never collected,
-  * never stringified); feature extraction is `mapPartitions` so any real
-  * decoder amortizes model/codec init per PARTITION, not per row — the
-  * same batch shape a vectorized (Arrow-batched) UDF gives.
+  * never stringified); feature extraction is `mapPartitions` so decoder
+  * init amortizes per PARTITION, not per row — the same batch shape a
+  * vectorized (Arrow-batched) UDF gives.
   */
 object Multimodal {
 
@@ -42,10 +45,49 @@ object Multimodal {
         (pmod(col("doc_id"), lit(640)) + 32).cast("int").as("width"),
         (pmod(col("doc_id"), lit(480)) + 32).cast("int").as("height")).as("meta"))
 
-  /** STUB — deterministic fake decode standing in for a real image/audio
-    * decoder (e.g. JPEG → pixels). Real implementation would call the
-    * codec here; the contract (bytes in → fixed-length float features out)
-    * and everything around it is real.
+  /** REAL image decode via the JDK's `javax.imageio` (format-sniffing,
+    * PNG/JPEG/BMP/GIF): bytes → pixels → 16-bin LUMINANCE histogram
+    * (Rec.601 integer weights), normalized by pixel count — the same
+    * fixed-length feature contract as [[stubDecode]]. Returns None when
+    * no registered reader claims the bytes (non-image payloads), which
+    * is a cheap header sniff, not an exception path.
+    */
+  def imageDecode(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null || payload.length == 0) return None
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      val hist = new Array[Float](16)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          hist(lum >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (img.getWidth * img.getHeight).toFloat
+      var b = 0
+      while (b < 16) { hist(b) /= n; b += 1 }
+      Some(hist)
+    }
+  }
+
+  /** Decode dispatch: real image decode first, byte-histogram stub for
+    * payloads that are not images (audio/video codecs are not in the
+    * JDK; their decode remains a DECLARED stub).
+    */
+  def decode(payload: Array[Byte]): Array[Float] =
+    imageDecode(payload).getOrElse(stubDecode(payload))
+
+  /** STUB — deterministic fallback for payloads without a JDK codec
+    * (audio/video; the fixture's text stand-ins). The contract (bytes in
+    * → fixed-length float features out) and everything around it is real.
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
@@ -74,10 +116,10 @@ object Multimodal {
       StructField("n_bytes", IntegerType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
-      // real decoder/model init would happen HERE, once per partition
+      // heavier decoder/model init would happen HERE, once per partition
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](1)
-        Row(r.getLong(0), stubDecode(payload).toIndexedSeq,
+        Row(r.getLong(0), decode(payload).toIndexedSeq,
           if (payload == null) 0 else payload.length)
       }
     }(encoder)
