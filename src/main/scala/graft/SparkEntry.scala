@@ -1583,10 +1583,10 @@ object SparkEntry {
     "d4c_simhash_contract" ->
       "SELECT TRUE AS nonempty, TRUE AS complete, TRUE AS sound",
     "e8b_erasure_propagation" ->
-      """SELECT TRUE AS bands_nonempty, TRUE AS bands_equal,
-        |       TRUE AS bands_clean, TRUE AS sigs_equal,
-        |       TRUE AS ivf_nonempty, TRUE AS ivf_equal,
-        |       TRUE AS ivf_clean""".stripMargin,
+      """SELECT TRUE AS erasure_nonempty, TRUE AS bands_nonempty,
+        |       TRUE AS bands_equal, TRUE AS bands_clean,
+        |       TRUE AS sigs_equal, TRUE AS ivf_nonempty,
+        |       TRUE AS ivf_equal, TRUE AS ivf_clean""".stripMargin,
     "s8_ann_contract" ->
       "SELECT TRUE AS nonempty, TRUE AS recall_ok",
     "d6_curated" -> CuratedSql,

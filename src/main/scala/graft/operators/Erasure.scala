@@ -131,6 +131,10 @@ object Erasure {
     def agg1(df: DataFrame, out: String): DataFrame =
       df.agg(count(lit(1)).as(out)).withColumn("k", lit(1))
     val parts = Seq(
+      // an empty delete list would pass every equality vacuously — the
+      // contract must witness that something was actually erased
+      agg1(deleteDocs, "n_del_docs"),
+      agg1(deleteVecs, "n_del_vecs"),
       agg1(bandsRebuilt, "n_bands"),
       agg1(bandsRepaired.exceptAll(bandsRebuilt), "bands_extra"),
       agg1(bandsRebuilt.exceptAll(bandsRepaired), "bands_missing"),
@@ -145,7 +149,9 @@ object Erasure {
         "left_semi"), "ivf_erased"))
     parts.reduce((a, b) => a.join(b, "k"))
       .select(
-        (col("n_bands") > 0).as("bands_nonempty"), // guards a vacuous pass
+        (col("n_del_docs") > 0 && col("n_del_vecs") > 0)
+          .as("erasure_nonempty"), // guards a vacuous pass
+        (col("n_bands") > 0).as("bands_nonempty"),
         (col("bands_extra") === 0 && col("bands_missing") === 0)
           .as("bands_equal"),
         (col("bands_erased") === 0).as("bands_clean"),

@@ -69,6 +69,13 @@ class QualitySpec extends SparkTestBase {
     assert(r.head.getLong(2) === 1L, "one low outlier (100)")
     assert(r.head.getLong(3) === 1L, "one high outlier (6400)")
     assert(r.head.getLong(4) === 200L && r.head.getLong(5) === 6300L)
+    // plan pin: the positional-histogram rewrite must keep the whole gate
+    // codegen'd — the interpreted ObjectHashAggregate `percentile` it
+    // replaced was the suite's 4.5 s floor
+    val plan = Quality.outlierGate(li).queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"interpreted percentile crept back into:\n$plan")
+    assert(plan.contains("Window"), s"expected cumsum Window in:\n$plan")
   }
 
   test("source caps keep the lowest doc_ids and plan as WindowGroupLimit") {
