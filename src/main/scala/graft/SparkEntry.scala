@@ -338,6 +338,11 @@ object SparkEntry {
     "s8_ann_contract" -> ((s, dir) =>
       IvfIndex.annRecallContract(Tables.embeddings(s, dir),
         queryIds = 0L until 16L, k = 10)),
+    // Index MAINTENANCE contract: frozen-centroid incremental append of a
+    // content-addressed batch equals a rebuild from the full set — the
+    // insert mirror of e8b's delete (d5b pattern).
+    "s9_append_contract" -> ((s, dir) =>
+      IvfIndex.appendContract(Tables.embeddings(s, dir))),
     "m1_multimodal_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       // The float features are (nibble-count / n_bytes) in float32; since
@@ -1589,6 +1594,8 @@ object SparkEntry {
         |       TRUE AS ivf_equal, TRUE AS ivf_clean""".stripMargin,
     "s8_ann_contract" ->
       "SELECT TRUE AS nonempty, TRUE AS recall_ok",
+    "s9_append_contract" ->
+      "SELECT TRUE AS split_nonempty, TRUE AS append_equal",
     "d6_curated" -> CuratedSql,
     // typed path, same referee:
     "d6b_curated_typed" -> CuratedSql,

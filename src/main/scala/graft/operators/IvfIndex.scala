@@ -222,6 +222,56 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** INCREMENTAL index append: assign + quantize an incoming batch under
+    * the index's FROZEN centroids and union it with the stored lists —
+    * the insert mirror of [[Erasure.repairIvfLists]]' delete, completing
+    * index MAINTENANCE (a served index must absorb inserts and erasures
+    * without rebuild; periodic retrain is a separate batch concern).
+    * Cost ∝ batch: corpus lists are untouched, no shuffle of the corpus.
+    * Assignment and quantization are row-local, so the appended index
+    * equals a rebuild from corpus+batch under the same centroids
+    * (contract-proven as s9).
+    */
+  def appendQuantized(lists: DataFrame, incoming: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame =
+    lists.unionByName(
+      Similarity.withQuantization(
+        assignLists(incoming.filter(col("embedding").isNotNull), centroids))
+        .select("vec_id", "qmin", "qrange", "codes", "list_id"))
+
+  /** Driver-witnessed maintenance contract (s9, the d5b/e8b pattern):
+    * content-addressed corpus/batch split, then the incrementally
+    * APPENDED quantized index must equal the index REBUILT from the full
+    * embedding set under the same frozen centroids — a wrong union
+    * schema, a drifted quantization, or centroids re-derived on the
+    * append path would flip a boolean and fail the driver gate.
+    */
+  def appendContract(embeddings: DataFrame, ivfK: Int = 8): DataFrame = {
+    val corpus = embeddings.filter(graft.operators.TextOps.hexNibble("vec_id") =!= 7)
+    val batch = embeddings.filter(graft.operators.TextOps.hexNibble("vec_id") === 7)
+    // centroids from the CORPUS only: the batch arrives after training,
+    // which is exactly the frozen-quantizer serving situation
+    val centroids = sampleCentroids(corpus, ivfK)
+    def quantLists(e: DataFrame): DataFrame =
+      Similarity.withQuantization(
+        assignLists(e.filter(col("embedding").isNotNull), centroids))
+        .select("vec_id", "qmin", "qrange", "codes", "list_id")
+    val appended = appendQuantized(quantLists(corpus), batch, centroids)
+      .localCheckpoint(true) // feeds both exceptAll directions
+    val rebuilt = quantLists(embeddings).localCheckpoint(true)
+    def agg1(df: DataFrame, out: String): DataFrame =
+      df.agg(count(lit(1)).as(out)).withColumn("k", lit(1))
+    Seq(
+      agg1(batch, "n_batch"), // an empty batch passes vacuously
+      agg1(corpus, "n_corpus"),
+      agg1(appended.exceptAll(rebuilt), "extra"),
+      agg1(rebuilt.exceptAll(appended), "missing"))
+      .reduce((a, b) => a.join(b, "k"))
+      .select(
+        (col("n_batch") > 0 && col("n_corpus") > 0).as("split_nonempty"),
+        (col("extra") === 0 && col("missing") === 0).as("append_equal"))
+  }
+
   /** Driver-witnessed ANN RECALL contract (s8, the d4c pattern): the
     * quantized IVF serving path — coarse probe selection + asymmetric
     * scoring over ONE-BYTE codes — must recover at least `threshold` of

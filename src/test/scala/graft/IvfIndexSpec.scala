@@ -123,6 +123,28 @@ class IvfIndexSpec extends SparkTestBase {
       "sampled centroids must be actual corpus vectors")
   }
 
+  test("append contract: frozen-centroid incremental append equals full rebuild") {
+    val got = IvfIndex.appendContract(plantedVectors, ivfK = 4).collect()
+    assert(got.length === 1)
+    assert(got.head.getBoolean(0), "content-addressed split must be nonempty")
+    assert(got.head.getBoolean(1), "append must equal rebuild")
+    // negative referee: appending under DIFFERENT centroids than the
+    // stored lists must NOT equal the rebuild — proves the equality
+    // check actually bites on assignment drift
+    val c1 = IvfIndex.sampleCentroids(plantedVectors, 4)
+    val c2 = IvfIndex.sampleCentroids(plantedVectors, 4, seed = 99L)
+    assert(c1.map(_.toSeq).toSeq !== c2.map(_.toSeq).toSeq)
+    def lists(df: org.apache.spark.sql.DataFrame, c: Array[Array[Float]]) =
+      graft.operators.Similarity.withQuantization(IvfIndex.assignLists(df, c))
+        .select("vec_id", "qmin", "qrange", "codes", "list_id")
+    val corpus = plantedVectors.filter(col("vec_id") < 25)
+    val batch = plantedVectors.filter(col("vec_id") >= 25)
+    val drifted = IvfIndex.appendQuantized(lists(corpus, c1), batch, c2)
+    val rebuilt = lists(plantedVectors, c1)
+    assert(drifted.exceptAll(rebuilt).count() > 0,
+      "drifted centroids must be detectable")
+  }
+
   test("ann recall contract: quantized probes recover the exact knn above threshold") {
     val got = IvfIndex.annRecallContract(plantedVectors,
       queryIds = 0L until 8L, k = 5, ivfK = 4, nprobe = 4,
