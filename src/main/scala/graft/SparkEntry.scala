@@ -174,6 +174,11 @@ object SparkEntry {
     // — computing it over a 7-way hash repartition must merge partial
     // states into the identical signature. A broken merge() flips the
     // boolean and hash-mismatches the TRUE-emitting oracle.
+    // Signature-maintenance contract: stored ⊕ batch signature merge
+    // (elementwise min) equals the full-corpus signatures — the INSERT
+    // path of signature maintenance (e8b covers the delete path).
+    "d12_signature_merge" -> ((s, dir) =>
+      Dedup.signatureMergeContract(Tables.documents(s, dir))),
     "d5b_signature_contract" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, concat_ws}
       def sigs(df: org.apache.spark.sql.DataFrame) =
@@ -1596,6 +1601,8 @@ object SparkEntry {
       "SELECT TRUE AS nonempty, TRUE AS recall_ok",
     "s9_append_contract" ->
       "SELECT TRUE AS split_nonempty, TRUE AS append_equal",
+    "d12_signature_merge" ->
+      "SELECT TRUE AS split_nonempty, TRUE AS merge_equal",
     "d6_curated" -> CuratedSql,
     // typed path, same referee:
     "d6b_curated_typed" -> CuratedSql,

@@ -208,6 +208,55 @@ object Dedup {
         .as("corpus_signature"))
       .orderBy("lang")
 
+  /** Incremental corpus-signature MERGE — the INSERT path of signature
+    * maintenance: a MinHash union signature is an elementwise minimum,
+    * so sig(corpus ∪ batch) = min(sig(corpus), sig(batch)) exactly —
+    * O(groups) arithmetic over stored signatures, NO document re-read.
+    * This is the asymmetry with erasure ([[Erasure
+    * .repairCorpusSignatures]]): inserts merge for free (min is
+    * associative/commutative/idempotent), deletes must re-aggregate
+    * affected groups (min admits no subtraction). Groups present on one
+    * side only pass through unchanged. Contract-proven as d12.
+    */
+  def mergeCorpusSignatures(stored: DataFrame, batchSigs: DataFrame,
+      groupCol: String = "lang"): DataFrame =
+    stored.select(col(groupCol), col("corpus_signature").as("a"))
+      .join(batchSigs.select(col(groupCol), col("corpus_signature").as("b")),
+        Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        when(col("a").isNull, col("b"))
+          .when(col("b").isNull, col("a"))
+          .otherwise(zip_with(col("a"), col("b"), (x, y) => least(x, y)))
+          .as("corpus_signature"))
+      .orderBy(groupCol)
+
+  /** Driver-witnessed signature-maintenance contract (d12): merging the
+    * stored corpus signatures with a content-addressed batch's
+    * signatures must equal the signatures computed over the full corpus
+    * — a wrong merge function (max, concat, first-wins) or a dropped
+    * one-sided group flips a boolean and fails the driver gate.
+    */
+  def signatureMergeContract(documents: DataFrame,
+      numHashes: Int = 32): DataFrame = {
+    val corpus = documents.filter(TextOps.hexNibble("doc_id") =!= 7)
+    val batch = documents.filter(TextOps.hexNibble("doc_id") === 7)
+    val merged = mergeCorpusSignatures(
+      corpusSignatures(corpus, numHashes), corpusSignatures(batch, numHashes))
+      .localCheckpoint(true) // feeds both exceptAll directions
+    val full = corpusSignatures(documents, numHashes).localCheckpoint(true)
+    def agg1(df: DataFrame, out: String): DataFrame =
+      df.agg(count(lit(1)).as(out)).withColumn("k", lit(1))
+    Seq(
+      agg1(batch, "n_batch"), // an empty batch passes vacuously
+      agg1(corpus, "n_corpus"),
+      agg1(merged.exceptAll(full), "extra"),
+      agg1(full.exceptAll(merged), "missing"))
+      .reduce((a, b) => a.join(b, "k"))
+      .select(
+        (col("n_batch") > 0 && col("n_corpus") > 0).as("split_nonempty"),
+        (col("extra") === 0 && col("missing") === 0).as("merge_equal"))
+  }
+
   /** SimHash near-dup: 64-bit fingerprint via the custom Catalyst
     * expression, candidates via chunk banding with `maxHamming + 1`
     * chunks — the pigeonhole guarantee: a pair within Hamming distance

@@ -486,6 +486,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("signature merge: stored ⊕ batch == full corpus, one-sided groups pass through") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (2L, "un deux trois quatre cinq six sept", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      (3L, "more english words to aggregate here", "en"),
+      (4L, "acht neun zehn elf zwoelf dreizehn vierzehn", "de") // batch-only lang
+    ).toDF("doc_id", "text", "lang")
+    val merged = Dedup.mergeCorpusSignatures(
+      Dedup.corpusSignatures(corpus, 8), Dedup.corpusSignatures(batch, 8))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val full = Dedup.corpusSignatures(corpus.unionByName(batch), 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged === full,
+      "elementwise-min merge must equal the one-shot aggregation")
+    assert(merged.keySet === Set("en", "fr", "de"),
+      "corpus-only fr and batch-only de must both survive the merge")
+    // fixture-wide contract, including the driver-gate shape
+    val row = Dedup.signatureMergeContract(
+      Tables.documents(spark, sf0001), numHashes = 8).collect().head
+    assert(row.getBoolean(0) && row.getBoolean(1))
+  }
+
   test("erasure propagation: repaired artifacts equal a rebuild from the erased corpus") {
     val row = graft.operators.Erasure.erasureContract(
       Tables.documents(spark, sf0001), Tables.embeddings(spark, sf0001),
