@@ -19,8 +19,12 @@ object QueryProbe {
       println(f"[qprobe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     for (name <- args) {
+      SparkEntry.queries(name)(spark, dir).show(50, truncate = false)
+      // cold/warm both measure the FULL noop write (show() may evaluate
+      // only enough partitions for its 50 rows — not comparable)
       time(s"$name cold") {
-        SparkEntry.queries(name)(spark, dir).show(50, truncate = false)
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
       }
       time(s"$name warm") {
         SparkEntry.queries(name)(spark, dir)

@@ -64,11 +64,19 @@ object Erasure {
       numHashes: Int = 32): DataFrame = {
     val affected = corpus
       .join(broadcast(deleteDocs), Seq("doc_id"), "left_semi")
-      .select(groupCol).distinct()
-    val kept = signatures.join(broadcast(affected), Seq(groupCol), "left_anti")
+      .select(col(groupCol).as("_affected_group")).distinct()
+    // NULL-SAFE (<=>) group matching throughout: corpusSignatures' groupBy
+    // emits a NULL-key group, and a plain equi-join never matches NULL —
+    // an erased doc with a null group would otherwise leave its STALE
+    // signature in `kept` (erased minima retained) while the recompute
+    // skipped the group: exactly the compliance failure this module
+    // exists to prevent
+    val kept = signatures.join(broadcast(affected),
+      col(groupCol) <=> col("_affected_group"), "left_anti")
     val recomputed = Dedup.corpusSignatures(
       Quality.eraseKeys(
-        corpus.join(broadcast(affected), Seq(groupCol), "left_semi"),
+        corpus.join(broadcast(affected),
+          col(groupCol) <=> col("_affected_group"), "left_semi"),
         "doc_id", deleteDocs),
       numHashes)
     kept.unionByName(recomputed).orderBy(groupCol)

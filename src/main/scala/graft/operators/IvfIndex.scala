@@ -88,12 +88,15 @@ object IvfIndex {
       seed: Long = 42L): Array[Array[Float]] = {
     val picked = embeddings
       .filter(col("embedding").isNotNull)
+      // the zero filter must run BEFORE the top-k: filtering after
+      // limit(k) would silently shrink the centroid set (or spuriously
+      // fail) whenever a zero vector hashes into the k smallest
+      .filter(exists(col("embedding"), x => x =!= 0.0f))
       .select(col("vec_id"), col("embedding"),
         xxhash64(lit(seed), col("vec_id")).as("h"))
       .orderBy("h", "vec_id").limit(k)
       .collect()
       .map(_.getSeq[Float](1).toArray)
-      .filter(v => v.exists(_ != 0.0f)) // zero vector: no cosine direction
     require(picked.nonEmpty, "sampleCentroids: no nonzero vectors to sample")
     picked
   }

@@ -23,6 +23,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // payloads are already in memory: ImageIO's default behavior would
+  // otherwise spool every decode through a create/write/delete temp-FILE
+  // cycle (FileCacheImageInputStream) — per-row disk I/O in the
+  // mapPartitions hot loop
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("payload", BinaryType),
@@ -54,8 +60,13 @@ object Multimodal {
     */
   def imageDecode(payload: Array[Byte]): Option[Array[Float]] = {
     if (payload == null || payload.length == 0) return None
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(payload))
+    // a payload a reader CLAIMS but fails to decode (valid magic,
+    // truncated body) throws IIOException mid-decode — that must be a
+    // per-item fallback, not a job-killing task failure; same isolation
+    // rule as the fetch source's skip path
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) None
     else {
       val hist = new Array[Float](16)

@@ -107,10 +107,17 @@ private[sources] class GraftFetchScanBuilder(
       "graft-fetch requires 'fetcherClass' or 'fetcher'")
     // lowercased option map rides along so class-named fetchers can
     // configure themselves (retry budget, rate limit, endpoint root)
-    // without a closure; CaseInsensitiveStringMap already lowercases
+    // without a closure; CaseInsensitiveStringMap already lowercases.
+    // Scan-level keys are STRIPPED first — 'items' in particular is the
+    // full item list, and copying it into every partition would grow the
+    // task payload O(partitions × items) for data no fetcher reads.
+    val scanKeys = Set("items", "batchsize", "fetcherclass", "fetcher")
     val opts = {
       val m = scala.collection.mutable.Map[String, String]()
-      options.entrySet().forEach(e => m(e.getKey.toLowerCase) = e.getValue)
+      options.entrySet().forEach { e =>
+        val k = e.getKey.toLowerCase
+        if (!scanKeys.contains(k)) m(k) = e.getValue
+      }
       m.toMap
     }
     items.grouped(batchSize)

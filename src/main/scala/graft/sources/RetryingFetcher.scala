@@ -66,7 +66,11 @@ abstract class RetryingFetcher extends RowFetcher {
       try {
         return fetchOnce(item)
       } catch {
-        case e: Throwable if attempt < maxAttempts && isRetryable(e) =>
+        // NonFatal only: InterruptedException (a Spark task KILL must
+        // not be survived by a retry loop), VM errors, and linkage
+        // errors propagate immediately
+        case e if scala.util.control.NonFatal(e) &&
+            attempt < maxAttempts && isRetryable(e) =>
           Thread.sleep(backoffMs << (attempt - 1))
           attempt += 1
       }
@@ -141,10 +145,19 @@ class FileBackedHttpFetcher extends RetryingFetcher {
     val src = scala.io.Source.fromFile(payload, "UTF-8")
     try src.getLines().filter(_.nonEmpty).map { line =>
       val f = line.split(",").map(_.trim)
-      Row(
+      // a malformed payload is PERMANENT (the file won't change between
+      // attempts): classify as a 422 so the retry policy skips it
+      // immediately instead of burning the backoff/rate budget on a
+      // deterministic failure
+      try Row(
         java.sql.Timestamp.valueOf(java.time.LocalDate.parse(f(0)).atStartOfDay()),
         f(1).toDouble, f(2).toDouble, f(3).toDouble, f(4).toDouble,
         f(5).toLong, f(6).toDouble, f(7).toDouble, item)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new SimulatedHttpException(422,
+            s"unparseable payload line for '$item': ${e.getMessage}")
+      }
     }.toList
     finally src.close()
   }

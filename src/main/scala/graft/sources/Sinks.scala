@@ -228,10 +228,15 @@ object Sinks {
       keepFrom: String): Seq[(String, Int)] = {
     // Hadoop FileSystem, not java.io.File: the sweep must work wherever
     // the warehouse lives (HDFS, S3A, local), and listStatus raises
-    // IOException on I/O error instead of java.io's silent null
+    // IOException on I/O error instead of java.io's silent null. The
+    // conf must be the SESSION's hadoop conf — spark.hadoop.* settings
+    // (S3A credentials, fs.defaultFS) never reach a bare Configuration()
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val root = new HPath(path)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(conf)
     require(fs.getFileStatus(root).isDirectory,
       s"retentionSweep: $path is not an existing directory")
     val prefix = partitionCol + "="

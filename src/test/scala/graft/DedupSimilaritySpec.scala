@@ -548,4 +548,25 @@ class DedupSimilaritySpec extends SparkTestBase {
       .collect().head.getSeq[Long](1)
     assert(repaired("en") === rebuiltEn, "affected group must equal rebuild")
   }
+
+  test("signature repair reaches the NULL group (null-safe group matching)") {
+    // a plain equi-join never matches NULL keys: before the <=> fix, an
+    // erased null-lang doc left its STALE signature behind — the exact
+    // erased-derivative retention the module exists to prevent
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", null.asInstanceOf[String]),
+      (1L, "totally different null lang content here", null.asInstanceOf[String]),
+      (2L, "un deux trois quatre cinq six sept", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val repaired = graft.operators.Erasure.repairCorpusSignatures(
+      Dedup.corpusSignatures(corpus, 8), corpus, Seq(0L).toDF("doc_id"),
+      numHashes = 8)
+      .collect().map(r => Option(r.getString(0)) -> r.getSeq[Long](1)).toMap
+    val rebuiltNull = Dedup.corpusSignatures(
+      corpus.filter(col("doc_id") =!= 0L), 8)
+      .filter(col("lang").isNull).collect().head.getSeq[Long](1)
+    assert(repaired(None) === rebuiltNull,
+      "null group must be re-aggregated, not kept stale")
+    assert(repaired.contains(Some("fr")), "unaffected group must survive")
+  }
 }

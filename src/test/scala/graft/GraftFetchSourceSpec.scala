@@ -150,6 +150,18 @@ class GraftFetchSourceSpec extends SparkTestBase {
     assert(graft.sources.GraftFetchSkips.sum(key) === skipsBefore + 2)
   }
 
+  test("file-backed fetcher: a malformed payload skips immediately, burning no retries") {
+    val root = tmpDir("fetchsrv4")
+    writeServer(root, Map(
+      "BAD-CSV" -> Seq("2024-01-02,not-a-number,1,2,3,4,5,6"),
+      "OK-1" -> Seq(line)))
+    val rows = readFiles("BAD-CSV,OK-1", root,
+      Map("maxAttempts" -> "3", "backoffMs" -> "1")).collect()
+    assert(rows.map(_.getString(8)).toSet === Set("OK-1"))
+    assert(graft.sources.FetchTrace.attempts("BAD-CSV") === 1,
+      "a deterministic parse failure must not be retried")
+  }
+
   test("file-backed fetcher: minIntervalMs paces consecutive outbound requests") {
     val root = tmpDir("fetchsrv3")
     val items = Seq("P1", "P2", "P3", "P4")

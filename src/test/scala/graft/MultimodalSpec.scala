@@ -58,6 +58,12 @@ class MultimodalSpec extends SparkTestBase {
     // non-image bytes: no reader claims them
     assert(Multimodal.imageDecode("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.imageDecode(null).isEmpty)
+    // CORRUPT image (valid PNG magic, truncated body): a reader claims
+    // it and fails mid-decode — must fall back, not kill the task
+    val truncated = png(16, 16)((_, _) => 0x123456).take(30)
+    assert(Multimodal.imageDecode(truncated).isEmpty)
+    assert(Multimodal.decode(truncated).toSeq ===
+      Multimodal.stubDecode(truncated).toSeq)
   }
 
   test("extraction dispatches per payload: PNG rows decode real pixels, text rows fall back") {
