@@ -88,4 +88,45 @@ class CorpusStreamSpec extends SparkTestBase {
     assert(spark.read.parquet(corpusDir).select("doc_id")
       .collect().map(_.getLong(0)).toSet === Set(1L))
   }
+
+  test("streaming erasure rewrites only affected partitions, deletes emptied ones, replays idempotently") {
+    val corpusDir = tmpDir("erase-store")
+    val indexDir = tmpDir("erase-index")
+    // three ingested batches: 0 holds {1,2}, 1 holds {4}, 2 holds {7,8}
+    CorpusStream.dedupIngestBatch(spark,
+      Seq((1L, baseText), (2L, "completely different short doc"))
+        .toDF("doc_id", "text"), 0L, corpusDir, indexDir)
+    CorpusStream.dedupIngestBatch(spark,
+      Seq((4L, novelText)).toDF("doc_id", "text"), 1L, corpusDir, indexDir)
+    CorpusStream.dedupIngestBatch(spark,
+      Seq((7L, (1 to 40).map(i => s"y$i").mkString(" ")),
+        (8L, (1 to 40).map(i => s"z$i").mkString(" ")))
+        .toDF("doc_id", "text"), 2L, corpusDir, indexDir)
+    val untouchedBefore = spark.read.parquet(corpusDir)
+      .filter(col("batch_id") === 2).collect().map(_.toString).toSet
+
+    // erase doc 1 (partition 0 keeps doc 2) and doc 4 (partition 1 empties)
+    CorpusStream.eraseBatch(spark, Seq(1L, 4L).toDF("doc_id"), 0L,
+      corpusDir, indexDir)
+    val corpus = spark.read.parquet(corpusDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.get(r.fieldIndex("batch_id")).toString.toLong).toMap
+    assert(corpus.keySet === Set(2L, 7L, 8L), s"erased ids must be gone: $corpus")
+    // the emptied partition directory itself must be gone, not just empty
+    assert(!new java.io.File(corpusDir, "batch_id=1").exists(),
+      "fully-erased partition must be deleted, not left as stale bytes")
+    // the band index no longer holds any erased doc's rows
+    assert(spark.read.parquet(indexDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 7L, 8L))
+    // untouched partition content is unchanged
+    val untouchedAfter = spark.read.parquet(corpusDir)
+      .filter(col("batch_id") === 2).collect().map(_.toString).toSet
+    assert(untouchedAfter === untouchedBefore)
+
+    // at-least-once replay: same requests again affect nothing
+    CorpusStream.eraseBatch(spark, Seq(1L, 4L).toDF("doc_id"), 0L,
+      corpusDir, indexDir)
+    val replayed = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed === Set(2L, 7L, 8L), "erasure replay must be a no-op")
+  }
 }
