@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * The IMAGE decode path is REAL: [[imageDecode]] goes through the JDK's
   * own `javax.imageio` (PNG/JPEG/BMP/GIF — no external codec library
   * needed) and emits a luminance histogram from actual decoded pixels;
-  * `MultimodalSpec` proves it on synthesized PNGs. Payloads no image
-  * reader claims (the fixture's text stand-ins; real audio/video, whose
-  * codecs the JDK does not ship) fall back to the clearly-marked
-  * byte-histogram stub [[stubDecode]] — same fixed-length feature
-  * contract either way.
+  * `MultimodalSpec` proves it on synthesized PNGs. The AUDIO decode path
+  * is REAL too: [[audioDecode]] goes through `javax.sound.sampled`
+  * (WAV/AU/AIFF PCM — also JDK-built-in) and emits an amplitude
+  * histogram from actual decoded samples, proven on synthesized WAVs.
+  * Payloads neither codec family claims (the fixture's text stand-ins;
+  * video, whose codecs the JDK does not ship) fall back to the
+  * clearly-marked byte-histogram stub [[stubDecode]] — same fixed-length
+  * feature contract either way.
   *
   * Scale notes: payloads stay opaque binary end-to-end (never collected,
   * never stringified); feature extraction is `mapPartitions` so decoder
@@ -89,15 +92,67 @@ object Multimodal {
     }
   }
 
-  /** Decode dispatch: real image decode first, byte-histogram stub for
-    * payloads that are not images (audio/video codecs are not in the
-    * JDK; their decode remains a DECLARED stub).
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AU/AIFF
+    * with PCM payloads): bytes → samples → 16-bin AMPLITUDE histogram
+    * (|sample| normalized to [0,1], binned by 1/16), normalized by sample
+    * count — the same fixed-length feature contract as [[imageDecode]].
+    * Returns None when no registered audio reader claims the bytes
+    * (a header sniff, like ImageIO's), or when the claimed encoding is
+    * not integer PCM the JDK can widen to signed 16-bit.
+    */
+  def audioDecode(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null || payload.length == 0) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => return None }
+    try {
+      // normalize whatever PCM width/endianness/signedness the container
+      // declares to one shape (signed 16-bit little-endian, channels kept)
+      // so the histogram loop below has exactly one sample format to read
+      val src = in.getFormat
+      if (src.getSampleRate <= 0 || src.getChannels <= 0) return None
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+        src.getSampleRate, false)
+      val pcm =
+        try AudioSystem.getAudioInputStream(target, in)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      val bytes =
+        try pcm.readAllBytes()
+        // claimed-but-truncated body mid-decode: per-item fallback, not a
+        // job-killing task failure — same isolation rule as imageDecode
+        catch { case scala.util.control.NonFatal(_) => return None }
+        finally pcm.close()
+      val nSamples = bytes.length / 2
+      if (nSamples == 0) return None
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
+        // |s| / 32768 ∈ [0,1); *16 picks the bin; Short.MinValue's abs
+        // overflows to itself negative, so clamp through math.min on Int
+        val mag = math.min(math.abs(s.toInt), 32767)
+        hist((mag * 16) / 32768) += 1f
+        i += 2
+      }
+      var b = 0
+      while (b < 16) { hist(b) /= nSamples.toFloat; b += 1 }
+      Some(hist)
+    } finally in.close()
+  }
+
+  /** Decode dispatch: real image decode first, real audio decode second,
+    * byte-histogram stub for payloads neither claims (video codecs are
+    * not in the JDK; their decode remains a DECLARED stub).
     */
   def decode(payload: Array[Byte]): Array[Float] =
-    imageDecode(payload).getOrElse(stubDecode(payload))
+    imageDecode(payload)
+      .orElse(audioDecode(payload))
+      .getOrElse(stubDecode(payload))
 
   /** STUB — deterministic fallback for payloads without a JDK codec
-    * (audio/video; the fixture's text stand-ins). The contract (bytes in
+    * (video; the fixture's text stand-ins). The contract (bytes in
     * → fixed-length float features out) and everything around it is real.
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {

@@ -78,6 +78,60 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.stubDecode("plain text payload".getBytes("UTF-8")).toSeq)
   }
 
+  /** Encode `samples` (signed 16-bit PCM, mono, 8 kHz) as real WAV bytes. */
+  private def wav(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio decode reads REAL samples: known WAVs give exact amplitude histograms") {
+    // silence: every sample magnitude 0 -> bin 0
+    val silence = Multimodal.audioDecode(wav(Array.fill[Short](800)(0))).get
+    assert(silence(0) === 1.0f && silence.drop(1).forall(_ === 0.0f), silence.toSeq)
+    // half silence, half full-scale (32767 -> bin 15)
+    val loud = Multimodal.audioDecode(
+      wav(Array.fill[Short](400)(0) ++ Array.fill[Short](400)(32767))).get
+    assert(loud(0) === 0.5f && loud(15) === 0.5f, loud.toSeq)
+    // mid-scale alternating sign: |±16384| -> bin (16384*16)/32768 = 8
+    val mid = Multimodal.audioDecode(
+      wav(Array.tabulate[Short](800)(i => if (i % 2 == 0) 16384 else -16384))).get
+    assert(mid(8) === 1.0f, mid.toSeq)
+    // Short.MinValue must clamp into the top bin, not crash on abs overflow
+    val minv = Multimodal.audioDecode(wav(Array.fill[Short](16)(Short.MinValue))).get
+    assert(minv(15) === 1.0f, minv.toSeq)
+    // non-audio bytes: no reader claims them
+    assert(Multimodal.audioDecode("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.audioDecode(null).isEmpty)
+    // CORRUPT wav (truncated): the JDK either decodes the samples that
+    // survived or rejects the header — both must keep the fixed-length
+    // normalized contract, neither may kill the task
+    for (cut <- Seq(20, 50)) {
+      val t = Multimodal.decode(wav(Array.fill[Short](800)(1234)).take(cut))
+      assert(t.length === 16 && math.abs(t.sum - 1.0f) < 1e-3, t.toSeq)
+    }
+  }
+
+  test("extraction dispatches audio: WAV rows decode real samples, not the byte stub") {
+    val w = wav(Array.fill[Short](400)(32767))
+    val rows = Seq((1L, w)).toDF("media_id", "payload")
+    val got = Multimodal.extractFeatures(rows).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got(1L)(15) === 1.0f, s"full-scale WAV must land in the top bin: ${got(1L)}")
+    assert(got(1L) !== Multimodal.stubDecode(w).toSeq)
+  }
+
   test("frame sampling splits payload into n frames that reassemble") {
     val frames = Multimodal.sampleFrames(media.limit(5), 4)
     assert(frames.count() === 20)
