@@ -408,6 +408,12 @@ object SparkEntry {
     // Deterministic train/val/test split (12/2/2 sixteenths of the key
     // hash) with the disjoint+covering contract driver-witnessed as TRUE.
     "d11_split_contract" -> ((s, dir) => TextOps.splitContract(Tables.documents(s, dir))),
+    // Token-budget mixture sampling: cap each source at 768 tokens in
+    // content-addressed hash order. Two-phase (bucket prefix-sums, then a
+    // row-level window over ONLY the boundary bucket) — no per-source
+    // whole-corpus window; oracle is the naive single-window form.
+    "d13_token_budget" -> ((s, dir) =>
+      TrainingPipeline.tokenBudgetMix(Tables.documents(s, dir), 768L)),
     // Tokenizer-coverage check: per-doc OOV rate vs the top-50 corpus
     // vocabulary (broadcast as ONE array row; no (doc,term) shuffle).
     "t17_oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir), 50)),
@@ -1316,6 +1322,20 @@ object SparkEntry {
         |       n_assigned = n_total AS covers_and_disjoint,
         |       n_docs > 0 AS nonempty
         |FROM per, tot, asg ORDER BY split""".stripMargin,
+    "d13_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens
+        |FROM c WHERE cum <= 768 ORDER BY doc_id""".stripMargin,
     "t16_source_caps" ->
       """SELECT source, doc_id, lang, n_chars, rk FROM (
         |  SELECT source, doc_id, lang, n_chars,

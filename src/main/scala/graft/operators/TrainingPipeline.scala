@@ -74,4 +74,80 @@ object TrainingPipeline {
       budgetTokens)
       .orderBy("doc_id")
   }
+
+  /** Token-budget MIXTURE sampling: cap each source's contribution to the
+    * training mix at a token budget, choosing documents in a
+    * content-addressed order (md5 of doc_id — the engine's standard
+    * deterministic-draw rule, t7/d11) so the selection is reproducible
+    * across runs, engines and partitionings. This is the static
+    * mixture-weighting step of corpus assembly: over-represented sources
+    * (crawl) get truncated, under-budget sources pass through whole.
+    *
+    * A document is selected iff the running token total of its source, in
+    * hash order, stays within budget THROUGH it (cum <= budget).
+    *
+    * Scale shape — the naive form is one `SUM OVER (PARTITION BY source
+    * ORDER BY hash)` window, which at 100 TB serializes each source's
+    * entire corpus through a single ordered partition (sources are few:
+    * maybe a dozen — that window is the whole corpus on ~12 tasks). This
+    * implementation is the two-phase refinement:
+    *   1. aggregate token sums per (source, 2-hex-nibble hash bucket) —
+    *      256 rows per source, a map-side-combined shuffle of counters;
+    *   2. prefix-sum those bucket totals with a TINY window (256 rows per
+    *      source) and classify each bucket: entirely inside budget (keep
+    *      all, no row-level window), entirely past it (drop all), or THE
+    *      boundary bucket (at most one per source);
+    *   3. only boundary-bucket rows — ~1/256 of one source each — run a
+    *      row-level cumulative window, partitioned per (source, bucket).
+    * Because the bucket is a PREFIX of the hash, (bucket, hash) order
+    * equals hash order, so the result is identical to the naive window —
+    * `ScaleTechniquesSpec` pins that equivalence.
+    *
+    * @param budgets per-source overrides; sources not in the map use
+    *                `defaultBudget`
+    */
+  def tokenBudgetMix(documents: DataFrame, defaultBudget: Long,
+      budgets: Map[String, Long] = Map.empty): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "token budgets are non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val budgetCol =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(element_at(typedLit(budgets), col("source")), lit(defaultBudget))
+
+    val base = documents.select(
+      col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+
+    // phase 1-2: bucket totals + tiny prefix-sum window (≤256 rows/source)
+    val wBefore = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classified = base.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("cum_before", coalesce(sum("bucket_tokens").over(wBefore), lit(0L)))
+      .withColumn("budget", budgetCol)
+      // tokens are >= 1 per doc (split of any string is non-empty), so a
+      // bucket starting AT the budget can contribute nothing — drop it
+      .withColumn("cls",
+        when(col("cum_before") + col("bucket_tokens") <= col("budget"), lit("keep"))
+          .when(col("cum_before") >= col("budget"), lit("drop"))
+          .otherwise(lit("boundary")))
+      .filter(col("cls") =!= "drop")
+      .select("source", "bucket", "cum_before", "budget", "cls")
+
+    // phase 3: dropped buckets vanish in the inner join; keep-buckets pass
+    // without any row-level window; only the boundary bucket pays one
+    val joined = base.join(broadcast(classified), Seq("source", "bucket"))
+    val keptWhole = joined.filter(col("cls") === "keep")
+      .select("doc_id", "source", "n_tokens")
+    val wIn = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundary = joined.filter(col("cls") === "boundary")
+      .withColumn("cum", col("cum_before") + sum("n_tokens").over(wIn))
+      .filter(col("cum") <= col("budget"))
+      .select("doc_id", "source", "n_tokens")
+    keptWhole.unionAll(boundary).orderBy("doc_id")
+  }
 }

@@ -244,4 +244,55 @@ class ScaleTechniquesSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("two-phase token-budget mix equals the naive per-source window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TrainingPipeline
+    import graft.functions.TextFunctions.tokenCount
+    val docs = Tables.documents(spark, sf0001)
+
+    // naive form: ONE cumulative window per source over the whole corpus —
+    // correct but serializes each source through a single ordered
+    // partition; the operator must reproduce it exactly
+    val naive = docs.select(
+        col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum", sum("n_tokens").over(
+        Window.partitionBy("source").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= 768L)
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
+
+    val twoPhase = TrainingPipeline.tokenBudgetMix(docs, 768L)
+    assert(twoPhase.collect().toSeq === naive.collect().toSeq)
+
+    // budget is respected per source, and the selection is MAXIMAL: the
+    // next doc in hash order would cross the budget
+    val perSource = twoPhase.groupBy("source").agg(sum("n_tokens").as("used"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.values.forall(_ <= 768L), perSource)
+    val nextInOrder = docs.select(
+        col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .join(twoPhase.select(col("doc_id").as("kept_id")),
+        col("doc_id") === col("kept_id"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    nextInOrder.foreach { case (src, nextToks) =>
+      assert(perSource.getOrElse(src, 0L) + nextToks > 768L,
+        s"$src: selection not maximal")
+    }
+
+    // per-source override map: a zero budget empties that source, others
+    // keep their default-budget selection
+    val zeroed = TrainingPipeline.tokenBudgetMix(docs, 768L, Map("src0" -> 0L))
+    assert(zeroed.filter(col("source") === "src0").count() === 0)
+    assert(zeroed.filter(col("source") =!= "src0").collect().toSeq ===
+      twoPhase.filter(col("source") =!= "src0").collect().toSeq)
+  }
 }
