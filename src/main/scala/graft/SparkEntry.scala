@@ -71,6 +71,13 @@ object SparkEntry {
               |                AND o3.o_orderstatus = 'F')
               |ORDER BY o_orderkey""".stripMargin)
     }),
+    // The streaming tumbling-window aggregate run as a batch query: same
+    // window()/groupBy spec as EventStream.windowedCounts (watermark is a
+    // batch no-op), integer-cents measures so the oracle can hash it —
+    // putting the stream aggregation's SEMANTICS under the DuckDB gate.
+    "e10_tumbling_window" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCountsExact(Tables.events(s, dir))
+        .orderBy("window_start_s", "event_type")),
     // HLL sketch values aren't cross-engine comparable; the registered query
     // compares the 3·rsd accuracy CONTRACT instead (oracle emits TRUE).
     "a6_approx_distinct" -> ((s, dir) => Aggregates.approxDistinctChecked(Tables.lineitem(s, dir))),
@@ -685,6 +692,18 @@ object SparkEntry {
         |              WHERE o3.o_custkey = o.o_custkey
         |                AND o3.o_orderstatus = 'F')
         |ORDER BY o_orderkey""".stripMargin,
+    "e10_tumbling_window" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+        |         event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |)
+        |SELECT window_start_s, event_type, COUNT(*) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM e GROUP BY window_start_s, event_type
+        |ORDER BY window_start_s, event_type""".stripMargin,
     "a5_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_registros,
         | ROUND(SUM(l_quantity), 2) AS sum_qty,

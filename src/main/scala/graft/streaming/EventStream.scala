@@ -50,6 +50,27 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Oracle-checkable twin of [[windowedCounts]]: the same tumbling
+    * window and grouping, but integer-cents measures (a double `sum`'s
+    * result depends on partition fold order — unhashable against an
+    * oracle) and the window start as epoch SECONDS (a raw timestamp
+    * column would compare engine formatting, not semantics). Because
+    * `window()` and the aggregate run identically in batch (the watermark
+    * is a no-op there), registering this as a batch query (e10) puts the
+    * streaming aggregation's semantics themselves under the DuckDB gate —
+    * the batch/stream unification Structured Streaming promises.
+    */
+  def windowedCountsExact(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n"), col("total_cents"))
+
   /** Run a streaming frame to completion over currently-available input
     * (Trigger.AvailableNow ≈ the reference's "process everything on
     * trigger"), collecting results via the in-memory sink.

@@ -39,6 +39,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("the oracle-checked exact windowed aggregate is batch/stream identical") {
+    val (dir, batch) = stageRawDir()
+    // same FUNCTION through the streaming engine (complete mode) and the
+    // batch engine — the e10 query oracle-checks the batch side, this
+    // test closes the loop to the stream side
+    val streamed = EventStream.windowedCountsExact(
+      EventStream.readRaw(spark, dir, batch.schema))
+    val got = EventStream.runAvailableNow(spark, streamed, "win_exact",
+      tmpDir("ckpt"), outputMode = "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val want = EventStream.windowedCountsExact(batch)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("a finalized window is immutable: stragglers cannot resurrect or re-emit it") {
     val dir = tmpDir("rawlate")
     // UTC-anchored: window(ts, "1 hour") aligns to epoch hours, so the
