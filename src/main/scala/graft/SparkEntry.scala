@@ -227,6 +227,11 @@ object SparkEntry {
     // eval grams -> ONE bloom row, scan-side might_contain, exact verify
     // on the sliver). Output must be byte-identical to d9 -> same oracle.
     "d9b_decontaminate_bloom" -> ((s, dir) => Decontam.contaminationReportBloom(Tables.documents(s, dir))),
+    // FUZZY decontamination: train docs near-duplicating an eval doc at
+    // 3-gram Jaccard >= 0.5, graded per pair. Exact but never all-pairs:
+    // the gram equi-join carries set sizes, so Jaccard falls out of the
+    // collision counts with no second shingle pass.
+    "d14_fuzzy_decontam" -> ((s, dir) => Decontam.fuzzyContaminationReport(Tables.documents(s, dir))),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
     // top-count / duplicated instances, computed shuffle-free per row.
     "t14_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
@@ -1487,6 +1492,32 @@ object SparkEntry {
         |       CAST(cnt AS BIGINT) AS cnt
         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "d9_decontaminate" -> d9OracleSql,
+    "d14_fuzzy_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |         instr('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, nb, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM d
+        |), t AS (
+        |  SELECT doc_id AS train_doc, len(sh) AS n_t, unnest(sh) AS gram
+        |  FROM s WHERE nb < 15
+        |), e AS (
+        |  SELECT doc_id AS eval_doc, len(sh) AS n_e, unnest(sh) AS gram
+        |  FROM s WHERE nb = 15
+        |), p AS (
+        |  SELECT train_doc, eval_doc, n_t, n_e, COUNT(*) AS i
+        |  FROM t JOIN e USING (gram) GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT train_doc, eval_doc,
+        |       ROUND(i * 1.0 / (n_t + n_e - i), 4) AS jaccard
+        |FROM p WHERE ROUND(i * 1.0 / (n_t + n_e - i), 4) >= 0.5
+        |ORDER BY train_doc, eval_doc""".stripMargin,
     // d9b is CONTRACTUALLY the same oracle: the bloom prefilter may
     // only change where rows are dropped, never the result
     "d9b_decontaminate_bloom" -> d9OracleSql,

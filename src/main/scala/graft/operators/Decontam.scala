@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.{tokens, shinglesKTokens}
+import graft.functions.TextFunctions.{tokens, shinglesKTokens, shingles3}
 
 /** Benchmark DECONTAMINATION: flag training documents that share any
   * token n-gram with an evaluation/benchmark set — the standard guard
@@ -93,6 +93,55 @@ object Decontam {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
+  }
+
+  /** FUZZY decontamination: training docs NEAR-DUPLICATING an eval doc
+    * (3-gram shingle Jaccard ≥ `minJaccard`), not just colliding on one
+    * n-gram — the guard for paraphrased/lightly-edited benchmark leakage
+    * that the exact collision rule ([[decontaminate]]) over-triggers on
+    * (one shared idiom ≠ contamination) and a high-n collision rule
+    * under-triggers on. Emits every (train_doc, eval_doc) pair at or
+    * above the threshold with its exact Jaccard — the graded evidence a
+    * cleaning pass reviews, vs d9's binary hit count.
+    *
+    * Scale design: EXACT, yet never all-pairs. Both sides explode to
+    * distinct shingles with their set size attached; the gram equi-join
+    * (eval side is benchmark-sized → AQE broadcasts it, same as d9)
+    * yields each candidate pair's intersection count directly —
+    * `|A∩B| = `count of shared grams, both sides distinct — so Jaccard
+    * = i/(|A|+|B|−i) needs NO second shingle materialization and no
+    * array_intersect re-verify. Work is proportional to gram COLLISIONS,
+    * which at a fixed eval set is a vanishing sliver of a 100 TB corpus.
+    * (An LSH prefilter would only help if the eval side outgrew
+    * broadcast — compose [[Dedup.lshBuckets]] on both sides for that
+    * regime; at benchmark scale the exact form is strictly better:
+    * recall 1 by construction.)
+    */
+  def fuzzyDecontaminate(train: DataFrame, evalSet: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    def sides(df: DataFrame, idAs: String, nAs: String) =
+      df.select(col("doc_id").as(idAs),
+          array_distinct(shingles3(col("text"))).as("sh"))
+        .select(col(idAs), size(col("sh")).as(nAs), explode(col("sh")).as("gram"))
+    val t = sides(train, "train_doc", "n_t")
+    val e = sides(evalSet, "eval_doc", "n_e")
+    val jac = col("i").cast("double") / (col("n_t") + col("n_e") - col("i"))
+    t.join(e, Seq("gram"))
+      .groupBy("train_doc", "eval_doc", "n_t", "n_e")
+      .agg(count(lit(1)).as("i"))
+      .select(col("train_doc"), col("eval_doc"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("train_doc", "eval_doc")
+  }
+
+  /** [[fuzzyDecontaminate]] over the standard content-addressed split
+    * (nibble 15 = held-out benchmark, rest = training data).
+    */
+  def fuzzyContaminationReport(documents: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val nb = TextOps.hexNibble("doc_id")
+    fuzzyDecontaminate(documents.filter(nb < 15), documents.filter(nb === 15),
+      minJaccard)
   }
 
   /** Deterministic corpus split for the registered query: docs whose

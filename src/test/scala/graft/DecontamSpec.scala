@@ -25,6 +25,44 @@ class DecontamSpec extends SparkTestBase {
     assert(got === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("fuzzy decontamination grades near-dup pairs by exact Jaccard") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // near-copy of eval 100
+      (2L, "completely different text with no overlap here"), // clean
+      (3L, "alpha beta gamma unrelated tail words entirely")  // shares 1 gram
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon eta")
+    ).toDF("doc_id", "text")
+    val got = Decontam.fuzzyDecontaminate(train, eval, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 1: shingles {abg,bgd,gde,dez} vs {abg,bgd,gde,dee'}: i=3, union=5
+    //   -> J = 0.6; doc 3 shares only "alpha beta gamma" -> J = 1/8 < 0.5
+    assert(got.keySet === Set((1L, 100L)))
+    assert(math.abs(got((1L, 100L)) - 0.6) < 1e-9, got)
+
+    // fixture-wide: the collision-count formulation must equal the
+    // brute-force all-pairs array_intersect form it replaces
+    val docs = Tables.documents(spark, sf0001)
+    val nb = TextOps.hexNibble("doc_id")
+    val tr = docs.filter(nb < 15)
+    val ev = docs.filter(nb === 15)
+    import graft.functions.TextFunctions.shingles3
+    def sh(df: org.apache.spark.sql.DataFrame, p: String) =
+      df.select(col("doc_id").as(s"${p}_doc"),
+        array_distinct(shingles3(col("text"))).as(s"sh_$p"))
+    val brute = sh(tr, "train").crossJoin(sh(ev, "eval"))
+      .select(col("train_doc"), col("eval_doc"),
+        round(size(array_intersect(col("sh_train"), col("sh_eval"))).cast("double") /
+          size(array_union(col("sh_train"), col("sh_eval"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fuzzy = Decontam.fuzzyContaminationReport(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(fuzzy === brute)
+    assert(fuzzy.nonEmpty, "fixture must contain at least one cross-split near-dup")
+  }
+
   test("bloom-prefiltered decontamination equals the exact semi join") {
     // crafted case (verifies classification) + fixture-wide equality
     // (verifies the bloom prefilter drops nothing the exact join keeps)
