@@ -251,7 +251,7 @@ object Dedup {
       agg1(corpus, "n_corpus"),
       agg1(merged.exceptAll(full), "extra"),
       agg1(full.exceptAll(merged), "missing"))
-      .reduce((a, b) => a.join(b, "k"))
+      .reduce((a, b) => a.join(broadcast(b), "k"))
       .select(
         (col("n_batch") > 0 && col("n_corpus") > 0).as("split_nonempty"),
         (col("extra") === 0 && col("missing") === 0).as("merge_equal"))
@@ -307,7 +307,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_missed")).withColumn("k", lit(1))
     val spurious = banded.join(brute, Seq("doc_a", "doc_b"), "left_anti")
       .agg(count(lit(1)).as("n_spurious")).withColumn("k", lit(1))
-    nBrute.join(missed, "k").join(spurious, "k")
+    nBrute.join(broadcast(missed), "k").join(broadcast(spurious), "k")
       .select(
         (col("n_brute") > 0).as("nonempty"), // guards a vacuous pass
         (col("n_missed") === 0).as("complete"),

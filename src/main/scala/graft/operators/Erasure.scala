@@ -155,7 +155,7 @@ object Erasure {
       agg1(ivfRebuilt.exceptAll(ivfRepaired), "ivf_missing"),
       agg1(ivfRepaired.join(broadcast(deleteVecs), Seq("vec_id"),
         "left_semi"), "ivf_erased"))
-    parts.reduce((a, b) => a.join(b, "k"))
+    parts.reduce((a, b) => a.join(broadcast(b), "k"))
       .select(
         (col("n_del_docs") > 0 && col("n_del_vecs") > 0)
           .as("erasure_nonempty"), // guards a vacuous pass

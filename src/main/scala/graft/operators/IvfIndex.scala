@@ -269,7 +269,7 @@ object IvfIndex {
       agg1(corpus, "n_corpus"),
       agg1(appended.exceptAll(rebuilt), "extra"),
       agg1(rebuilt.exceptAll(appended), "missing"))
-      .reduce((a, b) => a.join(b, "k"))
+      .reduce((a, b) => a.join(broadcast(b), "k"))
       .select(
         (col("n_batch") > 0 && col("n_corpus") > 0).as("split_nonempty"),
         (col("extra") === 0 && col("missing") === 0).as("append_equal"))
@@ -350,7 +350,7 @@ object IvfIndex {
     val matched = exact.join(annTopK, Seq("query_id", "vec_id"), "left_semi")
     val nExact = exact.agg(count(lit(1)).as("n_exact")).withColumn("j", lit(1))
     val nMatch = matched.agg(count(lit(1)).as("n_match")).withColumn("j", lit(1))
-    nExact.join(nMatch, "j")
+    nExact.join(broadcast(nMatch), "j")
       .select(
         (col("n_exact") >= queryIds.size).as("nonempty"), // guards vacuity
         (col("n_match").cast("double") >= lit(threshold) * col("n_exact"))

@@ -209,7 +209,7 @@ class DedupSimilaritySpec extends SparkTestBase {
     val two = plantedVectors.limit(10)
       .select(col("vec_id"), col("embedding").as("a"))
     val one = plantedVectors.limit(1).select(col("embedding").as("b"))
-    val joined = two.crossJoin(one)
+    val joined = two.crossJoin(broadcast(one))
     val r = joined.select(
       VectorFunctions.cosineSim(col("a"), col("b")).as("native"),
       VectorFunctions.cosineSimBuiltin(col("a"), col("b")).as("builtin")).collect()
