@@ -225,17 +225,23 @@ object EventStream {
     * every row forever — the unbounded-state trap at 100 TB/day).
     */
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
-      window: String = "1 hour"): DataFrame = {
+      window: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("p_ts"), col("value").as("purchase_value"))
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
         col("ts").as("c_ts"))
+    // leftOuter: an unmatched purchase is emitted with null click columns
+    // only once the watermark passes its join-window upper bound — i.e.
+    // when state eviction PROVES no matching click can still arrive. The
+    // null row is a statement about the stream, so it must wait for the
+    // stream to close, not for the micro-batch to end.
     p.join(c,
       col("user_id") === col("c_user_id") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
-        col("c_ts") <= col("p_ts"))
+        col("c_ts") <= col("p_ts"),
+      joinType)
       .select("purchase_id", "user_id", "purchase_value", "click_id", "c_ts")
   }
 

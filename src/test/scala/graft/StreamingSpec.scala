@@ -218,6 +218,53 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture must produce at least one joined pair")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows only after state closes") {
+    val (dir, batch) = stageRawDir()
+    def stream() = EventStream.readRaw(spark, dir, batch.schema)
+    val streamed = EventStream.purchaseClickJoin(
+      stream().filter(col("event_type") === "purchase"),
+      stream().filter(col("event_type") === "click"),
+      joinType = "leftOuter")
+    val rows = EventStream.runAvailableNow(spark, streamed, "ss_left_join",
+      tmpDir("ckpt_lo"), outputMode = "append").collect()
+    val gotMatched = rows.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val gotNulls = rows.filter(_.isNullAt(3)).map(_.getLong(0)).toSet
+
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = batch.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    val cond = col("user_id") === col("c_user_id") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 1 hour") &&
+      col("c_ts") <= col("p_ts")
+    // matched rows must equal the batch INNER join exactly
+    val wantMatched = p.join(c, cond).collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(gotMatched === wantMatched)
+
+    // null rows: only for truly unmatched purchases, and every unmatched
+    // purchase whose join window is provably closed MUST be present — the
+    // no-data final micro-batch flushes them. "Closed" is governed by the
+    // RIGHT stream's watermark (a purchase stays open while a matching
+    // click could still arrive), i.e. max CLICK ts - 10 min delay — the
+    // global max ts is the wrong bound because the purchase stream runs
+    // hours past the last click. Extra 1h+30s slack covers Spark's
+    // conservative state-watermark derivation from the interval bounds.
+    val unmatched = p.join(c, cond, "left_anti")
+    val maxClickMs = batch.filter(col("event_type") === "click")
+      .agg(max("ts")).head().getTimestamp(0).getTime
+    val closed = unmatched
+      .filter(col("p_ts") <
+        new java.sql.Timestamp(maxClickMs - (10 * 60 + 3600 + 30) * 1000L))
+      .collect().map(_.getLong(0)).toSet
+    val allUnmatched = unmatched.collect().map(_.getLong(0)).toSet
+    assert(gotNulls.subsetOf(allUnmatched),
+      s"null rows for matched purchases: ${gotNulls -- allUnmatched}")
+    assert(closed.subsetOf(gotNulls),
+      s"closed-window unmatched purchases not emitted: ${closed -- gotNulls}")
+    assert(closed.nonEmpty, "fixture must contain closed unmatched purchases")
+  }
+
   test("foreachBatch sink writes date-partitioned parquet, exactly-once per file") {
     val (dir, batch) = stageRawDir()
     val target = tmpDir("fbsink")
