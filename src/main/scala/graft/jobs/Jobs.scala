@@ -89,6 +89,45 @@ object TransformJob {
         .withColumn("variacao_30d_q", round(col("variacao_30d") * 100).cast("long")))
 }
 
+/** CORPUS-PREP job: raw document corpus → curated training shards on
+  * disk — the end-to-end run a training-data team schedules, composed
+  * from the pipeline tier's individually-proven stages: content-addressed
+  * sample → quality/language gate → exact dedup → near-dup cluster
+  * representatives → (optional) benchmark decontamination → deterministic
+  * train/val/test split → shards partitioned by (split, lang) → manifest.
+  *
+  * The split on DISK uses the same [[graft.operators.TextOps.splitColumn]]
+  * rule the d11 contract query certifies, so "the shards follow the
+  * split" is an oracle-checked property, not a convention.
+  */
+object CorpusPrepJob {
+
+  /** @return the manifest: per (split, lang) shard — doc count, token
+    *         count — AFTER the write, read back from the shards themselves
+    *         (the manifest must describe what consumers will read, not
+    *         what the writer intended).
+    */
+  def run(spark: SparkSession, documentsPath: String, shardsPath: String,
+      table: Option[String] = None,
+      evalSet: Option[DataFrame] = None): DataFrame = {
+    import graft.operators.{TextOps, TrainingPipeline}
+    val docs = spark.read.parquet(documentsPath)
+    val shards = TrainingPipeline.curatedSurvivors(docs, evalSet = evalSet)
+      .withColumn("split", TextOps.splitColumn())
+    Sinks.writePartitioned2(
+      shards.select("doc_id", "text", "lang", "nt", "split"),
+      shardsPath, "split", "lang")
+    table.foreach { t =>
+      Sinks.createOrReplaceExternal(spark, t, shardsPath, Seq("split", "lang"))
+      Sinks.recoverPartitions(spark, t)
+    }
+    spark.read.parquet(shardsPath)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .orderBy("split", "lang")
+  }
+}
+
 /** Table MAINTENANCE job: the recurring housekeeping pass a long-lived
   * 100 TB lake needs between transform runs, composed from the engine's
   * own pieces — compact small files (streaming/micro-batch writers leave

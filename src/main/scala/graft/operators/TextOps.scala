@@ -445,16 +445,26 @@ object TextOps {
     * split (3 groups), one single-row total joined by broadcast — no
     * shuffle of the corpus beyond the 3-group partial-agg collapse.
     */
-  def splitContract(documents: DataFrame, trainSixteenths: Int = 12,
-      valSixteenths: Int = 2): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, countDistinct, when}
+  /** The content-addressed train/val/test assignment itself — reusable by
+    * anything that materializes splits ([[graft.jobs.CorpusPrepJob]]) so
+    * the shards on disk provably follow the same rule [[splitContract]]
+    * certifies.
+    */
+  def splitColumn(trainSixteenths: Int = 12, valSixteenths: Int = 2): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.when
     require(trainSixteenths > 0 && valSixteenths > 0
       && trainSixteenths + valSixteenths < 16)
     val nb = hexNibble("doc_id")
+    when(nb < trainSixteenths, "train")
+      .when(nb < trainSixteenths + valSixteenths, "val")
+      .otherwise("test")
+  }
+
+  def splitContract(documents: DataFrame, trainSixteenths: Int = 12,
+      valSixteenths: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, countDistinct}
     val tagged = documents.select(col("doc_id"),
-      when(nb < trainSixteenths, "train")
-        .when(nb < trainSixteenths + valSixteenths, "val")
-        .otherwise("test").as("split"))
+      splitColumn(trainSixteenths, valSixteenths).as("split"))
     // outer-join against the literal split list: an EMPTY split would
     // otherwise simply emit no row, leaving `nonempty` vacuously true on
     // every row that exists — the contract must surface the absence

@@ -29,6 +29,23 @@ object TrainingPipeline {
   def trainingPrep(documents: DataFrame, sampleSixteenths: Int = 12,
       minQuality: Int = 3, nearDupThreshold: Double = 0.9,
       budgetTokens: Int = 512,
+      evalSet: Option[DataFrame] = None): DataFrame =
+    // 5: pack the survivors into token-budget chunks per language stream —
+    // the same packing definition as t10 (TextOps.packTokenCounts)
+    TextOps.packTokenCounts(
+      curatedSurvivors(documents, sampleSixteenths, minQuality,
+        nearDupThreshold, evalSet)
+        .select(col("doc_id"), col("lang"), col("nt").cast("int").as("n_tokens")),
+      budgetTokens)
+      .orderBy("doc_id")
+
+  /** Stages 1-4 of [[trainingPrep]] — the curated SURVIVOR set with its
+    * text still attached: what a shard-writing job persists
+    * ([[graft.jobs.CorpusPrepJob]]), where the packing query only needs
+    * token counts.
+    */
+  def curatedSurvivors(documents: DataFrame, sampleSixteenths: Int = 12,
+      minQuality: Int = 3, nearDupThreshold: Double = 0.9,
       evalSet: Option[DataFrame] = None): DataFrame = {
     // 1-2: sample + gate (single scan, all codegen'd predicates)
     val gated = documents
@@ -63,16 +80,10 @@ object TrainingPipeline {
       materializeCandidates = true)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = Dedup.connectedComponents(edges)
-    val reps = deduped
+    deduped
       .join(labels, col("doc_id") === col("node"), "left")
       .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
-      .select(col("doc_id"), col("lang"), col("nt"))
-    // 5: pack into token-budget chunks per language stream — the same
-    // packing definition as t10 (TextOps.packTokenCounts), not a copy
-    TextOps.packTokenCounts(
-      reps.select(col("doc_id"), col("lang"), col("nt").cast("int").as("n_tokens")),
-      budgetTokens)
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("text"), col("lang"), col("nt"))
   }
 
   /** Token-budget MIXTURE sampling: cap each source's contribution to the

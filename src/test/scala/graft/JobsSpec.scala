@@ -52,6 +52,43 @@ class JobsSpec extends SparkTestBase {
     assert(martRows === directRows)
   }
 
+  test("corpus-prep job writes split/lang shards matching the certified split rule") {
+    import graft.jobs.CorpusPrepJob
+    import graft.operators.{TextOps, TrainingPipeline}
+    val shardsDir = tmpDir("jobs-shards")
+    val manifest = CorpusPrepJob.run(spark, s"$sf0001/documents.parquet",
+      shardsDir, table = Some("jobs_shards"))
+    val m = manifest.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(m.nonEmpty)
+
+    // disk layout: split=... / lang=...
+    val lvl1 = new java.io.File(shardsDir).listFiles().filter(_.getName.startsWith("split="))
+    assert(lvl1.map(_.getName).toSet.subsetOf(Set("split=train", "split=val", "split=test")))
+    assert(lvl1.exists(_.getName === "split=train"))
+    assert(lvl1.head.listFiles().exists(_.getName.startsWith("lang=")))
+
+    // the manifest equals a recompute from the survivor stage
+    val want = TrainingPipeline.curatedSurvivors(Tables.documents(spark, sf0001))
+      .withColumn("split", TextOps.splitColumn())
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(m === want)
+
+    // every row on disk carries the split its doc_id hashes to — the d11
+    // contract rule, verified on the MATERIALIZED shards
+    val disk = spark.table("jobs_shards")
+    assert(disk.filter(col("split") =!= TextOps.splitColumn()).count() === 0)
+
+    // rerun is idempotent (full overwrite semantics)
+    val m2 = CorpusPrepJob.run(spark, s"$sf0001/documents.parquet", shardsDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(m2 === m)
+  }
+
   test("maintenance job compacts, refreshes stats, and gates publish on expectations") {
     import graft.jobs.MaintenanceJob
     val dir = tmpDir("maint")
