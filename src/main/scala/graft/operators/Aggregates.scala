@@ -99,14 +99,35 @@ object Aggregates {
     val base = lineitem
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
       .filter(col("v").isNotNull) // builtin percentile skips nulls; so must n
-    val ranked = base
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("l_returnflag").orderBy("v")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-    // value at 0-based rank floor((n-1)*p) + off, as an aggregate pick
+      // two-level refinement (the dq4/d13 pattern): a whole-group
+      // row_number window has |groups| ordered partitions — at 3 return
+      // flags that is the corpus on 3 tasks, the single-reducer shape at
+      // 100 TB. Coarse $256 buckets localize each target rank first; only
+      // the <=4 boundary buckets per group ever see a row-level window.
+      .withColumn("b", floor(col("v") / 256.0).cast("long"))
+    val perBucket = base.groupBy("l_returnflag", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy("l_returnflag").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = perBucket
+      .withColumn("cum_before", coalesce(sum("cnt").over(wB), lit(0L)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("l_returnflag")))
+    def k(p: Double) =
+      floor((col("n") - 1).cast("double") * lit(p)).cast("long")
+    // a bucket is a target iff it holds any of the four picked ranks
+    // (k and k+1 for each percentile; an out-of-range k+1 simply lands in
+    // no bucket and the interpolation never reads it)
+    val holds = Seq(k(0.5), k(0.5) + 1, k(0.9), k(0.9) + 1)
+      .map(kk => kk >= col("cum_before") && kk < col("cum_before") + col("cnt"))
+      .reduce(_ || _)
+    val targets = buckets.filter(holds)
+      .select("l_returnflag", "b", "cum_before", "n")
+    val ranked = base.join(broadcast(targets), Seq("l_returnflag", "b"))
+      .withColumn("rk", col("cum_before") - 1 + row_number().over(
+        Window.partitionBy("l_returnflag", "b").orderBy("v")))
+    // value at 0-based global rank floor((n-1)*p) + off, as an aggregate pick
     def pick(p: Double, off: Int) =
-      max(when((col("rn") - 1).cast("double") ===
-        floor((col("n") - 1).cast("double") * lit(p)) + off, col("v")))
+      max(when(col("rk") === k(p) + off, col("v")))
     val agged = ranked.groupBy("l_returnflag").agg(
       max(col("n")).as("n"),
       pick(0.5, 0).as("v50lo"), pick(0.5, 1).as("v50hi"),
