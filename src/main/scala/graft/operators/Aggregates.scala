@@ -85,14 +85,16 @@ object Aggregates {
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Parity: exact interpolated percentiles + median per group (the
-    * Athena-SQL stats surface), computed SORT-BASED: rank each value in its
-    * group with one window, then pick the two rows straddling each
-    * interpolation position. The builtin `percentile` aggregate instead
-    * buffers every (value, count) pair per group in memory — measured ~9 s
-    * vs ~1 s at sf0.1, and an OOM at 100 TB group sizes; the sort-based
-    * plan spills like any other sort. Interpolation reproduces the builtin
-    * aggregate's exact arithmetic (`(higher-pos)*lo + (pos-lower)*hi`,
-    * asserted equal in `OperatorSpec`), so oracle hashes are unchanged.
+    * Athena-SQL stats surface). The builtin `percentile` aggregate
+    * buffers every (value, count) pair per group in memory — measured
+    * ~9 s vs ~1 s at sf0.1, and an OOM at 100 TB group sizes — and a
+    * single whole-group `row_number` window is the 3-ordered-partitions
+    * single-reducer shape; both rejected. The two-level bucket refinement
+    * below (coarse counts locate each target rank, row-level ranking only
+    * inside boundary buckets) spills like any sort and keeps every window
+    * bucket-sized. Interpolation reproduces the builtin aggregate's exact
+    * arithmetic (`(higher-pos)*lo + (pos-lower)*hi`, asserted equal in
+    * `OperatorSpec`), so oracle hashes are unchanged.
     */
   def percentiles(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
