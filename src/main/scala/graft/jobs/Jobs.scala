@@ -102,17 +102,24 @@ object TransformJob {
   */
 object CorpusPrepJob {
 
-  /** @return the manifest: per (split, lang) shard — doc count, token
+  /** @param sampleSixteenths corpus subsample rate in 16ths; the default
+    *        16 curates the WHOLE corpus. A lower rate must be chosen with
+    *        the split rule in mind: both draw from the same doc_id nibble,
+    *        so e.g. 12 would keep exactly the nibbles splitColumn labels
+    *        "train" and leave val/test empty.
+    *  @return the manifest: per (split, lang) shard — doc count, token
     *         count — AFTER the write, read back from the shards themselves
     *         (the manifest must describe what consumers will read, not
     *         what the writer intended).
     */
   def run(spark: SparkSession, documentsPath: String, shardsPath: String,
       table: Option[String] = None,
-      evalSet: Option[DataFrame] = None): DataFrame = {
+      evalSet: Option[DataFrame] = None,
+      sampleSixteenths: Int = 16): DataFrame = {
     import graft.operators.{TextOps, TrainingPipeline}
     val docs = spark.read.parquet(documentsPath)
-    val shards = TrainingPipeline.curatedSurvivors(docs, evalSet = evalSet)
+    val shards = TrainingPipeline.curatedSurvivors(docs,
+        sampleSixteenths = sampleSixteenths, evalSet = evalSet)
       .withColumn("split", TextOps.splitColumn())
     Sinks.writePartitioned2(
       shards.select("doc_id", "text", "lang", "nt", "split"),

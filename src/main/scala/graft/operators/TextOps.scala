@@ -429,6 +429,21 @@ object TextOps {
         concat_ws(" ", col("chunk")).as("chunk_text"))
   }
 
+  /** The content-addressed train/val/test assignment itself — reusable by
+    * anything that materializes splits ([[graft.jobs.CorpusPrepJob]]) so
+    * the shards on disk provably follow the same rule [[splitContract]]
+    * certifies.
+    */
+  def splitColumn(trainSixteenths: Int = 12, valSixteenths: Int = 2): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.when
+    require(trainSixteenths > 0 && valSixteenths > 0
+      && trainSixteenths + valSixteenths < 16)
+    val nb = hexNibble("doc_id")
+    when(nb < trainSixteenths, "train")
+      .when(nb < trainSixteenths + valSixteenths, "val")
+      .otherwise("test")
+  }
+
   /** Deterministic TRAIN/VAL/TEST split with a driver-witnessable
     * contract: assignment is a pure function of the row key (the
     * [[hexNibble]] primitive — nibble < `trainSixteenths` → train, next
@@ -445,21 +460,6 @@ object TextOps {
     * split (3 groups), one single-row total joined by broadcast — no
     * shuffle of the corpus beyond the 3-group partial-agg collapse.
     */
-  /** The content-addressed train/val/test assignment itself — reusable by
-    * anything that materializes splits ([[graft.jobs.CorpusPrepJob]]) so
-    * the shards on disk provably follow the same rule [[splitContract]]
-    * certifies.
-    */
-  def splitColumn(trainSixteenths: Int = 12, valSixteenths: Int = 2): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.when
-    require(trainSixteenths > 0 && valSixteenths > 0
-      && trainSixteenths + valSixteenths < 16)
-    val nb = hexNibble("doc_id")
-    when(nb < trainSixteenths, "train")
-      .when(nb < trainSixteenths + valSixteenths, "val")
-      .otherwise("test")
-  }
-
   def splitContract(documents: DataFrame, trainSixteenths: Int = 12,
       valSixteenths: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, countDistinct}

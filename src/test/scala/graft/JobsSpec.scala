@@ -62,14 +62,16 @@ class JobsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(m.nonEmpty)
 
-    // disk layout: split=... / lang=...
+    // disk layout: split=... / lang=... — ALL THREE splits must
+    // materialize (the default job curates the whole corpus; a sample
+    // rate colliding with the split nibbles would silently empty val/test)
     val lvl1 = new java.io.File(shardsDir).listFiles().filter(_.getName.startsWith("split="))
-    assert(lvl1.map(_.getName).toSet.subsetOf(Set("split=train", "split=val", "split=test")))
-    assert(lvl1.exists(_.getName === "split=train"))
+    assert(lvl1.map(_.getName).toSet === Set("split=train", "split=val", "split=test"))
     assert(lvl1.head.listFiles().exists(_.getName.startsWith("lang=")))
 
     // the manifest equals a recompute from the survivor stage
-    val want = TrainingPipeline.curatedSurvivors(Tables.documents(spark, sf0001))
+    val want = TrainingPipeline.curatedSurvivors(Tables.documents(spark, sf0001),
+        sampleSixteenths = 16)
       .withColumn("split", TextOps.splitColumn())
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))

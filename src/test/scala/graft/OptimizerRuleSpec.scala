@@ -1,20 +1,17 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.plans.CollectSizeToCount
 
 /** The size(collect_*) → count rewrite: plan-level (buffer aggregate gone)
   * and value-level (null skipping, distinct, empty behavior preserved).
+  *
+  * Both optimizer rules arrive with the session itself: SparkTestBase
+  * builds it with spark.sql.extensions=graft.GraftExtensions — the same
+  * path every production entry point uses — so these specs exercise the
+  * installed rules, not a privately-registered copy.
   */
 class OptimizerRuleSpec extends SparkTestBase {
   import spark.implicits._
-
-  // register once on the shared session (the production path injects the
-  // same rule via GraftExtensions; experimental is the live-session hook)
-  if (!spark.experimental.extraOptimizations.contains(CollectSizeToCount)) {
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ CollectSizeToCount
-  }
 
   private def agged = Seq(
     (1, Some("a")), (1, Some("b")), (1, Some("a")), (1, None), (2, Some("c")))
@@ -42,18 +39,11 @@ class OptimizerRuleSpec extends SparkTestBase {
     assert(df.collect().head.getSeq[String](1) === Seq("a", "b"))
   }
 
-  // CartesianGuard — registered SCOPED per test (register + deregister):
-  // other suites on the shared session legitimately crossJoin tiny test
-  // frames, and suites run sequentially in the forked test JVM
-  // (testForkedParallel = false), so scoping cannot race them.
-  private def withGuard[A](f: => A): A = {
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.CartesianGuard
-    try f
-    finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations
-        .filterNot(_ == graft.plans.CartesianGuard)
-  }
+  // CartesianGuard is active session-wide via the extensions (suites that
+  // legitimately cross-join tiny frames bless them with broadcast(), the
+  // guard's escape hatch); withGuard remains only as a reading aid
+  // marking the tests that exercise the guard itself.
+  private def withGuard[A](f: => A): A = f
 
   test("unhinted condition-less inner join is rejected at plan time") { withGuard {
     val a = Seq(1, 2, 3).toDF("x")
