@@ -343,6 +343,10 @@ object SparkEntry {
     // Exact k-NN JOIN (batch similarity search): top-5 neighbors for each
     // of 5 query vectors, broadcast query side, one corpus scan.
     "s3_knn_join" -> ((s, dir) => Similarity.knnJoin(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)),
+    // Hard-negative mining: per anchor, cosine ranks 6..15 — past the
+    // top-5 positive block, still similar enough to be informative.
+    // Same broadcast + WindowGroupLimit shape as s3.
+    "s10_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5, 10)),
     // Uint8 scalar quantization (ANN index compression): integer-exact
     // codes + per-vector worst-case reconstruction error, scan-bound.
     "s6_quantize" -> ((s, dir) => Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))),
@@ -1162,6 +1166,24 @@ object SparkEntry {
         |FROM scored
         |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, vec_id)
         |QUALIFY ROW_NUMBER() OVER w <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "s10_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |             * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rank, vec_id, score
+        |FROM scored
+        |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, vec_id)
+        |QUALIFY ROW_NUMBER() OVER w > 5 AND ROW_NUMBER() OVER w <= 15
         |ORDER BY query_id, rank""".stripMargin,
     "t11_boilerplate_ngrams" ->
       """WITH t AS (

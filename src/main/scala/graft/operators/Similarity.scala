@@ -68,6 +68,37 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: for each anchor,
+    * the corpus vectors ranked `skipTop+1 .. skipTop+take` by cosine —
+    * similar enough to be informative negatives, but past the top block
+    * treated as positives/near-duplicates. The standard batch-mining step
+    * for embedding-model fine-tuning (in-batch negatives are easy; mined
+    * mid-rank neighbors are the hard ones).
+    *
+    * Same scale shape as [[knnJoin]]: anchors broadcast, ONE corpus scan,
+    * and the rank-window filter's upper bound plans as WindowGroupLimit —
+    * each map task forwards at most `skipTop+take` rows per anchor into
+    * the shuffle, so the exchange carries O(|anchors|·(skipTop+take)) rows
+    * per task, not the corpus.
+    */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long],
+      skipTop: Int, take: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(skipTop >= 0 && take > 0, "skipTop >= 0, take > 0")
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = embeddings.join(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineSim(col("embedding"), col("q_emb")), 6).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") > skipTop && col("rank") <= skipTop + take)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate DEDUP: cluster near-identical vectors
     * (LSH candidates ≥ minScore) and keep the min-vec_id representative of
     * each group. Representative choice is the transitive-closure-free

@@ -367,6 +367,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
   }
 
+  test("hard negatives are exactly the knn ranks past the positive block") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val negs = Similarity.hardNegatives(emb, Seq(0L, 3L), skipTop = 3, take = 4)
+    val got = negs.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    // ranks 4..7 of the full knn ranking, rank values preserved
+    val want = Similarity.knnJoin(emb, Seq(0L, 3L), k = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 > 3).toSeq
+    assert(got === want)
+    assert(got.size === 8, s"4 negatives per anchor: $got")
+    // the rank upper bound must still plan as a pre-shuffle group limit
+    val plan = negs.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("vocab top-k ranks over the aggregated vocabulary with pre-shuffle group limits") {
     val plan = graft.operators.TextOps.termDocFrequency(
       Tables.documents(spark, sf0001), 10).queryExecution.executedPlan.toString
