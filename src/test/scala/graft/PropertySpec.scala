@@ -145,6 +145,81 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("audio decode on random PCM: normalized 16-bin histogram, exact bin placement") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xFF).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val pcm = Gen.choose(1, 400).flatMap(n => Gen.listOfN(n,
+      Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort)))
+    samples(pcm, 60).foreach { s =>
+      val arr = s.toArray
+      val hist = graft.operators.Multimodal.audioDecode(wav(arr))
+        .getOrElse(fail(s"decoder rejected a valid ${arr.length}-sample WAV"))
+      assert(hist.length === 16)
+      assert(math.abs(hist.sum - 1.0f) < 1e-3, s"sum=${hist.sum}")
+      // decoded bins must equal the model computed from the raw samples
+      val want = new Array[Float](16)
+      arr.foreach { v =>
+        want((math.min(math.abs(v.toInt), 32767) * 16) / 32768) += 1f / arr.length
+      }
+      hist.zip(want).zipWithIndex.foreach { case ((g, w), b) =>
+        assert(math.abs(g - w) < 1e-4, s"bin $b: got $g want $w n=${arr.length}")
+      }
+    }
+  }
+
+  test("token-budget mix respects any random budget and never splits maximality") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val docs = Tables.documents(spark, sf0001)
+    samples(Gen.choose(0L, 3000L), 5).foreach { budget =>
+      val picked = graft.operators.TrainingPipeline.tokenBudgetMix(docs, budget)
+      val perSource = picked.groupBy("source").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perSource.values.forall(_ <= budget),
+        s"budget $budget violated: $perSource")
+    }
+  }
+
+  test("fuzzy decontamination scores are valid Jaccards on random doc pairs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // random docs over a tiny vocabulary force shared shingles
+    val doc = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val train = samples(doc, 20).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val eval = samples(doc, 5).zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.Decontam.fuzzyDecontaminate(train, eval, minJaccard = 0.0)
+      .collect()
+    assert(got.nonEmpty, "tiny-vocab corpora must collide")
+    got.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $r")
+    }
+    // identical texts across the corpora must score exactly 1.0
+    val t0 = train.orderBy("doc_id").first().getString(1)
+    val withCopy = eval.union(Seq((999L, t0)).toDF("doc_id", "text"))
+    val exact = graft.operators.Decontam
+      .fuzzyDecontaminate(train, withCopy, minJaccard = 0.0)
+      .filter(col("train_doc") === 0L && col("eval_doc") === 999L)
+      .collect()
+    assert(exact.length === 1 && exact.head.getDouble(2) === 1.0)
+  }
+
   test("quality score is always in [0, 4] and stopword count <= token count") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf0001)
