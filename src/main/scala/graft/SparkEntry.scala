@@ -415,6 +415,11 @@ object SparkEntry {
     // the star schema's four core constraints, one row each.
     "dq6_integrity" -> ((s, dir) => Quality.integrityAudit(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir))),
+    // Hourly event-rate anomaly monitor: per type, hours deviating from
+    // the hourly median by > 3x the MAD (robust, integer-exact; LOWER
+    // medians picked positionally). Corpus collapses to (hour, type)
+    // counts first — all median work runs on hours, not events.
+    "dq7_rate_anomalies" -> ((s, dir) => Quality.rateAnomalies(Tables.events(s, dir))),
     // Snapshot diff: added/removed/changed between two table versions via
     // one full-outer join; unchanged mass dropped before the sort.
     "e7_snapshot_diff" -> ((s, dir) => MergeOps.snapshotDiffDemo(Tables.orders(s, dir))),
@@ -1283,6 +1288,37 @@ object SparkEntry {
         |       h.n IS NOT NULL AS found
         |FROM req r LEFT JOIN hits h USING (user_id)
         |ORDER BY r.user_id""".stripMargin,
+    "dq7_rate_anomalies" ->
+      """WITH h AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS hr, event_type,
+        |         COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM h
+        |), med AS (
+        |  SELECT event_type, n AS med_n FROM m WHERE rn - 1 = (cnt - 1) // 2
+        |), d AS (
+        |  SELECT h.event_type, h.n, med.med_n, ABS(h.n - med.med_n) AS dev
+        |  FROM h JOIN med USING (event_type)
+        |), m2 AS (
+        |  SELECT event_type, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM d
+        |), mad AS (
+        |  SELECT event_type, dev AS mad_n FROM m2 WHERE rn - 1 = (cnt - 1) // 2
+        |)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |       d.med_n, mad.mad_n,
+        |       CAST(SUM(CASE WHEN d.dev > 3 * mad.mad_n THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_anomalous
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type, d.med_n, mad.mad_n
+        |ORDER BY event_type""".stripMargin,
     "dq6_integrity" ->
       """SELECT * FROM (
         |  SELECT 'lineitem.l_orderkey->orders' AS relation,

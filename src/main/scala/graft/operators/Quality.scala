@@ -319,4 +319,46 @@ object Quality {
           .as("incremental_matches"))
       .orderBy("event_type")
   }
+
+  /** Event-RATE anomaly monitor: per event type, flag hours whose count
+    * deviates from the hourly median by more than 3× the median absolute
+    * deviation — the robust (outlier-insensitive, unlike mean/stddev)
+    * detector a pipeline-health dashboard runs over its ingest stream.
+    * All arithmetic is integer (counts, LOWER medians picked positionally
+    * at 0-based rank (cnt-1)/2), so the result is engine-exact.
+    *
+    * Scale shape: the corpus collapses to (hour, type) counts FIRST — a
+    * map-side-combined aggregate; everything after runs on rows ∝
+    * time-range·|types| (hours, not events), so the per-type median
+    * windows are small regardless of corpus size.
+    */
+  def rateAnomalies(events: DataFrame, madFactor: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // lower median of a column by positional pick (value at a rank is
+    // well-defined under ties, so ordering by the value alone suffices)
+    def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(valueCol)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        // Column./ is double division — floor to keep the rank integral
+        .filter(col("rn") - 1 === floor((col("cnt") - 1) / 2))
+        .select(col("event_type"), col(valueCol).as(outCol))
+    }
+    val med = lowerMedian(hourly, "n", "med_n")
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med_n")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("dev")), "dev", "mad_n")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type", "med_n", "mad_n")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("dev") > lit(madFactor) * col("mad_n"), 1L).otherwise(0L))
+          .as("n_anomalous"))
+      .select("event_type", "n_hours", "med_n", "mad_n", "n_anomalous")
+      .orderBy("event_type")
+  }
 }

@@ -192,4 +192,24 @@ class QualitySpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 4L -> 1L))
   }
+
+  test("rate anomalies: median/MAD flags the spike hour, lower medians exact") {
+    // type "a", 5 hours with counts 2,2,2,3,100: med=2 (rank 2 of 0..4),
+    // devs sorted 0,0,0,1,98 -> MAD=0, so hours with n != 2 are anomalous
+    // (dev > 3*0): the count-3 hour AND the spike. Type "b", 4 hours with
+    // counts 1,2,3,4: LOWER median picks rank (4-1)/2=1 -> med=2; devs
+    // sorted 0,1,1,2 -> MAD=1; anomalous iff dev > 3: none.
+    def rows(tpe: String, perHour: Seq[Int]) = perHour.zipWithIndex.flatMap {
+      case (n, h) => Seq.fill(n)((new java.sql.Timestamp(
+        (1700000000L / 3600 * 3600 + h * 3600L) * 1000L), tpe))
+    }
+    val events = (rows("a", Seq(2, 2, 2, 3, 100)) ++ rows("b", Seq(1, 2, 3, 4)))
+      .toDF("ts", "event_type")
+    val got = Quality.rateAnomalies(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      "a" -> ((5L, 2L, 0L, 2L)),
+      "b" -> ((4L, 2L, 1L, 0L))))
+  }
 }
