@@ -280,6 +280,12 @@ object SparkEntry {
     // batch derived from md5-nibble buckets of the customer key exercises
     // close+insert, no-op, and plain-insert branches in one merge pass.
     "e2_scd2_merge" -> ((s, dir) => MergeOps.scd2Demo(Tables.customer(s, dir))),
+    // Point-in-time SCD2 resolution: orders joined to the dimension AS OF
+    // t=0 and t=1 side by side. Each PIT side collapses to one version
+    // per key BEFORE the fact join (map-side filter), so both joins stay
+    // plain equi-joins.
+    "e11_pit_lookup" -> ((s, dir) => MergeOps.pitLookupDemo(
+      Tables.customer(s, dir), Tables.orders(s, dir))),
     // CDC compaction: latest row per user by monotone event_id (ranked by
     // id, not the ns timestamp — sub-µs ties rank nondeterministically
     // after precision conversion). One row per key → user_id sort is total.
@@ -1683,6 +1689,51 @@ object SparkEntry {
         |        u.c_acctbal IS DISTINCT FROM d.c_acctbal
         |)
         |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
+    "e11_pit_lookup" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |), nib AS (
+        |  SELECT c_custkey,
+        |    instr('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM customer
+        |), upd AS (
+        |  SELECT d.c_custkey, 'RELOCATED' AS c_mktsegment, d.c_acctbal
+        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb < 4
+        |  UNION ALL
+        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal
+        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 4 AND nb < 6
+        |  UNION ALL
+        |  SELECT d.c_custkey + 10000000, 'NEWSEG', 0.0
+        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 14
+        |), merged AS (
+        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+        |         CAST(0 AS BIGINT) AS valid_from,
+        |         CASE WHEN u.c_custkey IS NOT NULL AND
+        |                   (u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
+        |                    u.c_acctbal IS DISTINCT FROM d.c_acctbal)
+        |              THEN CAST(1 AS BIGINT) END AS valid_to
+        |  FROM dim d LEFT JOIN upd u USING (c_custkey)
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+        |         CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM upd u LEFT JOIN dim d USING (c_custkey)
+        |  WHERE d.c_custkey IS NULL OR
+        |        u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
+        |        u.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |), t0 AS (
+        |  SELECT c_custkey, c_mktsegment FROM merged
+        |  WHERE valid_from <= 0 AND (valid_to IS NULL OR valid_to > 0)
+        |), t1 AS (
+        |  SELECT c_custkey, c_mktsegment FROM merged
+        |  WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)
+        |)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |       t0.c_mktsegment AS seg_t0, t1.c_mktsegment AS seg_t1,
+        |       t0.c_mktsegment IS DISTINCT FROM t1.c_mktsegment AS segment_changed
+        |FROM orders o
+        |LEFT JOIN t0 ON o.o_custkey = t0.c_custkey
+        |LEFT JOIN t1 ON o.o_custkey = t1.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "t9_vocab_topk" ->
       """WITH dt AS (
         |  SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS term

@@ -190,6 +190,36 @@ object MergeOps {
     *  - nibble in [4, 6): identical attribute values         → NO new version
     *  - nibble >= 14:     key + 10_000_000, fresh attributes → plain insert
     */
+  /** Point-in-time (AS OF) snapshot of an SCD2 dimension: the single
+    * version of each key valid at `asOf` — `valid_from <= asOf <
+    * coalesce(valid_to, +inf)`. A map-side filter, no shuffle: version
+    * resolution happens before any fact join, so the join itself stays a
+    * plain equi-join on the key (each key contributes exactly one row).
+    */
+  def pitSnapshot(scd2: DataFrame, asOf: Long): DataFrame =
+    scd2.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
+
+  /** The warehouse temporal-join demo: facts resolved against the SCD2
+    * dimension AS OF two different times, side by side — "which segment
+    * was this order's customer in before/after the batch-1 relocation".
+    * Each PIT side collapses to one row per key first ([[pitSnapshot]]),
+    * so both joins are ordinary equi-joins (broadcast at dim size).
+    */
+  def pitLookupDemo(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val dim = scd2Demo(customer)
+    def at(t: Long, as: String) = pitSnapshot(dim, t)
+      .select(col("c_custkey"), col("c_mktsegment").as(as))
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(at(0L, "seg_t0"), col("o_custkey") === col("c_custkey"), "left")
+      .drop("c_custkey")
+      .join(at(1L, "seg_t1"), col("o_custkey") === col("c_custkey"), "left")
+      .drop("c_custkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("seg_t0"), col("seg_t1"),
+        (!(col("seg_t0") <=> col("seg_t1"))).as("segment_changed"))
+      .orderBy("o_orderkey")
+  }
+
   def scd2Demo(customer: DataFrame, batchId: Long = 1L): DataFrame = {
     val dim = customer.select("c_custkey", "c_mktsegment", "c_acctbal")
     def nb = TextOps.hexNibble("c_custkey")

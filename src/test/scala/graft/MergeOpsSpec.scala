@@ -117,4 +117,22 @@ class MergeOpsSpec extends SparkTestBase {
       .count().agg(max("count")).head().getLong(0)
     assert(maxOpen === 1L)
   }
+
+  test("point-in-time lookup resolves one version per key and flags real changes") {
+    val dim = MergeOps.scd2Demo(Tables.customer(spark, sf0001))
+    for (t <- Seq(0L, 1L)) {
+      val dup = MergeOps.pitSnapshot(dim, t)
+        .groupBy("c_custkey").count().filter(col("count") > 1).count()
+      assert(dup === 0, s"multiple versions valid at t=$t")
+    }
+    val pit = MergeOps.pitLookupDemo(
+      Tables.customer(spark, sf0001), Tables.orders(spark, sf0001))
+    val nb = graft.operators.TextOps.hexNibble("o_custkey")
+    // nibble < 4 customers were RELOCATED in batch 1: exactly those orders
+    // flip segment; everyone else resolves identically at both times
+    assert(pit.filter(nb < 4 &&
+      (!col("segment_changed") || col("seg_t1") =!= "RELOCATED")).count() === 0)
+    assert(pit.filter(nb >= 4 && col("segment_changed")).count() === 0)
+    assert(pit.filter(nb < 4).count() > 0)
+  }
 }
