@@ -245,6 +245,31 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("dynamic partition pruning injects a fact-side partition filter from the dim filter") {
+    val dir = tmpDir("dpp")
+    Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real scan: a filter over a local Seq relation
+    // constant-folds away during optimization, and DPP only fires when
+    // the build side still carries a selective predicate
+    val dimDir = tmpDir("dpp-dim")
+    Seq(("A", 1), ("N", 2), ("R", 3)).toDF("flag", "x")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("x") === 1),
+      col("l_returnflag") === col("flag"))
+    // the partitioned scan must carry a runtime pruning predicate derived
+    // from the dim filter — at 100 TB this is what keeps a dim-filtered
+    // fact join from reading every partition directory
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+    val expected = fact.filter(col("l_returnflag") === "A").count()
+    assert(joined.count() === expected && expected > 0)
+  }
+
   test("two-phase token-budget mix equals the naive per-source window") {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.TrainingPipeline
