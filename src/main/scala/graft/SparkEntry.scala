@@ -487,6 +487,47 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared SCD2-reconstruction CTE prefix (dim → nib → upd → merged):
+    * ONE encoding of the e2 merge semantics, composed into both the
+    * e2_scd2_merge and e11_pit_lookup oracles so they can never silently
+    * encode different SCD2 states.
+    */
+  private val scd2MergedCte: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |), nib AS (
+      |  SELECT c_custkey,
+      |    instr('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1 AS nb
+      |  FROM customer
+      |), upd AS (
+      |  SELECT d.c_custkey, 'RELOCATED' AS c_mktsegment, d.c_acctbal
+      |  FROM dim d JOIN nib USING (c_custkey) WHERE nb < 4
+      |  UNION ALL
+      |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal
+      |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 4 AND nb < 6
+      |  UNION ALL
+      |  SELECT d.c_custkey + 10000000, 'NEWSEG', 0.0
+      |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 14
+      |), merged AS (
+      |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
+      |         CAST(0 AS BIGINT) AS valid_from,
+      |         CASE WHEN u.c_custkey IS NOT NULL AND
+      |                   (u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
+      |                    u.c_acctbal IS DISTINCT FROM d.c_acctbal)
+      |              THEN CAST(1 AS BIGINT) END AS valid_to,
+      |         NOT (u.c_custkey IS NOT NULL AND
+      |              (u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
+      |               u.c_acctbal IS DISTINCT FROM d.c_acctbal)) AS is_current
+      |  FROM dim d LEFT JOIN upd u USING (c_custkey)
+      |  UNION ALL
+      |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+      |         CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+      |  FROM upd u LEFT JOIN dim d USING (c_custkey)
+      |  WHERE d.c_custkey IS NULL OR
+      |        u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
+      |        u.c_acctbal IS DISTINCT FROM d.c_acctbal
+      |)""".stripMargin
+
   private val d9OracleSql: String =
     """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -1654,73 +1695,11 @@ object SparkEntry {
         |       TRUE AS median_within_rank_error
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e2_scd2_merge" ->
-      """WITH dim AS (
-        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
-        |), nib AS (
-        |  SELECT c_custkey,
-        |    instr('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1 AS nb
-        |  FROM customer
-        |), upd AS (
-        |  SELECT d.c_custkey, 'RELOCATED' AS c_mktsegment, d.c_acctbal
-        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb < 4
-        |  UNION ALL
-        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal
-        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 4 AND nb < 6
-        |  UNION ALL
-        |  SELECT d.c_custkey + 10000000, 'NEWSEG', 0.0
-        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 14
-        |), merged AS (
-        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
-        |         CAST(0 AS BIGINT) AS valid_from,
-        |         CASE WHEN u.c_custkey IS NOT NULL AND
-        |                   (u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
-        |                    u.c_acctbal IS DISTINCT FROM d.c_acctbal)
-        |              THEN CAST(1 AS BIGINT) END AS valid_to,
-        |         NOT (u.c_custkey IS NOT NULL AND
-        |              (u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
-        |               u.c_acctbal IS DISTINCT FROM d.c_acctbal)) AS is_current
-        |  FROM dim d LEFT JOIN upd u USING (c_custkey)
-        |  UNION ALL
-        |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
-        |         CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
-        |  FROM upd u LEFT JOIN dim d USING (c_custkey)
-        |  WHERE d.c_custkey IS NULL OR
-        |        u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
-        |        u.c_acctbal IS DISTINCT FROM d.c_acctbal
-        |)
-        |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
+      (scd2MergedCte +
+        "\nSELECT * FROM merged ORDER BY c_custkey, valid_from"),
     "e11_pit_lookup" ->
-      """WITH dim AS (
-        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
-        |), nib AS (
-        |  SELECT c_custkey,
-        |    instr('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1 AS nb
-        |  FROM customer
-        |), upd AS (
-        |  SELECT d.c_custkey, 'RELOCATED' AS c_mktsegment, d.c_acctbal
-        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb < 4
-        |  UNION ALL
-        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal
-        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 4 AND nb < 6
-        |  UNION ALL
-        |  SELECT d.c_custkey + 10000000, 'NEWSEG', 0.0
-        |  FROM dim d JOIN nib USING (c_custkey) WHERE nb >= 14
-        |), merged AS (
-        |  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal,
-        |         CAST(0 AS BIGINT) AS valid_from,
-        |         CASE WHEN u.c_custkey IS NOT NULL AND
-        |                   (u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
-        |                    u.c_acctbal IS DISTINCT FROM d.c_acctbal)
-        |              THEN CAST(1 AS BIGINT) END AS valid_to
-        |  FROM dim d LEFT JOIN upd u USING (c_custkey)
-        |  UNION ALL
-        |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
-        |         CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
-        |  FROM upd u LEFT JOIN dim d USING (c_custkey)
-        |  WHERE d.c_custkey IS NULL OR
-        |        u.c_mktsegment IS DISTINCT FROM d.c_mktsegment OR
-        |        u.c_acctbal IS DISTINCT FROM d.c_acctbal
-        |), t0 AS (
+      (scd2MergedCte + """
+        |, t0 AS (
         |  SELECT c_custkey, c_mktsegment FROM merged
         |  WHERE valid_from <= 0 AND (valid_to IS NULL OR valid_to > 0)
         |), t1 AS (
@@ -1733,7 +1712,7 @@ object SparkEntry {
         |FROM orders o
         |LEFT JOIN t0 ON o.o_custkey = t0.c_custkey
         |LEFT JOIN t1 ON o.o_custkey = t1.c_custkey
-        |ORDER BY o_orderkey""".stripMargin,
+        |ORDER BY o_orderkey""".stripMargin),
     "t9_vocab_topk" ->
       """WITH dt AS (
         |  SELECT lang, unnest(list_distinct(string_split(text, ' '))) AS term

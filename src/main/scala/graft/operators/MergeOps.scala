@@ -207,13 +207,17 @@ object MergeOps {
     * so both joins are ordinary equi-joins (broadcast at dim size).
     */
   def pitLookupDemo(customer: DataFrame, orders: DataFrame): DataFrame = {
-    val dim = scd2Demo(customer)
-    def at(t: Long, as: String) = pitSnapshot(dim, t)
-      .select(col("c_custkey"), col("c_mktsegment").as(as))
+    // BOTH snapshots resolve in ONE pass over the version history: at most
+    // one version per key is valid at each time, so a conditional-max
+    // aggregation picks it without running the merge lineage (or the fact
+    // join) once per point in time
+    def validAt(t: Long) = col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t)
+    val both = scd2Demo(customer).groupBy("c_custkey")
+      .agg(max(when(validAt(0L), col("c_mktsegment"))).as("seg_t0"),
+        max(when(validAt(1L), col("c_mktsegment"))).as("seg_t1"))
     orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(at(0L, "seg_t0"), col("o_custkey") === col("c_custkey"), "left")
-      .drop("c_custkey")
-      .join(at(1L, "seg_t1"), col("o_custkey") === col("c_custkey"), "left")
+      .join(both, col("o_custkey") === col("c_custkey"), "left")
       .drop("c_custkey")
       .select(col("o_orderkey"), col("o_custkey"), col("seg_t0"), col("seg_t1"),
         (!(col("seg_t0") <=> col("seg_t1"))).as("segment_changed"))

@@ -51,7 +51,21 @@ object Similarity {
     * pruned path instead.
     */
   def knnJoin(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      minScore: Double = -1.0): DataFrame = {
+      minScore: Double = -1.0): DataFrame =
+    rankedByCosine(embeddings, queryIds, minScore)
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+
+  /** Shared anchor-broadcast cosine ranking ([[knnJoin]] keeps the top-k
+    * prefix; [[hardNegatives]] a mid-rank slice). The `score >= minScore`
+    * filter doubles as the zero-norm guard: cosine against a zero-norm
+    * vector is NaN, NaN sorts ABOVE every double under desc, and
+    * `NaN >= -1.0` is false — without it one zero-norm corpus vector
+    * would seize rank 1 for every anchor.
+    */
+  private def rankedByCosine(embeddings: DataFrame, queryIds: Seq[Long],
+      minScore: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -63,9 +77,6 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
-      .orderBy("query_id", "rank")
   }
 
   /** HARD-NEGATIVE mining for contrastive training: for each anchor,
@@ -83,17 +94,8 @@ object Similarity {
     */
   def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long],
       skipTop: Int, take: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(skipTop >= 0 && take > 0, "skipTop >= 0, take > 0")
-    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = embeddings.join(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosineSim(col("embedding"), col("q_emb")), 6).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    rankedByCosine(embeddings, queryIds, minScore = -1.0)
       .filter(col("rank") > skipTop && col("rank") <= skipTop + take)
       .select(col("query_id"), col("rank"), col("vec_id"), col("score"))
       .orderBy("query_id", "rank")

@@ -181,15 +181,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
-  test("token-budget mix respects any random budget and never splits maximality") {
-    import org.apache.spark.sql.functions.{col, sum}
+  test("token-budget mix equals the naive window for any random budget") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokenCount
     val docs = Tables.documents(spark, sf0001)
+    // the naive single-window selection IS the spec: equality proves both
+    // budget compliance and maximality for every random budget
+    def naive(budget: Long) = docs.select(
+        col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("cum", sum("n_tokens").over(
+        Window.partitionBy("source").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= budget)
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
     samples(Gen.choose(0L, 3000L), 5).foreach { budget =>
       val picked = graft.operators.TrainingPipeline.tokenBudgetMix(docs, budget)
-      val perSource = picked.groupBy("source").agg(sum("n_tokens").as("t"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(perSource.values.forall(_ <= budget),
-        s"budget $budget violated: $perSource")
+      assert(picked.collect().toSeq === naive(budget).collect().toSeq,
+        s"budget $budget diverges from the naive window")
     }
   }
 
