@@ -262,6 +262,7 @@ object SparkEntry {
     "t10_pack_chunks" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir), 512)),
     // Cross-document boilerplate lexicon: 8-grams shared by >= 3 docs.
     "t11_boilerplate_ngrams" -> ((s, dir) => TextOps.repeatedNgrams(Tables.documents(s, dir), 8, 3)),
+    "t21_boilerplate_strip" -> ((s, dir) => TextOps.stripBoilerplate(Tables.documents(s, dir), 8, 3)),
     // Deterministic content-addressed sampling (reproducible pipeline
     // subsetting): keep iff first md5(doc_id) nibble < 6 → expected 6/16.
     "t7_hash_sample" -> ((s, dir) => TextOps.deterministicSample(
@@ -1251,6 +1252,43 @@ object SparkEntry {
         |SELECT gram, COUNT(*) AS n_docs FROM s GROUP BY gram
         |HAVING COUNT(*) >= 3
         |ORDER BY n_docs DESC, gram""".stripMargin,
+    "t21_boilerplate_strip" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), occ AS (
+        |  SELECT doc_id, i AS start,
+        |    concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                   toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS gram
+        |  FROM t, unnest(CASE WHEN len(toks) >= 8
+        |      THEN generate_series(1, len(toks)-7)
+        |      ELSE [] END) AS u(i)
+        |), lex AS (
+        |  SELECT gram FROM (SELECT gram, doc_id FROM occ GROUP BY gram, doc_id)
+        |  GROUP BY gram HAVING COUNT(*) >= 3
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT occ.doc_id,
+        |           unnest(generate_series(occ.start, occ.start + 7)) AS pos
+        |    FROM occ JOIN lex USING (gram)
+        |  )
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |         unnest(generate_series(1, len(toks))) AS pos
+        |  FROM t
+        |), kept AS (
+        |  SELECT tok.doc_id, tok.token, tok.pos FROM tok
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)
+        |), reb AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         string_agg(token, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, len(t.toks) AS n_tokens,
+        |       len(t.toks) - COALESCE(reb.n_kept, 0) AS n_removed,
+        |       COALESCE(reb.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t12_doc_keywords" ->
       """WITH tc AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -568,4 +568,61 @@ object TextOps {
         org.apache.spark.sql.functions.from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k_typed"))
+
+  /** Boilerplate REMOVAL (the transform [[repeatedNgrams]] only detects):
+    * rebuild each document with every token deleted that falls inside any
+    * occurrence of a cross-document repeated n-gram — the RefinedWeb-style
+    * cleaning pass that strips nav chrome / disclaimers / shared templates
+    * before training.
+    *
+    * Exact semantics: a token at position p is removed iff some n-gram
+    * occurrence starting at s ∈ [p-n+1, p] has document frequency ≥
+    * `minDocs`. Overlapping occurrences union naturally (covered positions
+    * are de-duplicated before the anti-join).
+    *
+    * Scale shape: the boilerplate lexicon is SMALL by construction (grams
+    * repeated across ≥ minDocs documents — kilobytes even at 100 TB), so it
+    * broadcasts; the occurrence scan is one gram-explode joined against the
+    * broadcast lexicon (no shuffle on the corpus side); covered positions
+    * explode only from MATCHED occurrences (∝ boilerplate mass, not corpus
+    * mass); the rebuild is one groupBy(doc_id) over kept tokens — the only
+    * corpus-sized shuffle in the plan. A left join from the document base
+    * keeps fully-stripped documents (clean_text = '') in the output.
+    */
+  def stripBoilerplate(documents: DataFrame, n: Int = 8,
+      minDocs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.{array_join, array_sort, broadcast,
+      coalesce, collect_list, explode, posexplode, sequence, size, struct,
+      transform}
+    val lexicon = repeatedNgrams(documents, n, minDocs).select(col("gram"))
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // Every occurrence start (NOT per-doc-distinct: a gram repeated inside
+    // one document must cover all its occurrences' positions).
+    val occurrences = toks
+      .select(col("doc_id"), posexplode(shinglesKTokens(col("toks"), n)))
+      .withColumnRenamed("col", "gram")
+      .join(broadcast(lexicon), "gram")
+    val covered = occurrences
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")))
+      .withColumnRenamed("col", "token")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("token"))).as("parts"))
+      .select(col("doc_id"),
+        size(col("parts")).as("n_kept"),
+        array_join(transform(array_sort(col("parts")), p => p.getField("token")),
+          " ").as("clean_text"))
+    documents
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

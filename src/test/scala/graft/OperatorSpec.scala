@@ -229,4 +229,27 @@ class OperatorSpec extends SparkTestBase {
     assert(rest.subsetOf(uniform12))
     assert((en ++ rest).subsetOf(uniform12), "rates nest: 6/16 ⊂ 12/16")
   }
+
+  test("boilerplate strip removes exactly the covered spans") {
+    import spark.implicits._
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"   // df = 3 → stripped
+    val rare = "c1 c2 c3 c4 c5 c6 c7 c8"     // df = 2 → kept
+    val docs = Seq(
+      (0L, s"x $boiler y"),                  // span inside a doc
+      (1L, s"$boiler $boiler"),              // two occurrences, fully stripped
+      (2L, boiler),                          // exactly one gram, fully stripped
+      (3L, "u v w"),                         // shorter than n — untouched
+      (4L, s"p $rare"),
+      (5L, s"$rare q")
+    ).toDF("doc_id", "text")
+    val out = TextOps.stripBoilerplate(docs, n = 8, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(0L) === ((10, 8, "x y")))
+    assert(out(1L) === ((16, 16, "")), "both occurrences' spans union")
+    assert(out(2L) === ((8, 8, "")))
+    assert(out(3L) === ((3, 0, "u v w")))
+    assert(out(4L) === ((9, 0, s"p $rare")), "df=2 gram survives")
+    assert(out(5L) === ((9, 0, s"$rare q")))
+  }
 }
