@@ -263,6 +263,10 @@ object SparkEntry {
     // Cross-document boilerplate lexicon: 8-grams shared by >= 3 docs.
     "t11_boilerplate_ngrams" -> ((s, dir) => TextOps.repeatedNgrams(Tables.documents(s, dir), 8, 3)),
     "t21_boilerplate_strip" -> ((s, dir) => TextOps.stripBoilerplate(Tables.documents(s, dir), 8, 3)),
+    // Integer-exact BM25 (rational idf variant): top-20 docs for a
+    // three-term bag-of-words query.
+    "t22_bm25" -> ((s, dir) => TextOps.bm25Rank(Tables.documents(s, dir),
+      Seq("spark", "vector", "merge"), 20)),
     // Deterministic content-addressed sampling (reproducible pipeline
     // subsetting): keep iff first md5(doc_id) nibble < 6 → expected 6/16.
     "t7_hash_sample" -> ((s, dir) => TextOps.deterministicSample(
@@ -1289,6 +1293,39 @@ object SparkEntry {
         |       COALESCE(reb.clean_text, '') AS clean_text
         |FROM t LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "t22_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len(toks)) AS BIGINT) AS total_tokens FROM t
+        |), post AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+        |  FROM t
+        |), tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM post
+        |  WHERE term IN ('spark', 'vector', 'merge')
+        |  GROUP BY doc_id, dl, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    10000 * (2 * s.n_docs - 2 * df.df + 1) * tf.tf * 22 * s.total_tokens
+        |    // ((2 * df.df + 1)
+        |        * (10 * tf.tf * s.total_tokens + 3 * s.total_tokens
+        |           + 9 * tf.dl * s.n_docs)) AS term_score_e4
+        |  FROM tf JOIN df USING (term), stats s
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(term_score_e4) AS BIGINT) AS score_e4,
+        |         COUNT(*) AS n_terms_hit
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, doc_id, score_e4,
+        |       n_terms_hit
+        |FROM agg
+        |WINDOW w AS (ORDER BY score_e4 DESC, doc_id)
+        |QUALIFY ROW_NUMBER() OVER w <= 20
+        |ORDER BY rank""".stripMargin,
     "t12_doc_keywords" ->
       """WITH tc AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -625,4 +625,62 @@ object TextOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** BM25 document ranking for a bag-of-terms query, INTEGER-EXACT.
+    *
+    * Okapi BM25 with k1 = 6/5, b = 3/4 is a ratio of integer polynomials
+    * once the floating-point idf log is replaced by its rational argument
+    * (idf' = (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1) — log is monotonic,
+    * so rankings agree; the raw ratio additionally preserves idf's
+    * rare-term dominance through the per-term sum). Clearing denominators
+    * (avgdl = Tt/N, ×10·Tt both sides):
+    *
+    *   term_score_e4 = ⌊10⁴ · (2N−2df+1) · tf · 22·Tt
+    *                   ÷ ((2df+1) · (10·tf·Tt + 3·Tt + 9·dl·N))⌋
+    *
+    * — pure int64 arithmetic (fits through sf 1: ~9·10¹⁷ < 2⁶³), identical
+    * on every engine, no FP log/division whose last ulp differs across
+    * libm implementations.
+    *
+    * Scale shape: the postings scan filters to the QUERY TERMS before any
+    * shuffle (the tf aggregate moves ∝ matching postings, not the corpus);
+    * df and the (N, Tt) stats row are query-/corpus-constants that
+    * broadcast; the final top-k is TakeOrderedAndProject, never a global
+    * sort of all scored documents.
+    */
+  def bm25Rank(documents: DataFrame, queryTerms: Seq[String],
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, explode, expr,
+      row_number, size => asize}
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(asize(col("toks")).cast("long")).as("total_tokens"))
+    val tf = toks
+      .select(col("doc_id"), asize(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score_e4",
+        expr("""10000 * (2 * n_docs - 2 * df + 1) * tf * 22 * total_tokens
+                DIV ((2 * df + 1)
+                     * (10 * tf * total_tokens + 3 * total_tokens
+                        + 9 * dl * n_docs))"""))
+    val byDoc = scored.groupBy("doc_id")
+      .agg(sum(col("term_score_e4")).as("score_e4"),
+        count(lit(1)).as("n_terms_hit"))
+    // orderBy+limit → TakeOrderedAndProject (per-partition heaps, no global
+    // sort); the rank window then runs over only the k survivors.
+    val top = byDoc.orderBy(col("score_e4").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score_e4").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("doc_id"), col("score_e4"),
+        col("n_terms_hit"))
+      .orderBy("rank")
+  }
 }

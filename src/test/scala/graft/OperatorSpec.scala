@@ -252,4 +252,23 @@ class OperatorSpec extends SparkTestBase {
     assert(out(4L) === ((9, 0, s"p $rare")), "df=2 gram survives")
     assert(out(5L) === ((9, 0, s"$rare q")))
   }
+
+  test("bm25 ranking: idf dominance, tf monotonicity, length normalization") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare x x x"),          // one rare-term hit
+      (2L, "common x x x"),        // one common-term hit, same length
+      (3L, "common common x x"),   // two common-term hits, same length
+      (4L, "common x"),            // one common-term hit, shorter doc
+      (5L, "common y y y"),
+      (6L, "common z z z"),
+      (7L, "filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Rank(docs, Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(!out.contains(7L), "docs hitting no query term are unranked")
+    assert(out(1L) > out(2L), "rare term (df=1) outscores common (df=5)")
+    assert(out(3L) > out(2L), "higher tf scores higher, all else equal")
+    assert(out(4L) > out(2L), "shorter doc scores higher at equal tf")
+  }
 }
