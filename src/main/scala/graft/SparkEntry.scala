@@ -232,6 +232,9 @@ object SparkEntry {
     // the gram equi-join carries set sizes, so Jaccard falls out of the
     // collision counts with no second shingle pass.
     "d14_fuzzy_decontam" -> ((s, dir) => Decontam.fuzzyContaminationReport(Tables.documents(s, dir))),
+    // SemDeDup: embedding near-dup removal within nearest-centroid
+    // clusters (pairwise cosine bounded by cluster size, never all-pairs).
+    "d15_semdedup" -> ((s, dir) => Similarity.semDedup(Tables.embeddings(s, dir), 0.35, 64)),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
     // top-count / duplicated instances, computed shuffle-free per row.
     "t14_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
@@ -1701,6 +1704,47 @@ object SparkEntry {
     // d9b is CONTRACTUALLY the same oracle: the bloom prefilter may
     // only change where rows are dropped, never the result
     "d9b_decontaminate_bloom" -> d9OracleSql,
+    "d15_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xs,
+        |         CAST(embedding AS DOUBLE[]) AS de
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), s AS (
+        |  SELECT label, unnest(xs) AS v,
+        |         unnest(generate_series(1, len(xs))) AS d
+        |  FROM e WHERE label IS NOT NULL
+        |), cdim AS (
+        |  SELECT label AS c_label, d, CAST(SUM(v) // COUNT(*) AS BIGINT) AS cv
+        |  FROM s GROUP BY label, d
+        |), cent AS (
+        |  SELECT c_label, list(cv ORDER BY d) AS c FROM cdim GROUP BY c_label
+        |), dist AS (
+        |  SELECT e.vec_id, cent.c_label,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.xs)),
+        |      i -> (e.xs[i] - cent.c[i]) * (e.xs[i] - cent.c[i]))) AS BIGINT) AS dist2
+        |  FROM e, cent
+        |), assign AS (
+        |  SELECT vec_id, c_label AS cluster FROM dist
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                             ORDER BY dist2, c_label) = 1
+        |), pair AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v,
+        |    ROUND(list_dot_product(eu.de, ev.de)
+        |      / (sqrt(list_dot_product(eu.de, eu.de))
+        |         * sqrt(list_dot_product(ev.de, ev.de))), 6) AS score
+        |  FROM assign a JOIN assign b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN e eu ON eu.vec_id = a.vec_id
+        |  JOIN e ev ON ev.vec_id = b.vec_id
+        |), dropped AS (
+        |  SELECT v AS vec_id, MIN(u) AS dropped_by
+        |  FROM pair WHERE score >= 0.35 GROUP BY v
+        |)
+        |SELECT a.vec_id, a.cluster, d.dropped_by IS NULL AS kept, d.dropped_by
+        |FROM assign a LEFT JOIN dropped d USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
     "t14_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -231,6 +231,54 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication: partition the corpus into
+    * nearest-centroid clusters, then drop every vector that has a
+    * smaller-id near-duplicate (cosine ≥ `minScore`) in the SAME cluster.
+    * This is the embedding-space analog of the text near-dup keep-one
+    * policy — the pruning step shown to shrink web-scale training sets
+    * with no quality loss — and the same greedy, closure-free
+    * representative rule [[dedupByEmbedding]] uses.
+    *
+    * Scale shape — the whole point of the cluster partition: the pairwise
+    * cosine runs WITHIN clusters only, so with k ≈ √N balanced clusters the
+    * candidate set is Σ|cluster|² ≈ N·√N, never the N² all-pairs join (and
+    * each cluster's block is an independent shuffle partition — no skew
+    * coupling). The centroid table broadcasts; the corpus shuffles once on
+    * the cluster key. Zero-norm vectors score NaN and `NaN >= minScore` is
+    * false, so they are never dropped and never drop others (the
+    * [[rankedByCosine]] guard).
+    *
+    * Emits every clustered vector with its verdict (`kept`, plus the
+    * smallest-id duplicate that condemned it) rather than only survivors —
+    * the audit-friendly form; `.filter(col("kept"))` is the training-set
+    * view.
+    */
+  def semDedup(embeddings: DataFrame, minScore: Double = 0.35,
+      dim: Int = 64): DataFrame = {
+    val assign = nearestCentroid(embeddings, dim)
+      .select(col("vec_id"), col("label_assigned").as("cluster"))
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .join(assign, "vec_id")
+    val a = e.select(col("cluster"), col("vec_id").as("u"),
+      col("embedding").as("emb_u"))
+    val b = e.select(col("cluster"), col("vec_id").as("v"),
+      col("embedding").as("emb_v"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("u") < col("v"))
+      .select(col("v"),
+        col("u"),
+        round(cosineSim(col("emb_u"), col("emb_v")), 6).as("score"))
+      .filter(col("score") >= minScore)
+      .groupBy(col("v").as("vec_id"))
+      .agg(min(col("u")).as("dropped_by"))
+    e.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dropped_by").isNull.as("kept"), col("dropped_by"))
+      .orderBy("vec_id")
+  }
+
   /** Floor-scaled integer micro-units of the embedding column — the shared
     * exactness convention of the centroid/quantization tier.
     */

@@ -232,6 +232,35 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(base((0, 0)) === dim0)
   }
 
+  test("semDedup drops in-cluster near-dups (min-id survivor), keeps the rest") {
+    def sparse(entries: (Int, Double)*): Seq[Float] = {
+      val v = Array.fill(64)(0.0)
+      entries.foreach { case (i, x) => v(i) = x }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    // cluster 0 around axis e0; cluster 1 around axis e1
+    val rows = Seq(
+      (0L, sparse(0 -> 1.0), 0),                 // survivor of the A-dup set
+      (1L, sparse(0 -> 1.0, 3 -> 0.02), 0),      // ~cos 0.9998 to v0 → dropped
+      (2L, sparse(0 -> 0.8, 4 -> 0.6), 0),       // cos 0.8 to v0 → kept at τ=0.95
+      (3L, sparse(1 -> 1.0), 1),                 // survivor in cluster B
+      (4L, sparse(1 -> 1.0, 5 -> 0.02), 1),      // dropped by 3
+      (6L, sparse(0 -> 1.0, 6 -> 0.03), 0)       // dup of BOTH 0 and 1 → min u = 0
+    )
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Similarity.semDedup(emb, minScore = 0.95).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(0L) === ((true, -1L)))
+    assert(out(1L) === ((false, 0L)))
+    assert(out(2L) === ((true, -1L)), "cos 0.8 is below the 0.95 gate")
+    assert(out(3L) === ((true, -1L)), "clusters dedup independently")
+    assert(out(4L) === ((false, 3L)))
+    assert(out(6L) === ((false, 0L)), "condemned by the SMALLEST dup id")
+  }
+
   test("multiband LSH recall dominates single-band at the same plane width") {
     val emb = Tables.embeddings(spark, sf0001)
     def pairSet(df: org.apache.spark.sql.DataFrame) =
