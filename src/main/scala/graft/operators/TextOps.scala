@@ -683,4 +683,50 @@ object TextOps {
         col("n_terms_hit"))
       .orderBy("rank")
   }
+
+  /** Statistical language-model QUALITY score (the CCNet-style filter):
+    * train a unigram model on the content-addressed TRAIN slice of the
+    * corpus, score EVERY document by its tokens' mean log-frequency under
+    * that model. Documents of common, well-attested vocabulary score high;
+    * documents dominated by tokens the reference slice never saw score
+    * near zero — the corpus-statistical complement to the per-document
+    * heuristics in [[tokenStats]].
+    *
+    * INTEGER-EXACT across engines: the per-token log is
+    * floor(log₂(count+1)) computed as `length(bin(count+1)) - 1` — pure
+    * string-of-bits arithmetic with no libm log whose last ulp could
+    * differ; the +1 is add-one smoothing, so out-of-model tokens
+    * contribute exactly 0. score_e4 = ⌊10⁴·Σ⌋ ÷ n_tokens.
+    *
+    * Scale shape: the model IS the token frequency table — built with one
+    * explode + map-side-combined count over the train slice, joined back
+    * VOCABULARY-sized (AQE broadcasts it at typical corpus/vocab ratios);
+    * scoring is one more explode + per-doc aggregate. Nothing quadratic,
+    * no driver-side model object — the "LM" stays a distributed table and
+    * would at 100 TB (a trillion-token corpus has a few hundred million
+    * distinct tokens — still join-sized, never driver-sized).
+    */
+  def lmQualityScore(documents: DataFrame,
+      trainSixteenths: Int = 12): DataFrame = {
+    import org.apache.spark.sql.functions.{bin, coalesce, explode, length => slen}
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"),
+      hexNibble("doc_id").as("nb"))
+    val model = toks.filter(col("nb") < trainSixteenths)
+      .select(explode(col("toks")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+    val scored = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(model, Seq("term"), "left")
+      .select(col("doc_id"),
+        (slen(bin(coalesce(col("cnt"), lit(0L)) + 1L)) - 1)
+          .cast("long").as("flog2"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("flog2")).as("lm_mass"))
+      .select(col("doc_id"), col("n_tokens"), col("lm_mass"),
+        org.apache.spark.sql.functions.expr(
+          "10000 * lm_mass DIV n_tokens").as("score_e4"))
+      .orderBy("doc_id")
+  }
 }

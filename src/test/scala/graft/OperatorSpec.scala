@@ -271,4 +271,20 @@ class OperatorSpec extends SparkTestBase {
     assert(out(3L) > out(2L), "higher tf scores higher, all else equal")
     assert(out(4L) > out(2L), "shorter doc scores higher at equal tf")
   }
+
+  test("lm quality score: hand-computed floor-log2 values, OOV scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a a"),         // cnt(a)=4 → flog2(5)=2 per token
+      (1L, "w x y z")          // four singletons → flog2(2)=1 per token
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmQualityScore(docs, trainSixteenths = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(0L) === 20000L, "4 tokens of mass 2 → 10000*8/4")
+    assert(out(1L) === 10000L, "4 tokens of mass 1 → 10000*4/4")
+    // an empty reference slice = every token out-of-model → score 0
+    val oov = TextOps.lmQualityScore(docs, trainSixteenths = 0)
+      .collect().map(_.getLong(3))
+    assert(oov.forall(_ === 0L))
+  }
 }
