@@ -235,6 +235,9 @@ object SparkEntry {
     // SemDeDup: embedding near-dup removal within nearest-centroid
     // clusters (pairwise cosine bounded by cluster size, never all-pairs).
     "d15_semdedup" -> ((s, dir) => Similarity.semDedup(Tables.embeddings(s, dir), 0.35, 64)),
+    // Integer-exact 3-iteration PageRank over the customer↔supplier graph.
+    "g1_pagerank" -> ((s, dir) => GraphOps.supplierRank(
+      Tables.orders(s, dir), Tables.lineitem(s, dir), 25, 3)),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
     // top-count / duplicated instances, computed shuffle-free per row.
     "t14_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
@@ -270,6 +273,8 @@ object SparkEntry {
     // three-term bag-of-words query.
     "t22_bm25" -> ((s, dir) => TextOps.bm25Rank(Tables.documents(s, dir),
       Seq("spark", "vector", "merge"), 20)),
+    // CCNet-style unigram-LM quality score, trained on the nb<12 slice.
+    "t23_lm_quality" -> ((s, dir) => TextOps.lmQualityScore(Tables.documents(s, dir), 12)),
     // Deterministic content-addressed sampling (reproducible pipeline
     // subsetting): keep iff first md5(doc_id) nibble < 6 → expected 6/16.
     "t7_hash_sample" -> ((s, dir) => TextOps.deterministicSample(
@@ -1329,6 +1334,30 @@ object SparkEntry {
         |WINDOW w AS (ORDER BY score_e4 DESC, doc_id)
         |QUALIFY ROW_NUMBER() OVER w <= 20
         |ORDER BY rank""".stripMargin,
+    "t23_lm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         instr('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM documents
+        |), model AS (
+        |  SELECT term, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(toks) AS term FROM t WHERE nb < 12
+        |  ) GROUP BY term
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM t
+        |), scored AS (
+        |  SELECT doc_id,
+        |         CAST(length(bin(COALESCE(m.cnt, 0) + 1)) - 1 AS BIGINT) AS flog2
+        |  FROM tok LEFT JOIN model m USING (term)
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |         CAST(SUM(flog2) AS BIGINT) AS lm_mass
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, lm_mass,
+        |       10000 * lm_mass // n_tokens AS score_e4
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "t12_doc_keywords" ->
       """WITH tc AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -1745,6 +1774,53 @@ object SparkEntry {
         |SELECT a.vec_id, a.cluster, d.dropped_by IS NULL AS kept, d.dropped_by
         |FROM assign a LEFT JOIN dropped d USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
+    "g1_pagerank" ->
+      """WITH base AS (
+        |  SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), e AS (
+        |  SELECT c_node AS src, s_node AS dst FROM base
+        |  UNION ALL
+        |  SELECT s_node AS src, c_node AS dst FROM base
+        |), deg AS (
+        |  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+        |), s0 AS (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes
+        |), c1 AS (
+        |  SELECT e.dst AS node, CAST(SUM(s.score // d.outdeg) AS BIGINT) AS mass
+        |  FROM e JOIN deg d USING (src) JOIN s0 s ON s.node = e.src
+        |  GROUP BY e.dst
+        |), s1 AS (
+        |  SELECT n.node,
+        |         CAST(150000 + 85 * COALESCE(c.mass, 0) // 100 AS BIGINT) AS score
+        |  FROM nodes n LEFT JOIN c1 c USING (node)
+        |), c2 AS (
+        |  SELECT e.dst AS node, CAST(SUM(s.score // d.outdeg) AS BIGINT) AS mass
+        |  FROM e JOIN deg d USING (src) JOIN s1 s ON s.node = e.src
+        |  GROUP BY e.dst
+        |), s2 AS (
+        |  SELECT n.node,
+        |         CAST(150000 + 85 * COALESCE(c.mass, 0) // 100 AS BIGINT) AS score
+        |  FROM nodes n LEFT JOIN c2 c USING (node)
+        |), c3 AS (
+        |  SELECT e.dst AS node, CAST(SUM(s.score // d.outdeg) AS BIGINT) AS mass
+        |  FROM e JOIN deg d USING (src) JOIN s2 s ON s.node = e.src
+        |  GROUP BY e.dst
+        |), s3 AS (
+        |  SELECT n.node,
+        |         CAST(150000 + 85 * COALESCE(c.mass, 0) // 100 AS BIGINT) AS score
+        |  FROM nodes n LEFT JOIN c3 c USING (node)
+        |)
+        |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+        |       CASE WHEN node % 2 = 1 THEN 'supplier' ELSE 'customer' END
+        |         AS node_type,
+        |       node // 2 AS key, score AS score_micro
+        |FROM s3
+        |WINDOW w AS (ORDER BY score DESC, node)
+        |QUALIFY ROW_NUMBER() OVER w <= 25
+        |ORDER BY rank""".stripMargin,
     "t14_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, count, expr, lit, row_number,
+  sum, when}
+
+/** Iterative graph ranking over edge tables (the crawl-frontier /
+  * entity-importance tier of a training-data pipeline: PageRank over the
+  * link graph decides which domains get crawl budget, long before any
+  * per-document quality signal exists).
+  *
+  * Companion to [[Dedup.connectedComponents]] (the other iterative graph
+  * operator): CC answers "which rows are the same thing", PageRank answers
+  * "which nodes matter".
+  */
+object GraphOps {
+
+  /** PageRank with a FIXED iteration count, INTEGER-EXACT: scores live in
+    * micro-units (init 10⁶ per node) and every step is floor arithmetic —
+    * contribution = score ÷ outdegree, update = 150000 + 85·Σin ÷ 100
+    * (damping 0.85, teleport 0.15) — so results are bit-identical on any
+    * engine and any partitioning, unlike float PageRank whose partial-sum
+    * reassociation drifts per run. Fixed iterations instead of an FP
+    * convergence test keep the contract deterministic; rank ORDER is
+    * what downstream consumes and it stabilizes within a few iterations.
+    *
+    * Scale shape: one iteration = one equi-join of the score table onto
+    * the (outdegree-annotated) edge list + one groupBy(dst) partial-
+    * aggregated sum — both hash-partitioned on node keys, nothing
+    * quadratic, no driver-side graph object (the adjacency stays a
+    * distributed table; GraphX-style vertex mirroring is unnecessary for
+    * a rank computation this shape). Dangling nodes (no out-edges)
+    * simply contribute nothing; nodes with no in-edges settle at the
+    * teleport floor. For deep iteration counts at 100 TB, checkpoint
+    * every ~10 rounds to cut lineage — at the shallow counts used for
+    * frontier ranking the plain loop is the faster plan.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(outdeg, "src")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var scores = nodes.select(col("node"), lit(1000000L).as("score"))
+    for (_ <- 1 to iterations) {
+      val inMass = scores
+        .join(eDeg, col("node") === col("src"))
+        .select(col("dst"), expr("score DIV outdeg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("mass"))
+      scores = nodes
+        .join(inMass, nodes("node") === inMass("dst"), "left")
+        .select(col("node"),
+          expr("150000 + 85 * coalesce(mass, CAST(0 AS BIGINT)) DIV 100")
+            .as("score"))
+    }
+    scores
+  }
+
+  /** Entity importance over the order graph: PageRank on the UNDIRECTED
+    * bipartite customer↔supplier graph induced by lineitems (edge =
+    * "this customer bought from this supplier at least once"). The
+    * even/odd node encoding (customer 2k, supplier 2k+1) keeps the two
+    * key spaces disjoint inside one BIGINT node id. Top-k by rank —
+    * TakeOrderedAndProject, then the rank window runs over k rows only.
+    */
+  def supplierRank(orders: DataFrame, lineitem: DataFrame,
+      k: Int = 25, iterations: Int = 3): DataFrame = {
+    val base = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey")), "ok")
+      .select((col("o_custkey") * 2).cast("long").as("c_node"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("s_node"))
+      .distinct()
+    val edges = base.select(col("c_node").as("src"), col("s_node").as("dst"))
+      .union(base.select(col("s_node").as("src"), col("c_node").as("dst")))
+    val top = pageRank(edges, iterations)
+      .orderBy(col("score").desc, col("node")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("node"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"),
+        when(col("node") % 2 === 1, lit("supplier"))
+          .otherwise(lit("customer")).as("node_type"),
+        expr("node DIV 2").as("key"),
+        col("score").as("score_micro"))
+      .orderBy("rank")
+  }
+}

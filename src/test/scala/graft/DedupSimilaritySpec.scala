@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, SimilarityIndex}
+import graft.operators.{Dedup, GraphOps, Similarity, SimilarityIndex}
 import graft.functions.VectorFunctions
 
 /** LSH dedup + similarity: recall on planted near-duplicates, and the
@@ -350,6 +350,26 @@ class DedupSimilaritySpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got === want, s"seed $seed")
     }
+  }
+
+  test("pagerank: hand-computed star graph, symmetric fixed point, partition-invariant") {
+    // undirected 2-cycle: every update is 150000 + 85·10⁶÷100 = 10⁶ — the
+    // symmetric configuration is an exact integer fixed point
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val c = GraphOps.pageRank(cyc, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c === Map(1L -> 1000000L, 2L -> 1000000L))
+    // undirected 5-leaf star, 3 iterations, all floors hand-computed:
+    // hub: 4400000 → 1510000 → 3966500; leaf: 320000 → 898000 → 406700
+    val star = (1L to 5L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
+    val s = GraphOps.pageRank(star, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s(0L) === 3966500L, s"hub: $s")
+    assert((1L to 5L).forall(i => s(i) === s(1L)), "leaves tie by symmetry")
+    assert(s(0L) > s(1L), "hub outranks leaves")
+    val reparted = GraphOps.pageRank(star.repartition(7), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reparted === s, "integer floors merge identically under any partitioning")
   }
 
   test("dup clusters: edges land in one cluster, labels are component minima") {
