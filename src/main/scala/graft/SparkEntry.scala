@@ -238,6 +238,8 @@ object SparkEntry {
     // Integer-exact 3-iteration PageRank over the customer↔supplier graph.
     "g1_pagerank" -> ((s, dir) => GraphOps.supplierRank(
       Tables.orders(s, dir), Tables.lineitem(s, dir), 25, 3)),
+    // Quality-aware survivor per near-dup cluster (best doc, not min id).
+    "d16_cluster_reps" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir), 0.9)),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
     // top-count / duplicated instances, computed shuffle-free per row.
     "t14_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
@@ -1214,6 +1216,53 @@ object SparkEntry {
         |SELECT lab.node AS doc_id, lab.cluster_id, sz.cluster_size
         |FROM lab JOIN sz USING (cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    "d16_cluster_reps" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |   AND len(a.sh) * 10000 >= len(b.sh) * 8999 AND len(b.sh) * 10000 >= len(a.sh) * 8999
+        |  WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.9
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p
+        |), cc AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON cc.node = e.a
+        |), lab AS (
+        |  SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+        |), q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN nc >= 100 AND nc <= 5000 THEN 1 ELSE 0 END
+        |     + CASE WHEN (nc - nt + 1) >= nt * 3 AND (nc - nt + 1) <= nt * 10 THEN 1 ELSE 0 END
+        |     + CASE WHEN nsw * 20 >= nt THEN 1 ELSE 0 END
+        |     + CASE WHEN nlong = 0 THEN 1 ELSE 0 END) AS quality_score
+        |  FROM (
+        |    SELECT doc_id, length(text) AS nc, CAST(len(toks) AS INT) AS nt,
+        |      CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS nsw,
+        |      CAST(len(list_filter(toks, x -> length(x) > 25)) AS INT) AS nlong
+        |    FROM t
+        |  )
+        |), sel AS (
+        |  SELECT l.cluster_id, l.node AS doc_id, q.quality_score,
+        |         COUNT(*) OVER (PARTITION BY l.cluster_id) AS csize
+        |  FROM lab l JOIN q ON q.doc_id = l.node
+        |)
+        |SELECT cluster_id, doc_id AS rep_doc, quality_score AS rep_quality,
+        |       CAST(csize AS BIGINT) AS cluster_size
+        |FROM sel
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                           ORDER BY quality_score DESC, doc_id) = 1
+        |ORDER BY cluster_id""".stripMargin,
     "s3_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

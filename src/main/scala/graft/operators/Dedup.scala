@@ -482,6 +482,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware KEEP policy per near-dup cluster: instead of the
+    * min-id survivor every dedup stage defaults to ([[exactDedup]],
+    * [[Similarity.semDedup]]), keep each cluster's HIGHEST-QUALITY member
+    * (ties → smallest doc_id) — the curation rule real pipelines want,
+    * since the min-id copy of a boilerplate-ridden mirror set is rarely
+    * the cleanest one. Composes [[dupClusters]] (near-dup connected
+    * components) with the integer quality score.
+    *
+    * Scale shape: one doc_id equi-join of labels to scores, then a
+    * per-cluster max_by aggregate (partial-agg friendly: max_by merges
+    * associatively) — no window over the corpus, no per-cluster sort.
+    * Singleton clusters pass through as their own representative.
+    */
+  def clusterRepresentatives(documents: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    import org.apache.spark.sql.functions.{count => fcount, max, max_by, struct}
+    val clusters = dupClusters(documents, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val scored = documents
+      .select(col("doc_id"), qualityScore(col("text")).as("quality_score"))
+    clusters.join(scored, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("quality_score"), (-col("doc_id")).as("neg"))).as("rep_doc"),
+        max(col("quality_score")).as("rep_quality"),
+        fcount(lit(1)).as("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
   /** (doc_id, sig, chunk_id, chunk_val): the 64-bit SimHash split into
     * `numChunks` contiguous chunks with widths differing by at most 1.
     */

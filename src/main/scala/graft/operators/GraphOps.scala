@@ -41,9 +41,14 @@ object GraphOps {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outdeg, "src")
+    // Loop-invariant tables are CACHED: without this, lazy lineage
+    // recomputes the upstream edge derivation (often a join+distinct) once
+    // per iteration per consumer — the classic iterative-Spark trap. The
+    // cached footprint is the edge list + node set, the same working set
+    // any graph engine holds resident.
+    val eDeg = e.join(outdeg, "src").cache()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().cache()
     var scores = nodes.select(col("node"), lit(1000000L).as("score"))
     for (_ <- 1 to iterations) {
       val inMass = scores

@@ -372,6 +372,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(reparted === s, "integer floors merge identically under any partitioning")
   }
 
+  test("cluster representatives: best quality wins, min id only breaks ties") {
+    // ~100 4-char tokens with stopwords → quality 4; appending one 30-char
+    // token keeps Jaccard ≈ 0.99 (same cluster) but costs a quality point
+    val base = Seq.tabulate(100)(i =>
+      if (i % 10 == 0) "the" else f"tok$i%03d").mkString(" ")
+    val other = Seq.tabulate(100)(i =>
+      if (i % 10 == 0) "the" else f"oth$i%03d").mkString(" ")
+    val polluted = base + " " + "z" * 30
+    val docs = Seq(
+      (0L, polluted), // min id, LOWER quality
+      (1L, base),     // higher quality → must be the representative
+      (5L, other),    // identical pair in a DISJOINT cluster:
+      (6L, other),    //   quality ties, min id 5 must win
+      (9L, "u v w")   // singleton
+    ).toDF("doc_id", "text")
+    val reps = Dedup.clusterRepresentatives(docs, threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(reps(0L) === ((1L, 4, 2L)),
+      "higher-quality doc 1 beats min-id doc 0")
+    assert(reps(5L)._1 === 5L, "equal quality falls back to min id")
+    assert(reps(9L) === ((9L, reps(9L)._2, 1L)), "singleton is its own rep")
+  }
+
   test("dup clusters: edges land in one cluster, labels are component minima") {
     val fixture = Tables.documents(spark, sf0001)
     val clusters = Dedup.dupClusters(fixture, threshold = 0.9)
