@@ -1,7 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Scratch perf probe (not part of the driver contract). */
+/** Scratch perf probe (not part of the driver contract): times the
+  * comma-separated SPARK_GRAFT_QUERIES twice each (cold then warm).
+  */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -15,14 +17,11 @@ object PerfProbe {
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val upTo = sys.env.getOrElse("SPARK_GRAFT_UPTO", "e1_json_extract")
-    val names = SparkEntry.queries.keys.toSeq.sorted.takeWhile(_ != upTo)
-    for (n <- names)
-      time(n)(SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save())
-    time("e1 AFTER predecessors")(
-      SparkEntry.queries("e1_json_extract")(spark, dir).write.format("noop").mode("overwrite").save())
-    time("e1 again")(
-      SparkEntry.queries("e1_json_extract")(spark, dir).write.format("noop").mode("overwrite").save())
+    val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "g1_pagerank")
+      .split(",").toSeq
+    for (n <- names; pass <- Seq("cold", "warm"))
+      time(s"$n $pass")(
+        SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

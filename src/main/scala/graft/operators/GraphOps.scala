@@ -30,39 +30,72 @@ object GraphOps {
     * aggregated sum — both hash-partitioned on node keys, nothing
     * quadratic, no driver-side graph object (the adjacency stays a
     * distributed table; GraphX-style vertex mirroring is unnecessary for
-    * a rank computation this shape). Dangling nodes (no out-edges)
-    * simply contribute nothing; nodes with no in-edges settle at the
-    * teleport floor. For deep iteration counts at 100 TB, checkpoint
-    * every ~10 rounds to cut lineage — at the shallow counts used for
-    * frontier ranking the plain loop is the faster plan.
+    * a rank computation this shape). The outdegree-annotated edge list
+    * and (when needed) the node set are CACHED: they are the loop
+    * invariants, and without pinning them lazy lineage recomputes the
+    * upstream edge derivation (often a join+distinct) once per iteration
+    * per consumer — the classic iterative-Spark trap. The cached
+    * footprint is the same working set any graph engine holds resident.
+    * Dangling nodes (no out-edges) simply contribute nothing; nodes with
+    * no in-edges settle at the teleport floor. For deep iteration counts
+    * at 100 TB, checkpoint every ~10 rounds to cut lineage — at the
+    * shallow counts used for frontier ranking the plain loop is the
+    * faster plan.
+    *
+    * `allNodesReceiveMass = true` declares that every node has at least
+    * one in-edge (always true for a symmetrized/undirected graph). The
+    * update then reads the mass aggregate directly and the whole
+    * node-set branch disappears: no node-set materialization and no
+    * per-iteration left join — one join + one aggregate per iteration.
+    * With the default `false`, scores are kept for ALL nodes via a left
+    * join against the node set, so in-edge-less nodes still settle at
+    * the teleport floor instead of vanishing from the output.
     */
-  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+      allNodesReceiveMass: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // Loop-invariant tables are CACHED: without this, lazy lineage
-    // recomputes the upstream edge derivation (often a join+distinct) once
-    // per iteration per consumer — the classic iterative-Spark trap. The
-    // cached footprint is the edge list + node set, the same working set
-    // any graph engine holds resident.
     val eDeg = e.join(outdeg, "src").cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    var scores = nodes.select(col("node"), lit(1000000L).as("score"))
-    for (_ <- 1 to iterations) {
-      val inMass = scores
-        .join(eDeg, col("node") === col("src"))
-        .select(col("dst"), expr("score DIV outdeg").as("c"))
+    val initScore = lit(1000000L).as("score")
+    val update = expr(
+      "150000 + 85 * coalesce(mass, CAST(0 AS BIGINT)) DIV 100").as("score")
+    if (allNodesReceiveMass) {
+      // Iteration 1 needs NO score join: the init score is uniform, so
+      // each edge's contribution is the constant-score floor division —
+      // computable straight off the annotated edge list. This also
+      // removes the node-set seed entirely (at scale that seed is a
+      // distinct over 2·|E| rows — a whole shuffle for nothing).
+      var scores = eDeg
         .groupBy("dst")
-        .agg(sum(col("c")).as("mass"))
-      scores = nodes
-        .join(inMass, nodes("node") === inMass("dst"), "left")
-        .select(col("node"),
-          expr("150000 + 85 * coalesce(mass, CAST(0 AS BIGINT)) DIV 100")
-            .as("score"))
+        .agg(sum(expr("1000000 DIV outdeg")).as("mass"))
+        .select(col("dst").as("node"), update)
+      for (_ <- 2 to iterations) {
+        scores = scores
+          .join(eDeg, col("node") === col("src"))
+          .select(col("dst"), expr("score DIV outdeg").as("c"))
+          .groupBy("dst")
+          .agg(sum(col("c")).as("mass"))
+          .select(col("dst").as("node"), update)
+      }
+      scores
+    } else {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().cache()
+      var scores = nodes.select(col("node"), initScore)
+      for (_ <- 1 to iterations) {
+        val inMass = scores
+          .join(eDeg, col("node") === col("src"))
+          .select(col("dst"), expr("score DIV outdeg").as("c"))
+          .groupBy("dst")
+          .agg(sum(col("c")).as("mass"))
+        scores = nodes
+          .join(inMass, nodes("node") === inMass("dst"), "left")
+          .select(col("node"), update)
+      }
+      scores
     }
-    scores
   }
 
   /** Entity importance over the order graph: PageRank on the UNDIRECTED
@@ -71,6 +104,12 @@ object GraphOps {
     * even/odd node encoding (customer 2k, supplier 2k+1) keeps the two
     * key spaces disjoint inside one BIGINT node id. Top-k by rank —
     * TakeOrderedAndProject, then the rank window runs over k rows only.
+    *
+    * The half-size directed pair set is cached BEFORE symmetrization:
+    * it is the expensive part (fact-fact join + distinct), every
+    * downstream invariant (outdegree, edge cache, node seed) re-reads
+    * it, and caching the doubled list instead would store every pair
+    * twice.
     */
   def supplierRank(orders: DataFrame, lineitem: DataFrame,
       k: Int = 25, iterations: Int = 3): DataFrame = {
@@ -79,10 +118,11 @@ object GraphOps {
       .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey")), "ok")
       .select((col("o_custkey") * 2).cast("long").as("c_node"),
         (col("l_suppkey") * 2 + 1).cast("long").as("s_node"))
-      .distinct()
+      .distinct().cache()
     val edges = base.select(col("c_node").as("src"), col("s_node").as("dst"))
       .union(base.select(col("s_node").as("src"), col("c_node").as("dst")))
-    val top = pageRank(edges, iterations)
+    // Symmetrized graph ⇒ every node has in-edges: take the lean path.
+    val top = pageRank(edges, iterations, allNodesReceiveMass = true)
       .orderBy(col("score").desc, col("node")).limit(k)
     val w = Window.orderBy(col("score").desc, col("node"))
     top.withColumn("rank", row_number().over(w).cast("int"))

@@ -370,6 +370,11 @@ class DedupSimilaritySpec extends SparkTestBase {
     val reparted = GraphOps.pageRank(star.repartition(7), iterations = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(reparted === s, "integer floors merge identically under any partitioning")
+    // lean path (no node-set left join) must agree exactly on a
+    // symmetric graph — the precondition supplierRank asserts
+    val lean = GraphOps.pageRank(star, iterations = 3, allNodesReceiveMass = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lean === s, "allNodesReceiveMass path matches the general path")
   }
 
   test("cluster representatives: best quality wins, min id only breaks ties") {
