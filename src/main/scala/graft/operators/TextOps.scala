@@ -583,46 +583,44 @@ object TextOps {
     * Scale shape: the boilerplate lexicon is SMALL by construction (grams
     * repeated across ≥ minDocs documents — kilobytes even at 100 TB), so it
     * broadcasts; the occurrence scan is one gram-explode joined against the
-    * broadcast lexicon (no shuffle on the corpus side); covered positions
-    * explode only from MATCHED occurrences (∝ boilerplate mass, not corpus
-    * mass); the rebuild is one groupBy(doc_id) over kept tokens — the only
-    * corpus-sized shuffle in the plan. A left join from the document base
-    * keeps fully-stripped documents (clean_text = '') in the output.
+    * broadcast lexicon (no shuffle on the corpus side). Matched occurrence
+    * STARTS are then aggregated per document — a shuffle ∝ boilerplate
+    * occurrences, not corpus tokens — and the rebuild is ROW-LOCAL: a
+    * positional-lambda filter drops token p iff some start s ∈ [p−n+1, p]
+    * exists in the doc's (typically tiny) start list. No token ever
+    * shuffles: the old plan's (doc_id, pos) anti-join and collect_list
+    * regroup — two corpus-token-sized exchanges — are gone; boilerplate-free
+    * documents join to nothing and keep their text untouched. Per-doc cost
+    * is O(dl · starts_doc) with a short-circuiting exists — degenerate only
+    * when a document is mostly boilerplate, where dl·starts is bounded by
+    * the removed mass anyway.
     */
   def stripBoilerplate(documents: DataFrame, n: Int = 8,
       minDocs: Int = 3): DataFrame = {
-    import org.apache.spark.sql.functions.{array_join, array_sort, broadcast,
-      coalesce, collect_list, explode, posexplode, sequence, size, struct,
-      transform}
+    import org.apache.spark.sql.functions.{array_join, broadcast, coalesce,
+      collect_list, exists, filter, lit, not, posexplode, size, sort_array}
     val lexicon = repeatedNgrams(documents, n, minDocs).select(col("gram"))
     val toks = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
     // Every occurrence start (NOT per-doc-distinct: a gram repeated inside
-    // one document must cover all its occurrences' positions).
-    val occurrences = toks
+    // one document must cover all its occurrences' positions; coverage of
+    // overlapping occurrences unions inside the per-token exists).
+    val starts = toks
       .select(col("doc_id"), posexplode(shinglesKTokens(col("toks"), n)))
       .withColumnRenamed("col", "gram")
       .join(broadcast(lexicon), "gram")
-    val covered = occurrences
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
-      .distinct()
-    val kept = toks
-      .select(col("doc_id"), posexplode(col("toks")))
-      .withColumnRenamed("col", "token")
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-    val rebuilt = kept
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("pos"), col("token"))).as("parts"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toks
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("starts"), lit(Array.empty[Int])).as("starts"))
       .select(col("doc_id"),
-        size(col("parts")).as("n_kept"),
-        array_join(transform(array_sort(col("parts")), p => p.getField("token")),
-          " ").as("clean_text"))
-    documents
-      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
+        size(col("toks")).as("n_tokens"),
+        filter(col("toks"), (_, p) => not(exists(col("starts"),
+          s => s <= p && p < s + lit(n)))).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
       .orderBy("doc_id")
   }
 
