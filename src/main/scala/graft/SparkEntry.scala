@@ -271,6 +271,9 @@ object SparkEntry {
     // Cross-document boilerplate lexicon: 8-grams shared by >= 3 docs.
     "t11_boilerplate_ngrams" -> ((s, dir) => TextOps.repeatedNgrams(Tables.documents(s, dir), 8, 3)),
     "t21_boilerplate_strip" -> ((s, dir) => TextOps.stripBoilerplate(Tables.documents(s, dir), 8, 3)),
+    // Maximal cross-doc repeated token spans (exact-substring-dup report):
+    // covered positions merged gaps-and-islands style; rows ∝ spans.
+    "t24_repeated_spans" -> ((s, dir) => TextOps.repeatedSpans(Tables.documents(s, dir), 8, 3)),
     // Integer-exact BM25 (rational idf variant): top-20 docs for a
     // three-term bag-of-words query.
     "t22_bm25" -> ((s, dir) => TextOps.bm25Rank(Tables.documents(s, dir),
@@ -1350,6 +1353,35 @@ object SparkEntry {
         |       COALESCE(reb.clean_text, '') AS clean_text
         |FROM t LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "t24_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), occ AS (
+        |  SELECT doc_id, i AS start,
+        |    concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+        |                   toks[i+5], toks[i+6], toks[i+7], toks[i+8]) AS gram
+        |  FROM t, unnest(CASE WHEN len(toks) >= 8
+        |      THEN generate_series(0, len(toks)-8)
+        |      ELSE [] END) AS u(i)
+        |), lex AS (
+        |  SELECT gram FROM (SELECT gram, doc_id FROM occ GROUP BY gram, doc_id)
+        |  GROUP BY gram HAVING COUNT(*) >= 3
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT occ.doc_id,
+        |           unnest(generate_series(occ.start, occ.start + 7)) AS pos
+        |    FROM occ JOIN lex USING (gram)
+        |  )
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM cov
+        |)
+        |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+        |       CAST(MAX(pos) + 1 AS INT) AS span_end,
+        |       CAST(COUNT(*) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     "t22_bm25" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

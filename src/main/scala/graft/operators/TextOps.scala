@@ -624,6 +624,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** MAXIMAL repeated spans per document — the exact-substring-duplication
+    * report behind suffix-array dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): a span is a maximal contiguous
+    * run of token positions covered by occurrences of cross-document
+    * repeated n-grams (document frequency ≥ `minDocs`). Where
+    * [[stripBoilerplate]] removes the covered tokens, this EMITS the
+    * covered intervals — the artifact you audit, threshold, or hand to a
+    * targeted substring-removal pass. A suffix array itself is the wrong
+    * tool on Spark (global lexicographic sort of every suffix); the
+    * n-gram lexicon + interval merge reaches the same covered-span set
+    * for spans ≥ n with corpus-linear work.
+    *
+    * Span merge is gaps-and-islands: covered positions (∝ boilerplate
+    * mass, de-duplicated) get `pos − row_number()` as an island key —
+    * constant within a contiguous run, distinct across gaps — then one
+    * groupBy per island yields [start, end). The only window runs over
+    * covered positions of one document per partition key, never the
+    * corpus; everything upstream is the broadcast-lexicon occurrence scan
+    * shared with [[stripBoilerplate]]. Output rows ∝ spans.
+    */
+  def repeatedSpans(documents: DataFrame, n: Int = 8,
+      minDocs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, explode, max, min,
+      posexplode, row_number, sequence}
+    val lexicon = repeatedNgrams(documents, n, minDocs).select(col("gram"))
+    val covered = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(shinglesKTokens(col("toks"), n)))
+      .withColumnRenamed("col", "gram")
+      .join(broadcast(lexicon), "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val island = Window.partitionBy("doc_id").orderBy("p")
+    covered
+      .withColumn("grp", col("p") - row_number().over(island))
+      .groupBy("doc_id", "grp")
+      .agg(min("p").as("span_start"),
+        (max("p") + 1).as("span_end"),
+        count(lit(1)).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** BM25 document ranking for a bag-of-terms query, INTEGER-EXACT.
     *
     * Okapi BM25 with k1 = 6/5, b = 3/4 is a ratio of integer polynomials

@@ -253,6 +253,25 @@ class OperatorSpec extends SparkTestBase {
     assert(out(5L) === ((9, 0, s"$rare q")))
   }
 
+  test("repeated spans: maximal intervals, overlaps and adjacency merge") {
+    import spark.implicits._
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (0L, s"x $boiler y"),          // one span [1, 9)
+      (1L, s"$boiler $boiler"),      // adjacent occurrences merge: [0, 16)
+      (2L, boiler),                  // whole doc: [0, 8)
+      (3L, "u v w"),                 // no spans → no rows
+      (4L, s"$boiler z $boiler")     // gap of one token → TWO spans
+    ).toDF("doc_id", "text")
+    val spans = TextOps.repeatedSpans(docs, n = 8, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.toSeq === Seq(
+      (0L, 1, 9, 8L),
+      (1L, 0, 16, 16L),
+      (2L, 0, 8, 8L),
+      (4L, 0, 8, 8L), (4L, 9, 17, 8L)))
+  }
+
   test("bm25 ranking: idf dominance, tf monotonicity, length normalization") {
     import spark.implicits._
     val docs = Seq(
