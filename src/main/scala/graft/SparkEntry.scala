@@ -371,6 +371,10 @@ object SparkEntry {
     // top-5 positive block, still similar enough to be informative.
     // Same broadcast + WindowGroupLimit shape as s3.
     "s10_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5, 10)),
+    // Integer-exact fixed-iteration Lloyd k-means: md5-order seeding,
+    // micro-unit squared-L2, truncating-division centroid updates —
+    // the oracle-checkable quantizer trainer (MLlib's is FP-seeded).
+    "s11_kmeans" -> ((s, dir) => IvfIndex.kmeansExact(Tables.embeddings(s, dir), 8, 2)),
     // Uint8 scalar quantization (ANN index compression): integer-exact
     // codes + per-vector worst-case reconstruction error, scan-bound.
     "s6_quantize" -> ((s, dir) => Similarity.quantizeEmbeddings(Tables.embeddings(s, dir))),
@@ -1302,6 +1306,60 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, vec_id)
         |QUALIFY ROW_NUMBER() OVER w > 5 AND ROW_NUMBER() OVER w <= 15
         |ORDER BY query_id, rank""".stripMargin,
+    "s11_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), ed AS (
+        |  SELECT vec_id, d, qe[d + 1] AS v
+        |  FROM e, unnest(generate_series(0, len(qe) - 1)) AS g(d)
+        |), c0 AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |                            vec_id) - 1 AS cid, qe
+        |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+        |), c0d AS (
+        |  SELECT cid, d, qe[d + 1] AS v
+        |  FROM c0, unnest(generate_series(0, len(qe) - 1)) AS g(d)
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ed.vec_id, c.cid, SUM((ed.v - c.v) * (ed.v - c.v)) AS dist
+        |    FROM ed JOIN c0d c ON ed.d = c.d GROUP BY ed.vec_id, c.cid)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                             ORDER BY dist, cid) = 1
+        |), u1 AS (
+        |  SELECT a1.cid, ed.d, CAST(SUM(ed.v) AS BIGINT) // COUNT(*) AS v
+        |  FROM a1 JOIN ed USING (vec_id) GROUP BY a1.cid, ed.d
+        |), c1d AS (
+        |  SELECT c.cid, c.d, COALESCE(u1.v, c.v) AS v
+        |  FROM c0d c LEFT JOIN u1 ON u1.cid = c.cid AND u1.d = c.d
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ed.vec_id, c.cid, SUM((ed.v - c.v) * (ed.v - c.v)) AS dist
+        |    FROM ed JOIN c1d c ON ed.d = c.d GROUP BY ed.vec_id, c.cid)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                             ORDER BY dist, cid) = 1
+        |), u2 AS (
+        |  SELECT a2.cid, ed.d, CAST(SUM(ed.v) AS BIGINT) // COUNT(*) AS v
+        |  FROM a2 JOIN ed USING (vec_id) GROUP BY a2.cid, ed.d
+        |), c2d AS (
+        |  SELECT c.cid, c.d, COALESCE(u2.v, c.v) AS v
+        |  FROM c1d c LEFT JOIN u2 ON u2.cid = c.cid AND u2.d = c.d
+        |), a3 AS (
+        |  SELECT vec_id, cid, dist FROM (
+        |    SELECT ed.vec_id, c.cid, SUM((ed.v - c.v) * (ed.v - c.v)) AS dist
+        |    FROM ed JOIN c2d c ON ed.d = c.d GROUP BY ed.vec_id, c.cid)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                             ORDER BY dist, cid) = 1
+        |), cs AS (
+        |  SELECT cid, CAST(SUM(v) AS BIGINT) AS centroid_sum
+        |  FROM c2d GROUP BY cid
+        |)
+        |SELECT a3.cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(a3.dist) AS BIGINT) AS inertia, cs.centroid_sum
+        |FROM a3 JOIN cs ON cs.cid = a3.cid
+        |GROUP BY a3.cid, cs.centroid_sum
+        |ORDER BY cluster_id""".stripMargin,
     "t11_boilerplate_ngrams" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

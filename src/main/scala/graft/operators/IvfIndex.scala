@@ -84,6 +84,82 @@ object IvfIndex {
     * k-means (20+ driver-coordinated jobs) would dominate the query's
     * cost. Production index builds use [[trainCentroids]].
     */
+  /** Fixed-iteration Lloyd k-means, INTEGER-EXACT — the oracle-checkable
+    * counterpart of [[trainCentroids]] (MLlib's float k-means trains the
+    * serving quantizer fine, but FP partial-sum reassociation makes its
+    * centroids engine- and run-dependent, so nothing downstream of it can
+    * be hash-verified). Here every quantity is deterministic on any
+    * engine: components are floor-scaled to micro-units (the
+    * [[graft.functions.CentroidAgg]] convention), distances are int64
+    * squared-L2 over those units (max |diff| ≈ 2·10⁶ squared × dim 64 ≈
+    * 2.6·10¹⁴ — int64-safe through sf 1), centroid updates use long sums
+    * with TRUNCATING division (JVM `/` == DuckDB `//`), seeding is the
+    * content-addressed md5 order (derivable in SQL, unlike xxhash64), and
+    * ties in the argmin break to the smallest centroid id via struct
+    * ordering. Empty clusters keep their previous centroid.
+    *
+    * Scale shape per iteration: one scan with k codegen'd distance
+    * expressions against BROADCAST centroid literals (k·dim longs —
+    * kilobytes), then one mergeable [[graft.functions.CentroidAgg]]
+    * aggregate whose shuffle carries k×(dim+1) longs per map partition.
+    * The driver holds only the k×dim centroid table between iterations —
+    * the same coarse-codebook footprint [[sampleCentroids]] already
+    * collects. Returns per-cluster (n_vecs, inertia, centroid_sum) —
+    * the convergence stats a training job monitors.
+    */
+  def kmeansExact(embeddings: DataFrame, k: Int = 8,
+      iterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.{aggregate, array, array_min,
+      count => fcount, md5, struct, sum => fsum, transform, typedlit,
+      zip_with}
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qe"))
+    val seeds = e
+      .select(col("vec_id"), col("qe"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.nonEmpty, "kmeansExact: no non-null vectors to seed from")
+    val dim = seeds(0).length
+    def assign(cents: Array[Array[Long]]): DataFrame = {
+      val scored = cents.zipWithIndex.map { case (c, j) =>
+        struct(
+          aggregate(
+            zip_with(col("qe"), typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"),
+          lit(j).as("cid"))
+      }
+      e.withColumn("best", array_min(array(scored.toIndexedSeq: _*)))
+        .select(col("vec_id"), col("embedding"),
+          col("best.cid").as("cid"), col("best.dist").as("dist"))
+    }
+    var centroids = seeds
+    for (_ <- 1 to iterations) {
+      val updated = assign(centroids)
+        .groupBy("cid")
+        .agg(graft.functions.CentroidAgg.centroid(col("embedding"), dim).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        updated.getOrElse(j, old) // empty cluster keeps its centroid
+      }
+    }
+    val centroidSums = centroids.zipWithIndex
+      .map { case (c, j) => (j, c.sum) }.toSeq
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sums = spark.createDataset(centroidSums).toDF("cid", "centroid_sum")
+    assign(centroids)
+      .groupBy("cid")
+      .agg(fcount(lit(1)).as("n_vecs"), fsum(col("dist")).as("inertia"))
+      .join(broadcast(sums), "cid")
+      .select(col("cid").as("cluster_id"), col("n_vecs"), col("inertia"),
+        col("centroid_sum"))
+      .orderBy("cluster_id")
+  }
+
   def sampleCentroids(embeddings: DataFrame, k: Int,
       seed: Long = 42L): Array[Array[Float]] = {
     val picked = embeddings

@@ -156,4 +156,30 @@ class IvfIndexSpec extends SparkTestBase {
     assert(got.head.getBoolean(0), "contract must not be vacuous")
     assert(got.head.getBoolean(1), "full-probe recall must clear 0.9")
   }
+
+  test("exact kmeans: separated blobs recovered, partition-invariant, nulls skipped") {
+    // two tight blobs far apart: any seeding converges to one cluster per
+    // blob within two Lloyd iterations; inertia stays tiny vs separation
+    val blobA = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(64)(d => 1.0f + (if (d == i % 64) 0.001f * i else 0f)).toSeq))
+    val blobB = (12 until 24).map(i =>
+      (i.toLong, Array.tabulate(64)(d => -1.0f - (if (d == i % 64) 0.001f * i else 0f)).toSeq))
+    val vecs = (blobA ++ blobB).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .unionByName(Seq((99L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")))
+    val out = IvfIndex.kmeansExact(vecs, k = 2, iterations = 2).collect()
+    assert(out.map(_.getLong(1)).sum === 24L, "null embedding is excluded")
+    assert(out.length === 2 && out.forall(_.getLong(1) === 12L),
+      s"each blob forms one cluster: ${out.mkString(",")}")
+    val sums = out.map(r => r.getLong(3))
+    assert(sums.exists(_ > 60L * 1000000L) && sums.exists(_ < -60L * 1000000L),
+      "centroid sums sit near the blob centers")
+    val reparted = IvfIndex.kmeansExact(vecs.repartition(7), k = 2, iterations = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(reparted.toSeq === out.map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq,
+      "integer arithmetic is partition-invariant")
+  }
 }
