@@ -427,6 +427,16 @@ object SparkEntry {
     // Percentile outlier gate: exact [p(1/64), p(63/64)] band over integer
     // cents (binary-exact fractions -> engine-identical interpolation).
     "dq4_outlier_gate" -> ((s, dir) => Quality.outlierGate(Tables.lineitem(s, dir))),
+    // k-anonymity audit over the quasi-identifier triple dq3 generalizes:
+    // every violating combination with its group size (the suppression
+    // worklist). One map-side-combined aggregate, state ∝ distinct tuples.
+    "dq8_k_anonymity" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, floor}
+      Quality.kAnonymityAudit(
+        Tables.customer(s, dir).select(col("c_nationkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("acctbal_band")),
+        Seq("c_nationkey", "c_mktsegment", "acctbal_band"), 5)
+    }),
     // Key-skew diagnostic: top-5 heaviest o_custkey groups with size
     // relative to the mean group (the pre-flight check before salting).
     "dq5_skew_report" -> ((s, dir) => Quality.skewReport(Tables.orders(s, dir), "o_custkey")),
@@ -1564,6 +1574,14 @@ object SparkEntry {
         |  MIN(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS kept_min,
         |  MAX(CASE WHEN cents BETWEEN lo AND hi THEN cents END) AS kept_max
         |FROM c, b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "dq8_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+        |       CAST(COUNT(*) AS BIGINT) AS group_size
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, acctbal_band""".stripMargin,
     "e8_erasure_audit" ->
       """WITH req AS (
         |  SELECT DISTINCT user_id FROM events

@@ -85,6 +85,28 @@ object Quality {
         col("c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** K-ANONYMITY audit — the measurement [[maskPii]]'s generalization is
+    * supposed to satisfy: every combination of quasi-identifier values
+    * must be shared by ≥ k rows, or the individuals in smaller groups can
+    * be singled out by joining those attributes against any outside
+    * dataset. Emits each violating combination with its group size — the
+    * worklist a privacy officer suppresses or coarsens further.
+    *
+    * Scale shape: one map-side-combined aggregate whose shuffle carries
+    * distinct quasi-identifier TUPLES (bounded by the generalized domain,
+    * not the row count) — auditing 100 TB costs one scan. No window, no
+    * join, no collect.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 2, "k-anonymity below 2 is vacuous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** INCREMENTAL aggregate maintenance: merge a keyed aggregate snapshot
     * with the aggregate of a delta batch — the materialized-view update
     * path that never rescans history. Works for any associative state;

@@ -212,4 +212,19 @@ class QualitySpec extends SparkTestBase {
       "a" -> ((5L, 2L, 0L, 2L)),
       "b" -> ((4L, 2L, 1L, 0L))))
   }
+
+  test("k-anonymity audit: only under-k groups emitted, with sizes") {
+    val rows = Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq(("DE", "A"))
+    val got = Quality.kAnonymityAudit(rows.toDF("country", "segment"),
+      Seq("country", "segment"), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("DE", "A", 1L), ("US", "B", 2L)),
+      "the k-sized group is compliant; smaller ones are the worklist")
+    intercept[IllegalArgumentException](
+      Quality.kAnonymityAudit(rows.toDF("country", "segment"), Seq(), 5))
+    intercept[IllegalArgumentException](
+      Quality.kAnonymityAudit(rows.toDF("country", "segment"),
+        Seq("country"), 1))
+  }
 }
