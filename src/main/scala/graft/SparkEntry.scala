@@ -437,6 +437,15 @@ object SparkEntry {
           (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("acctbal_band")),
         Seq("c_nationkey", "c_mktsegment", "acctbal_band"), 5)
     }),
+    // l-diversity audit (homogeneity-attack check): quasi-id groups whose
+    // sensitive attribute (account band) shows < 5 distinct values.
+    "dq9_l_diversity" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, floor}
+      Quality.lDiversityAudit(
+        Tables.customer(s, dir).select(col("c_nationkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal") / 1000) * 1000).cast("long").as("acctbal_band")),
+        Seq("c_nationkey", "c_mktsegment"), "acctbal_band", 5)
+    }),
     // Key-skew diagnostic: top-5 heaviest o_custkey groups with size
     // relative to the mean group (the pre-flight check before salting).
     "dq5_skew_report" -> ((s, dir) => Quality.skewReport(Tables.orders(s, dir), "o_custkey")),
@@ -1582,6 +1591,17 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |HAVING COUNT(*) < 5
         |ORDER BY c_nationkey, c_mktsegment, acctbal_band""".stripMargin,
+    "dq9_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |       CAST(COUNT(*) AS BIGINT) AS group_size,
+        |       CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) * 1000
+        |                                AS BIGINT)) AS BIGINT)
+        |         AS sensitive_diversity
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT CAST(floor(c_acctbal / 1000) * 1000
+        |                           AS BIGINT)) < 5
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "e8_erasure_audit" ->
       """WITH req AS (
         |  SELECT DISTINCT user_id FROM events

@@ -107,6 +107,29 @@ object Quality {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** L-DIVERSITY audit — k-anonymity's necessary companion: a group can
+    * be ≥ k rows yet still leak if every member shares the SAME sensitive
+    * value (the homogeneity attack — knowing someone is in the group
+    * reveals their attribute without identifying their row). Emits each
+    * quasi-identifier combination whose sensitive column carries fewer
+    * than `l` distinct values, with size and diversity.
+    *
+    * Same scan-bound scale shape as [[kAnonymityAudit]]; the exact
+    * count_distinct adds one partial-distinct pass whose state is
+    * (tuple × distinct sensitive values) — bounded by the generalized
+    * domain times the sensitive domain, not rows.
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, "l-diversity below 2 is vacuous")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("sensitive_diversity"))
+      .filter(col("sensitive_diversity") < l)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** INCREMENTAL aggregate maintenance: merge a keyed aggregate snapshot
     * with the aggregate of a delta batch — the materialized-view update
     * path that never rescans history. Works for any associative state;

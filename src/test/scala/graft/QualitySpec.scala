@@ -227,4 +227,15 @@ class QualitySpec extends SparkTestBase {
       Quality.kAnonymityAudit(rows.toDF("country", "segment"),
         Seq("country"), 1))
   }
+
+  test("l-diversity audit: homogeneous group flagged even though k-large") {
+    // US group: 5 rows but only ONE distinct salary band -> homogeneity
+    // leak; DE group: 3 rows across 3 bands -> diverse enough
+    val rows = Seq.fill(5)(("US", 1000L)) ++
+      Seq(("DE", 1000L), ("DE", 2000L), ("DE", 3000L))
+    val got = Quality.lDiversityAudit(rows.toDF("country", "band"),
+      Seq("country"), "band", l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("US", 5L, 1L)))
+  }
 }
