@@ -476,6 +476,9 @@ object SparkEntry {
     // Deterministic train/val/test split (12/2/2 sixteenths of the key
     // hash) with the disjoint+covering contract driver-witnessed as TRUE.
     "d11_split_contract" -> ((s, dir) => TextOps.splitContract(Tables.documents(s, dir))),
+    // Group-aware split (distributed GroupShuffleSplit): whole sources
+    // co-travel, leakage witness proven zero.
+    "d17_group_split" -> ((s, dir) => TextOps.groupSplit(Tables.documents(s, dir))),
     // Token-budget mixture sampling: cap each source at 768 tokens in
     // content-addressed hash order. Two-phase (bucket prefix-sums, then a
     // row-level window over ONLY the boundary bucket) — no per-source
@@ -1735,6 +1738,29 @@ object SparkEntry {
         |       n_assigned = n_total AS covers_and_disjoint,
         |       n_docs > 0 AS nonempty
         |FROM per, tot, asg ORDER BY split""".stripMargin,
+    "d17_group_split" ->
+      """WITH tagged AS (
+        |  SELECT source AS grp,
+        |    CASE WHEN instr('0123456789abcdef',
+        |                    substr(md5(CAST(source AS VARCHAR)), 1, 1)) - 1 < 12
+        |         THEN 'train'
+        |         WHEN instr('0123456789abcdef',
+        |                    substr(md5(CAST(source AS VARCHAR)), 1, 1)) - 1 < 14
+        |         THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), per AS (
+        |  SELECT split, CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_sources,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM tagged GROUP BY split
+        |), lk AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+        |              AS BIGINT) AS n_leaking
+        |  FROM (SELECT grp, COUNT(DISTINCT split) AS ns
+        |        FROM tagged GROUP BY grp)
+        |)
+        |SELECT split, n_sources, n_docs, n_leaking = 0 AS leak_free
+        |FROM per, lk ORDER BY split""".stripMargin,
     "d13_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -486,6 +486,49 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** GROUP-aware train/val/test split: assignment is a pure function of
+    * the GROUP key (here a document's source/domain), so every document
+    * of one source lands in the same split. Splitting by doc_id
+    * ([[splitContract]]) leaks near-duplicates across splits whenever a
+    * source carries boilerplate-similar documents — val scores then
+    * measure memorization of train cousins, not generalization. This is
+    * the distributed GroupShuffleSplit, content-addressed like every
+    * split in this engine (md5 nibble of the group key → re-runs,
+    * engines, and partitionings all agree).
+    *
+    * Emits per-split (n_sources, n_docs) plus a leakage WITNESS: the
+    * number of groups observed in more than one split, proven zero (the
+    * d4c driver-witnessed pattern — the column flips if anyone rewires
+    * the split to a per-document key).
+    *
+    * Scale shape: one map-side CASE over the scan; the distinct
+    * (group, split) set — bounded by |groups|, not rows — feeds both the
+    * per-split distinct count and the leakage aggregate; the one-row
+    * witness rides in on a broadcast.
+    */
+  def groupSplit(documents: DataFrame, groupCol: String = "source",
+      trainSixteenths: Int = 12, valSixteenths: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, countDistinct, when}
+    require(trainSixteenths > 0 && valSixteenths > 0
+      && trainSixteenths + valSixteenths < 16)
+    val nb = hexNibble(groupCol)
+    val tagged = documents.select(col(groupCol).as("grp"),
+      when(nb < trainSixteenths, "train")
+        .when(nb < trainSixteenths + valSixteenths, "val")
+        .otherwise("test").as("split"))
+    val perSplit = tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_sources"))
+    val leaks = tagged.select(col("grp"), col("split")).distinct()
+      .groupBy("grp").agg(countDistinct(col("split")).as("ns"))
+      .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_leaking"))
+    perSplit.crossJoin(broadcast(leaks))
+      .select(col("split"), col("n_sources"), col("n_docs"),
+        (col("n_leaking") === 0).as("leak_free"))
+      .orderBy("split")
+  }
+
   /** Per-SOURCE document caps — the domain-cap rule of crawl curation: no
     * single domain may contribute more than `cap` documents, so boilerplate
     * farms can't dominate the training mix. Kept documents are chosen

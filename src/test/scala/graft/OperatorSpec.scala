@@ -272,6 +272,22 @@ class OperatorSpec extends SparkTestBase {
       (4L, 0, 8, 8L), (4L, 9, 17, 8L)))
   }
 
+  test("group split: sources co-travel, leakage witness holds") {
+    import spark.implicits._
+    // many docs per source: every doc of a source must share its split
+    val docs = (0 until 60).map(i => (i.toLong, s"src${i % 6}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.groupSplit(docs, "source", 12, 2).collect()
+    assert(out.forall(_.getBoolean(3)), "no source spans two splits")
+    assert(out.map(_.getLong(2)).sum === 60L, "every doc lands in a split")
+    assert(out.map(_.getLong(1)).sum === 6L,
+      "every source counted exactly once across splits")
+    // each source contributes all 10 docs to one split: per-split doc
+    // counts are multiples of 10
+    assert(out.forall(r => r.getLong(2) % 10 === 0),
+      s"whole sources move together: ${out.mkString(",")}")
+  }
+
   test("bm25 ranking: idf dominance, tf monotonicity, length normalization") {
     import spark.implicits._
     val docs = Seq(
