@@ -146,17 +146,19 @@ object IvfIndex {
         updated.getOrElse(j, old) // empty cluster keeps its centroid
       }
     }
-    val centroidSums = centroids.zipWithIndex
-      .map { case (c, j) => (j, c.sum) }.toSeq
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val sums = spark.createDataset(centroidSums).toDF("cid", "centroid_sum")
+    // centroid sums attach via a MAP LITERAL, not a joined table: an
+    // equi-join would put a null-filter on the join key above the scan,
+    // re-evaluating the whole k-distance expression once in the Filter
+    // and again in the Project
+    val sumMap = org.apache.spark.sql.functions.map(
+      centroids.zipWithIndex.flatMap { case (c, j) =>
+        Seq(lit(j), lit(c.sum)) }.toIndexedSeq: _*)
     assign(centroids)
       .groupBy("cid")
       .agg(fcount(lit(1)).as("n_vecs"), fsum(col("dist")).as("inertia"))
-      .join(broadcast(sums), "cid")
       .select(col("cid").as("cluster_id"), col("n_vecs"), col("inertia"),
-        col("centroid_sum"))
+        org.apache.spark.sql.functions.element_at(sumMap, col("cid"))
+          .as("centroid_sum"))
       .orderBy("cluster_id")
   }
 
