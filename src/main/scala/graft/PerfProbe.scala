@@ -18,7 +18,11 @@ object PerfProbe {
     }
     spark.range(1000000).selectExpr("sum(id)").collect()
     val names = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "g1_pagerank")
-      .split(",").toSeq
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    names.filterNot(SparkEntry.queries.contains) match {
+      case Seq() =>
+      case bad => sys.error(s"unknown queries: ${bad.mkString(", ")}")
+    }
     for (n <- names; pass <- Seq("cold", "warm"))
       time(s"$n $pass")(
         SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save())

@@ -61,6 +61,11 @@ object GraphOps {
     val initScore = lit(1000000L).as("score")
     val update = expr(
       "150000 + 85 * coalesce(mass, CAST(0 AS BIGINT)) DIV 100").as("score")
+    // Either branch ends with an EAGER localCheckpoint so the loop
+    // invariants can be unpersisted before returning: the lazily-returned
+    // DataFrame would otherwise pin the edge caches in executor storage
+    // for the rest of the session (the trainCentroids unpersist
+    // convention, adapted to a lazy return value).
     if (allNodesReceiveMass) {
       // Iteration 1 needs NO score join: the init score is uniform, so
       // each edge's contribution is the constant-score floor division —
@@ -79,7 +84,9 @@ object GraphOps {
           .agg(sum(col("c")).as("mass"))
           .select(col("dst").as("node"), update)
       }
-      scores
+      val out = scores.localCheckpoint(eager = true)
+      eDeg.unpersist(blocking = false)
+      out
     } else {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().cache()
@@ -94,7 +101,10 @@ object GraphOps {
           .join(inMass, nodes("node") === inMass("dst"), "left")
           .select(col("node"), update)
       }
-      scores
+      val out = scores.localCheckpoint(eager = true)
+      eDeg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      out
     }
   }
 
@@ -122,8 +132,10 @@ object GraphOps {
     val edges = base.select(col("c_node").as("src"), col("s_node").as("dst"))
       .union(base.select(col("s_node").as("src"), col("c_node").as("dst")))
     // Symmetrized graph ⇒ every node has in-edges: take the lean path.
-    val top = pageRank(edges, iterations, allNodesReceiveMass = true)
-      .orderBy(col("score").desc, col("node")).limit(k)
+    // pageRank checkpoints eagerly, so base is released right after.
+    val ranked = pageRank(edges, iterations, allNodesReceiveMass = true)
+    base.unpersist(blocking = false)
+    val top = ranked.orderBy(col("score").desc, col("node")).limit(k)
     val w = Window.orderBy(col("score").desc, col("node"))
     top.withColumn("rank", row_number().over(w).cast("int"))
       .select(col("rank"),

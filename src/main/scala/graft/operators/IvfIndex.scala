@@ -71,19 +71,6 @@ object IvfIndex {
     } finally train.unpersist(blocking = false)
   }
 
-  /** Deterministic data-derived coarse quantizer WITHOUT iterative
-    * training: the k nonzero corpus vectors minimizing a seeded
-    * xxhash64 of their id — a seeded random draw expressed as one
-    * scan-bound top-k (TakeOrdered, no shuffle of the corpus). Cosine
-    * probe ranking is scale-invariant, so unnormalized corpus vectors
-    * are valid centroids as-is.
-    *
-    * This is the quantizer for CONTRACT queries (s8/e8b), where the
-    * property under test — probe selection, asymmetric scoring, repair
-    * equality — is orthogonal to centroid quality, and an iterative
-    * k-means (20+ driver-coordinated jobs) would dominate the query's
-    * cost. Production index builds use [[trainCentroids]].
-    */
   /** Fixed-iteration Lloyd k-means, INTEGER-EXACT — the oracle-checkable
     * counterpart of [[trainCentroids]] (MLlib's float k-means trains the
     * serving quantizer fine, but FP partial-sum reassociation makes its
@@ -162,6 +149,20 @@ object IvfIndex {
       .orderBy("cluster_id")
   }
 
+  /** Deterministic data-derived coarse quantizer WITHOUT iterative
+    * training: the k nonzero corpus vectors minimizing a seeded
+    * xxhash64 of their id — a seeded random draw expressed as one
+    * scan-bound top-k (TakeOrdered, no shuffle of the corpus). Cosine
+    * probe ranking is scale-invariant, so unnormalized corpus vectors
+    * are valid centroids as-is.
+    *
+    * This is the quantizer for CONTRACT queries (s8/e8b), where the
+    * property under test — probe selection, asymmetric scoring, repair
+    * equality — is orthogonal to centroid quality, and an iterative
+    * k-means (20+ driver-coordinated jobs) would dominate the query's
+    * cost. Production index builds use [[trainCentroids]] (float) or
+    * [[kmeansExact]] (hash-verifiable).
+    */
   def sampleCentroids(embeddings: DataFrame, k: Int,
       seed: Long = 42L): Array[Array[Float]] = {
     val picked = embeddings

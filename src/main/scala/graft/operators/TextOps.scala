@@ -501,26 +501,34 @@ object TextOps {
     * d4c driver-witnessed pattern — the column flips if anyone rewires
     * the split to a per-document key).
     *
-    * Scale shape: one map-side CASE over the scan; the distinct
-    * (group, split) set — bounded by |groups|, not rows — feeds both the
-    * per-split distinct count and the leakage aggregate; the one-row
-    * witness rides in on a broadcast.
+    * Scale shape: ONE corpus scan, map-side-combined down to the
+    * (group, split) count table — bounded by |groups|, not rows — which
+    * is MATERIALIZED (the nearDupPairs materializeCandidates precedent:
+    * it feeds two different re-groupings — per-split totals and the
+    * per-group leakage witness — and Spark cannot reuse one exchange
+    * across differently-pruned consumers, so the lazy form would scan
+    * the corpus twice). The one-row witness rides in on a broadcast.
     */
   def groupSplit(documents: DataFrame, groupCol: String = "source",
       trainSixteenths: Int = 12, valSixteenths: Int = 2): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, countDistinct, when}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, when}
     require(trainSixteenths > 0 && valSixteenths > 0
       && trainSixteenths + valSixteenths < 16)
     val nb = hexNibble(groupCol)
-    val tagged = documents.select(col(groupCol).as("grp"),
-      when(nb < trainSixteenths, "train")
-        .when(nb < trainSixteenths + valSixteenths, "val")
-        .otherwise("test").as("split"))
-    val perSplit = tagged.groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("grp")).as("n_sources"))
-    val leaks = tagged.select(col("grp"), col("split")).distinct()
-      .groupBy("grp").agg(countDistinct(col("split")).as("ns"))
+    val groupCounts = documents
+      .select(col(groupCol).as("grp"),
+        when(nb < trainSixteenths, "train")
+          .when(nb < trainSixteenths + valSixteenths, "val")
+          .otherwise("test").as("split"))
+      .groupBy("grp", "split")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // each (grp, split) row is unique, so count(*) per split IS the
+    // distinct-source count — no distinct-rewrite Expand needed
+    val perSplit = groupCounts.groupBy("split")
+      .agg(count(lit(1)).as("n_sources"), sum(col("n")).as("n_docs"))
+    val leaks = groupCounts
+      .groupBy("grp").agg(count(lit(1)).as("ns"))
       .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L))
         .as("n_leaking"))
     perSplit.crossJoin(broadcast(leaks))
