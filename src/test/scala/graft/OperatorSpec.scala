@@ -272,6 +272,24 @@ class OperatorSpec extends SparkTestBase {
       (4L, 0, 8, 8L), (4L, 9, 17, 8L)))
   }
 
+  test("repeated spans agree with boilerplate strip on the fixture") {
+    // two independent formulations of the same coverage: per doc, the
+    // spans' token total must equal the strip's removed-token count, and
+    // docs absent from the span report must have zero tokens removed
+    val docs = Tables.documents(spark, sf0001)
+    val spanTotals = TextOps.repeatedSpans(docs, 8, 3)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sum("span_tokens").as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removed = TextOps.stripBoilerplate(docs, 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(removed.nonEmpty)
+    removed.foreach { case (doc, n) =>
+      assert(spanTotals.getOrElse(doc, 0L) === n,
+        s"doc $doc: spans cover ${spanTotals.getOrElse(doc, 0L)}, strip removed $n")
+    }
+  }
+
   test("group split: sources co-travel, leakage witness holds") {
     import spark.implicits._
     // many docs per source: every doc of a source must share its split
