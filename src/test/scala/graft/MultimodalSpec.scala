@@ -144,4 +144,50 @@ class MultimodalSpec extends SparkTestBase {
       .filter(col("whole") === col("payload"))
     assert(joined.count() === 5, "concatenated frames must equal the original payload")
   }
+
+  /** Multi-frame animated GIF: frame k is a uniform gray 16k+8 whose
+    * luminance lands exactly in histogram bin k.
+    */
+  private def animatedGif(nFrames: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO}
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (k <- 0 until nFrames) {
+        val g = 16 * k + 8
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  test("animated GIF decodes REAL frames: per-frame luminance, even keyframe spacing") {
+    val gif = animatedGif(6)
+    val frames = Multimodal.frameDecode(gif).get
+    assert(frames.length === 6)
+    // frame k is uniform gray 16k+8 -> all mass in bin k (GIF's palette
+    // is lossless for a single-color frame)
+    for (k <- 0 until 6)
+      assert(frames(k)(k) === 1.0f, s"frame $k: ${frames(k).toSeq}")
+    // stills and junk are not animations
+    assert(Multimodal.frameDecode(png(8, 8)((_, _) => 0x808080)).isEmpty)
+    assert(Multimodal.frameDecode("not media".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.frameDecode(gif.take(40)).isEmpty, "truncated body falls back")
+
+    import spark.implicits._
+    val tbl = Seq((1L, gif), (2L, png(8, 8)((_, _) => 0x000000)))
+      .toDF("media_id", "payload")
+    val kept = Multimodal.sampleKeyframes(tbl, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(kept.toSeq === Seq((1L, 0, 6), (1L, 2, 6), (1L, 4, 6)),
+      "3 evenly spaced keyframes from the 6-frame animation; the still emits nothing")
+  }
 }
