@@ -270,6 +270,54 @@ object EventStream {
           updated
       }
   }
+
+  /** The SAME running per-user state on the `transformWithState` API —
+    * Spark 4's arbitrary-state successor to `mapGroupsWithState`
+    * (typed state handles with per-state TTL, timers, and RocksDB-backed
+    * stores; required provider set by the caller's session conf). Kept
+    * semantically identical to [[runningUserState]] so the spec can
+    * referee one against the other on the same input — the late-event
+    * guard (max event_id seen so far) included.
+    */
+  def runningUserStateTws(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserRunningProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** Per-user running-state processor for [[EventStream.runningUserStateTws]]:
+  * one `ValueState` slot per user, no TTL, no timers — the minimal
+  * StatefulProcessor carrying the mapGroupsWithState semantics over.
+  */
+class UserRunningProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEvent, UserRunning] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var running: ValueState[UserRunning] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    running = getHandle.getValueState[UserRunning]("running",
+      org.apache.spark.sql.Encoders.product[UserRunning], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserRunning] = {
+    val prev =
+      if (running.exists()) running.get()
+      else UserRunning(user, 0L, 0.0, Long.MinValue)
+    val evs = rows.toSeq
+    val newest = evs.maxByOption(_.event_id)
+    val updated =
+      if (newest.exists(_.event_id > prev.last_event_id))
+        UserRunning(user, prev.n + evs.size, newest.get.value,
+          newest.get.event_id)
+      else prev.copy(n = prev.n + evs.size)
+    running.update(updated)
+    Iterator.single(updated)
+  }
 }
 
 case class UserEvent(event_id: Long, user_id: Long, value: Double)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.streaming.{EventStream, UserEvent}
+import graft.streaming.{EventStream, UserEvent, UserRunning}
 
 /** T2 streaming parity: file-source micro-batch over parquet drops with
   * Trigger.AvailableNow, watermarked windowed aggregation, and custom
@@ -160,6 +160,33 @@ class StreamingSpec extends SparkTestBase {
     val want = batch.groupBy("user_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === want)
+  }
+
+  test("transformWithState matches mapGroupsWithState on the same input") {
+    val (dir, batch) = stageRawDir()
+    def run(name: String, ckpt: String,
+        f: org.apache.spark.sql.Dataset[UserEvent] => org.apache.spark.sql.Dataset[UserRunning]) =
+      EventStream.runAvailableNow(spark,
+        f(EventStream.readRaw(spark, dir, batch.schema)
+          .select("event_id", "user_id", "value").as[UserEvent]).toDF(),
+        name, tmpDir(ckpt), outputMode = "update")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+        .toMap
+    // the TWS API requires the RocksDB provider — set it only for this run
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try run("user_state_tws", "ckpt_tws", EventStream.runningUserStateTws)
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    val legacy = run("user_state_legacy", "ckpt_legacy", EventStream.runningUserState)
+    assert(tws === legacy, "the two stateful APIs must agree row-for-row")
+    assert(tws.nonEmpty && tws.values.forall(_._1 > 0))
   }
 
   test("streaming dedup-within-watermark drops re-delivered event ids") {
