@@ -452,6 +452,9 @@ object SparkEntry {
     // Right-to-erasure audit: per-subject rows-removed proof, including
     // never-existed subjects (found = false).
     "e8_erasure_audit" -> ((s, dir) => Quality.erasureAuditDemo(Tables.events(s, dir))),
+    // Sequential funnel: view -> click-at-or-after -> purchase-at-or-after,
+    // chained window minima over ONE user exchange; order matters.
+    "e12_funnel" -> ((s, dir) => Sessions.funnel(Tables.events(s, dir))),
     // Erasure PROPAGATION contract: incremental repair of the derived
     // artifacts (band index, corpus signatures, IVF lists) equals each
     // artifact rebuilt from the erased corpus, and no erased key survives
@@ -2042,6 +2045,45 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
         |         AS dup_gram_count
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e12_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), s0 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+        |              OVER (PARTITION BY user_id) AS t0
+        |  FROM e
+        |), s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= t0
+        |                     THEN us END)
+        |              OVER (PARTITION BY user_id) AS t1
+        |  FROM s0
+        |), s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= t1
+        |                     THEN us END)
+        |              OVER (PARTITION BY user_id) AS t2
+        |  FROM s1
+        |), u AS (
+        |  SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2
+        |  FROM s2 GROUP BY user_id
+        |), c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM u
+        |)
+        |SELECT step, step_name, n_users, conv_permille FROM (
+        |  SELECT 1 AS step, 'view' AS step_name, n0 AS n_users,
+        |         CASE WHEN n0 = 0 THEN 0 ELSE n0 * 1000 // n0 END AS conv_permille
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 2, 'click', n1,
+        |         CASE WHEN n0 = 0 THEN 0 ELSE n1 * 1000 // n0 END FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n2,
+        |         CASE WHEN n0 = 0 THEN 0 ELSE n2 * 1000 // n0 END FROM c
+        |) ORDER BY step""".stripMargin,
     "e6_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

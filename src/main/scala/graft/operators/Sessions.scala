@@ -65,4 +65,48 @@ object Sessions {
         sum(col("cents")).as("sum_cents"))
       .orderBy("user_id", "session_id")
   }
+
+  /** SEQUENTIAL funnel conversion — the other canonical event-analytics
+    * shape: how many users VIEWED, then CLICKED at-or-after their first
+    * view, then PURCHASED at-or-after that click. Order matters: a
+    * purchase BEFORE the first view does not convert (set-intersection
+    * "funnels" overcount exactly those users), so each stage's timestamp
+    * is the earliest qualifying event at-or-after the previous stage's.
+    *
+    * Shape: the three stage timestamps are chained whole-partition
+    * window minima over ONE user_id exchange (same partitioning, no
+    * ordering — Catalyst plans all three WindowExecs over a single
+    * Exchange), collapsed per user (reusing that partitioning), then one
+    * tiny global aggregate emits the 3-row report. Ties are safe: every
+    * comparison is >= on exact integer microseconds. Conversion rates in
+    * integer permille (floor), denominated by the FIRST stage.
+    */
+  def funnel(events: DataFrame, steps: Seq[String] =
+      Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val byUser = Window.partitionBy("user_id")
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val staged = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step && col("us") >= col(s"t${i - 1}")
+      df.withColumn(s"t$i", min(when(cond, col("us"))).over(byUser))
+    }
+    val stageMaxes = steps.indices.map(i => max(col(s"t$i")).as(s"t$i"))
+    val perUser = staged.groupBy("user_id")
+      .agg(stageMaxes.head, stageMaxes.tail: _*)
+    val stageCounts = steps.indices.map(i =>
+      sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n$i"))
+    val counts = perUser.agg(stageCounts.head, stageCounts.tail: _*)
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("step"), lit(step).as("step_name"),
+        col(s"n$i").as("n_users"),
+        expr(s"CASE WHEN n0 = 0 THEN 0 ELSE n$i * 1000 DIV n0 END")
+          .as("conv_permille"))
+    }
+    counts.select(inline(array(rows: _*))).orderBy("step")
+  }
 }

@@ -46,4 +46,31 @@ class SessionsSpec extends SparkTestBase {
     assert(nWindows <= 2)
     assert(out.count() > 0)
   }
+
+  test("funnel: order matters — a purchase before the first view never converts") {
+    import spark.implicits._
+    def ev(rows: (Long, String, Long)*) = rows.map { case (u, t, sec) =>
+      (u, t, new java.sql.Timestamp(sec * 1000L))
+    }.toDF("user_id", "event_type", "ts")
+    val events = ev(
+      (1L, "view", 10), (1L, "click", 20), (1L, "purchase", 30), // full path
+      (2L, "purchase", 5), (2L, "view", 10), (2L, "click", 20),  // wrong order: stops at click
+      (3L, "click", 5), (3L, "view", 10),                        // click precedes view: stops at view
+      (4L, "view", 10), (4L, "click", 10), (4L, "purchase", 10), // simultaneous: >= admits all
+      (5L, "error", 10))                                         // never enters
+    val got = Sessions.funnel(events)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "view", 4L, 1000L),
+      (2, "click", 3L, 750L),
+      (3, "purchase", 2L, 500L)))
+  }
+
+  test("funnel plans ONE exchange across its three chained windows") {
+    val out = Sessions.funnel(Tables.events(spark, sf0001))
+    val plan = out.queryExecution.executedPlan.toString
+    val nExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(nExchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
+    assert(out.count() === 3)
+  }
 }
