@@ -274,6 +274,16 @@ object SparkEntry {
     // Maximal cross-doc repeated token spans (exact-substring-dup report):
     // covered positions merged gaps-and-islands style; rows ∝ spans.
     "t24_repeated_spans" -> ((s, dir) => TextOps.repeatedSpans(Tables.documents(s, dir), 8, 3)),
+    // PII scan: per-row email/phone/IPv4 match counts over synthesized
+    // ticket text (fixture corpus is PII-free); row-local, scan-bound.
+    "t25_pii_scan" -> ((s, dir) => TextOps.piiScan(
+      Tables.customer(s, dir).selectExpr("c_custkey", TextOps.piiTicketSql + " AS ticket"),
+      "c_custkey", "ticket")),
+    // PII scrub contract: typed-placeholder replacement, byte-compared
+    // against DuckDB's RE2 scrub; residual_pii pinned to 0 per row.
+    "t25b_pii_scrub" -> ((s, dir) => TextOps.piiScrub(
+      Tables.customer(s, dir).selectExpr("c_custkey", TextOps.piiTicketSql + " AS ticket"),
+      "c_custkey", "ticket")),
     // Integer-exact BM25 (rational idf variant): top-20 docs for a
     // three-term bag-of-words query.
     "t22_bm25" -> ((s, dir) => TextOps.bm25Rank(Tables.documents(s, dir),
@@ -455,6 +465,10 @@ object SparkEntry {
     // Sequential funnel: view -> click-at-or-after -> purchase-at-or-after,
     // chained window minima over ONE user exchange; order matters.
     "e12_funnel" -> ((s, dir) => Sessions.funnel(Tables.events(s, dir))),
+    // Cohort retention: week-of-first-event cohorts x week offset, all
+    // per-user work on ONE user_id exchange (collect_set, not
+    // distinct+self-join); anchor-day arithmetic, engine-independent.
+    "e13_cohort_retention" -> ((s, dir) => Sessions.cohortRetention(Tables.events(s, dir))),
     // Erasure PROPAGATION contract: incremental repair of the derived
     // artifacts (band index, corpus signatures, IVF lists) equals each
     // artifact rebuilt from the erased corpus, and no erased key survives
@@ -1436,6 +1450,39 @@ object SparkEntry {
         |       COALESCE(reb.clean_text, '') AS clean_text
         |FROM t LEFT JOIN reb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "t25_pii_scan" ->
+      s"""WITH t AS (
+        |  SELECT c_custkey, ${TextOps.piiTicketSql} AS ticket FROM customer
+        |)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(ticket,
+        |    '${TextOps.piiPatterns(0)._2}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(ticket,
+        |    '${TextOps.piiPatterns(1)._2}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(ticket,
+        |    '${TextOps.piiPatterns(2)._2}')) AS BIGINT) AS n_ipv4,
+        |  greatest(len(regexp_extract_all(ticket, '${TextOps.piiPatterns(0)._2}')),
+        |           len(regexp_extract_all(ticket, '${TextOps.piiPatterns(1)._2}')),
+        |           len(regexp_extract_all(ticket, '${TextOps.piiPatterns(2)._2}'))) > 0
+        |    AS has_pii
+        |FROM t ORDER BY c_custkey""".stripMargin,
+    "t25b_pii_scrub" ->
+      s"""WITH t AS (
+        |  SELECT c_custkey, ${TextOps.piiTicketSql} AS ticket FROM customer
+        |), s AS (
+        |  SELECT c_custkey,
+        |    regexp_replace(regexp_replace(regexp_replace(ticket,
+        |      '${TextOps.piiPatterns(0)._2}', '<EMAIL>', 'g'),
+        |      '${TextOps.piiPatterns(1)._2}', '<PHONE>', 'g'),
+        |      '${TextOps.piiPatterns(2)._2}', '<IP>', 'g') AS scrubbed
+        |  FROM t
+        |)
+        |SELECT c_custkey, scrubbed,
+        |  CAST(len(regexp_extract_all(scrubbed, '${TextOps.piiPatterns(0)._2}'))
+        |     + len(regexp_extract_all(scrubbed, '${TextOps.piiPatterns(1)._2}'))
+        |     + len(regexp_extract_all(scrubbed, '${TextOps.piiPatterns(2)._2}'))
+        |    AS BIGINT) AS residual_pii
+        |FROM s ORDER BY c_custkey""".stripMargin,
     "t24_repeated_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -2045,6 +2092,29 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
         |         AS dup_gram_count
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e13_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id,
+        |         (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS week
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), coh AS (
+        |  SELECT user_id, week,
+        |         MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM act
+        |), cell AS (
+        |  SELECT cohort_week, week - cohort_week AS week_offset,
+        |         CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM coh GROUP BY 1, 2
+        |), sized AS (
+        |  SELECT *, MAX(CASE WHEN week_offset = 0 THEN n_active END)
+        |              OVER (PARTITION BY cohort_week) AS cohort_size
+        |  FROM cell
+        |)
+        |SELECT cohort_week, week_offset, n_active,
+        |       CAST(cohort_size AS BIGINT) AS cohort_size,
+        |       CAST(n_active * 1000 // cohort_size AS BIGINT)
+        |         AS retention_permille
+        |FROM sized ORDER BY cohort_week, week_offset""".stripMargin,
     "e12_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us

@@ -109,4 +109,47 @@ object Sessions {
     }
     counts.select(inline(array(rows: _*))).orderBy("step")
   }
+
+  /** COHORT RETENTION — the third canonical event-analytics shape after
+    * sessions and funnels: bucket users by the week of their FIRST event
+    * (the cohort), then count how many of each cohort are still active
+    * 0, 1, 2… weeks later. Long format (one row per cohort × offset), the
+    * join-free shape a BI layer pivots client-side.
+    *
+    * Weeks are integer day-arithmetic from a fixed anchor
+    * (`days_since(anchor) div 7`), not calendar `date_trunc('week')`:
+    * the anchor form is engine-independent by construction (no
+    * Monday-vs-Sunday or ISO-week ambiguity between engines).
+    *
+    * Shape: ONE exchange on `user_id` does all the per-user work —
+    * `collect_set(week)` per user (map-side combined, the set is at most
+    * `observed weeks` long, bounded by the calendar, not the event
+    * count), then a row-local explode with `array_min` as the cohort —
+    * instead of the textbook distinct + self-join-on-first-event plan,
+    * which shuffles twice and joins once. The (cohort, offset) grid that
+    * follows is calendar²-bounded (~dozens of rows), so its exchange and
+    * the cohort-size window over it are metadata-scale at any corpus
+    * size. Retention is floor-permille against the offset-0 cohort size.
+    */
+  def cohortRetention(events: DataFrame, anchor: String = "2024-01-01"): DataFrame = {
+    val weeks = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        expr(s"datediff(CAST(ts AS DATE), DATE '$anchor') div 7").as("week"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("week"))).as("wks"))
+      .select(col("user_id"), explode(col("wks")).as("week"),
+        element_at(col("wks"), 1).as("cohort_week"))
+    val byCohort = Window.partitionBy("cohort_week")
+    weeks
+      .groupBy("cohort_week", "week")
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(byCohort))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000 div cohort_size").as("retention_permille"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -824,4 +824,77 @@ object TextOps {
           "10000 * lm_mass DIV n_tokens").as("score_e4"))
       .orderBy("doc_id")
   }
+
+  /** PII patterns shared by [[piiScan]] and [[piiScrub]]. Deliberately
+    * restricted to the regex subset where Java's engine (Spark) and RE2
+    * (DuckDB, Go scrubbers) agree exactly: character classes, bounded
+    * repetition, `\b` — no backreferences, no lookaround. A scrubber
+    * whose pattern means different things on the scan engine and the
+    * serving engine is how PII survives "scrubbing".
+    */
+  /** Deterministic PII-bearing "support ticket" text synthesized from
+    * customer keys — the fixture corpus is PII-free word salad, so the
+    * scan/scrub demos derive their input from the customer table instead.
+    * Engine-neutral SQL fragment: every function here (`concat`, `lpad`,
+    * `CAST AS STRING` — a VARCHAR alias in DuckDB too, `%`) evaluates
+    * byte-identically on Spark and DuckDB, so both sides scan the SAME
+    * text. Modulus cases vary which PII kinds each row carries — a
+    * uniform one-of-each corpus would never catch a miscounting scan.
+    */
+  val piiTicketSql: String =
+    "concat('Contact ', c_name, " +
+      "CASE WHEN c_custkey % 3 = 0 THEN concat(' <user', " +
+      "CAST(c_custkey AS STRING), '@example.com>') ELSE '' END, " +
+      "CASE WHEN c_custkey % 2 = 0 THEN concat(' call +1-555-', " +
+      "lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')) ELSE '' END, " +
+      "' from 10.', CAST(c_custkey % 256 AS STRING), '.0.', " +
+      "CAST(c_custkey % 100 AS STRING))"
+
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("phone", """\+\d{1,2}-\d{3}-\d{4}""", "<PHONE>"),
+    ("ipv4", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"))
+
+  /** PII SCAN — per-row counts of email / phone / IPv4 matches in a free-
+    * text column, plus the `has_pii` routing flag. The pre-release audit
+    * every training corpus runs: quantify leakage BEFORE deciding whether
+    * to scrub, drop, or quarantine.
+    *
+    * Scale shape: pure row-local regexp_extract_all — scan-bound, zero
+    * shuffle beyond the output sort, codegen'd end to end. At 100 TB this
+    * is exactly the shape you want: the corpus streams through once and
+    * the only state is the per-row match arrays.
+    */
+  def piiScan(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, lit, regexp_extract_all, size}
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      // idx 0 = whole match; Spark's default idx 1 requires a group
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    df.select((col(keyCol) +: counts): _*)
+      .withColumn("has_pii",
+        greatest(piiPatterns.map(p => col(s"n_${p._1}")): _*) > 0L)
+      .orderBy(keyCol)
+  }
+
+  /** PII SCRUB — replace every match of every [[piiPatterns]] entry with
+    * its typed placeholder, in pattern order. Emits the scrubbed text so
+    * a byte-level compare (or hash) can prove two engines scrub
+    * identically, plus `residual_pii` — the count of matches REMAINING
+    * after the scrub, which the contract pins to zero. Row-local,
+    * scan-bound, zero shuffle (same shape as [[piiScan]]).
+    */
+  def piiScrub(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, regexp_extract_all, regexp_replace, size}
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    val residual = piiPatterns.map { case (_, pat, _) =>
+      size(regexp_extract_all(col("scrubbed"), lit(pat), lit(0))).cast("long")
+    }.reduce(_ + _)
+    df.select(col(keyCol), scrubbed.as("scrubbed"))
+      .withColumn("residual_pii", residual)
+      .orderBy(keyCol)
+  }
 }
