@@ -469,6 +469,10 @@ object SparkEntry {
     // per-user work on ONE user_id exchange (collect_set, not
     // distinct+self-join); anchor-day arithmetic, engine-independent.
     "e13_cohort_retention" -> ((s, dir) => Sessions.cohortRetention(Tables.events(s, dir))),
+    // Sliding 30-min/10-min windows through Spark's NATIVE window()
+    // generator (the op streaming time-windows compile to); oracle
+    // re-derives the epoch-aligned starts with integer arithmetic.
+    "e14_sliding_window" -> ((s, dir) => Sessions.slidingWindowStats(Tables.events(s, dir))),
     // Erasure PROPAGATION contract: incremental repair of the derived
     // artifacts (band index, corpus signatures, IVF lists) equals each
     // artifact rebuilt from the erased corpus, and no erased key survives
@@ -2115,6 +2119,22 @@ object SparkEntry {
         |       CAST(n_active * 1000 // cohort_size AS BIGINT)
         |         AS retention_permille
         |FROM sized ORDER BY cohort_week, week_offset""".stripMargin,
+    "e14_sliding_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, user_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL
+        |), w AS (
+        |  SELECT (us // 600000000) * 600000000 - i * 600000000
+        |           AS window_start_us,
+        |         user_id, event_type, cents
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) sl
+        |)
+        |SELECT window_start_us, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e12_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us

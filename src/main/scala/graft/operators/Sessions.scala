@@ -152,4 +152,44 @@ object Sessions {
         expr("n_active * 1000 div cohort_size").as("retention_permille"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** SLIDING-WINDOW event stats via Spark's NATIVE `window()` generator
+    * (30-minute windows every 10 minutes): each event lands in
+    * window/slide = 3 overlapping windows, counted per (window, type).
+    * This is the one event-analytics shape deliberately expressed through
+    * the built-in windowing op rather than hand-rolled arithmetic — the
+    * generator is what Structured Streaming time-windows compile to, so
+    * exercising it in batch pins the exact semantics a streaming port
+    * would inherit.
+    *
+    * Exactness: Spark aligns window starts to the epoch in multiples of
+    * the slide (`TimeWindow` rewrite), i.e. the starts covering an event
+    * at microsecond `t` are `(t div slide)*slide - i*slide` for
+    * `i ∈ [0, win/slide)` — pure integer arithmetic any engine can
+    * replicate, which is exactly how the oracle derives them. Start is
+    * emitted as epoch-µs BIGINT, money in integer cents.
+    *
+    * Scale shape: the generator is a row-local explode (3 rows out per
+    * event — a constant factor, NOT a join), followed by one hash
+    * aggregate on (window, type). `n_users` makes the agg two-phase
+    * (distinct expansion), still partial-pushed. No window functions, no
+    * per-user exchange: at 100 TB this is scan → ×3 explode → one
+    * shuffle on a key whose cardinality is calendar × type — tiny.
+    */
+  def slidingWindowStats(events: DataFrame,
+      winMinutes: Int = 30, slideMinutes: Int = 10): DataFrame =
+    events
+      .filter(col("ts").isNotNull)
+      .select(
+        window(col("ts"), s"$winMinutes minutes", s"$slideMinutes minutes")
+          .as("w"),
+        col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("cents"))
+      .orderBy("window_start_us", "event_type")
 }
