@@ -500,6 +500,11 @@ object SparkEntry {
     // Group-aware split (distributed GroupShuffleSplit): whole sources
     // co-travel, leakage witness proven zero.
     "d17_group_split" -> ((s, dir) => TextOps.groupSplit(Tables.documents(s, dir))),
+    // EXACT Jaccard join (AllPairs prefix filter) at 4/5 — below d3b's
+    // 0.9, where LSH recall < 1 would drop pairs; oracle is brute-force
+    // all-pairs with the identical integer threshold arithmetic.
+    "d18_jaccard_join" -> ((s, dir) =>
+      Dedup.prefixFilterJoin(Tables.documents(s, dir), 4, 5, materialize = true)),
     // Token-budget mixture sampling: cap each source at 768 tokens in
     // content-addressed hash order. Two-phase (bucket prefix-sums, then a
     // row-level window over ONLY the boundary bucket) — no per-source
@@ -1792,6 +1797,23 @@ object SparkEntry {
         |       n_assigned = n_total AS covers_and_disjoint,
         |       n_docs > 0 AS nonempty
         |FROM per, tot, asg ORDER BY split""".stripMargin,
+    "d18_jaccard_join" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM t
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+        |       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | AND len(a.sh) * 5 >= len(b.sh) * 4 AND len(b.sh) * 5 >= len(a.sh) * 4
+        |WHERE len(list_intersect(a.sh, b.sh)) * 5
+        |      >= len(list_distinct(list_concat(a.sh, b.sh))) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "d17_group_split" ->
       """WITH tagged AS (
         |  SELECT source AS grp,

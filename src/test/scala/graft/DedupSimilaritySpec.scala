@@ -34,6 +34,43 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("prefix-filter join equals brute-force exact Jaccard on planted docs and the fixture") {
+    import graft.functions.TextFunctions.shingles3
+    // brute force with the IDENTICAL integer threshold arithmetic —
+    // completeness of the prefix-filter candidate set is exactly what a
+    // missing pair here would falsify
+    def brute(documents: org.apache.spark.sql.DataFrame,
+        num: Long, den: Long): Set[(Long, Long, Long, Long)] = {
+      val sh = documents.select(col("doc_id"),
+        array_distinct(shingles3(col("text"))).as("sh"))
+      sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("ni"),
+          size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("nu"))
+        .filter(col("ni") * den >= col("nu") * num)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    // planted set at a LOW threshold (1/2): doc 1 is a padded variant of
+    // doc 0 — a pair banded LSH at 0.9 would drop, the regime this
+    // operator exists for; docs 2/4 must not pair with anything
+    val low = Dedup.prefixFilterJoin(docs, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(low === brute(docs, 1L, 2L), s"planted-doc mismatch: $low")
+    assert(low.exists(p => p._1 == 0L && p._2 == 1L), "padded near-dup pair missed")
+    assert(!low.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 4L || p._2 == 4L))
+    // fixture at the registered 4/5 threshold: candidate completeness on
+    // real data, not just the planted toy
+    val fixture = Tables.documents(spark, sf001)
+    val got = Dedup.prefixFilterJoin(fixture, 4, 5, materialize = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = brute(fixture, 4L, 5L)
+    assert(got === want,
+      s"fixture mismatch: missed ${want.diff(got)}, extra ${got.diff(want)}")
+    assert(want.nonEmpty, "fixture must contain at least one J>=0.8 pair")
+  }
+
   test("d3b guard: banded LSH at threshold 0.9 equals exact all-pairs on the fixtures") {
     // The d3b oracle claim is probabilistic, not exact: 8×4 banding at
     // J ≥ 0.9 has recall 1-(1-0.9⁴)⁸ ≈ 0.9998 PER PAIR, so a qualifying
