@@ -104,6 +104,10 @@ object SparkEntry {
     "j10_local_supplier" -> ((s, dir) => JoinOps.localSupplierRevenue(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    // Skew-salted fact-dim join; oracle is the PLAIN join — the hash gate
+    // proves the salt is semantics-preserving.
+    "j11_salted_join" -> ((s, dir) => JoinOps.saltedSupplierRevenue(
+      Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "j6_star_join" -> ((s, dir) => JoinOps.starJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "j7_range_join" -> ((s, dir) => JoinOps.rangeJoin(Tables.events(s, dir))),
     "j8_top_revenue" -> ((s, dir) => JoinOps.topRevenueOrders(Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), "BUILDING", 10)),
@@ -960,6 +964,12 @@ object SparkEntry {
         |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "j11_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |       AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "j6_star_join" ->
       """SELECT r_name, COUNT(*) AS n_lines,
         | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

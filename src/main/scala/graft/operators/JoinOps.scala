@@ -117,6 +117,34 @@ object JoinOps {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Registered-query harness (j11): per-nation line counts + revenue
+    * through [[saltedJoin]] on the fact-side supplier key — the oracle is
+    * the PLAIN join, so the hash gate proves salting is semantics-
+    * preserving (no row lost, duplicated, or mis-keyed by the salt).
+    *
+    * On the fixture Spark would happily broadcast the supplier side and
+    * salting is then pure overhead — the technique earns its keep when
+    * the "small" side exceeds the broadcast threshold AND one fact key is
+    * hot enough to melt a single SMJ reducer (the 100 TB regime AQE's
+    * skew split can't always reach, e.g. inside a single stage). The
+    * salt source is (l_orderkey, l_linenumber) — the fact's row identity:
+    * deterministic under retry, unlike rand().
+    */
+  def saltedSupplierRevenue(lineitem: DataFrame, supplier: DataFrame,
+      saltFactor: Int = 8): DataFrame =
+    saltedJoin(
+      lineitem.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount")),
+      supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+      "l_suppkey",
+      struct(col("l_orderkey"), col("l_linenumber")),
+      saltFactor)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+      .orderBy("s_nationkey")
+
   /** Non-equi (range) join: bucket events by value range. The range table
     * is a tiny literal relation → broadcast nested-loop is the RIGHT plan
     * here (small side × stream); a fact-fact range join would instead need
