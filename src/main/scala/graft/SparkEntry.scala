@@ -327,6 +327,9 @@ object SparkEntry {
     // GK-sketch accuracy contract (a6/d5b pattern): the approx median's
     // exact rank must sit within n/accuracy of n/2, checked integer-side.
     "a8b_approx_percentile" -> ((s, dir) => Aggregates.approxPercentileChecked(Tables.lineitem(s, dir))),
+    // DataSketches HLL surface: estimate-accuracy + sketch-mergeability
+    // booleans hash-compared against literal TRUE (d4c pattern).
+    "a12_hll_contract" -> ((s, dir) => Aggregates.hllContract(Tables.events(s, dir))),
     // Data-quality tier: single-pass column profile (unpivot-then-agg, one
     // distinct rewrite) and a one-scan expectation report.
     "dq1_profile" -> ((s, dir) => Quality.profile(Tables.lineitem(s, dir),
@@ -477,6 +480,10 @@ object SparkEntry {
     // generator (the op streaming time-windows compile to); oracle
     // re-derives the epoch-aligned starts with integer arithmetic.
     "e14_sliding_window" -> ((s, dir) => Sessions.slidingWindowStats(Tables.events(s, dir))),
+    // NATIVE session_window (half-open: a gap of exactly 1h splits);
+    // oracle re-derives boundaries gaps-and-islands-style with >= in
+    // integer µs. One user_id exchange + in-partition session merge.
+    "e15_session_window" -> ((s, dir) => Sessions.nativeSessionWindows(Tables.events(s, dir))),
     // Erasure PROPAGATION contract: incremental repair of the derived
     // artifacts (band index, corpus signatures, IVF lists) equals each
     // artifact rebuilt from the erased corpus, and no erased key survives
@@ -2151,6 +2158,33 @@ object SparkEntry {
         |       CAST(n_active * 1000 // cohort_size AS BIGINT)
         |         AS retention_permille
         |FROM sized ORDER BY cohort_week, week_offset""".stripMargin,
+    "a12_hll_contract" ->
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |       TRUE AS within_5pct, TRUE AS merge_consistent
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e15_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w >= 3600000000 THEN 1
+        |            ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+        |       CAST(MAX(us) + 3600000000 AS BIGINT) AS end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
     "e14_sliding_window" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS us, user_id, event_type,

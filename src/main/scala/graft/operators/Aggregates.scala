@@ -243,6 +243,43 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** HLL DataSketches CONTRACT (a12): Spark 4's `hll_sketch_agg` /
+    * `hll_union_agg` / `hll_sketch_estimate` surface, witnessed the d4c
+    * way — the oracle can't parse sketch bytes, so the query emits
+    * engine-checkable booleans next to an exactly-recomputable column:
+    *
+    *  - `within_5pct`: the sketch estimate is within 5% of the exact
+    *    distinct count (lgK = 12 ⇒ ~1.6% RSE; 5% is > 3σ) — hash-compared
+    *    against the oracle's literal TRUE, so an estimator regression
+    *    fails the gate rather than drifting silently;
+    *  - `merge_consistent`: the union of per-day sketches estimates
+    *    EXACTLY what one whole-group sketch estimates — the mergeability
+    *    property that makes sketches the 100 TB answer (partial sketches
+    *    per partition/day, one tiny union at read time, no re-scan).
+    *
+    * Scale shape: two partial-pushed aggregates over one scan each; the
+    * merged path ships one ~2-4 KB sketch per (type, day) — the pattern
+    * that replaces count-distinct's full key shuffle at scale.
+    */
+  def hllContract(events: DataFrame): DataFrame = {
+    val base = events.filter(col("user_id").isNotNull)
+    val direct = base
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est_direct"))
+    val merged = base
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est_direct") - col("n_exact")) * 20 <= col("n_exact"))
+          .as("within_5pct"),
+        (col("est_direct") === col("est_merged")).as("merge_consistent"))
+      .orderBy("event_type")
+  }
+
   /** Parity: rollup over two keys with grouping flags; ordered by grouping
     * level then keys NULLS FIRST so engine and oracle row streams align.
     */

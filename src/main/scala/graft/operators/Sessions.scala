@@ -153,6 +153,40 @@ object Sessions {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Gap-based sessions via Spark's NATIVE `session_window` operator —
+    * the built-in counterpart to the hand-rolled gaps-and-islands
+    * [[sessionize]] (e6), exercised the way e14 exercises `window()`:
+    * because this is the exact operator a Structured Streaming
+    * `session_window` aggregation compiles to, pinning its batch
+    * semantics against an engine-independent oracle pins the streaming
+    * semantics too.
+    *
+    * Exactness: a session extends while the next event starts strictly
+    * before `last_ts + gap`, so a gap of EXACTLY `gap` starts a new
+    * session (half-open windows) — the oracle re-derives boundaries with
+    * `diff >= gap` integer-µs arithmetic, and `end = max(ts) + gap` is
+    * µs-exact because Tables.events floors nanos to µs before the
+    * operator sees them. (Note the deliberate semantic difference from
+    * [[sessionize]], which merges on `diff <= gap`.)
+    *
+    * Scale shape: ONE exchange on user_id, then a sort-based in-partition
+    * session merge (UpdatingSessions/MergingSessionsExec) — no
+    * self-join, no window-function second pass; equal-timestamp ties
+    * cannot flip boundaries (diff 0 always merges).
+    */
+  def nativeSessionWindows(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_cents"))
+      .orderBy("user_id", "start_us")
+
   /** SLIDING-WINDOW event stats via Spark's NATIVE `window()` generator
     * (30-minute windows every 10 minutes): each event lands in
     * window/slide = 3 overlapping windows, counted per (window, type).
