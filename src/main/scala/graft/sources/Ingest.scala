@@ -108,4 +108,35 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+
+  /** CSV ingest with the same corrupt-record isolation as
+    * [[readJsonlCorpus]]: explicit schema, PERMISSIVE parse, malformed
+    * lines (wrong arity, untypeable field) preserved whole in
+    * `_corrupt_record`. CSV adds the type-coercion failure mode JSON
+    * lacks — a non-numeric string in a LongType column quarantines the
+    * row rather than nulling the cell silently.
+    */
+  def readCsvCorpus(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .csv(path)
+
+  /** Split a [[readJsonlCorpus]]/[[readCsvCorpus]] parse into
+    * (good, quarantined). The input is cached first: Spark refuses a
+    * query whose only referenced column is the internal corrupt-record
+    * column (SPARK-21610), and without the cache the two branches would
+    * re-parse the corpus twice anyway — call `unpersist()` on the
+    * returned `parsed` handle when both sides are consumed.
+    */
+  def quarantineSplit(parsed: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val cached = parsed.cache()
+    (cached,
+      cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull))
+  }
 }

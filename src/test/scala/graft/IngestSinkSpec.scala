@@ -67,6 +67,31 @@ class IngestSinkSpec extends SparkTestBase {
     assert(roundTrip === orig, "jsonl round-trip must preserve every field")
   }
 
+  test("csv read quarantines wrong-arity and untypeable rows, keeps good ones") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("csvq")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.csv"),
+      """id,name,score
+        |1,alice,10
+        |2,bob,not_a_number
+        |3,carol,30
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", LongType)))
+    val (parsed, good, bad) = Ingest.quarantineSplit(
+      Ingest.readCsvCorpus(spark, dir, schema))
+    // the type-coercion failure must quarantine the WHOLE row (CSV's
+    // failure mode JSON lacks), not silently null the cell
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    val q = bad.collect()
+    assert(q.length === 1 &&
+      q.head.getString(q.head.fieldIndex("_corrupt_record")).contains("not_a_number"))
+    parsed.unpersist()
+  }
+
   test("K1/K2: partitioned writes produce hive-style directory layouts") {
     val df = Ingest.ingest(spark, Seq("AAA.SA", "BBB.SA"), fakeFetch)
     val p1 = tmpDir("sink1")
