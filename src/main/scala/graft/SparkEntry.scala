@@ -480,9 +480,10 @@ object SparkEntry {
     // generator (the op streaming time-windows compile to); oracle
     // re-derives the epoch-aligned starts with integer arithmetic.
     "e14_sliding_window" -> ((s, dir) => Sessions.slidingWindowStats(Tables.events(s, dir))),
-    // NATIVE session_window (half-open: a gap of exactly 1h splits);
-    // oracle re-derives boundaries gaps-and-islands-style with >= in
-    // integer µs. One user_id exchange + in-partition session merge.
+    // NATIVE session_window (boundary-INCLUSIVE: a gap of exactly 1h
+    // merges — spec-witnessed); oracle re-derives boundaries
+    // gaps-and-islands-style with > in integer µs. One user_id exchange
+    // + in-partition session merge.
     "e15_session_window" -> ((s, dir) => Sessions.nativeSessionWindows(Tables.events(s, dir))),
     // Erasure PROPAGATION contract: incremental repair of the derived
     // artifacts (band index, corpus signatures, IVF lists) equals each
@@ -2171,7 +2172,7 @@ object SparkEntry {
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |), f AS (
         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-        |                   OR us - lag(us) OVER w >= 3600000000 THEN 1
+        |                   OR us - lag(us) OVER w > 3600000000 THEN 1
         |            ELSE 0 END AS ns
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
         |), s AS (

@@ -161,13 +161,14 @@ object Sessions {
     * semantics against an engine-independent oracle pins the streaming
     * semantics too.
     *
-    * Exactness: a session extends while the next event starts strictly
-    * before `last_ts + gap`, so a gap of EXACTLY `gap` starts a new
-    * session (half-open windows) — the oracle re-derives boundaries with
-    * `diff >= gap` integer-µs arithmetic, and `end = max(ts) + gap` is
-    * µs-exact because Tables.events floors nanos to µs before the
-    * operator sees them. (Note the deliberate semantic difference from
-    * [[sessionize]], which merges on `diff <= gap`.)
+    * Exactness: a session extends while the next event starts AT OR
+    * before `last_ts + gap` — Spark merges sessions whose ranges touch,
+    * so a gap of EXACTLY `gap` stays one session (spec-witnessed on a
+    * crafted boundary; the naive half-open reading is wrong). That is
+    * the same `diff <= gap merges` convention as [[sessionize]], so the
+    * oracle re-derives boundaries with `diff > gap` integer-µs
+    * arithmetic, and `end = max(ts) + gap` is µs-exact because
+    * Tables.events floors nanos to µs before the operator sees them.
     *
     * Scale shape: ONE exchange on user_id, then a sort-based in-partition
     * session merge (UpdatingSessions/MergingSessionsExec) — no

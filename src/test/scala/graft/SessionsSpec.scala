@@ -37,6 +37,37 @@ class SessionsSpec extends SparkTestBase {
       (3L, 1L) -> ((2L, 200L)))) // gap == threshold stays inside
   }
 
+  test("native session_window merges at EXACTLY the gap; splits one µs past it") {
+    // Spark merges sessions whose [start, last+gap] ranges TOUCH — an
+    // event landing exactly on the previous end joins the session. The
+    // half-open reading (exact gap splits) is wrong, and this pin is what
+    // licenses the e15 oracle's `diff > gap` boundary arithmetic.
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), 1.0), // exact 1h gap: merges
+      (1L, 11L, ts("2024-01-01 01:00:00"), 2.0),
+      (2L, 20L, ts("2024-01-01 00:00:00"), 1.0), // 1h + 1µs: splits
+      (2L, 21L, Timestamp.from(
+        ts("2024-01-01 01:00:00").toInstant.plusNanos(1000)), 2.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = Sessions.nativeSessionWindows(ev, "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val us = (s: String) => ts(s).toInstant.toEpochMilli * 1000L
+    assert(got === Map(
+      // one merged session; END extends to last event + gap
+      (1L, us("2024-01-01 00:00:00")) ->
+        ((us("2024-01-01 02:00:00"), 2L, 300L)),
+      (2L, us("2024-01-01 00:00:00")) ->
+        ((us("2024-01-01 01:00:00"), 1L, 100L)),
+      (2L, us("2024-01-01 01:00:00") + 1L) ->
+        ((us("2024-01-01 02:00:00") + 1L, 1L, 200L))))
+    // same boundary convention as the hand-rolled sessionize (diff <= gap
+    // merges): the two operators agree, by construction AND by witness
+    val legacy = Sessions.sessionize(ev, gapSeconds = 3600L).collect()
+    assert(legacy.map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 1L), (2L, 1L), (2L, 2L)))
+  }
+
   test("sessionize plans ONE exchange: windows and agg share user_id partitioning") {
     val out = Sessions.sessionize(Tables.events(spark, sf0001))
     val plan = out.queryExecution.executedPlan.toString
