@@ -242,6 +242,10 @@ object SparkEntry {
     // Integer-exact 3-iteration PageRank over the customer↔supplier graph.
     "g1_pagerank" -> ((s, dir) => GraphOps.supplierRank(
       Tables.orders(s, dir), Tables.lineitem(s, dir), 25, 3)),
+    // Degree-ordered triangle count over the part co-purchase graph
+    // (wedges only between out-neighbors — O(m^1.5), no skewed reducer).
+    "g2_triangles" -> ((s, dir) =>
+      GraphOps.triangleCount(Tables.lineitem(s, dir), materialize = true)),
     // Quality-aware survivor per near-dup cluster (best doc, not min id).
     "d16_cluster_reps" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir), 0.9)),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
@@ -2071,6 +2075,19 @@ object SparkEntry {
         |SELECT a.vec_id, a.cluster, d.dropped_by IS NULL AS kept, d.dropped_by
         |FROM assign a LEFT JOIN dropped d USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
+    "g2_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+        |SELECT
+        |  CAST((SELECT count(*) FROM (SELECT u AS x FROM e
+        |                              UNION SELECT v FROM e)) AS BIGINT)
+        |    AS n_vertices,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM e e1
+        |        JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+        |    AS n_triangles""".stripMargin,
     "g1_pagerank" ->
       """WITH base AS (
         |  SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node

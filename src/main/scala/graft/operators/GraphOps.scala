@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, count, expr, lit, row_number,
-  sum, when}
+import org.apache.spark.sql.functions.{array, broadcast, col, count, explode,
+  expr, lit, row_number, struct, sum, when}
 
 /** Iterative graph ranking over edge tables (the crawl-frontier /
   * entity-importance tier of a training-data pipeline: PageRank over the
@@ -15,6 +15,58 @@ import org.apache.spark.sql.functions.{col, count, expr, lit, row_number,
   * "which nodes matter".
   */
 object GraphOps {
+
+  /** TRIANGLE COUNTING by degree-ordered orientation (Suri &
+    * Vassilvitskii, WWW'11 — "the curse of the last reducer"): the
+    * undirected edge set is oriented from the smaller to the larger
+    * endpoint under the total order (degree, id); wedges are then
+    * generated only between each node's OUT-neighbors, and a wedge plus
+    * its closing edge is a triangle, counted exactly once (the
+    * orientation makes every triangle a DAG with a unique 2-out-degree
+    * apex).
+    *
+    * Scale shape: THE naive wedge join explodes as Σ deg² — one celebrity
+    * vertex with degree 10⁶ yields 10¹² wedges in a single reducer. The
+    * orientation caps out-degree at O(√m), bounding total wedges at
+    * O(m^{3/2}) with NO skewed reducer — that bound, not the triple-join
+    * SQL the oracle runs, is what survives a 100 TB graph. Everything is
+    * equi-joins + one explode; the oriented edge list is checkpointed
+    * once and drives both wedge sides.
+    *
+    * The graph here: parts co-occurring in an order (the co-purchase
+    * graph; triangles measure clustering / bundle cohesion).
+    */
+  def triangleCount(lineitem: DataFrame,
+      materialize: Boolean = false): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e0raw = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    // consumed by degree agg, orientation, AND the closing-edge join
+    val e = if (materialize) e0raw.localCheckpoint(true) else e0raw
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): struct comparison gives the total order
+    val oriented0 = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val oriented = if (materialize) oriented0.localCheckpoint(true) else oriented0
+    // out-neighbor wedges; x.t < y.t emits each unordered pair once,
+    // already id-ordered to match the closing edge's u < v normal form
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.t").as("u"), col("y.t").as("v"))
+    val closed = wedges.join(e, Seq("u", "v"))
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nt = closed.agg(count(lit(1)).as("n_triangles"))
+    nv.crossJoin(broadcast(ne)).crossJoin(broadcast(nt))
+  }
 
   /** PageRank with a FIXED iteration count, INTEGER-EXACT: scores live in
     * micro-units (init 10⁶ per node) and every step is floor arithmetic —

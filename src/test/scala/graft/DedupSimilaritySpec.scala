@@ -414,6 +414,36 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(lean === s, "allNodesReceiveMass path matches the general path")
   }
 
+  test("triangle count: hand-built orders, skew apex, referee vs naive triple join") {
+    // order 100 bundles parts {1,2,3} (one triangle); order 101 bundles
+    // {3,4,5,6}: K4 = C(4,3) = 4 triangles; order 102 = {1,3} duplicates
+    // an existing edge (dedup check). 6 vertices, 3 + 6 = 9 distinct
+    // edges, 5 triangles.
+    val li = Seq(
+      100L -> 1L, 100L -> 2L, 100L -> 3L,
+      101L -> 3L, 101L -> 4L, 101L -> 5L, 101L -> 6L,
+      102L -> 1L, 102L -> 3L
+    ).toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.triangleCount(li).head()
+    assert(got.getLong(2) === 5L, s"triangles: $got")
+    assert(got.getLong(0) === 6L && got.getLong(1) === 9L, s"v/e: $got")
+    // referee on the sf0.001 fixture: degree-ordered == naive triple join
+    val fli = Tables.lineitem(spark, sf0001)
+    val oriented = GraphOps.triangleCount(fli, materialize = true)
+      .head().getLong(2)
+    val op = fli.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .count()
+    assert(oriented === naive, s"degree-ordered $oriented != naive $naive")
+    assert(naive > 0L, "fixture must contain at least one triangle")
+  }
+
   test("cluster representatives: best quality wins, min id only breaks ties") {
     // ~100 4-char tokens with stopwords → quality 4; appending one 30-char
     // token keeps Jaccard ≈ 0.99 (same cluster) but costs a quality point
