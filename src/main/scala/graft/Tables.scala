@@ -16,18 +16,88 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark 4
-    * refuses to read natively (PARQUET_TYPE_ILLEGAL). We read it as raw
-    * nanos (legacy conf) and floor-convert to a microsecond timestamp with
-    * integer division — `ts div 1000`, NOT `/ 1000.0`: epoch-nanos ≈ 1.7e18
-    * exceeds double's 2^53 integer range, so float division would corrupt
-    * timestamps. DuckDB's `CAST(ts AS TIMESTAMP)` floors the same way.
+  /** `events.ts` has shipped as two different parquet logical types across
+    * fixture generations — TIMESTAMP(NANOS) originally, TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) since the round-7 regeneration — so the loader
+    * branches on the type Spark actually infers rather than trusting a
+    * documented contract:
+    *
+    *  - `LongType`: the nanos fixture read under the `nanosAsLong` legacy
+    *    conf (Spark 4 refuses native NANOS reads with PARQUET_TYPE_ILLEGAL).
+    *    Floor-convert with integer division — `ts div 1000`, NOT `/ 1000.0`:
+    *    epoch-nanos ≈ 1.7e18 exceeds double's 2^53 integer range, so float
+    *    division would corrupt timestamps. DuckDB's CAST floors the same way.
+    *  - `TimestampNTZType`: the µs fixture (isAdjustedToUTC=false). The
+    *    session runs in UTC, so reinterpreting the wall-clock value as an
+    *    instant via `cast(TimestampType)` is value-preserving and matches
+    *    the DuckDB oracle's `CAST(ts AS TIMESTAMP)`.
+    *  - `TimestampType`: already an instant — pass through.
+    *
+    * Any other type fails loudly with the actual loaded type in the message,
+    * so the next fixture drift is a one-line diagnosis instead of a cascade
+    * of downstream analysis errors.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unexpected type $other from $dir/events.parquet; " +
+            "expected LongType (nanos fixture under nanosAsLong), TimestampNTZType " +
+            "(micros isAdjustedToUTC=false fixture), or TimestampType")
+    }
+  }
+
+  /** Expected column names per fixture table. Names only — the exact Spark
+    * type of a column may legitimately vary between fixture generations (the
+    * `events.ts` NANOS→MICROS drift in round 7), and the loaders adapt; a
+    * renamed/missing column is the contract break we want caught at startup.
+    */
+  private[graft] val expectedColumns: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey", "r_name"),
+    "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"       -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label")
+  )
+
+  /** One line per fixture-contract violation, naming the table, the expected
+    * columns, and the ACTUAL loaded schema (so a drifted parquet logical type
+    * is visible in the message rather than surfacing later as an opaque
+    * analysis error 20 operators downstream). Empty result = contract holds.
+    */
+  def schemaReport(spark: SparkSession, dir: String): Seq[String] =
+    expectedColumns.toSeq.sortBy(_._1).flatMap { case (table, expected) =>
+      try {
+        val actual = read(spark, dir, table).schema
+        if (actual.fieldNames.toSeq == expected) Nil
+        else Seq(s"$table: expected columns ${expected.mkString("[", ", ", "]")} " +
+          s"but loaded ${actual.map(f => s"${f.name}:${f.dataType.simpleString}").mkString("[", ", ", "]")}")
+      } catch {
+        case e: Exception => Seq(s"$table: failed to load from $dir — ${e.getMessage}")
+      }
+    }
+
+  /** Startup guard: throws with every violation listed if the fixtures at
+    * `dir` don't match the expected contract. Call once per entry point.
+    */
+  def assertFixtureContract(spark: SparkSession, dir: String): Unit = {
+    val report = schemaReport(spark, dir)
+    if (report.nonEmpty)
+      throw new IllegalStateException(
+        s"fixture contract violated at $dir:\n" + report.mkString("\n"))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")

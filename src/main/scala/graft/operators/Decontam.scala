@@ -104,34 +104,83 @@ object Decontam {
     * above the threshold with its exact Jaccard — the graded evidence a
     * cleaning pass reviews, vs d9's binary hit count.
     *
-    * Scale design: EXACT, yet never all-pairs. Both sides explode to
-    * distinct shingles with their set size attached; the gram equi-join
-    * (eval side is benchmark-sized → AQE broadcasts it, same as d9)
-    * yields each candidate pair's intersection count directly —
-    * `|A∩B| = `count of shared grams, both sides distinct — so Jaccard
-    * = i/(|A|+|B|−i) needs NO second shingle materialization and no
-    * array_intersect re-verify. Work is proportional to gram COLLISIONS,
-    * which at a fixed eval set is a vanishing sliver of a 100 TB corpus.
-    * (An LSH prefilter would only help if the eval side outgrew
-    * broadcast — compose [[Dedup.lshBuckets]] on both sides for that
-    * regime; at benchmark scale the exact form is strictly better:
-    * recall 1 by construction.)
+    * Scale design: EXACT, yet never all-pairs AND never skew-quadratic —
+    * candidate generation is df-ranked PREFIX FILTERING (the
+    * [[Dedup.prefixFilterJoin]] AllPairs bound, adapted to the asymmetric
+    * train-vs-eval case). Under one global gram order (ascending document
+    * frequency over BOTH sides, ties by gram), a set of size n keeps a
+    * prefix of n − ceil(t·n) + 1 grams; if J(x,y) ≥ t the smallest
+    * common gram lies inside both prefixes, so joining prefixes only is
+    * complete (recall exactly 1). The join key distribution is the
+    * CRUCIAL difference from a naive gram equi-join: the stopword-heavy
+    * 3-gram shared by a large fraction of the corpus has maximal df, so
+    * it sorts to the END of every doc's ordered array and lands in
+    * nobody's prefix — no single join key can carry
+    * |train| × |eval| pairs, the skewed-reducer failure mode at 100 TB.
+    * Candidates (distinct doc pairs passing the length filter
+    * min·t ≤ max) are then exact-verified by one array_intersect against
+    * the full ordered gram arrays — Jaccard = i/(|A|+|B|−i), no second
+    * shingle pass. (An LSH prefilter would trade recall for nothing
+    * here: at benchmark-scale eval sets the exact prefix form is
+    * strictly better.)
     */
   def fuzzyDecontaminate(train: DataFrame, evalSet: DataFrame,
-      minJaccard: Double = 0.5): DataFrame = {
-    def sides(df: DataFrame, idAs: String, nAs: String) =
-      df.select(col("doc_id").as(idAs),
-          array_distinct(shingles3(col("text"))).as("sh"))
-        .select(col(idAs), size(col("sh")).as(nAs), explode(col("sh")).as("gram"))
-    val t = sides(train, "train_doc", "n_t")
-    val e = sides(evalSet, "eval_doc", "n_e")
-    val jac = col("i").cast("double") / (col("n_t") + col("n_e") - col("i"))
-    t.join(e, Seq("gram"))
-      .groupBy("train_doc", "eval_doc", "n_t", "n_e")
-      .agg(count(lit(1)).as("i"))
-      .select(col("train_doc"), col("eval_doc"), round(jac, 4).as("jaccard"))
+      minJaccard: Double = 0.5): DataFrame =
+    fuzzyCandidates(train, evalSet, minJaccard)
+      .withColumn("i", size(array_intersect(col("sh_t"), col("sh_e"))).cast("long"))
+      .select(col("train_doc"), col("eval_doc"),
+        round(col("i").cast("double") / (col("n_t") + col("n_e") - col("i")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("train_doc", "eval_doc")
+
+  /** Candidate pairs (with both gram arrays attached for verification)
+    * from the prefix-filtered gram join. Split out so the spec can assert
+    * the prune: candidate count must sit far below the naive gram-join's
+    * colliding-pair count.
+    */
+  private[graft] def fuzzyCandidates(train: DataFrame, evalSet: DataFrame,
+      minJaccard: Double): DataFrame = {
+    def grams(df: DataFrame, idAs: String) =
+      df.select(col("doc_id").as(idAs),
+          array_distinct(shingles3(col("text"))).as("sh"))
+        .select(col(idAs), explode(col("sh")).as("gram"))
+    val tTok = grams(train, "train_doc")
+    val eTok = grams(evalSet, "eval_doc")
+    // ONE global order for both sides: ascending df over the union —
+    // a gram's rank must agree between a train doc and an eval doc or
+    // the prefix theorem doesn't hold across the join.
+    val dfreq = tTok.select(col("gram")).unionAll(eTok.select(col("gram")))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    // Prefix length n − ceil(t·n) + 1, with an epsilon slack inside the
+    // ceil so FP rounding can only LENGTHEN a prefix (hurts pruning a
+    // hair, never recall).
+    def ordered(tok: DataFrame, idCol: String, nAs: String, shAs: String) =
+      tok.join(dfreq, "gram")
+        .groupBy(idCol)
+        .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("ord"),
+          count(lit(1)).as("n"))
+        .select(col(idCol), col("n").as(nAs),
+          expr("transform(ord, x -> x.gram)").as(shAs))
+        .withColumn("p",
+          (col(nAs) - ceil(lit(minJaccard) * col(nAs) - lit(1e-9)) + 1).cast("int"))
+    val tArr = ordered(tTok, "train_doc", "n_t", "sh_t")
+    val eArr = ordered(eTok, "eval_doc", "n_e", "sh_e")
+    val tPre = tArr.select(col("train_doc"), col("n_t"),
+      explode(expr("slice(sh_t, 1, p)")).as("gram"))
+    val ePre = eArr.select(col("eval_doc"), col("n_e"),
+      explode(expr("slice(sh_e, 1, p)")).as("gram"))
+    // Length filter inside the join condition (J ≥ t forces
+    // t·max(|A|,|B|) ≤ min(|A|,|B|)), with the same safe FP slack.
+    val cand = tPre.join(ePre,
+        tPre("gram") === ePre("gram") &&
+          tPre("n_t").cast("double") >= lit(minJaccard) * ePre("n_e") - lit(1e-9) &&
+          ePre("n_e").cast("double") >= lit(minJaccard) * tPre("n_t") - lit(1e-9))
+      .select(col("train_doc"), col("eval_doc"))
+      .distinct()
+    cand
+      .join(tArr.select(col("train_doc"), col("n_t"), col("sh_t")), "train_doc")
+      .join(eArr.select(col("eval_doc"), col("n_e"), col("sh_e")), "eval_doc")
   }
 
   /** [[fuzzyDecontaminate]] over the standard content-addressed split

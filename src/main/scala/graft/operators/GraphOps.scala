@@ -35,11 +35,36 @@ object GraphOps {
     *
     * The graph here: parts co-occurring in an order (the co-purchase
     * graph; triangles measure clustering / bundle cohesion).
+    *
+    * Cost bounds — both standard practice on co-occurrence graphs, both
+    * reproducible by the SQL oracle with identical predicates:
+    *  - `maxBasket`: drop orders with more than this many distinct parts
+    *    before pairing. A b-item basket emits C(b,2) edges, so one
+    *    mega-basket (a wholesale order, a crawler artifact) can dominate
+    *    the whole edge set; capping bounds per-order work AND real-world
+    *    skew. The count-per-order window shuffles on the same key as the
+    *    pairing self-join, so the cap adds no extra exchange.
+    *  - `vertexMod`: keep only parts with `p % vertexMod == 0` — a
+    *    deterministic 1/vertexMod vertex sample, scaling edges by
+    *    ~1/vertexMod² and wedge volume by ~1/vertexMod³. Triangle DENSITY
+    *    estimates from uniform vertex samples are the standard
+    *    approximation (Doulion-style) when the exact global count is not
+    *    worth the wedge volume.
     */
   def triangleCount(lineitem: DataFrame,
-      materialize: Boolean = false): DataFrame = {
-    val op = lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      materialize: Boolean = false,
+      maxBasket: Int = Int.MaxValue,
+      vertexMod: Long = 1L): DataFrame = {
+    val opAll = {
+      val base = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      (if (vertexMod > 1L) base.filter(col("p") % vertexMod === 0L) else base).distinct()
+    }
+    val op =
+      if (maxBasket == Int.MaxValue) opAll
+      else opAll
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("o")))
+        .filter(col("n") <= maxBasket)
+        .drop("n")
     val e0raw = op.as("a").join(op.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()

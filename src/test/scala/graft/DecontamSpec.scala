@@ -63,6 +63,32 @@ class DecontamSpec extends SparkTestBase {
     assert(fuzzy.nonEmpty, "fixture must contain at least one cross-split near-dup")
   }
 
+  test("fuzzy prefix filtering prunes candidates below the naive gram join") {
+    // The de-skew contract (the d18-style candidate-count assertion): the
+    // df-ranked prefix join must generate strictly fewer candidate pairs
+    // than the naive any-shared-gram join — the high-df stopword shingles
+    // sort to the end of every doc's ordered array and never join. Recall
+    // stays 1 (the brute-force equality test above witnesses it); this
+    // test witnesses that the prune actually happens.
+    val docs = Tables.documents(spark, sf001)
+    val nb = TextOps.hexNibble("doc_id")
+    val tr = docs.filter(nb < 15)
+    val ev = docs.filter(nb === 15)
+    import graft.functions.TextFunctions.shingles3
+    def grams(df: org.apache.spark.sql.DataFrame, idAs: String) =
+      df.select(col("doc_id").as(idAs),
+        explode(array_distinct(shingles3(col("text")))).as("gram"))
+    val naivePairs = grams(tr, "train_doc").join(grams(ev, "eval_doc"), "gram")
+      .select("train_doc", "eval_doc").distinct().count()
+    val prefixPairs = Decontam.fuzzyCandidates(tr, ev, 0.5).count()
+    assert(prefixPairs < naivePairs,
+      s"prefix filter must prune: $prefixPairs candidates vs $naivePairs naive")
+    // at the 0.5 threshold roughly half of each gram set is prefix-exempt;
+    // demand a real reduction, not an off-by-one
+    assert(prefixPairs * 2 <= naivePairs,
+      s"prune too weak: $prefixPairs vs $naivePairs")
+  }
+
   test("bloom-prefiltered decontamination equals the exact semi join") {
     // crafted case (verifies classification) + fixture-wide equality
     // (verifies the bloom prefilter drops nothing the exact join keeps)

@@ -444,6 +444,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(naive > 0L, "fixture must contain at least one triangle")
   }
 
+  test("triangle count cost bounds: basket cap and vertex sampling") {
+    // order 100 = {1,2,3}: one triangle among small baskets; order 200 is
+    // a 5-part mega-basket {10,11,12,13,14} = C(5,3) = 10 triangles that
+    // maxBasket = 4 must exclude entirely.
+    val li = (Seq(100L -> 1L, 100L -> 2L, 100L -> 3L) ++
+      (10L to 14L).map(p => 200L -> p)).toDF("l_orderkey", "l_partkey")
+    val capped = GraphOps.triangleCount(li, maxBasket = 4).head()
+    assert(capped.getLong(2) === 1L, s"cap must drop the mega-basket: $capped")
+    assert(capped.getLong(0) === 3L && capped.getLong(1) === 3L, s"v/e: $capped")
+    val uncapped = GraphOps.triangleCount(li).head()
+    assert(uncapped.getLong(2) === 11L, s"uncapped: $uncapped")
+    // vertexMod = 2 keeps even parts only: order {2,4,6,8} retains the
+    // whole K4; odd part 3 and its edges vanish
+    val li2 = (Seq(2L, 4L, 6L, 8L).map(p => 300L -> p) ++
+      Seq(301L -> 3L, 301L -> 2L, 301L -> 4L)).toDF("l_orderkey", "l_partkey")
+    val sampled = GraphOps.triangleCount(li2, vertexMod = 2L).head()
+    assert(sampled.getLong(0) === 4L, s"odd vertex must be gone: $sampled")
+    assert(sampled.getLong(2) === 4L, s"K4 = 4 triangles: $sampled")
+  }
+
   test("cluster representatives: best quality wins, min id only breaks ties") {
     // ~100 4-char tokens with stopwords → quality 4; appending one 30-char
     // token keeps Jaccard ≈ 0.99 (same cluster) but costs a quality point
