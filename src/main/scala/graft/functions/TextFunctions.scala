@@ -75,8 +75,19 @@ object TextFunctions {
     * O(tokens × text) per row, measured ~4 s at sf0.1 vs ~0.3 s for the
     * slice/zip form whose splits are per-row.
     */
-  def shingles3(text: Column): Column = {
-    val toks = tokens(text)
+  def shingles3(text: Column): Column = shingles3Tokens(tokens(text), text)
+
+  /** [[shingles3]] over a PRE-PROJECTED token array (plus the original
+    * text for the sub-3-token degenerate case). Full-corpus shingle
+    * pipelines must use this form with `tokens(text)` projected as its
+    * own column first: this expression references the token array five
+    * times, HOFs run interpreted outside common-subexpression
+    * elimination, and CollapseProject declines to inline a non-cheap
+    * multi-referenced alias — so the projected form splits each text
+    * once while the inline form re-splits it per reference (measured
+    * ~9 s → ~2 s on the d18 gram leg at sf0.1).
+    */
+  def shingles3Tokens(toks: Column, text: Column): Column = {
     val m = size(toks) - 2 // shingle count when >= 3 tokens
     when(size(toks) >= 3,
       zip_with(

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.{tokens, shinglesKTokens, shingles3}
+import graft.functions.TextFunctions.{tokens, shinglesKTokens, shingles3Tokens}
 
 /** Benchmark DECONTAMINATION: flag training documents that share any
   * token n-gram with an evaluation/benchmark set — the standard guard
@@ -141,9 +141,13 @@ object Decontam {
     */
   private[graft] def fuzzyCandidates(train: DataFrame, evalSet: DataFrame,
       minJaccard: Double): DataFrame = {
+    // tokens projected before the shingle builder (shingles3Tokens
+    // contract — the inline form re-splits the text per reference)
     def grams(df: DataFrame, idAs: String) =
-      df.select(col("doc_id").as(idAs),
-          array_distinct(shingles3(col("text"))).as("sh"))
+      df.select(col("doc_id").as(idAs), col("text"),
+          tokens(col("text")).as("toks"))
+        .select(col(idAs),
+          array_distinct(shingles3Tokens(col("toks"), col("text"))).as("sh"))
         .select(col(idAs), explode(col("sh")).as("gram"))
     val tTok = grams(train, "train_doc")
     val eTok = grams(evalSet, "eval_doc")

@@ -550,9 +550,13 @@ object Dedup {
     // ONE shingle pass: the per-doc array sorted by (df, token) serves
     // BOTH prefix generation (slice) and exact verification (intersect) —
     // a separate unsorted array would pay the interpreted shingles3 HOF
-    // twice (measured ~2 s of the query at sf0.1 on its own)
-    val tok = documents.select(col("doc_id"),
-      explode(array_distinct(shingles3(col("text")))).as("shingle"))
+    // twice (measured ~2 s of the query at sf0.1 on its own). Tokens are
+    // projected BEFORE the shingle builder (the shingles3Tokens contract:
+    // the inline form re-splits the text per reference, ~7 s extra here).
+    val tok = documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3Tokens(col("toks"), col("text")))).as("shingle"))
     val dfreq = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
     val docsArr0 = tok.join(dfreq, "shingle")
       .groupBy("doc_id")
