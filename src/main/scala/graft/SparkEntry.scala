@@ -252,6 +252,10 @@ object SparkEntry {
     "g2_triangles" -> ((s, dir) =>
       GraphOps.triangleCount(Tables.lineitem(s, dir), materialize = true,
         maxBasket = 8, vertexMod = 2L)),
+    // Product families: connected components over the support>=2
+    // co-purchase graph (large-star/small-star, per-node min-id labels).
+    "g3_components" -> ((s, dir) =>
+      GraphOps.coPurchaseComponents(Tables.lineitem(s, dir), minSupport = 2L)),
     // Quality-aware survivor per near-dup cluster (best doc, not min id).
     "d16_cluster_reps" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir), 0.9)),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
@@ -2098,6 +2102,22 @@ object SparkEntry {
         |        JOIN e e2 ON e1.v = e2.u
         |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
         |    AS n_triangles""".stripMargin,
+    "g3_components" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e0 AS (
+        |  SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2
+        |), eu AS (SELECT u, v FROM e0 WHERE c >= 2),
+        |e AS (SELECT u, v FROM eu UNION ALL SELECT v, u FROM eu),
+        |cc AS (
+        |  SELECT u AS node, u AS lbl FROM e
+        |  UNION
+        |  SELECT e.v, cc.lbl FROM cc JOIN e ON cc.node = e.u WHERE cc.lbl < e.v
+        |)
+        |SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
+        |ORDER BY node""".stripMargin,
     "g1_pagerank" ->
       """WITH base AS (
         |  SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node

@@ -464,6 +464,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(sampled.getLong(2) === 4L, s"K4 = 4 triangles: $sampled")
   }
 
+  test("co-purchase components: support prune, min-id labels, singleton edges") {
+    // parts 1-2 co-occur in orders 100,101 (support 2 → edge); 2-3
+    // co-occur in 101,102 (edge) → {1,2,3} one family labeled 1.
+    // parts 8-9 co-occur only in order 103 (support 1 → pruned, absent).
+    // parts 5-6 co-occur in 104,105 → family {5,6} labeled 5.
+    val li = Seq(
+      100L -> 1L, 100L -> 2L,
+      101L -> 1L, 101L -> 2L, 101L -> 3L,
+      102L -> 2L, 102L -> 3L,
+      103L -> 8L, 103L -> 9L,
+      104L -> 5L, 104L -> 6L,
+      105L -> 5L, 105L -> 6L
+    ).toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.coPurchaseComponents(li, minSupport = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("cluster representatives: best quality wins, min id only breaks ties") {
     // ~100 4-char tokens with stopwords → quality 4; appending one 30-char
     // token keeps Jaccard ≈ 0.99 (same cluster) but costs a quality point
