@@ -344,6 +344,9 @@ object SparkEntry {
     // DataSketches HLL surface: estimate-accuracy + sketch-mergeability
     // booleans hash-compared against literal TRUE (d4c pattern).
     "a12_hll_contract" -> ((s, dir) => Aggregates.hllContract(Tables.events(s, dir))),
+    // Count-min sketch contract: never-under + eps bound + exact
+    // shard-then-merge additivity, probed at the busiest user per type.
+    "a13_cms_contract" -> ((s, dir) => Aggregates.cmsContract(Tables.events(s, dir))),
     // Data-quality tier: single-pass column profile (unpivot-then-agg, one
     // distinct rewrite) and a one-scan expectation report.
     "dq1_profile" -> ((s, dir) => Quality.profile(Tables.lineitem(s, dir),
@@ -2212,6 +2215,19 @@ object SparkEntry {
         |       TRUE AS within_5pct, TRUE AS merge_consistent
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a13_cms_contract" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+        |), top AS (
+        |  SELECT event_type, cnt FROM c
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |                             ORDER BY cnt DESC, user_id) = 1
+        |)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS n_exact_top,
+        |       TRUE AS never_under, TRUE AS within_eps,
+        |       TRUE AS merge_consistent
+        |FROM top ORDER BY event_type""".stripMargin,
     "e15_session_window" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us,

@@ -280,6 +280,52 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** COUNT-MIN SKETCH contract (a13): the frequency-sketch sibling of the
+    * a12 HLL contract. Per event type, probe the busiest user's event
+    * count through (1) one direct sketch and (2) per-day sketches merged
+    * via [[graft.functions.CmsUnionAgg]], and witness the three CMS
+    * guarantees as booleans the oracle asserts TRUE:
+    *  - `never_under`: a CMS estimate is never below the true count
+    *    (counters only ever over-count on hash collision) — always, not
+    *    probabilistically;
+    *  - `within_eps`: estimate ≤ exact + ⌈ε·N⌉ (the ε-accuracy bound at
+    *    the sketch's confidence; deterministic here under the fixed seed);
+    *  - `merge_consistent`: merged per-day sketches estimate IDENTICALLY
+    *    to the direct sketch — CMS counters are additive, so shard-then-
+    *    merge is exact, the property that lets 100 TB pipelines sketch
+    *    per ingest batch and never re-scan history for a frequency probe.
+    *
+    * The probe key (busiest user, min id on ties) and its exact count are
+    * SQL-derivable, which is what makes the contract hash-checkable.
+    */
+  def cmsContract(events: DataFrame): DataFrame = {
+    import graft.functions.CountMin.{cmsEstimate, cmsUnion}
+    val (eps, conf, seed) = (0.001, 0.99, 42)
+    val base = events.filter(col("user_id").isNotNull)
+    val exact = base.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val top = exact.groupBy("event_type")
+      .agg(
+        max_by(col("user_id"),
+          struct(col("cnt"), (-col("user_id")).as("neg"))).as("top_user"),
+        max(struct(col("cnt"), (-col("user_id")).as("neg")))
+          .getField("cnt").as("n_exact_top"),
+        sum(col("cnt")).as("n_total"))
+    def sketch = count_min_sketch(col("user_id"), lit(eps), lit(conf), lit(seed))
+    val direct = base.groupBy("event_type").agg(sketch.as("sk"))
+    val merged = base
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sketch.as("sk_day"))
+      .groupBy("event_type").agg(cmsUnion(col("sk_day")).as("sk_m"))
+    val est = cmsEstimate(col("sk"), col("top_user"))
+    top.join(direct, "event_type").join(merged, "event_type")
+      .select(col("event_type"), col("n_exact_top"),
+        (est >= col("n_exact_top")).as("never_under"),
+        (est <= col("n_exact_top") +
+          ceil(lit(eps) * col("n_total")).cast("long")).as("within_eps"),
+        (est === cmsEstimate(col("sk_m"), col("top_user"))).as("merge_consistent"))
+      .orderBy("event_type")
+  }
+
   /** Parity: rollup over two keys with grouping flags; ordered by grouping
     * level then keys NULLS FIRST so engine and oracle row streams align.
     */
