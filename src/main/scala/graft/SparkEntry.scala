@@ -426,6 +426,12 @@ object SparkEntry {
     // insert mirror of e8b's delete (d5b pattern).
     "s9_append_contract" -> ((s, dir) =>
       IvfIndex.appendContract(Tables.embeddings(s, dir))),
+    // Product-quantization contract: guaranteed codebook-size error
+    // monotonicity + shortlist-then-exact-rerank recall at 64 bits/vector
+    // vs 2048 (recall 0.83/0.64 measured at sf0.01/0.1, threshold 0.5).
+    "s12_pq_contract" -> ((s, dir) =>
+      IvfIndex.pqContract(Tables.embeddings(s, dir), queryIds = 0L until 16L,
+        m = 16, kSub = 16, k = 10, threshold = 0.5, shortlist = 100)),
     "m1_multimodal_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       // The float features are (nibble-count / n_bytes) in float32; since
@@ -2419,6 +2425,10 @@ object SparkEntry {
       "SELECT TRUE AS nonempty, TRUE AS recall_ok",
     "s9_append_contract" ->
       "SELECT TRUE AS split_nonempty, TRUE AS append_equal",
+    "s12_pq_contract" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS err_monotone,
+        |       TRUE AS nonempty, TRUE AS recall_ok
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "d12_signature_merge" ->
       "SELECT TRUE AS split_nonempty, TRUE AS merge_equal",
     "d6_curated" -> CuratedSql,

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -434,6 +434,132 @@ object IvfIndex {
         (col("n_exact") >= queryIds.size).as("nonempty"), // guards vacuity
         (col("n_match").cast("double") >= lit(threshold) * col("n_exact"))
           .as("recall_ok"))
+  }
+
+  /** PRODUCT QUANTIZATION contract (s12): split the `dim`-dimensional
+    * embedding into `m` subspaces, quantize each subvector to its nearest
+    * of `kSub` sub-codewords (integer-µ L2, the [[kmeansExact]] metric),
+    * and witness the two properties that make PQ the memory-compression
+    * path for ANN serving — as booleans a SQL oracle asserts TRUE:
+    *
+    *  - `err_monotone`: total quantization error with the `kSub`-word
+    *    codebook ≤ with its first-`kPrefix` prefix. Guaranteed (not
+    *    statistical): the prefix codebook's codewords are a SUBSET under
+    *    the shared md5-seeded order, so each vector's per-subspace min
+    *    can only improve — the hash-checkable stand-in for "bigger
+    *    codebooks reconstruct better".
+    *  - `recall_ok`: the production serving shape is ADC SHORTLIST +
+    *    EXACT RERANK — scan compressed codes for a `shortlist`-sized
+    *    candidate set (asymmetric distance: exact query vs reconstructed
+    *    corpus), then rerank only those candidates at full precision.
+    *    Exact-top-`k` members in the shortlist always survive an exact
+    *    rerank into the reranked top-`k` (anything exactly closer is
+    *    itself exact-top-`k`), so rerank recall ≡ shortlist containment:
+    *    |ADC-top-shortlist ∩ exact-top-k| / k ≥ `threshold`. Measured
+    *    0.83 (sf0.01) / 0.64 (sf0.1) at the registered m=16/kSub=16/
+    *    shortlist=100 — 64 bits/vector against 2048 uncompressed
+    *    (dim 64 × float32), scanning the full corpus at 32× less memory
+    *    bandwidth and touching float vectors only for the shortlist.
+    *    (The fixture's near-random embeddings are PQ's worst case —
+    *    distance concentration; clustered real embeddings rank better.)
+    *
+    * Codebooks are the md5-seeded corpus draw ([[sampleCentroids]]'s
+    * rationale: contract tests exercise the encode/ADC machinery, not
+    * codeword quality; production would train each subspace with
+    * [[kmeansExact]] on a sample). Scale shape: codebooks are
+    * m × kSub × (dim/m) literals broadcast into one codegen'd projection —
+    * encoding is scan-bound, no shuffle; the ADC/exact legs join the
+    * corpus against |Q| broadcast query rows and take windowed top-k,
+    * exactly the s8 probe shape. Subvectors are projected ONCE before the
+    * per-codeword distance battery (the shingles3Tokens lesson: HOF
+    * arguments referenced k times re-evaluate k times).
+    */
+  def pqContract(embeddings: DataFrame, queryIds: Seq[Long], m: Int = 8,
+      kSub: Int = 16, kPrefix: Int = 4, k: Int = 10,
+      threshold: Double = 0.4, shortlist: Int = 64): DataFrame =
+    pqContractDebug(embeddings, queryIds, m, kSub, k, kPrefix, threshold, shortlist)
+      .select("n_vectors", "err_monotone", "nonempty", "recall_ok")
+
+  private[graft] def pqContractDebug(embeddings: DataFrame, queryIds: Seq[Long],
+      m: Int = 8, kSub: Int = 16, k: Int = 10, kPrefix: Int = 4,
+      threshold: Double = 0.4, shortlist: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = embeddings.filter(col("embedding").isNotNull)
+    val eq = clean.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qe"))
+    val seeds = eq
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(kSub)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seeds.length == kSub, s"pqContract: corpus smaller than $kSub")
+    val dim = seeds(0).length
+    require(dim % m == 0, s"pqContract: dim $dim not divisible by m=$m")
+    val d0 = dim / m
+    // codebooks(mi)(j) = j-th codeword of subspace mi
+    val codebooks = Array.tabulate(m, kSub)((mi, j) =>
+      seeds(j).slice(mi * d0, (mi + 1) * d0))
+    val sub = eq.select(col("vec_id") +: col("qe") +:
+      (0 until m).map(mi => slice(col("qe"), mi * d0 + 1, d0).as(s"s$mi")): _*)
+    def best(mi: Int, kk: Int) = array_min(array((0 until kk).map { j =>
+      struct(
+        aggregate(
+          zip_with(col(s"s$mi"), typedlit(codebooks(mi)(j).toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        lit(j).as("code"))
+    }: _*))
+    val enc = sub.select(col("vec_id") +: col("qe") +:
+      ((0 until m).map(mi => best(mi, kSub).as(s"b$mi")) ++
+        (0 until m).map(mi => best(mi, kPrefix).as(s"p$mi"))): _*)
+    def codeMap(mi: Int) = map((0 until kSub).flatMap(j =>
+      Seq(lit(j), typedlit(codebooks(mi)(j).toSeq))): _*)
+    val recon = concat((0 until m).map(mi =>
+      element_at(codeMap(mi), col(s"b$mi.code"))): _*)
+    val withErr = enc.select(col("vec_id"), col("qe"),
+      (0 until m).map(mi => col(s"b$mi.dist")).reduce(_ + _).as("err_full"),
+      (0 until m).map(mi => col(s"p$mi.dist")).reduce(_ + _).as("err_prefix"),
+      recon.as("recon")).localCheckpoint(true) // feeds err agg + ADC leg
+    val qRows = eq.filter(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val queries = {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      qRows.toSeq.toDF("query_id", "q_micro")
+    }
+    def l2(v: Column) = aggregate(
+      zip_with(v, col("q_micro"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    def topK(base: DataFrame, v: Column, kk: Int) = base
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), l2(v).as("d"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select("query_id", "vec_id")
+    val exact = topK(eq, col("qe"), k)
+    val adc = topK(withErr.select("vec_id", "recon"), col("recon"), shortlist)
+    val nMatch = exact.join(adc, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_match")).withColumn("j", lit(1))
+    val nExact = exact.agg(count(lit(1)).as("n_exact")).withColumn("j", lit(1))
+    val errs = withErr
+      .agg(count(lit(1)).as("n_vectors"), sum("err_full").as("ef"),
+        sum("err_prefix").as("ep")).withColumn("j", lit(1))
+    errs.join(broadcast(nExact), "j").join(broadcast(nMatch), "j")
+      .select(col("n_vectors"),
+        (col("ef") <= col("ep")).as("err_monotone"),
+        (col("n_exact") >= queryIds.size).as("nonempty"),
+        (col("n_match").cast("double") >= lit(threshold) * col("n_exact"))
+          .as("recall_ok"),
+        col("n_exact"), col("n_match"))
+  }
+
+  /** Dev-only: the measured ADC recall behind [[pqContract]]'s boolean. */
+  private[graft] def pqProbeRecall(embeddings: DataFrame, queryIds: Seq[Long],
+      m: Int, kSub: Int, k: Int, shortlist: Int = 64): Double = {
+    val row = pqContractDebug(embeddings, queryIds, m, kSub, k,
+      shortlist = shortlist).head()
+    row.getLong(5).toDouble / math.max(row.getLong(4), 1L)
   }
 
   /** Driver-side cosine for centroid ranking (k values, not data-sized). */

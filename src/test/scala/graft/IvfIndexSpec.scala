@@ -157,6 +157,21 @@ class IvfIndexSpec extends SparkTestBase {
     assert(got.head.getBoolean(1), "full-probe recall must clear 0.9")
   }
 
+  test("pq contract: monotone codebook error, shortlist recall, fixture booleans") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val row = operators.IvfIndex.pqContract(emb, queryIds = 0L until 16L,
+      m = 16, kSub = 16, k = 10, threshold = 0.5, shortlist = 100).head()
+    assert(row.getLong(0) > 0L)
+    assert(row.getBoolean(1), "err_monotone must hold (prefix-subset guarantee)")
+    assert(row.getBoolean(2), "nonempty guard")
+    assert(row.getBoolean(3), "shortlist+rerank recall at threshold 0.5")
+    // the debug frame exposes the raw counts the boolean summarizes
+    val dbg = operators.IvfIndex.pqContractDebug(emb, 0L until 16L,
+      m = 16, kSub = 16, k = 10, shortlist = 100).head()
+    assert(dbg.getLong(4) === 160L, "16 queries x top-10 exact rows")
+    assert(dbg.getLong(5) <= dbg.getLong(4))
+  }
+
   test("exact kmeans: separated blobs recovered, partition-invariant, nulls skipped") {
     // two tight blobs far apart: any seeding converges to one cluster per
     // blob within two Lloyd iterations; inertia stays tiny vs separation
