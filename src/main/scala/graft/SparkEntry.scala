@@ -523,6 +523,9 @@ object SparkEntry {
     // medians picked positionally). Corpus collapses to (hour, type)
     // counts first — all median work runs on hours, not events.
     "dq7_rate_anomalies" -> ((s, dir) => Quality.rateAnomalies(Tables.events(s, dir))),
+    // Event-time disorder audit: per-type lateness vs the running ingest
+    // high-water mark - the measurement behind a watermark delay choice.
+    "dq10_lateness_audit" -> ((s, dir) => Quality.latenessAudit(Tables.events(s, dir))),
     // Snapshot diff: added/removed/changed between two table versions via
     // one full-outer join; unchanged mass dropped before the sort.
     "e7_snapshot_diff" -> ((s, dir) => MergeOps.snapshotDiffDemo(Tables.orders(s, dir))),
@@ -1722,6 +1725,21 @@ object SparkEntry {
         |       h.n IS NOT NULL AS found
         |FROM req r LEFT JOIN hits h USING (user_id)
         |ORDER BY r.user_id""".stripMargin,
+    "dq10_lateness_audit" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |), d AS (
+        |  SELECT event_type,
+        |         MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |                       ROWS UNBOUNDED PRECEDING) - us AS disorder
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CASE WHEN disorder > 3600000000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_late,
+        |       CAST(MAX(disorder) AS BIGINT) AS max_disorder_us
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dq7_rate_anomalies" ->
       """WITH h AS (
         |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS hr, event_type,

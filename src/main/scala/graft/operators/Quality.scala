@@ -406,4 +406,36 @@ object Quality {
       .select("event_type", "n_hours", "med_n", "mad_n", "n_anomalous")
       .orderBy("event_type")
   }
+
+  /** EVENT-TIME LATENESS / DISORDER audit (dq10): how far behind the
+    * running event-time high-water mark do events arrive, per type — the
+    * measurement that justifies a streaming watermark setting. Arrival
+    * order is `event_id` (the monotone ingest sequence); an event is
+    * "late at delay d" when its event time trails the running max of all
+    * previously-arrived events of its type by more than d — exactly the
+    * events a watermark of d would drop. Emits per type: event count,
+    * late count at `delayUs`, and the worst observed disorder. If
+    * `n_late` is a visible fraction of `n_events`, the configured delay
+    * loses data; if `max_disorder_us` sits far below it, state is held
+    * longer than needed.
+    *
+    * Scale shape: one running-max window partitioned by event_type
+    * ordered by the ingest sequence — a single keyed exchange, state one
+    * long per partition; the aggregate collapses on the same key, so the
+    * window's partitioning is reused (no second exchange).
+    */
+  def latenessAudit(events: DataFrame, delayUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("disorder", max(col("us")).over(w) - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("disorder") > delayUs, 1L).otherwise(0L)).as("n_late"),
+        max(col("disorder")).as("max_disorder_us"))
+      .orderBy("event_type")
+  }
 }

@@ -28,6 +28,35 @@ object Sinks {
     df.repartition(df.col(c1), df.col(c2))
       .write.mode("overwrite").partitionBy(c1, c2).parquet(path)
 
+  /** Format-generic columnar write — same layout discipline as the
+    * parquet writers (repartition by partition columns first, one
+    * directory tree). "parquet" and "orc" both ship in Spark with full
+    * predicate-pushdown + column-pruning support (the spec pins
+    * PushedFilters on the ORC read path); ORC matters for interop with
+    * Hive-lineage warehouses that mandate it, parquet is the default
+    * everywhere else. Text formats (csv/json) deliberately NOT accepted
+    * here: they lose types and pushdown, and quarantine-reading them is
+    * [[Ingest]]'s job.
+    */
+  def writeColumnar(df: DataFrame, path: String, format: String = "parquet",
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(Set("parquet", "orc").contains(format),
+      s"writeColumnar: columnar formats only (parquet|orc), got '$format'")
+    val repartitioned =
+      if (partitionCols.isEmpty) df
+      else df.repartition(partitionCols.map(df.col): _*)
+    repartitioned.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).format(format).save(path)
+  }
+
+  /** Read counterpart of [[writeColumnar]] (partition discovery included). */
+  def readColumnar(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame = {
+    require(Set("parquet", "orc").contains(format),
+      s"readColumnar: columnar formats only (parquet|orc), got '$format'")
+    spark.read.format(format).load(path)
+  }
+
   /** K3: catalog DDL — create-or-replace a partitioned external table over
     * a parquet path (the `saveAsTable`/`tableExists` mapping of the
     * boto3 create-or-update pattern).

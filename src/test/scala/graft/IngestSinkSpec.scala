@@ -225,4 +225,30 @@ class IngestSinkSpec extends SparkTestBase {
       assert(colStats("close").distinctCount.isDefined)
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
+
+  test("ORC round-trip: data equality, partition discovery, filter pushdown") {
+    val li = Tables.lineitem(spark, sf0001)
+    val dir = tmpDir("graft-orc")
+    sources.Sinks.writeColumnar(li, s"$dir/flat", "orc")
+    val back = sources.Sinks.readColumnar(spark, s"$dir/flat", "orc")
+    assert(back.schema === li.schema)
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    // partitioned variant discovers the partition column on read
+    sources.Sinks.writeColumnar(li, s"$dir/part", "orc", Seq("l_returnflag"))
+    val part = sources.Sinks.readColumnar(spark, s"$dir/part", "orc")
+    assert(part.columns.contains("l_returnflag"))
+    assert(part.count() === li.count())
+    // predicate + projection reach the ORC scan
+    val plan = back.filter(org.apache.spark.sql.functions.col("l_quantity") < 10)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"),
+      s"ORC pushdown missing:\n$plan")
+    // text formats are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      sources.Sinks.writeColumnar(li, s"$dir/csv", "csv")
+    }
+    assert(e.getMessage.contains("columnar"))
+  }
 }

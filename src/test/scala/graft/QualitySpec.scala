@@ -238,4 +238,26 @@ class QualitySpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq(("US", 5L, 1L)))
   }
+
+  test("lateness audit: disorder vs the running high-water mark, per type") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    // type A arrives (by event_id) at minutes 0, 60, 30, 120:
+    //   id 3 (min 30) trails the mark (60) by 30 min; others on time.
+    // type B arrives at 0, 120, 0: id 6 trails by 120 min.
+    val rows = Seq(
+      (1L, ts(0), "A"), (2L, ts(60), "A"), (3L, ts(30), "A"), (4L, ts(120), "A"),
+      (5L, ts(0), "B"), (6L, ts(120), "B"), (7L, ts(0), "B")
+    ).toDF("event_id", "ts", "event_type")
+    // delay 45 min: only B's 120-min straggler counts as late
+    val got = Quality.latenessAudit(rows, delayUs = 45L * 60000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("A", 4L, 0L, 30L * 60000000L),
+      ("B", 3L, 1L, 120L * 60000000L)))
+    // delay 20 min: A's 30-min straggler is late too
+    val tight = Quality.latenessAudit(rows, delayUs = 20L * 60000000L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(tight === Map("A" -> 1L, "B" -> 1L))
+  }
 }
