@@ -90,6 +90,9 @@ object SparkEntry {
     // Window family (W1-W3 + parity)
     "w_rank_family" -> ((s, dir) => WindowOps.rankFamily(Tables.lineitem(s, dir))),
     "w_moving_avg" -> ((s, dir) => WindowOps.movingAvg(Tables.events(s, dir))),
+    // Rolling ROBUST stats: discrete lower median + quartiles over a
+    // 7-row frame - the spike-resistant twin of w_moving_avg.
+    "w_rolling_median" -> ((s, dir) => WindowOps.rollingMedian(Tables.events(s, dir))),
     "w_running_totals" -> ((s, dir) => WindowOps.runningTotals(Tables.events(s, dir))),
     "w_lead_first_last" -> ((s, dir) => WindowOps.leadFirstLast(Tables.events(s, dir))),
     "w_distribution" -> ((s, dir) => WindowOps.distributionRanks(Tables.lineitem(s, dir))),
@@ -936,6 +939,16 @@ object SparkEntry {
         | RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rnk,
         | DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS drnk
         |FROM lineitem ORDER BY l_orderkey, rn""".stripMargin,
+    "w_rolling_median" ->
+      """SELECT event_id, user_id,
+        | CAST(round(value * 100) AS BIGINT) AS cents,
+        | quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) OVER w7 AS med_7,
+        | quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25) OVER w7 AS p25_7,
+        | quantile_disc(CAST(round(value * 100) AS BIGINT), 0.75) OVER w7 AS p75_7
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |WINDOW w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "w_moving_avg" ->
       """SELECT event_id, user_id, value,
         | ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w7 AS DOUBLE), 2) AS msum_7,
@@ -2236,7 +2249,7 @@ object SparkEntry {
     "a12_hll_contract" ->
       """SELECT event_type,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
-        |       TRUE AS within_5pct, TRUE AS merge_consistent
+        |       TRUE AS within_5pct, TRUE AS merge_within_5pct
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a13_cms_contract" ->

@@ -252,10 +252,16 @@ object Aggregates {
     *    distinct count (lgK = 12 ⇒ ~1.6% RSE; 5% is > 3σ) — hash-compared
     *    against the oracle's literal TRUE, so an estimator regression
     *    fails the gate rather than drifting silently;
-    *  - `merge_consistent`: the union of per-day sketches estimates
-    *    EXACTLY what one whole-group sketch estimates — the mergeability
+    *  - `merge_within_5pct`: the union of per-day sketches estimates the
+    *    exact distinct count within the same 5% bound — the mergeability
     *    property that makes sketches the 100 TB answer (partial sketches
     *    per partition/day, one tiny union at read time, no re-scan).
+    *    NOT exact equality with the direct sketch: DataSketches HLL
+    *    unions may route through a different internal representation
+    *    (coupon list vs dense HLL_4) than a directly-built sketch, so
+    *    estimates can differ in low digits — they did at sf0.1 (the
+    *    round-8 cross-scale sweep caught the r7 contract overclaiming
+    *    equality; accuracy-after-merge is the actual guarantee).
     *
     * Scale shape: two partial-pushed aggregates over one scan each; the
     * merged path ships one ~2-4 KB sketch per (type, day) — the pattern
@@ -276,7 +282,8 @@ object Aggregates {
       .select(col("event_type"), col("n_exact"),
         (abs(col("est_direct") - col("n_exact")) * 20 <= col("n_exact"))
           .as("within_5pct"),
-        (col("est_direct") === col("est_merged")).as("merge_consistent"))
+        (abs(col("est_merged") - col("n_exact")) * 20 <= col("n_exact"))
+          .as("merge_within_5pct"))
       .orderBy("event_type")
   }
 

@@ -65,6 +65,44 @@ object WindowOps {
       .orderBy("event_id")
   }
 
+  /** ROLLING ROBUST STATISTICS — the window-parity op Spark has no
+    * builtin for: per-key rolling (lower) median and discrete quartiles
+    * over a 7-row frame, for outlier-resistant smoothing where a rolling
+    * MEAN ([[movingAvg]]) is dragged by a single spike. Built as
+    * `element_at(array_sort(collect_list(cents) over frame), pick)` with
+    * the discrete pick at 1-based index ⌈q·n⌉ (verified against DuckDB
+    * `quantile_disc` for every frame length 1-7 — NOT the 1 + ⌊q·(n−1)⌋
+    * variant, which diverges at q=0.75, n=2) — integer cents in, integer
+    * cents out, no interpolation anywhere, so the oracle reproduces it
+    * bit-for-bit.
+    *
+    * Scale note: the collect_list frame holds ≤ 7 elements per row by
+    * construction — state is O(frame), not O(partition); same single
+    * keyed exchange + sort as every other window here. For large frames
+    * the right tool changes (two-heap streaming median via
+    * mapGroupsWithState, or [[Aggregates.percentiles]]' bucket refinement
+    * per window bucket) — at frame widths used for smoothing, the sorted
+    * array IS the fast plan (7 elements sort in-register).
+    */
+  def rollingMedian(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    // the sorted frame array is projected ONCE, then picked three times —
+    // six window-expression references would risk recomputing the
+    // collect_list per pick (the shingles3Tokens multi-reference lesson)
+    def pick(q: Double) = element_at(col("a7"),
+      ceil(lit(q) * size(col("a7"))).cast("int"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        array_sort(collect_list(col("cents")).over(w)).as("a7"))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        pick(0.5).as("med_7"), pick(0.25).as("p25_7"), pick(0.75).as("p75_7"))
+      .orderBy("event_id")
+  }
+
   /** Running (cumulative) sum + count per key (decimal-exact, see
     * [[movingAvg]]).
     */
