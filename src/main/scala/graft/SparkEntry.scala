@@ -302,6 +302,10 @@ object SparkEntry {
       "c_custkey", "ticket")),
     // PII scrub contract: typed-placeholder replacement, byte-compared
     // against DuckDB's RE2 scrub; residual_pii pinned to 0 per row.
+    // Distributed BPE tokenizer training: top-5 merges over the corpus
+    // word-frequency table, greedy left-to-right semantics replayable in
+    // SQL (doubled-separator replace trick) - integer counts throughout.
+    "t26_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir), 5)),
     "t25b_pii_scrub" -> ((s, dir) => TextOps.piiScrub(
       Tables.customer(s, dir).selectExpr("c_custkey", TextOps.piiTicketSql + " AS ticket"),
       "c_custkey", "ticket")),
@@ -658,7 +662,43 @@ object SparkEntry {
         |WHERE nb < 15 AND gram IN (SELECT gram FROM g WHERE nb = 15)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Unrolled k-round BPE training oracle (the t26 merge loop replayed in
+    * SQL: same doubled-separator greedy `replace`, same (count desc, pair
+    * asc) argmax — floats never appear, so training replays bit-for-bit).
+    */
+  private def bpeOracleSql(k: Int): String = {
+    def stage(i: Int): String = s""",
+      |sym$i AS (
+      |  SELECT list_filter(string_split(s, '||'), x -> x <> '') AS sa, wc FROM w${i - 1}
+      |), p$i AS (
+      |  SELECT p.a AS a, p.b AS b, SUM(wc) AS c FROM (
+      |    SELECT unnest([struct_pack(a := sa[i], b := sa[i+1])
+      |                   for i in generate_series(1, len(sa) - 1)]) AS p, wc
+      |    FROM sym$i WHERE len(sa) >= 2)
+      |  GROUP BY 1, 2
+      |), t$i AS (
+      |  SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1
+      |), w$i AS (
+      |  SELECT replace(w${i - 1}.s, '|' || t$i.a || '||' || t$i.b || '|',
+      |                 '|' || t$i.a || t$i.b || '|') AS s, wc
+      |  FROM w${i - 1}, t$i
+      |)"""
+    val finalSelect = (1 to k)
+      .map(i => s"SELECT $i AS rank, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS pair_count FROM t$i")
+      .mkString("\n      |  ", "\n      |  UNION ALL ", "")
+    s"""WITH w0 AS (
+      |  SELECT '||' || array_to_string(regexp_split_to_array(w, ''), '||') || '||' AS s,
+      |         COUNT(*) AS wc
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE regexp_full_match(w, '[a-z]+')
+      |  GROUP BY 1
+      |)${(1 to k).map(stage).mkString}
+      |SELECT * FROM ($finalSelect
+      |) ORDER BY rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t26_bpe_merges" -> bpeOracleSql(5),
     // b3 family: % variation and rounded averages mirrored in EXACT scaled-
     // integer arithmetic (cents / basis points, half-away-from-zero via the
     // floor((2n+d)/2d) identity) — Spark rounds a double's shortest decimal

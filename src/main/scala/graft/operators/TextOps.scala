@@ -897,4 +897,66 @@ object TextOps {
       .withColumn("residual_pii", residual)
       .orderBy(keyCol)
   }
+
+  /** DISTRIBUTED BPE MERGE LEARNING (t26): the `k` highest-count
+    * byte-pair merges over the corpus word-frequency table — the
+    * tokenizer-training step of an LLM data pipeline (Sennrich et al.,
+    * ACL'16), emitted as (rank, left, right, pair_count).
+    *
+    * Exactly the reference algorithm, distributed:
+    *  - the corpus collapses ONCE to (word, count) — all further passes
+    *    touch the vocabulary, not the corpus (the standard trick: pair
+    *    statistics are word-count-weighted, so a 100 TB corpus costs one
+    *    word-count aggregation and then vocab-sized iterations);
+    *  - per merge round: adjacent-pair counts (explode + one hash agg),
+    *    argmax with deterministic (count desc, pair asc) tie-break —
+    *    a driver-side top-1, like [[graft.operators.IvfIndex.kmeansExact]]'s
+    *    centroid collect — then the merge applied scan-side to every word.
+    *  - the greedy LEFT-TO-RIGHT non-overlapping merge (`aaa` + merge
+    *    (a,a) → `[aa, a]`, never `[a, aa]`) rides on plain string
+    *    `replace` over a DOUBLED-separator symbol encoding
+    *    (`||a||b||a||b||`; pattern `|a||b|` → `|ab|`): each match spends
+    *    one of the two separators on each side, leaving the other for
+    *    the adjacent match, so consecutive pairs merge in one pass with
+    *    textbook BPE semantics — and `replace` is identical on any
+    *    engine, which is what lets a SQL oracle replay training
+    *    bit-for-bit (floats never appear).
+    *
+    * Words are lowercased `[a-z]+` tokens (standard pre-tokenization;
+    * also pins ASCII so per-character splitting agrees across engines).
+    */
+  def bpeMerges(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.{array_join, concat, desc, explode,
+      expr, filter, lower, replace, split, sum => fsum}
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = documents
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(concat(lit("||"), array_join(split(col("w"), ""), "||"),
+        lit("||")).as("s"), col("wc"))
+    var cur = words.localCheckpoint(true) // the loop re-reads it k times
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to k) {
+      val top = cur
+        .select(col("wc"),
+          filter(split(col("s"), "\\|\\|"), x => x =!= "").as("sa"))
+        // single-symbol words have no pairs; also guards sequence(1, 0)'s
+        // DESCENDING surprise (step defaults to -1 when stop < start)
+        .filter(org.apache.spark.sql.functions.size(col("sa")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(sa) - 1), i -> struct(sa[i-1] AS a, sa[i] AS b))")).as("p"))
+        .groupBy("p.a", "p.b").agg(fsum("wc").as("c"))
+        .orderBy(desc("c"), col("a"), col("b"))
+        .limit(1).head()
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((rank, a, b, c))
+      cur = cur.select(
+        replace(col("s"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("s"), col("wc"))
+        .localCheckpoint(true)
+    }
+    merges.result().toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy("rank")
+  }
 }

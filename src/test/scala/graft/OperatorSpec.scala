@@ -340,4 +340,31 @@ class OperatorSpec extends SparkTestBase {
       .collect().map(_.getLong(3))
     assert(oov.forall(_ === 0L))
   }
+
+  test("bpe merges: hand-computed cascade, greedy left-to-right, tie-break") {
+    import spark.implicits._
+    // "aaab" x3, "ab" x2: round 1 pairs — (a,a): 2 per "aaab" x3 = 6;
+    // (a,b): 1x3 + 1x2 = 5  →  merge (a,a).
+    // round 2 over [aa,a,b] x3, [a,b] x2: (aa,a)=3, (a,b)=5 wait —
+    // [aa,a,b] has pairs (aa,a) and (a,b): (a,b) count 3+2=5 → merge (a,b).
+    // round 3 over [aa,ab] x3, [ab] x2: (aa,ab)=3 → merge.
+    val docs = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+
+    // greedy left-to-right: "aaaa" merges to [aa, aa], not [a, aa, a] —
+    // visible in round 2 where pair (aa, aa) must exist with count 1
+    val docs2 = Seq((1L, "aaaa zz")).toDF("doc_id", "text")
+    val got2 = TextOps.bpeMerges(docs2, 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a)=3 beats (z,z)=1 (count desc); round 2: greedy "aaaa"
+    // → [aa, aa] so (aa,aa)=1 ties (z,z)=1 and (aa,aa) < (z,z) lexically
+    assert(got2.toSeq === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+
+    // case folds BEFORE the filter (ABC counts as abc); digit words are out
+    val docs3 = Seq((1L, "abc abc a1c ABC")).toDF("doc_id", "text")
+    val got3 = TextOps.bpeMerges(docs3, 1).head()
+    assert((got3.getString(1), got3.getString(2), got3.getLong(3)) === (("a", "b", 3L)))
+  }
 }
