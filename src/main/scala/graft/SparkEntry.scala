@@ -306,6 +306,9 @@ object SparkEntry {
     // word-frequency table, greedy left-to-right semantics replayable in
     // SQL (doubled-separator replace trick) - integer counts throughout.
     "t26_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir), 5)),
+    // BPE serving: vocab-sized segmentation broadcast into the corpus
+    // scan; per-doc word/token counts + characters covered by merges.
+    "t27_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(Tables.documents(s, dir), 5)),
     "t25b_pii_scrub" -> ((s, dir) => TextOps.piiScrub(
       Tables.customer(s, dir).selectExpr("c_custkey", TextOps.piiTicketSql + " AS ticket"),
       "c_custkey", "ticket")),
@@ -662,11 +665,12 @@ object SparkEntry {
         |WHERE nb < 15 AND gram IN (SELECT gram FROM g WHERE nb = 15)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Unrolled k-round BPE training oracle (the t26 merge loop replayed in
-    * SQL: same doubled-separator greedy `replace`, same (count desc, pair
-    * asc) argmax — floats never appear, so training replays bit-for-bit).
+  /** Unrolled k-round BPE training chain (the t26/t27 merge loop replayed
+    * in SQL: same doubled-separator greedy `replace`, same (count desc,
+    * pair asc) argmax — floats never appear, so training replays
+    * bit-for-bit). Ends at vocabulary `w{k}` (word, segmentation, count).
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeChainSql(k: Int): String = {
     def stage(i: Int): String = s""",
       |sym$i AS (
       |  SELECT list_filter(string_split(s, '||'), x -> x <> '') AS sa, wc FROM w${i - 1}
@@ -679,26 +683,48 @@ object SparkEntry {
       |), t$i AS (
       |  SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1
       |), w$i AS (
-      |  SELECT replace(w${i - 1}.s, '|' || t$i.a || '||' || t$i.b || '|',
+      |  SELECT w, replace(w${i - 1}.s, '|' || t$i.a || '||' || t$i.b || '|',
       |                 '|' || t$i.a || t$i.b || '|') AS s, wc
       |  FROM w${i - 1}, t$i
       |)"""
-    val finalSelect = (1 to k)
-      .map(i => s"SELECT $i AS rank, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS pair_count FROM t$i")
-      .mkString("\n      |  ", "\n      |  UNION ALL ", "")
     s"""WITH w0 AS (
-      |  SELECT '||' || array_to_string(regexp_split_to_array(w, ''), '||') || '||' AS s,
+      |  SELECT w,
+      |         '||' || array_to_string(regexp_split_to_array(w, ''), '||') || '||' AS s,
       |         COUNT(*) AS wc
       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
       |  WHERE regexp_full_match(w, '[a-z]+')
-      |  GROUP BY 1
-      |)${(1 to k).map(stage).mkString}
-      |SELECT * FROM ($finalSelect
-      |) ORDER BY rank""".stripMargin
+      |  GROUP BY 1, 2
+      |)${(1 to k).map(stage).mkString}""".stripMargin
   }
+
+  private def bpeOracleSql(k: Int): String = {
+    val finalSelect = (1 to k)
+      .map(i => s"SELECT $i AS rank, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS pair_count FROM t$i")
+      .mkString("  ", "\n  UNION ALL ", "")
+    s"""${bpeChainSql(k)}
+SELECT * FROM (
+$finalSelect
+) ORDER BY rank"""
+  }
+
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""${bpeChainSql(k)},
+seg AS (
+  SELECT w, list_filter(string_split(s, '||'), x -> x <> '') AS toks FROM w$k
+), dw AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+       CAST(SUM(list_sum(list_transform(toks,
+              t -> CASE WHEN length(t) > 1 THEN length(t) ELSE 0 END)))
+            AS BIGINT) AS n_chars_coded
+FROM dw JOIN seg USING (w)
+GROUP BY doc_id ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "t26_bpe_merges" -> bpeOracleSql(5),
+    "t27_bpe_encode" -> bpeEncodeOracleSql(5),
     // b3 family: % variation and rounded averages mirrored in EXACT scaled-
     // integer arithmetic (cents / basis points, half-away-from-zero via the
     // floor((2n+d)/2d) identity) — Spark rounds a double's shortest decimal

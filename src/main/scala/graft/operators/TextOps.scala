@@ -926,16 +926,29 @@ object TextOps {
     * also pins ASCII so per-character splitting agrees across engines).
     */
   def bpeMerges(documents: DataFrame, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.functions.{array_join, concat, desc, explode,
-      expr, filter, lower, replace, split, sum => fsum}
     val spark = documents.sparkSession
     import spark.implicits._
+    bpeTrain(documents, k)._2
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** The shared training loop: returns the post-merge vocabulary
+    * (`w`, doubled-separator segmentation `s`, corpus count `wc`) and the
+    * ordered merge list. The vocabulary frame is checkpointed (consumers
+    * re-read it k times during training and once after).
+    */
+  private def bpeTrain(documents: DataFrame,
+      k: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
+    import org.apache.spark.sql.functions.{array_join, concat, desc, explode,
+      expr, filter, lower, replace, size => fsize, split, sum => fsum}
     val words = documents
       .select(explode(tokens(lower(col("text")))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      .select(concat(lit("||"), array_join(split(col("w"), ""), "||"),
-        lit("||")).as("s"), col("wc"))
+      .select(col("w"),
+        concat(lit("||"), array_join(split(col("w"), ""), "||"),
+          lit("||")).as("s"), col("wc"))
     var cur = words.localCheckpoint(true) // the loop re-reads it k times
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to k) {
@@ -944,7 +957,7 @@ object TextOps {
           filter(split(col("s"), "\\|\\|"), x => x =!= "").as("sa"))
         // single-symbol words have no pairs; also guards sequence(1, 0)'s
         // DESCENDING surprise (step defaults to -1 when stop < start)
-        .filter(org.apache.spark.sql.functions.size(col("sa")) >= 2)
+        .filter(fsize(col("sa")) >= 2)
         .select(col("wc"), explode(expr(
           "transform(sequence(1, size(sa) - 1), i -> struct(sa[i-1] AS a, sa[i] AS b))")).as("p"))
         .groupBy("p.a", "p.b").agg(fsum("wc").as("c"))
@@ -952,11 +965,39 @@ object TextOps {
         .limit(1).head()
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((rank, a, b, c))
-      cur = cur.select(
+      cur = cur.select(col("w"),
         replace(col("s"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("s"), col("wc"))
         .localCheckpoint(true)
     }
-    merges.result().toDF("rank", "lhs", "rhs", "pair_count")
-      .orderBy("rank")
+    (cur, merges.result())
+  }
+
+  /** BPE ENCODE (t27): apply the `k` learned merges and report per-doc
+    * token statistics — word count, post-merge token count, and the
+    * compression the merges bought (`n_chars_coded` = characters covered
+    * by multi-char tokens). The serving shape at 100 TB: training
+    * produces a VOCAB-sized segmentation table, which broadcasts into
+    * the corpus scan (AQE picks it up from the aggregated size) — the
+    * corpus is touched exactly twice total (once to count words for
+    * training, once to encode), never per merge round.
+    */
+  def bpeEncode(documents: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, expr, filter, length,
+      lower, split, sum => fsum}
+    val (vocab, _) = bpeTrain(documents, k)
+    val segmented = vocab.select(col("w"),
+      filter(split(col("s"), "\\|\\|"), x => x =!= "").as("toks"))
+    documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .join(segmented, "w")
+      .select(col("doc_id"), col("toks"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        fsum(expr("size(toks)")).as("n_tokens"),
+        fsum(expr(
+          "aggregate(toks, 0L, (acc, t) -> acc + IF(length(t) > 1, length(t), 0))"))
+          .as("n_chars_coded"))
+      .orderBy("doc_id")
   }
 }

@@ -367,4 +367,21 @@ class OperatorSpec extends SparkTestBase {
     val got3 = TextOps.bpeMerges(docs3, 1).head()
     assert((got3.getString(1), got3.getString(2), got3.getLong(3)) === (("a", "b", 3L)))
   }
+
+  test("bpe encode: token counts under the learned merges, per doc") {
+    import spark.implicits._
+    // k=1 learns (a,a) (count 2 in "aaab", beats (a,b)'s 2? (a,a)=2,
+    // (a,b)=2 -> tie breaks lexically to (a,a)). "aaab" -> [aa,a,b] = 3
+    // tokens (2 chars coded), "ab" -> [a,b] = 2 tokens (0 coded).
+    val docs = Seq((7L, "aaab ab")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(docs, 1).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ===
+      ((7L, 2L, 5L, 2L)))
+    // fixture invariants: every word is at least one token, and docs with
+    // any trainable word appear with positive counts
+    val enc = TextOps.bpeEncode(Tables.documents(spark, sf0001), 5)
+    assert(enc.count() > 0)
+    assert(enc.filter(col("n_tokens") < col("n_words") ||
+      col("n_words") <= 0L || col("n_chars_coded") < 0L).count() === 0L)
+  }
 }
