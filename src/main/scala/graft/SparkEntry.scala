@@ -505,6 +505,9 @@ object SparkEntry {
     // Sequential funnel: view -> click-at-or-after -> purchase-at-or-after,
     // chained window minima over ONE user exchange; order matters.
     "e12_funnel" -> ((s, dir) => Sessions.funnel(Tables.events(s, dir))),
+    // Last-touch attribution: purchases tied to the most recent click
+    // within 1h via the merged-stream as-of carry (one keyed exchange).
+    "e17_attribution" -> ((s, dir) => Sessions.lastTouchAttribution(Tables.events(s, dir))),
     // Cohort retention: week-of-first-event cohorts x week offset, all
     // per-user work on ONE user_id exchange (collect_set, not
     // distinct+self-join); anchor-day arithmetic, engine-independent.
@@ -2368,6 +2371,31 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
         |       CAST(SUM(cents) AS BIGINT) AS cents
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e17_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS k
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN k = 0 THEN event_id END IGNORE NULLS) OVER w
+        |      AS last_click_id,
+        |    last_value(CASE WHEN k = 0 THEN us END IGNORE NULLS) OVER w
+        |      AS last_click_us
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, k, event_id
+        |               ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_id, user_id, CAST(us AS BIGINT) AS purchase_us,
+        |  CASE WHEN last_click_us IS NOT NULL
+        |         AND us - last_click_us <= 3600000000
+        |       THEN last_click_id END AS click_id,
+        |  CASE WHEN last_click_us IS NOT NULL
+        |         AND us - last_click_us <= 3600000000
+        |       THEN CAST(us - last_click_us AS BIGINT) END AS gap_us
+        |FROM m WHERE k = 1 ORDER BY event_id""".stripMargin,
     "e12_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us

@@ -110,6 +110,48 @@ object Sessions {
     counts.select(inline(array(rows: _*))).orderBy("step")
   }
 
+  /** LAST-TOUCH ATTRIBUTION (e17): every purchase attributed to the
+    * user's most recent click at-or-before it, within a lookback window —
+    * the fourth canonical event-analytics shape (sessions, funnels,
+    * cohorts, attribution). Purchases with no qualifying click emit NULL
+    * attribution (organic conversions), which downstream marketing spend
+    * reports need kept visible, not dropped.
+    *
+    * Shape: clicks and purchases merge into ONE per-user ordered stream
+    * and the running "last click" carries forward via
+    * `last(..., ignoreNulls)` over rows-unbounded-preceding — a single
+    * keyed exchange, no self-join (the textbook correlated-subquery or
+    * per-purchase lookup is a join whose probe side is every purchase;
+    * the merged-stream form is the as-of-join plan [[JoinOps]] j9 uses,
+    * specialized to carry attribution attributes). At equal timestamps
+    * the click sorts BEFORE the purchase (kind 0 < 1), so a same-instant
+    * click is attributable — and among same-instant clicks the largest
+    * event_id wins, deterministically.
+    */
+  def lastTouchAttribution(events: DataFrame,
+      lookbackUs: Long = 3600000000L): DataFrame = {
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "click", 0).otherwise(1).as("k"))
+    val w = Window.partitionBy("user_id").orderBy("us", "k", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attributable = col("last_click_us").isNotNull &&
+      col("us") - col("last_click_us") <= lookbackUs
+    base
+      .withColumn("last_click_id",
+        last(when(col("k") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_us",
+        last(when(col("k") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("k") === 1)
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        when(attributable, col("last_click_id")).as("click_id"),
+        when(attributable, col("us") - col("last_click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** COHORT RETENTION — the third canonical event-analytics shape after
     * sessions and funnels: bucket users by the week of their FIRST event
     * (the cohort), then count how many of each cohort are still active

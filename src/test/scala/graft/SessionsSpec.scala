@@ -104,4 +104,36 @@ class SessionsSpec extends SparkTestBase {
     assert(nExchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
     assert(out.count() === 3)
   }
+
+  test("attribution: last click wins, lookback bounds, same-instant click counts") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      // user 1: click(id2)@10, click(id3)@20, purchase(id4)@30 → click 3, gap 10m
+      (2L, ts(10), 1L, "click"), (3L, ts(20), 1L, "click"),
+      (4L, ts(30), 1L, "purchase"),
+      // user 2: click@0, purchase@90 → outside 1h lookback → organic (nulls)
+      (5L, ts(0), 2L, "click"), (6L, ts(90), 2L, "purchase"),
+      // user 3: same-instant click and purchase → attributable, gap 0
+      (7L, ts(5), 3L, "click"), (8L, ts(5), 3L, "purchase"),
+      // user 4: purchase with no click ever → organic
+      (9L, ts(1), 4L, "purchase"),
+      // a later click never attributes an EARLIER purchase
+      (10L, ts(2), 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessions.lastTouchAttribution(ev)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got === Seq(
+      (4L, Some(3L), Some(10L * 60000000L)),
+      (6L, None, None),
+      (8L, Some(7L), Some(0L)),
+      (9L, None, None)))
+    // one keyed exchange total — merged-stream carry, no self-join
+    val plan = Sessions.lastTouchAttribution(ev).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"attribution must not join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"expected 1 hash exchange:\n$plan")
+  }
 }
