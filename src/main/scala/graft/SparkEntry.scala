@@ -539,6 +539,8 @@ object SparkEntry {
     // Event-time disorder audit: per-type lateness vs the running ingest
     // high-water mark - the measurement behind a watermark delay choice.
     "dq10_lateness_audit" -> ((s, dir) => Quality.latenessAudit(Tables.events(s, dir))),
+    // Hampel filter: per-user rolling-median/MAD outliers (integer picks).
+    "dq11_hampel_outliers" -> ((s, dir) => Quality.hampelOutliers(Tables.events(s, dir))),
     // Snapshot diff: added/removed/changed between two table versions via
     // one full-outer join; unchanged mass dropped before the sort.
     "e7_snapshot_diff" -> ((s, dir) => MergeOps.snapshotDiffDemo(Tables.orders(s, dir))),
@@ -1807,6 +1809,27 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       h.n IS NOT NULL AS found
         |FROM req r LEFT JOIN hits h USING (user_id)
         |ORDER BY r.user_id""".stripMargin,
+    "dq11_hampel_outliers" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (
+        |  SELECT event_id, user_id, cents,
+        |         list_sort(list(cents) OVER w) AS a7
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |), g AS (
+        |  SELECT *, a7[CAST(ceil(0.5 * len(a7)) AS INT)] AS med FROM f
+        |), h AS (
+        |  SELECT *, list_sort(list_transform(a7, x -> abs(x - med)))
+        |         [CAST(ceil(0.5 * len(a7)) AS INT)] AS mad
+        |  FROM g
+        |)
+        |SELECT event_id, user_id, cents, med AS med_7, mad AS mad_7
+        |FROM h WHERE len(a7) >= 5 AND abs(cents - med) > 3 * mad
+        |ORDER BY event_id""".stripMargin,
     "dq10_lateness_audit" ->
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts) AS us

@@ -424,6 +424,47 @@ object Quality {
     * long per partition; the aggregate collapses on the same key, so the
     * window's partitioning is reused (no second exchange).
     */
+  /** HAMPEL OUTLIER FILTER (dq11): flag events whose value deviates from
+    * the per-user ROLLING median by more than `k` rolling MADs — the
+    * streaming-shaped robust outlier detector ([[outlierGate]] is its
+    * corpus-global batch sibling; this one adapts to each user's local
+    * level, so a user whose spend baseline shifts mid-history doesn't
+    * light up the whole tail). Integer cents throughout; the median and
+    * MAD picks use the same discrete ⌈q·n⌉ rule as
+    * [[WindowOps.rollingMedian]], so the oracle replays them exactly.
+    * A zero-MAD frame (≥ half the frame at the median) flags ANY
+    * deviation — the documented Hampel degenerate case; with 2-decimal
+    * fixture values it just means "changed at all after 4+ flat rows".
+    * Frames shorter than `minFrame` (each user's warm-up rows) never
+    * flag: a MAD over 2-3 points is noise, and the degenerate rule would
+    * otherwise flag every second event of every user.
+    *
+    * Shape: one keyed exchange + sort; the frame array (≤ 7 longs) and
+    * its deviation transform are row-local.
+    */
+  def hampelOutliers(events: DataFrame, k: Long = 3L,
+      minFrame: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    def pick(arr: org.apache.spark.sql.Column) =
+      element_at(arr, ceil(lit(0.5) * size(arr)).cast("int"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        array_sort(collect_list(col("cents")).over(w)).as("a7"))
+      .withColumn("med", pick(col("a7")))
+      .withColumn("mad",
+        pick(array_sort(transform(col("a7"), x => abs(x - col("med"))))))
+      .filter(size(col("a7")) >= minFrame &&
+        abs(col("cents") - col("med")) > lit(k) * col("mad"))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("med").as("med_7"), col("mad").as("mad_7"))
+      .orderBy("event_id")
+  }
+
   def latenessAudit(events: DataFrame, delayUs: Long = 3600000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("event_id")

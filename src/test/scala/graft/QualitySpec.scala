@@ -239,6 +239,21 @@ class QualitySpec extends SparkTestBase {
     assert(got.toSeq === Seq(("US", 5L, 1L)))
   }
 
+  test("hampel: spike flagged against rolling median, flat-frame degenerate") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    // user 1: steady 10.00 with one 100.00 spike — only the spike flags
+    // (frames: meds stay 1000, mad 0 → spike deviates 9000 > 0).
+    // user 2: strictly increasing ramp — deviations stay within 3·MAD.
+    val rows = (1 to 7).map(i => (i.toLong, ts(i), 1L,
+        if (i == 5) 100.0 else 10.0)) ++
+      (1 to 7).map(i => (10L + i, ts(i), 2L, i * 1.0))
+    val got = Quality.hampelOutliers(rows.toDF("event_id", "ts", "user_id", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((5L, 10000L, 1000L, 0L)),
+      s"only the spike flags: ${got.toSeq}")
+  }
+
   test("lateness audit: disorder vs the running high-water mark, per type") {
     import java.sql.Timestamp
     def ts(min: Int) = new Timestamp(min * 60000L)
