@@ -93,6 +93,11 @@ object SparkEntry {
     // Rolling ROBUST stats: discrete lower median + quartiles over a
     // 7-row frame - the spike-resistant twin of w_moving_avg.
     "w_rolling_median" -> ((s, dir) => WindowOps.rollingMedian(Tables.events(s, dir))),
+    // ratio_to_report: integer basis-point share of the nation total.
+    "w_share_of_group" -> ((s, dir) =>
+      WindowOps.shareOfGroup(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // count(distinct) over a window via the collect_list set rewrite.
+    "w_rolling_distinct" -> ((s, dir) => WindowOps.rollingDistinct(Tables.events(s, dir))),
     "w_running_totals" -> ((s, dir) => WindowOps.runningTotals(Tables.events(s, dir))),
     "w_lead_first_last" -> ((s, dir) => WindowOps.leadFirstLast(Tables.events(s, dir))),
     "w_distribution" -> ((s, dir) => WindowOps.distributionRanks(Tables.lineitem(s, dir))),
@@ -1010,6 +1015,26 @@ GROUP BY doc_id ORDER BY doc_id"""
         | RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rnk,
         | DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS drnk
         |FROM lineitem ORDER BY l_orderkey, rn""".stripMargin,
+    "w_share_of_group" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |             AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_nationkey, cents,
+        |       cents * 10000 // SUM(cents) OVER (PARTITION BY s_nationkey)
+        |         AS share_bp
+        |FROM supplier JOIN r ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "w_rolling_distinct" ->
+      """SELECT event_id, event_type,
+        |  CAST(len(list_distinct(list(user_id) OVER w)) AS BIGINT)
+        |    AS distinct_users
+        |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |             ROWS BETWEEN 499 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "w_rolling_median" ->
       """SELECT event_id, user_id,
         | CAST(round(value * 100) AS BIGINT) AS cents,

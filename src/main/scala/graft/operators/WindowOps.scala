@@ -117,6 +117,52 @@ object WindowOps {
       .orderBy("event_id")
   }
 
+  /** SHARE-OF-GROUP (ratio_to_report): each supplier's revenue as an
+    * integer basis-point share of its nation's total — the percent-of-
+    * total window every BI layer reduces to. Whole-partition sum frame
+    * over integer cents; share = cents·10000 div nation_cents, exact
+    * floor arithmetic (no FP ratio to disagree on). One exchange on the
+    * partition key; at 100 TB the nation totals could equivalently come
+    * from a broadcast pre-aggregate, but the window form keeps the row
+    * count and avoids the join when per-row detail is wanted anyway.
+    */
+  def shareOfGroup(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val revenue = lineitem
+      .groupBy("l_suppkey")
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("cents"))
+    val byNation = Window.partitionBy("s_nationkey")
+    supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("cents"),
+        sum(col("cents")).over(byNation).as("nation_cents"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("cents"),
+        expr("cents * 10000 DIV nation_cents").as("share_bp"))
+      .orderBy("s_suppkey")
+  }
+
+  /** ROLLING DISTINCT COUNT — `count(distinct)` is not a supported
+    * window function on any engine; the standard rewrite is a windowed
+    * set: `size(array_distinct(collect_list(user) over frame))`. Here:
+    * distinct users seen per event type over the trailing 500 events —
+    * the rolling-audience shape behind "unique actives in the last N".
+    * State is the frame (500 ids), row-local dedup; for frames where
+    * that array is too big the answer changes to sliding HLL sketches
+    * ([[graft.operators.Aggregates.hllContract]]'s machinery per
+    * window) — at report-grade frame widths the exact set IS the plan.
+    */
+  def rollingDistinct(events: DataFrame, frame: Int = 500): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        size(array_distinct(collect_list(col("user_id")).over(w)))
+          .cast("long").as("distinct_users"))
+      .orderBy("event_id")
+  }
+
   /** lead / first / last over one shared ordered window. */
   def leadFirstLast(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")
