@@ -118,6 +118,10 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "j6_star_join" -> ((s, dir) => JoinOps.starJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "j7_range_join" -> ((s, dir) => JoinOps.rangeJoin(Tables.events(s, dir))),
+    // Fact-fact proximity join by interval binning: equi-join on
+    // (user, time bucket) with 3-bucket neighbor probing - no cross
+    // product, each pair surfaces exactly once.
+    "j12_proximity_join" -> ((s, dir) => JoinOps.proximityJoin(Tables.events(s, dir))),
     "j8_top_revenue" -> ((s, dir) => JoinOps.topRevenueOrders(Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), "BUILDING", 10)),
     "j9_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1002,6 +1006,16 @@ GROUP BY doc_id ORDER BY doc_id"""
         |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
         |FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
         |ORDER BY doc_id, pos""".stripMargin,
+    "j12_proximity_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(COUNT(c.event_id) AS BIGINT) AS n_near_clicks
+        |FROM events e LEFT JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        |  AND c.ts IS NOT NULL
+        |  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+        |WHERE e.event_type = 'error' AND e.user_id IS NOT NULL
+        |  AND e.ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "j7_range_join" ->
       """SELECT bucket, COUNT(*) AS n, ROUND(MIN(value), 2) AS min_v, ROUND(MAX(value), 2) AS max_v
         |FROM events

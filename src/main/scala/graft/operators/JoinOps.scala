@@ -145,6 +145,44 @@ object JoinOps {
           .cast("long")).as("revenue_cents"))
       .orderBy("s_nationkey")
 
+  /** FACT-FACT TIME-PROXIMITY JOIN via interval binning (j12) — the
+    * band/bucketing strategy [[rangeJoin]]'s scaladoc promises: for every
+    * `error` event, the count of the same user's `click` events within
+    * ±`windowUs`. Neither side is broadcastable at 100 TB and a naive
+    * |Δt| ≤ W condition is a per-user cross product; binning makes it an
+    * EQUI-join: both sides bucket by ⌊t/W⌋, the probe side expands to its
+    * 3 neighboring buckets (constant factor — |Δt| ≤ W confines a match
+    * to bucket distance ≤ 1), the join keys on (user, bucket), and the
+    * exact |Δt| filter runs inside the join condition. Each qualifying
+    * pair surfaces EXACTLY once (the click's single bucket equals exactly
+    * one probed bucket), so no dedup pass. Zero-click errors stay in the
+    * output via the final left join — absence is signal in an
+    * error-correlation report.
+    */
+  def proximityJoin(events: DataFrame, windowUs: Long = 300000000L): DataFrame = {
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us"),
+        expr(s"us div $windowUs").as("bucket"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"),
+        expr(s"us div $windowUs").as("c_bucket"))
+    val probed = errors.select(col("event_id"), col("user_id"), col("us"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1))
+        .as("probe"))
+    val counts = probed.join(clicks,
+        col("user_id") === col("c_user") && col("probe") === col("c_bucket") &&
+          abs(col("us") - col("c_us")) <= windowUs)
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+    errors.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_near_clicks"))
+      .orderBy("event_id")
+  }
+
   /** Non-equi (range) join: bucket events by value range. The range table
     * is a tiny literal relation → broadcast nested-loop is the RIGHT plan
     * here (small side × stream); a fact-fact range join would instead need

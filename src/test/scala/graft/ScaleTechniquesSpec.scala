@@ -320,4 +320,28 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(zeroed.filter(col("source") =!= "src0").collect().toSeq ===
       twoPhase.filter(col("source") =!= "src0").collect().toSeq)
   }
+
+  test("binned proximity join: boundary inclusive, cross-bucket match, no dups") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val W = 300L // seconds (windowUs = 300e6)
+    val ev = Seq(
+      // error at t=600s (bucket 2): clicks at 300s (=W away, inclusive),
+      // at 301s (within), at 901s (out by 1s), different-user at 600s
+      (1L, ts(600), 1L, "error"),
+      (2L, ts(300), 1L, "click"),
+      (3L, ts(301), 1L, "click"),
+      (4L, ts(901), 1L, "click"),
+      (5L, ts(600), 2L, "click"),
+      // error with zero nearby clicks must still appear
+      (6L, ts(5000), 3L, "error"),
+      // cross-bucket: error late in bucket (899s), click early in next
+      // bucket (930s) — |dt|=31s, found via the +1 neighbor probe
+      (7L, ts(899), 4L, "error"),
+      (8L, ts(930), 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = JoinOps.proximityJoin(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 2L, 6L -> 0L, 7L -> 1L))
+  }
 }
