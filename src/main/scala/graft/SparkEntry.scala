@@ -139,6 +139,8 @@ object SparkEntry {
     // Spark side round-trips map/struct construction + extraction; the
     // oracle checks the resulting scalars straight from the flat columns.
     "p13_map_struct" -> ((s, dir) => NestedOps.mapStructFuncs(Tables.orders(s, dir))),
+    // Higher-order lambda battery: filter/exists/forall/fold/indexed zip.
+    "p14_hof_battery" -> ((s, dir) => ColumnOps.hofBattery(Tables.documents(s, dir))),
     "w_range_frame" -> ((s, dir) => WindowOps.rangeFrame(Tables.events(s, dir))),
     // Calendar gap-fill + forward-fill (time-series resampling): the
     // missing-trading-day repair the reference's lag-7/30 bar analytics
@@ -363,6 +365,9 @@ object SparkEntry {
     // DataSketches HLL surface: estimate-accuracy + sketch-mergeability
     // booleans hash-compared against literal TRUE (d4c pattern).
     "a12_hll_contract" -> ((s, dir) => Aggregates.hllContract(Tables.events(s, dir))),
+    // Unpivot/melt: the inverse reshape of a9 (native Expand, row-local).
+    "a14_unpivot" -> ((s, dir) =>
+      Aggregates.unpivotSummary(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // Count-min sketch contract: never-under + eps bound + exact
     // shard-then-merge additivity, probed at the busiest user per type.
     "a13_cms_contract" -> ((s, dir) => Aggregates.cmsContract(Tables.events(s, dir))),
@@ -1161,6 +1166,18 @@ GROUP BY doc_id ORDER BY doc_id"""
         | CAST(CASE WHEN l_returnflag = 'A' THEN NULL END IS NULL AS INT) AS was_null
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_partkey, l_suppkey, l_extendedprice""".stripMargin,
+    "p14_hof_battery" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT) AS n_long,
+        |  len(list_filter(toks, t -> regexp_matches(t, '^[A-Z]'))) > 0
+        |    AS has_capitalized,
+        |  len(list_filter(toks, t -> NOT (length(t) < 25))) = 0 AS all_short,
+        |  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+        |       AS BIGINT) AS total_chars,
+        |  CAST(coalesce(list_sum(list_transform(toks,
+        |         (t, i) -> length(t) * i)), 0) AS BIGINT) AS pos_weighted_chars
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "p13_map_struct" ->
       """SELECT o_orderkey,
         | o_orderpriority AS priority,
@@ -2377,6 +2394,11 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       CAST(n_active * 1000 // cohort_size AS BIGINT)
         |         AS retention_permille
         |FROM sized ORDER BY cohort_week, week_offset""".stripMargin,
+    "a14_unpivot" ->
+      """SELECT o_orderpriority, l_returnflag,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a12_hll_contract" ->
       """SELECT event_type,
         |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,

@@ -162,6 +162,29 @@ object Aggregates {
       .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
       .orderBy("o_orderpriority")
 
+  /** UNPIVOT / melt (a14) — the inverse of [[pivotSummary]], the other
+    * half of the wide↔long reshaping pair: the wide per-priority
+    * (qty_a, qty_n, qty_r) frame back to long (priority, returnflag,
+    * qty) rows. Uses the native `unpivot` API (Spark 3.4+) — it plans as
+    * an `Expand` (each input row replicated once per value column,
+    * row-local, no shuffle, no UDTF), which is also why the reshaping is
+    * scale-free: cost is rows × value-columns, partition-preserving.
+    * Round-tripping through [[pivotSummary]] makes the oracle trivial to
+    * state (it re-derives the long form directly) and proves
+    * pivot∘unpivot ≈ identity on this frame.
+    */
+  def unpivotSummary(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    pivotSummary(lineitem, orders)
+      .unpivot(
+        ids = Array(col("o_orderpriority")),
+        values = Array(col("qty_a"), col("qty_n"), col("qty_r")),
+        variableColumnName = "flag_col",
+        valueColumnName = "sum_qty")
+      .select(col("o_orderpriority"),
+        upper(substring(col("flag_col"), 5, 1)).as("l_returnflag"),
+        col("sum_qty"))
+      .orderBy("o_orderpriority", "l_returnflag")
+
   /** Parity: collection aggregates. `collect_list`/`collect_set` order is
     * nondeterministic after a shuffle — wrapped in `array_sort` so the
     * result is comparable (same rule a user needs for reproducible output).

@@ -172,4 +172,28 @@ object ColumnOps {
       quarter(d).as("q"))
       .orderBy("o_orderkey")
   }
+
+  /** Higher-order-function battery (p14): the lambda surface over array
+    * columns — filter / exists / forall / aggregate(fold) / indexed
+    * transform — all codegen-adjacent builtins, zero UDFs, row-local.
+    * The indexed transform uses Spark's 0-based lambda index shifted to
+    * 1-based so the arithmetic is engine-portable (DuckDB's `(x, i)`
+    * lambdas index from 1). Token array projected once ([[graft.functions
+    * .TextFunctions.shinglesKTokens]] multi-reference discipline).
+    */
+  def hofBattery(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => length(t) > 5)).cast("long").as("n_long"),
+        exists(col("toks"), t => t.rlike("^[A-Z]")).as("has_capitalized"),
+        forall(col("toks"), t => length(t) < 25).as("all_short"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .as("total_chars"),
+        aggregate(
+          zip_with(col("toks"),
+            sequence(lit(1), greatest(size(col("toks")), lit(1))),
+            (t, i) => length(t).cast("long") * i),
+          lit(0L), (acc, x) => acc + x).as("pos_weighted_chars"))
+      .orderBy("doc_id")
 }
