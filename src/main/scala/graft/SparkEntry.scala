@@ -317,6 +317,9 @@ object SparkEntry {
     // word-frequency table, greedy left-to-right semantics replayable in
     // SQL (doubled-separator replace trick) - integer counts throughout.
     "t26_bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir), 5)),
+    // PMI collocations: integer-rational association score, min-support
+    // gated - the phrase-mining step of vocabulary induction.
+    "t28_collocations" -> ((s, dir) => TextOps.collocations(Tables.documents(s, dir))),
     // BPE serving: vocab-sized segmentation broadcast into the corpus
     // scan; per-doc word/token counts + characters covered by merges.
     "t27_bpe_encode" -> ((s, dir) => TextOps.bpeEncode(Tables.documents(s, dir), 5)),
@@ -742,6 +745,25 @@ FROM dw JOIN seg USING (w)
 GROUP BY doc_id ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
+    "t28_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, COUNT(*) AS c FROM u GROUP BY 1),
+        |b AS (SELECT unnest([struct_pack(a := toks[i], b := toks[i+1])
+        |                     for i in generate_series(1, len(toks) - 1)]) AS p
+        |      FROM t WHERE len(toks) >= 2),
+        |bc AS (SELECT p.a AS w1, p.b AS w2, COUNT(*) AS c12
+        |       FROM b GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT COUNT(*) FROM u) AS n,
+        |               (SELECT COUNT(*) FROM b) AS m)
+        |SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
+        |       CAST(bc.c12 * tot.n * tot.n // (tot.m * u1.c * u2.c)
+        |            AS BIGINT) AS pmi_score
+        |FROM bc CROSS JOIN tot
+        |JOIN uc u1 ON u1.w = bc.w1
+        |JOIN uc u2 ON u2.w = bc.w2
+        |WHERE bc.c12 >= 5
+        |ORDER BY pmi_score DESC, w1, w2 LIMIT 20""".stripMargin,
     "t26_bpe_merges" -> bpeOracleSql(5),
     "t27_bpe_encode" -> bpeEncodeOracleSql(5),
     // b3 family: % variation and rounded averages mirrored in EXACT scaled-

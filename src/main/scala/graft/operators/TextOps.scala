@@ -898,6 +898,51 @@ object TextOps {
       .orderBy(keyCol)
   }
 
+  /** PMI COLLOCATIONS (t28): the corpus's most-associated adjacent word
+    * pairs — phrase-mining for vocabulary induction (the "New York" /
+    * "machine learning" detector that decides which bigrams deserve a
+    * single token). PMI = log p(w1,w2)/(p(w1)p(w2)) is rank-equivalent to
+    * the rational c12·N² / (M·c1·c2) (N total tokens, M total bigrams),
+    * so the emitted score is that rational in FLOOR integer form —
+    * engine-exact, no logarithm, no float. Min-support `minCount` kills
+    * the hapax noise PMI is notorious for; ties after flooring break
+    * lexically. int64 headroom: c12·N² ≤ 10⁵·(3·10⁵)² ≈ 10¹⁶ at sf0.1.
+    *
+    * Shape: one token explode → unigram counts; one bigram explode →
+    * pair counts; two vocab-sized equi-joins attach c1/c2 (hash joins on
+    * the word key — vocab scales sublinearly with the corpus); the two
+    * corpus totals ride in as scalar subqueries. Top-k is
+    * TakeOrderedAndProject.
+    */
+  def collocations(documents: DataFrame, minCount: Long = 5L,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions.{desc, explode, expr, split}
+    val toksDf = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val unigrams = toksDf.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bigrams = toksDf
+      .select(explode(shinglesKTokens(col("toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c12"))
+    // the two corpus totals are single scalars — a driver-side head()
+    // (like the BPE argmax), embedded as literals so the score stays in
+    // exact integer DIV arithmetic end to end
+    val n = unigrams.agg(sum("c").cast("long")).head().getLong(0)
+    val m = toksDf
+      .select(explode(shinglesKTokens(col("toks"), 2)).as("bg"))
+      .agg(count(lit(1))).head().getLong(0)
+    bigrams
+      .join(unigrams.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(unigrams.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("c12"),
+        expr(s"c12 * ${n}L * ${n}L DIV (${m}L * c1 * c2)").as("pmi_score"))
+      .orderBy(desc("pmi_score"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** DISTRIBUTED BPE MERGE LEARNING (t26): the `k` highest-count
     * byte-pair merges over the corpus word-frequency table — the
     * tokenizer-training step of an LLM data pipeline (Sennrich et al.,

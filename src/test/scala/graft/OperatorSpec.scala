@@ -368,6 +368,35 @@ class OperatorSpec extends SparkTestBase {
     assert((got3.getString(1), got3.getString(2), got3.getLong(3)) === (("a", "b", 3L)))
   }
 
+  test("rolling median picks and single-exchange plan; share-of-group exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, new Timestamp(1000L), 1L, 0.10),
+      (2L, new Timestamp(2000L), 1L, 0.30),
+      (3L, new Timestamp(3000L), 1L, 0.20)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val med = WindowOps.rollingMedian(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // frames (cents): [10]; [10,30]; [10,20,30] — ceil(q·n) discrete picks
+    assert(med.toSeq === Seq((1L, 10L, 10L, 10L), (2L, 10L, 10L, 30L),
+      (3L, 20L, 10L, 30L)))
+    val medPlan = WindowOps.rollingMedian(ev).queryExecution.executedPlan.toString
+    assert(medPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"rollingMedian should shuffle once:\n$medPlan")
+
+    val sup = Seq((1L, "a", 10, 0.0), (2L, "b", 10, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val li = Seq((100L, 1L, 1L, 1, 1.0, 100.0, 0.0, 0.0, "N", "O"),
+                 (101L, 2L, 2L, 1, 1.0, 300.0, 0.0, 0.0, "N", "O"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus")
+    val share = WindowOps.shareOfGroup(sup, li)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(share === Map(1L -> 2500L, 2L -> 7500L)) // 100/400, 300/400 in bp
+  }
+
   test("bpe encode: token counts under the learned merges, per doc") {
     import spark.implicits._
     // k=1 learns (a,a) (count 2 in "aaab", beats (a,b)'s 2? (a,a)=2,
