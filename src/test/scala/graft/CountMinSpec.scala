@@ -37,6 +37,21 @@ class CountMinSpec extends SparkTestBase {
       "CMS shard-then-merge must be bit-identical to the direct sketch")
   }
 
+  test("merging sketches with different geometry fails loudly, never corrupts") {
+    // different eps → different width: mergeInPlace must throw
+    // (IncompatibleMergeException wrapped by the aggregate), not
+    // silently add misaligned counter tables
+    val a = sketchOf(Seq(1L, 2L)).head().getAs[Array[Byte]](0)
+    val b = Seq(3L).toDF("x").agg(
+      count_min_sketch(col("x"), lit(0.01), lit(0.99), lit(42)))
+      .head().getAs[Array[Byte]](0)
+    val e = intercept[Exception] {
+      Seq(a, b).toDF("sk").agg(cmsUnion(col("sk"))).head()
+    }
+    assert(e.getMessage.toLowerCase.contains("merge") ||
+      e.getCause != null, e.toString)
+  }
+
   test("cms_estimate rejects wrong input types at analysis time") {
     val e = intercept[Exception] {
       Seq(1L).toDF("x").select(cmsEstimate(col("x"), col("x"))).head()

@@ -183,6 +183,13 @@ class IvfIndexSpec extends SparkTestBase {
       keepDims = 64, k = 10, shortlist = 10, threshold = 1.0).head()
     assert(full.getBoolean(2), "full-dims truncation must have recall 1")
     assert(full.getLong(3) === full.getLong(4))
+    // negative referee: the metric must be discriminative — a starved
+    // configuration (4 dims, shortlist == k) cannot reach full recall on
+    // random vectors, so a threshold of 1.0 fails
+    val starved = operators.IvfIndex.truncatedDebug(emb, 0L until 16L,
+      keepDims = 4, k = 10, shortlist = 10, threshold = 1.0).head()
+    assert(!starved.getBoolean(2),
+      s"starved truncation should miss: ${starved.getLong(4)}/${starved.getLong(3)}")
   }
 
   test("exact kmeans: separated blobs recovered, partition-invariant, nulls skipped") {
