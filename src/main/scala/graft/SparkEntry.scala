@@ -136,6 +136,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "p12_null_handling" -> ((s, dir) => ColumnOps.nullHandling(Tables.lineitem(s, dir))),
+    // Forward as-of: each purchase joined to the user's NEXT click at-or-
+    // after it (merge_asof direction='forward' parity; same merged-stream
+    // carry as j9, scan order reversed).
+    "j13_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      import org.apache.spark.sql.functions.col
+      JoinOps.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value"),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"),
+            col("event_id").as("click_event_id"),
+            col("value").as("click_value")),
+        key = "user_id", time = "event_id",
+        rightCols = Seq("click_event_id", "click_value"), outPrefix = "",
+        direction = "forward")
+        .orderBy("event_id")
+    }),
     // Spark side round-trips map/struct construction + extraction; the
     // oracle checks the resulting scalars straight from the flat columns.
     "p13_map_struct" -> ((s, dir) => NestedOps.mapStructFuncs(Tables.orders(s, dir))),
@@ -1185,6 +1203,13 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.event_id >= c.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "j13_asof_forward" ->
+      """SELECT p.event_id, p.user_id, p.value,
+        | c.event_id AS click_event_id, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.event_id <= c.event_id
         |ORDER BY p.event_id""".stripMargin,
     "p12_null_handling" ->
       """SELECT l_orderkey, l_linenumber,

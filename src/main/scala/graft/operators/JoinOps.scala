@@ -73,7 +73,10 @@ object JoinOps {
     * inclusive `left.time >= right.time` semantics (DuckDB ASOF parity).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-      rightCols: Seq[String], outPrefix: String = "asof_"): DataFrame = {
+      rightCols: Seq[String], outPrefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward").contains(direction),
+      s"asofJoin: direction must be backward|forward, got '$direction'")
     val internal = Seq("_t", "_tag", "_r_row")
     require(internal.forall(c => !left.columns.contains(c)),
       s"left input must not contain internal columns ${internal.mkString(", ")}")
@@ -84,12 +87,20 @@ object JoinOps {
     // last(ignoreNulls) carries the row ATOMICALLY — per-column carry
     // would skip a matched row's null field and resurrect a stale value
     // from an older row (and could mix columns across rows).
+    //
+    // Direction is purely the SCAN ORDER of the merged stream:
+    // backward (pandas merge_asof default) walks time ascending and
+    // carries the latest right row at-or-before; forward walks time
+    // DESCENDING and the same carry yields the earliest right row
+    // at-or-after. Right rows sort before left at equal timestamps in
+    // both directions, keeping the match inclusive.
     val rTagged = right.select(col(key), col(time).as("_t"),
       struct(rightCols.map(col): _*).as("_r_row"))
       .withColumn("_tag", lit(0))
     val lTagged = left.withColumn("_t", col(time)).withColumn("_tag", lit(1))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"))
+    val timeOrder = if (direction == "backward") col("_t").asc else col("_t").desc
+    val w = Window.partitionBy(key).orderBy(timeOrder, col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned
       .withColumn("_matched", last(col("_r_row"), ignoreNulls = true).over(w))

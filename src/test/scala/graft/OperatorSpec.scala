@@ -101,6 +101,32 @@ class OperatorSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("forward asof join matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(13)
+    val l = (0 until 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .distinctBy(r => (r._1, r._2))
+    val r = (0 until 150).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+      .distinctBy(r => (r._1, r._2))
+    val got = JoinOps.asofJoin(l.toDF("k", "t", "lid"), r.toDF("k", "t", "rid"),
+      key = "k", time = "t", rightCols = Seq("rid"), direction = "forward")
+      .collect().map(row => row.getLong(2) ->
+        Option(row.get(3)).map(_.asInstanceOf[Long])).toMap
+    val want = l.map { case (k, t, lid) =>
+      val candidates = r.filter(rr => rr._1 == k && rr._2 >= t)
+      lid -> (if (candidates.isEmpty) None
+              else Some(candidates.minBy(_._2)._3))
+    }.toMap
+    assert(got === want)
+    // equal timestamps match in BOTH directions (inclusive)
+    val tied = JoinOps.asofJoin(
+      Seq((1L, 10L, 1L)).toDF("k", "t", "lid"),
+      Seq((1L, 10L, 99L)).toDF("k", "t", "rid"),
+      "k", "t", Seq("rid"), direction = "forward").head()
+    assert(tied.getLong(3) === 99L)
+  }
+
   test("asof join carries the matched row atomically — a null field stays null") {
     val left = Seq((1L, 12L, 100L)).toDF("k", "t", "lid")
     val right = Seq((1L, 3L, Some(7.0), "old"), (1L, 10L, None, "new"))
