@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // governance guard: unhinted condition-less inner joins fail at plan
     // time instead of scheduling |L|·|R| work on the cluster
     e.injectOptimizerRule(_ => graft.plans.CartesianGuard)
+    // native as-of join: AsOfJoinPlan → AsOfJoinExec (partition-local
+    // sorted merge; zero exchanges on key-bucketed inputs)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

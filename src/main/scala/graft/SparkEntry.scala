@@ -139,6 +139,23 @@ object SparkEntry {
     // Forward as-of: each purchase joined to the user's NEXT click at-or-
     // after it (merge_asof direction='forward' parity; same merged-stream
     // carry as j9, scan order reversed).
+    // The NATIVE as-of operator (custom LogicalPlan+Strategy+SparkPlan)
+    // on the same inputs as j9 - the custom physical operator itself is
+    // oracle-verified against DuckDB's ASOF JOIN.
+    "j14_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      import org.apache.spark.sql.functions.col
+      graft.plans.AsOfJoinNative.join(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value"),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"),
+            col("event_id").as("click_event_id"),
+            col("value").as("click_value")),
+        key = "user_id", time = "event_id",
+        rightCols = Seq("click_event_id", "click_value"), outPrefix = "")
+        .orderBy("event_id")
+    }),
     "j13_asof_forward" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       import org.apache.spark.sql.functions.col
@@ -1198,6 +1215,13 @@ GROUP BY doc_id ORDER BY doc_id"""
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "j9_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value,
+        | c.event_id AS click_event_id, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.event_id >= c.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "j14_asof_native" ->
       """SELECT p.event_id, p.user_id, p.value,
         | c.event_id AS click_event_id, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
