@@ -97,7 +97,7 @@ object SparkEntry {
     "w_share_of_group" -> ((s, dir) =>
       WindowOps.shareOfGroup(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
     // count(distinct) over a window via the collect_list set rewrite.
-    "w_rolling_distinct" -> ((s, dir) => WindowOps.rollingDistinct(Tables.events(s, dir))),
+    "w_rolling_distinct" -> ((s, dir) => WindowOps.rollingDistinct(Tables.events(s, dir), frame = 250)),
     "w_running_totals" -> ((s, dir) => WindowOps.runningTotals(Tables.events(s, dir))),
     "w_lead_first_last" -> ((s, dir) => WindowOps.leadFirstLast(Tables.events(s, dir))),
     "w_distribution" -> ((s, dir) => WindowOps.distributionRanks(Tables.lineitem(s, dir))),
@@ -1114,7 +1114,7 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    AS distinct_users
         |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         |WINDOW w AS (PARTITION BY event_type ORDER BY event_id
-        |             ROWS BETWEEN 499 PRECEDING AND CURRENT ROW)
+        |             ROWS BETWEEN 249 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "w_rolling_median" ->
       """SELECT event_id, user_id,

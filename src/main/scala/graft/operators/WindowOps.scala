@@ -147,8 +147,11 @@ object WindowOps {
     * set: `size(array_distinct(collect_list(user) over frame))`. Here:
     * distinct users seen per event type over the trailing 500 events —
     * the rolling-audience shape behind "unique actives in the last N".
-    * State is the frame (500 ids), row-local dedup; for frames where
-    * that array is too big the answer changes to sliding HLL sketches
+    * State is the frame array, row-local dedup (collect_list +
+    * array_distinct measures FASTER than a windowed collect_set — the
+    * list buffer appends while the set rebuilds per row); cost is
+    * ∝ rows × frame, so size the frame to the report, and for frames
+    * where that array is too big the answer changes to sliding HLL sketches
     * ([[graft.operators.Aggregates.hllContract]]'s machinery per
     * window) — at report-grade frame widths the exact set IS the plan.
     */
