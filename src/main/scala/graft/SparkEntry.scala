@@ -139,6 +139,23 @@ object SparkEntry {
     // Forward as-of: each purchase joined to the user's NEXT click at-or-
     // after it (merge_asof direction='forward' parity; same merged-stream
     // carry as j9, scan order reversed).
+    // Tolerance-bounded as-of (merge_asof tolerance parity): matches
+    // further than 500 event-id units revert to no-match.
+    "j15_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      import org.apache.spark.sql.functions.col
+      JoinOps.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "value"),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"),
+            col("event_id").as("click_event_id"),
+            col("value").as("click_value")),
+        key = "user_id", time = "event_id",
+        rightCols = Seq("click_event_id", "click_value"), outPrefix = "",
+        tolerance = Some(500L))
+        .orderBy("event_id")
+    }),
     // The NATIVE as-of operator (custom LogicalPlan+Strategy+SparkPlan)
     // on the same inputs as j9 - the custom physical operator itself is
     // oracle-verified against DuckDB's ASOF JOIN.
@@ -1221,6 +1238,25 @@ GROUP BY doc_id ORDER BY doc_id"""
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.event_id >= c.event_id
         |ORDER BY p.event_id""".stripMargin,
+    "j15_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS k
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), m AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN k = 0 THEN event_id END IGNORE NULLS) OVER w
+        |      AS c_id,
+        |    last_value(CASE WHEN k = 0 THEN value END IGNORE NULLS) OVER w
+        |      AS c_val
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id, k
+        |               ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_id, user_id, value,
+        |  CASE WHEN event_id - c_id <= 500 THEN c_id END AS click_event_id,
+        |  CASE WHEN event_id - c_id <= 500 THEN c_val END AS click_value
+        |FROM m WHERE k = 1 ORDER BY event_id""".stripMargin,
     "j14_asof_native" ->
       """SELECT p.event_id, p.user_id, p.value,
         | c.event_id AS click_event_id, c.value AS click_value

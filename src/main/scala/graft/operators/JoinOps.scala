@@ -74,10 +74,12 @@ object JoinOps {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightCols: Seq[String], outPrefix: String = "asof_",
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward").contains(direction),
       s"asofJoin: direction must be backward|forward, got '$direction'")
-    val internal = Seq("_t", "_tag", "_r_row")
+    require(tolerance.forall(_ >= 0L), "asofJoin: tolerance must be >= 0")
+    val internal = Seq("_t", "_tag", "_r_row", "_matched", "_mt")
     require(internal.forall(c => !left.columns.contains(c)),
       s"left input must not contain internal columns ${internal.mkString(", ")}")
     require(rightCols.forall(c => !left.columns.contains(outPrefix + c)),
@@ -104,10 +106,20 @@ object JoinOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned
       .withColumn("_matched", last(col("_r_row"), ignoreNulls = true).over(w))
+      .withColumn("_mt",
+        last(when(col("_tag") === 0, col("_t")), ignoreNulls = true).over(w))
+    // pandas merge_asof tolerance: a carried match further than
+    // `tolerance` time units away reverts to no-match. The gap is always
+    // non-negative in scan order (backward: l.t - r.t; forward: r.t - l.t).
+    val inTolerance = tolerance.fold(lit(true)) { tol =>
+      val gap = if (direction == "backward") col("_t") - col("_mt")
+                else col("_mt") - col("_t")
+      col("_mt").isNotNull && gap <= tol
+    }
     filled.filter(col("_tag") === 1)
       .select(col("*") +: rightCols.map(c =>
-        col("_matched").getField(c).as(outPrefix + c)): _*)
-      .drop("_r_row", "_matched", "_tag", "_t")
+        when(inTolerance, col("_matched").getField(c)).as(outPrefix + c)): _*)
+      .drop("_r_row", "_matched", "_tag", "_t", "_mt")
   }
 
   /** Skew-resistant equi-join via key salting: the skewed (fact) side gets

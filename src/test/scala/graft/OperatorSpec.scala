@@ -127,6 +127,28 @@ class OperatorSpec extends SparkTestBase {
     assert(tied.getLong(3) === 99L)
   }
 
+  test("asof tolerance: distant matches revert to null, boundary inclusive") {
+    val left = Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 1000L, 3L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 90L, 90L)).toDF("k", "t", "rid")
+    def run(tol: Option[Long]) = JoinOps.asofJoin(left, right, "k", "t",
+      Seq("rid"), tolerance = tol)
+      .collect().map(r => r.getLong(2) ->
+        Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // no tolerance: the 90-click carries forever
+    assert(run(None) === Map(1L -> Some(90L), 2L -> Some(90L), 3L -> Some(90L)))
+    // tolerance 110: gap 10 and 110 qualify (boundary inclusive), 910 not
+    assert(run(Some(110L)) ===
+      Map(1L -> Some(90L), 2L -> Some(90L), 3L -> None))
+    // forward direction: gaps measured the other way
+    val fwd = JoinOps.asofJoin(
+      Seq((1L, 100L, 1L)).toDF("k", "t", "lid"),
+      Seq((1L, 150L, 150L), (2L, 90L, 90L)).toDF("k", "t", "rid"),
+      "k", "t", Seq("rid"), direction = "forward", tolerance = Some(49L))
+      .collect().map(r => Option(r.get(3))).head
+    assert(fwd.isEmpty, "gap 50 > tolerance 49 must not match")
+  }
+
   test("asof join carries the matched row atomically — a null field stays null") {
     val left = Seq((1L, 12L, 100L)).toDF("k", "t", "lid")
     val right = Seq((1L, 3L, Some(7.0), "old"), (1L, 10L, None, "new"))
