@@ -615,6 +615,19 @@ object SparkEntry {
     "dq10_lateness_audit" -> ((s, dir) => Quality.latenessAudit(Tables.events(s, dir))),
     // Hampel filter: per-user rolling-median/MAD outliers (integer picks).
     "dq11_hampel_outliers" -> ((s, dir) => Quality.hampelOutliers(Tables.events(s, dir))),
+    // Benford first-digit forensics on order totals: digit from the
+    // integer-cents rendering (never float log10/formatting), permille
+    // shares vs literal Benford expectations; one 9-key hash aggregate.
+    "dq12_benford" -> ((s, dir) => Quality.benfordDigits(Tables.orders(s, dir))),
+    // First-order Markov transition matrix over each user's event stream:
+    // lag pairs on ONE user_id exchange, then a |type|^2 metadata-scale
+    // grid with integer basis-point out-shares and floor-average gaps.
+    "e16_transitions" -> ((s, dir) => Sessions.eventTransitions(Tables.events(s, dir))),
+    // Blocked entity resolution on part names: canonicalize to DISTINCT
+    // names first (work/output bounded by the name domain, not rows),
+    // then rarest-token block key + Levenshtein <= 3 inside the equi
+    // join condition - subquadratic record linkage, no cartesian.
+    "j16_blocked_er" -> ((s, dir) => EntityResolution.blockedNamePairs(Tables.part(s, dir))),
     // Snapshot diff: added/removed/changed between two table versions via
     // one full-outer join; unchanged mass dropped before the sort.
     "e7_snapshot_diff" -> ((s, dir) => MergeOps.snapshotDiffDemo(Tables.orders(s, dir))),
@@ -1998,6 +2011,67 @@ GROUP BY doc_id ORDER BY doc_id"""
         |SELECT event_id, user_id, cents, med AS med_7, mad AS mad_7
         |FROM h WHERE len(a7) >= 5 AND abs(cents - med) > 3 * mad
         |ORDER BY event_id""".stripMargin,
+    "dq12_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(SUBSTR(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+        |), c AS (
+        |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+        |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |exp AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+        |               unnest([301,176,124,96,79,66,57,51,45]) AS bp)
+        |SELECT c.digit, c.n,
+        |       CAST(c.n * 1000 // t.total AS BIGINT) AS share_permille,
+        |       CAST(exp.bp AS BIGINT) AS benford_permille,
+        |       CAST(c.n * 1000 // t.total - exp.bp AS BIGINT)
+        |         AS delta_permille
+        |FROM c CROSS JOIN t JOIN exp ON c.digit = exp.digit
+        |ORDER BY c.digit""".stripMargin,
+    "e16_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), l AS (
+        |  SELECT event_type AS next_type, us,
+        |         lag(event_type) OVER w AS prev_type,
+        |         lag(us) OVER w AS prev_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), c AS (
+        |  SELECT prev_type, next_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        |         CAST(SUM(us - prev_us) AS BIGINT) AS sum_gap_us
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n_transitions,
+        |       CAST(n_transitions * 10000 //
+        |            SUM(n_transitions) OVER (PARTITION BY prev_type)
+        |         AS BIGINT) AS share_bp,
+        |       CAST(sum_gap_us // n_transitions AS BIGINT) AS avg_gap_us
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "j16_blocked_er" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_records
+        |  FROM part WHERE p_name IS NOT NULL GROUP BY 1
+        |), tok AS (
+        |  SELECT name, n_records,
+        |         unnest(string_split(name, ' ')) AS token
+        |  FROM names
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df FROM tok GROUP BY 1
+        |), blocked AS (
+        |  SELECT name, n_records, token AS block_key
+        |  FROM tok JOIN dfreq USING (token)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY name
+        |                             ORDER BY df, token) = 1
+        |)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |       a.n_records AS n_a, b.n_records AS n_b
+        |FROM blocked a JOIN blocked b
+        |  ON a.block_key = b.block_key AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     "dq10_lateness_audit" ->
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts) AS us

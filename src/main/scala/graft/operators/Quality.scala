@@ -465,6 +465,50 @@ object Quality {
       .orderBy("event_id")
   }
 
+  /** BENFORD first-digit forensics over a money column: the distribution
+    * of leading significant digits in organically-generated amounts
+    * follows log10(1 + 1/d) (Benford's law); fabricated or
+    * system-generated batches (fixed fees, capped prices, synthetic
+    * fills) deviate sharply, which makes the 9-row digit histogram a
+    * standard publish-gate fraud/anomaly screen next to [[profile]].
+    *
+    * Exactness discipline: the digit is taken from the INTEGER cents
+    * rendering (`round(amount·100)` → BIGINT → first character), never
+    * from `log10`/float formatting — integer-to-string is engine-stable
+    * where double rendering is not, and scaling by 100 does not change a
+    * first-digit distribution. Shares and the Benford expectation are
+    * integer permille (expectations are literal constants — ⌊1000·log10(1
+    * + 1/d)⌋ precomputed, so no engine evaluates a logarithm at all);
+    * `delta_permille` is the signed observed−expected gap the gate
+    * thresholds on.
+    *
+    * Scale shape: scan → row-local digit extraction → ONE hash aggregate
+    * on a 9-value key (fully map-side combined), then metadata-scale
+    * share arithmetic over the 9-row result. No window over the data, no
+    * second pass — the cheapest possible publish-gate shape at any corpus
+    * size.
+    */
+  def benfordDigits(orders: DataFrame): DataFrame = {
+    // ⌊1000·log10(1+1/d)⌋ for d = 1..9: the canonical Benford permille
+    val expected = Seq(301, 176, 124, 96, 79, 66, 57, 51, 45)
+    val exp = typedLit(expected)
+    val digits = orders
+      .filter(col("o_totalprice").isNotNull && col("o_totalprice") > 0)
+      .select(substring(
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+      .withColumn("share_permille", expr("n * 1000 div total"))
+      .withColumn("benford_permille",
+        element_at(exp, col("digit")).cast("long"))
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        col("share_permille"), col("benford_permille"),
+        (col("share_permille") - col("benford_permille")).as("delta_permille"))
+      .orderBy("digit")
+  }
+
   def latenessAudit(events: DataFrame, delayUs: Long = 3600000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("event_id")

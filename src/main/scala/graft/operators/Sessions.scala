@@ -230,6 +230,47 @@ object Sessions {
         col("n_events"), col("sum_cents"))
       .orderBy("user_id", "start_us")
 
+  /** EVENT-TYPE TRANSITION MATRIX (first-order Markov estimate): for every
+    * consecutive pair of events in a user's stream, count the
+    * (prev_type → next_type) transition, its share among all transitions
+    * leaving `prev_type` (integer basis points — no FP ratios), and the
+    * floor-average inter-event gap in µs. This is the navigation /
+    * behavioral-flow summary every event-analytics stack derives (Sankey
+    * funnels, next-action prediction priors, bot-detection loops such as
+    * view→view self-transitions with near-zero gaps).
+    *
+    * Shape: ONE keyed exchange on `user_id` computes the `lag` pair
+    * (same (us, event_id) deterministic ordering as [[sessionize]] — ties
+    * cannot flip the PAIR MULTISET, only which equal-time event is called
+    * "prev", and both engines order identically); the (prev, next) grid
+    * that follows is |event_type|² ≤ dozens of rows, so its aggregation
+    * and the share window over it are metadata-scale at any corpus size.
+    * The textbook self-join-on-row-number form pays a second full-data
+    * exchange for the same pairs; the lag form never re-shuffles the
+    * events.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+    val out = Window.partitionBy("prev_type")
+    pairs
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("us") - col("prev_us")).as("sum_gap_us"))
+      .withColumn("out_total", sum(col("n_transitions")).over(out))
+      .withColumn("share_bp", expr("n_transitions * 10000 div out_total"))
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        col("share_bp"),
+        expr("sum_gap_us div n_transitions").as("avg_gap_us"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** SLIDING-WINDOW event stats via Spark's NATIVE `window()` generator
     * (30-minute windows every 10 minutes): each event lands in
     * window/slide = 3 overlapping windows, counted per (window, type).
