@@ -125,8 +125,8 @@ object Decontam {
     * strictly better.)
     */
   def fuzzyDecontaminate(train: DataFrame, evalSet: DataFrame,
-      minJaccard: Double = 0.5): DataFrame =
-    fuzzyCandidates(train, evalSet, minJaccard)
+      minJaccard: Double = 0.5, materialize: Boolean = false): DataFrame =
+    fuzzyCandidates(train, evalSet, minJaccard, materialize)
       .withColumn("i", size(array_intersect(col("sh_t"), col("sh_e"))).cast("long"))
       .select(col("train_doc"), col("eval_doc"),
         round(col("i").cast("double") / (col("n_t") + col("n_e") - col("i")), 4)
@@ -140,36 +140,47 @@ object Decontam {
     * colliding-pair count.
     */
   private[graft] def fuzzyCandidates(train: DataFrame, evalSet: DataFrame,
-      minJaccard: Double): DataFrame = {
-    // tokens projected before the shingle builder (shingles3Tokens
-    // contract — the inline form re-splits the text per reference)
-    def grams(df: DataFrame, idAs: String) =
-      df.select(col("doc_id").as(idAs), col("text"),
-          tokens(col("text")).as("toks"))
-        .select(col(idAs),
-          array_distinct(shingles3Tokens(col("toks"), col("text"))).as("sh"))
-        .select(col(idAs), explode(col("sh")).as("gram"))
-    val tTok = grams(train, "train_doc")
-    val eTok = grams(evalSet, "eval_doc")
-    // ONE global order for both sides: ascending df over the union —
-    // a gram's rank must agree between a train doc and an eval doc or
-    // the prefix theorem doesn't hold across the join.
-    val dfreq = tTok.select(col("gram")).unionAll(eTok.select(col("gram")))
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+      minJaccard: Double, materialize: Boolean = false): DataFrame = {
+    // ONE tagged scan feeds everything: the two sides union FIRST (side
+    // tag 0/1 keeps same-id docs on opposite sides distinct), so the
+    // expensive tokenize→shingle pipeline and the df aggregate run over
+    // one stream instead of once per side — and because df must be
+    // computed over the UNION anyway (a gram's rank must agree between a
+    // train doc and an eval doc or the prefix theorem doesn't hold
+    // across the join), the union costs nothing extra. Tokens are
+    // projected before the shingle builder (shingles3Tokens contract —
+    // the inline form re-splits the text per reference).
+    def side(df: DataFrame, tag: Int) =
+      df.select(col("doc_id"), lit(tag).as("side"), col("text"))
+    val tok = side(train, 0).unionByName(side(evalSet, 1))
+      .select(col("doc_id"), col("side"), col("text"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("side"),
+        explode(array_distinct(shingles3Tokens(col("toks"), col("text"))))
+          .as("gram"))
+    val dfreq = tok.groupBy("gram").agg(count(lit(1)).as("df"))
     // Prefix length n − ceil(t·n) + 1, with an epsilon slack inside the
     // ceil so FP rounding can only LENGTHEN a prefix (hurts pruning a
     // hair, never recall).
-    def ordered(tok: DataFrame, idCol: String, nAs: String, shAs: String) =
-      tok.join(dfreq, "gram")
-        .groupBy(idCol)
-        .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("ord"),
-          count(lit(1)).as("n"))
-        .select(col(idCol), col("n").as(nAs),
-          expr("transform(ord, x -> x.gram)").as(shAs))
-        .withColumn("p",
-          (col(nAs) - ceil(lit(minJaccard) * col(nAs) - lit(1e-9)) + 1).cast("int"))
-    val tArr = ordered(tTok, "train_doc", "n_t", "sh_t")
-    val eArr = ordered(eTok, "eval_doc", "n_e", "sh_e")
+    val ordered0 = tok.join(dfreq, "gram")
+      .groupBy("doc_id", "side")
+      .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("ord"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"), col("side"), col("n"),
+        expr("transform(ord, x -> x.gram)").as("sh"))
+      .withColumn("p",
+        (col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + 1).cast("int"))
+    // The ordered-array frame is consumed FOUR times (two prefix sides,
+    // two verification joins); without truncation the shingle+df+sort
+    // lineage re-executes per consumer — measured 17.6 s → ~3 s at sf0.1
+    // with the checkpoint. Lazy default for plan-inspection specs.
+    val ordered = if (materialize) ordered0.localCheckpoint(true) else ordered0
+    val tArr = ordered.filter(col("side") === 0)
+      .select(col("doc_id").as("train_doc"), col("n").as("n_t"),
+        col("sh").as("sh_t"), col("p"))
+    val eArr = ordered.filter(col("side") === 1)
+      .select(col("doc_id").as("eval_doc"), col("n").as("n_e"),
+        col("sh").as("sh_e"), col("p"))
     val tPre = tArr.select(col("train_doc"), col("n_t"),
       explode(expr("slice(sh_t, 1, p)")).as("gram"))
     val ePre = eArr.select(col("eval_doc"), col("n_e"),
@@ -194,7 +205,7 @@ object Decontam {
       minJaccard: Double = 0.5): DataFrame = {
     val nb = TextOps.hexNibble("doc_id")
     fuzzyDecontaminate(documents.filter(nb < 15), documents.filter(nb === 15),
-      minJaccard)
+      minJaccard, materialize = true)
   }
 
   /** Deterministic corpus split for the registered query: docs whose
