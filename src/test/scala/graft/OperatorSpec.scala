@@ -461,4 +461,46 @@ class OperatorSpec extends SparkTestBase {
     assert(enc.filter(col("n_tokens") < col("n_words") ||
       col("n_words") <= 0L || col("n_chars_coded") < 0L).count() === 0L)
   }
+
+  test("event transitions: pair multiset, out-shares, floor-average gaps") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: A@0 → B@10 → A@30 ; user 2: B@0 → B@5
+    val ev = Seq(
+      (1L, 1L, ts(0), "A"), (2L, 1L, ts(10), "B"), (3L, 1L, ts(30), "A"),
+      (4L, 2L, ts(0), "B"), (5L, 2L, ts(5), "B")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessions.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("A", "B", 1L, 10000L, 10000000L),  // A's only exit → 100%
+      ("B", "A", 1L, 5000L, 20000000L),   // B exits split 50/50
+      ("B", "B", 1L, 5000L, 5000000L)))
+    // cross-user boundaries never pair: 2 users → 5 − 2 transitions
+    assert(got.map(_._3).sum === 3L)
+  }
+
+  test("blocked ER links names sharing their rarest token, and only those") {
+    import spark.implicits._
+    // vocabulary: red/hot (df 3 each), bolt/ring/gear (df 2 each) — every
+    // name's rarest token is its NOUN, so adjective drift blocks together
+    val parts = Seq(
+      "red bolt", "red bolt", "red bolt", "hot bolt",
+      "red ring", "hot ring", "red gear", "hot gear"
+    ).zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+    val got = EntityResolution.blockedNamePairs(parts, maxDistance = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("hot bolt", "red bolt", 3L, 1L, 3L), // dup records roll into n_b
+      ("hot gear", "red gear", 3L, 1L, 1L),
+      ("hot ring", "red ring", 3L, 1L, 1L)))
+    // the documented recall tradeoff: "red bolt"/"red ring" differ in the
+    // rarest token itself (dist 3 would pass) but live in different
+    // blocks, so the single-pass form never compares them
+    assert(!got.exists(p => p._1 == "red bolt" && p._2 == "red ring"))
+  }
 }

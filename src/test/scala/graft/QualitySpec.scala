@@ -275,4 +275,21 @@ class QualitySpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(2))).toMap
     assert(tight === Map("A" -> 1L, "B" -> 1L))
   }
+
+  test("benford digits come from integer cents, not float rendering") {
+    // 1.23 → 123 → 1; 0.05 → 5 → 5; 99.996 rounds to 10000 → 1 (the
+    // round-then-extract order matters); 2.00 → 200 → 2; zero/null drop
+    val rows = Seq(Some(1.23), Some(0.05), Some(99.996), Some(2.00),
+      Some(0.0), None).toDF("o_totalprice")
+    val got = Quality.benfordDigits(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 500L, 301L), // 2 of 4 → ⌊2000/4⌋ = 500 permille
+      (2L, 1L, 250L, 176L),
+      (5L, 1L, 250L, 79L)))
+    // delta is exactly share − expectation
+    val deltas = Quality.benfordDigits(rows).collect()
+      .map(r => r.getLong(4) - (r.getLong(2) - r.getLong(3)))
+    assert(deltas.forall(_ == 0L))
+  }
 }
