@@ -615,6 +615,14 @@ object SparkEntry {
     "dq10_lateness_audit" -> ((s, dir) => Quality.latenessAudit(Tables.events(s, dir))),
     // Hampel filter: per-user rolling-median/MAD outliers (integer picks).
     "dq11_hampel_outliers" -> ((s, dir) => Quality.hampelOutliers(Tables.events(s, dir))),
+    // Exact weighted median (quantity-weighted price) per return flag:
+    // corpus collapses to (group, cents) cells, partition-keyed running
+    // sum, 2*cum >= total lower-median pick - all integer arithmetic.
+    "a15_weighted_median" -> ((s, dir) => Aggregates.weightedMedian(Tables.lineitem(s, dir))),
+    // Canonicalization audit: lowercase + punctuation strip + whitespace
+    // collapse per doc, with the normalized md5 prefix as the
+    // formatting-insensitive dedup key; row-local, shuffle-free.
+    "t29_normalize" -> ((s, dir) => TextOps.normalizeStats(Tables.documents(s, dir))),
     // Benford first-digit forensics on order totals: digit from the
     // integer-cents rendering (never float log10/formatting), permille
     // shares vs literal Benford expectations; one 9-key hash aggregate.
@@ -2011,6 +2019,38 @@ GROUP BY doc_id ORDER BY doc_id"""
         |SELECT event_id, user_id, cents, med AS med_7, mad AS mad_7
         |FROM h WHERE len(a7) >= 5 AND abs(cents - med) > 3 * mad
         |ORDER BY event_id""".stripMargin,
+    "a15_weighted_median" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT *,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+        |  FROM cells
+        |)
+        |SELECT l_returnflag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+        |       CAST(MAX(total) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= total
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t29_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT doc_id,
+        |       CAST(LENGTH(text) AS BIGINT) AS n_chars_raw,
+        |       CAST(LENGTH(norm) AS BIGINT) AS n_chars_norm,
+        |       CAST(LEN(string_split(norm, ' ')) AS BIGINT) AS n_tokens_norm,
+        |       SUBSTR(md5(norm), 1, 8) AS norm_key
+        |FROM n ORDER BY doc_id""".stripMargin,
     "dq12_benford" ->
       """WITH d AS (
         |  SELECT CAST(SUBSTR(CAST(CAST(round(o_totalprice * 100) AS BIGINT)

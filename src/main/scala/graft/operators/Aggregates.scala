@@ -368,4 +368,43 @@ object Aggregates {
         grouping(col("l_linestatus")).cast("int").as("g_ls"))
       .orderBy(col("g_rf"), col("g_ls"),
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** EXACT WEIGHTED MEDIAN per group: the smallest price (integer cents)
+    * at which the running quantity-weight reaches half the group's total
+    * — the order statistic inventory/revenue analyses want when a line
+    * item's "vote" is its quantity, not its row count (a 50-unit line
+    * weighs 50× a 1-unit line). `percentile_approx` has a weighted
+    * variant but no exactness; this is the exact form, engine-checkable
+    * because every step is integer arithmetic.
+    *
+    * Scale shape: the corpus first collapses to (group, value) cells with
+    * summed weights — a map-side-combined hash aggregate, the same
+    * corpus→domain collapse as the bucket-refined percentiles (dq4/a8):
+    * everything after runs on cells, bounded by the price DOMAIN per
+    * group (~10⁶ distinct cents at any corpus size), not row count. The
+    * running sum is a partition-keyed window (per-group, never global —
+    * no single-partition WindowExec), and the median pick is
+    * `2·cum ≥ total` → `min(cents)`, the standard lower weighted median
+    * (reduces to the ordinary lower median when all weights are 1).
+    */
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = lineitem
+      .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      .groupBy("l_returnflag", "cents")
+      .agg(sum(col("w")).as("w"))
+    val run = Window.partitionBy("l_returnflag").orderBy("cents")
+    val whole = Window.partitionBy("l_returnflag")
+    cells
+      .withColumn("cum", sum(col("w")).over(run))
+      .withColumn("total", sum(col("w")).over(whole))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy("l_returnflag")
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("total")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -1045,4 +1045,37 @@ object TextOps {
           .as("n_chars_coded"))
       .orderBy("doc_id")
   }
+
+  /** TEXT NORMALIZATION pass — the canonicalization step every real dedup
+    * pipeline runs BEFORE exact/near-dup matching (case folding,
+    * punctuation strip, whitespace collapse): two docs differing only in
+    * formatting must land on the same content address. Emits the per-doc
+    * audit a corpus-prep job keeps: raw vs normalized length, normalized
+    * token count, and the first 8 hex chars of the normalized md5 — the
+    * join key for normalization-aware exact dedup ([[Dedup]] d1 operates
+    * on raw text; feeding it `norm_key` instead makes it
+    * formatting-insensitive with zero other changes).
+    *
+    * Engine-exactness: the character class `[^a-z0-9 ]` and the run
+    * collapse `" +"` mean the same thing in Java regex and RE2, lowercase
+    * on ASCII is trivially shared, and md5 hex is bit-standard — so the
+    * whole normalization is oracle-checkable character for character.
+    * Scale shape: strictly row-local projections (regexes + hash), one
+    * final order — no shuffle at all before the output sort.
+    */
+  def normalizeStats(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{lower, md5, regexp_replace, size,
+      split, substring, trim}
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), norm.as("norm"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens_norm"),
+        substring(md5(col("norm")), 1, 8).as("norm_key"))
+      .orderBy("doc_id")
+  }
 }
