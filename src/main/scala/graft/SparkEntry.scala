@@ -673,6 +673,29 @@ object SparkEntry {
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "u3_intersect" -> ((s, dir) => SetOps.intersectKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
+    // OHLC resampling: hourly open/high/low/close/volume bars per event
+    // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
+    // with map-side combine, no sort/window over the raw stream.
+    "e18_ohlc_bars" -> ((s, dir) => TimeSeries.ohlcBars(Tables.events(s, dir))),
+    // Interval union per user (30-min activity holds): running-max island
+    // merge, one user_id exchange end-to-end, integer-µs coverage stats.
+    "e19_interval_coverage" -> ((s, dir) => TimeSeries.intervalCoverage(Tables.events(s, dir))),
+    // Sequential path mining: consecutive event-type trigrams per user —
+    // two leads over one window, grid aggregation ≤ |type|³ rows.
+    "e20_trigram_paths" -> ((s, dir) => Sessions.trigramPaths(Tables.events(s, dir))),
+    // EXACT set-containment join at 4/5 (quote/truncation detection):
+    // contained side keeps its AllPairs prefix, container side indexes
+    // all tokens — the asymmetric complement of d18.
+    "d19_containment" -> ((s, dir) =>
+      Dedup.containmentJoin(Tables.documents(s, dir), 4, 5, materialize = true)),
+    // Weighted systematic sampling: exactly 5 picks per language,
+    // probability ∝ n_chars, pure integer-division grid test — the
+    // engine-exact alternative to FP exponential-key (A-ES) sampling.
+    "t30_weighted_sample" -> ((s, dir) => TextOps.weightedSample(
+      Tables.documents(s, dir), "doc_id", "lang", "n_chars", 5)),
+    // 2-D skyline (min price, max size): bucket pre-prune + exact
+    // running-max pass — never the quadratic NOT-EXISTS self-join.
+    "o_skyline" -> ((s, dir) => SetOps.skyline2d(Tables.part(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2260,6 +2283,122 @@ GROUP BY doc_id ORDER BY doc_id"""
         |WHERE len(list_intersect(a.sh, b.sh)) * 5
         |      >= len(list_distinct(list_concat(a.sh, b.sh))) * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d19_containment" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM t
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+        |       CAST(len(a.sh) AS BIGINT) AS na, CAST(len(b.sh) AS BIGINT) AS nb
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        | AND len(b.sh) * 5 >= len(a.sh) * 4
+        |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(a.sh) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "e18_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS us, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), b AS (
+        |  SELECT (us // 3600000000) * 3600000000 AS bar_us,
+        |         event_type, cents, us, event_id
+        |  FROM e
+        |), w AS (
+        |  SELECT bar_us, event_type, cents,
+        |    first_value(cents) OVER (PARTITION BY bar_us, event_type
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(cents) OVER (PARTITION BY bar_us, event_type
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM b
+        |)
+        |SELECT bar_us, event_type,
+        |       CAST(any_value(o) AS BIGINT) AS open_cents,
+        |       CAST(MAX(cents) AS BIGINT) AS high_cents,
+        |       CAST(MIN(cents) AS BIGINT) AS low_cents,
+        |       CAST(any_value(c) AS BIGINT) AS close_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(cents) AS BIGINT) AS vol_cents
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e19_interval_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         epoch_us(ts) + 1800000000 AS end_us
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |), m AS (
+        |  SELECT user_id, us, end_us,
+        |    max(end_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end,
+        |    event_id
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, us, end_us,
+        |    SUM(CASE WHEN prev_end IS NULL OR us > prev_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m
+        |), i AS (
+        |  SELECT user_id, island, MIN(us) AS start_us, MAX(end_us) AS fin_us,
+        |         COUNT(*) AS n
+        |  FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |       CAST(SUM(fin_us - start_us) AS BIGINT) AS covered_us,
+        |       CAST(MAX(fin_us - start_us) AS BIGINT) AS longest_us,
+        |       CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e20_trigram_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL
+        |), s AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS e3
+        |  FROM e
+        |)
+        |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n_paths DESC, e1, e2, e3""".stripMargin,
+    "t30_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w
+        |  FROM documents WHERE n_chars > 0
+        |), c AS (
+        |  SELECT lang, doc_id, w,
+        |    SUM(w) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY lang) AS tot
+        |  FROM d
+        |)
+        |SELECT lang, doc_id, w,
+        |       CAST((cw * 5) // tot - ((cw - w) * 5) // tot AS BIGINT) AS n_hits
+        |FROM c
+        |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
+        |ORDER BY lang, doc_id""".stripMargin,
+    "o_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+        |         CAST(p_size AS BIGINT) AS size
+        |  FROM part
+        |)
+        |SELECT p_partkey, cents, size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.cents <= a.cents AND b.size >= a.size
+        |    AND (b.cents < a.cents OR b.size > a.size)
+        |)
+        |ORDER BY p_partkey""".stripMargin,
     "d17_group_split" ->
       """WITH tagged AS (
         |  SELECT source AS grp,

@@ -607,6 +607,67 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT set-CONTAINMENT join: every ORDERED pair (a, b) where doc a's
+    * shingle set is ≥ num/den contained in doc b's —
+    * |A∩B| ≥ t·|A| — the asymmetric complement of [[prefixFilterJoin]]'s
+    * symmetric Jaccard. Containment is what catches quote-inclusion,
+    * truncated crawls, and "document B = document A + boilerplate" —
+    * pairs whose Jaccard is low precisely BECAUSE the container is
+    * bigger, so no symmetric threshold finds them.
+    *
+    * Candidate generation under the same global (df, token) order as
+    * prefixFilterJoin: the CONTAINED side keeps its AllPairs prefix of
+    * p = |A| − ⌈t·|A|⌉ + 1 rarest tokens (if |A∩B| ≥ ⌈t·|A|⌉, the
+    * smallest common token cannot sit past A's prefix — the overlap
+    * would then fit in ⌈t·|A|⌉ − 1 positions, a contradiction). The
+    * CONTAINER side cannot prune positionally (the overlap may sit
+    * anywhere inside B), so it indexes ALL its tokens — the asymmetry of
+    * the predicate made physical. Join work per token t is
+    * df_prefix(t) × df(t): the first factor collapses for exactly the
+    * high-df tokens that would otherwise explode the product (a stopword
+    * shingle lands in nobody's prefix), which is the containment-join
+    * skew bound. Verification is one `array_intersect` per candidate
+    * with the integer test |∩|·den ≥ |A|·num — no floating point, and
+    * the size filter |B|·den ≥ |A|·num prunes inside the join condition.
+    */
+  def containmentJoin(documents: DataFrame, thresholdNum: Int = 4,
+      thresholdDen: Int = 5, materialize: Boolean = false): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
+      s"containmentJoin: threshold $thresholdNum/$thresholdDen not in (0, 1]")
+    val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
+    val tok = documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3Tokens(col("toks"), col("text")))).as("shingle"))
+    val dfreq = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val docsArr0 = tok.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"),
+        expr("transform(ord, x -> x.shingle)").as("sh"))
+      .withColumn("p", col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
+    val docsArr = if (materialize) docsArr0.localCheckpoint(true) else docsArr0
+    // contained role: prefix tokens only; container role: every token
+    val prefixes = docsArr
+      .selectExpr("doc_id", "n", "explode(slice(sh, 1, CAST(p AS INT))) AS shingle")
+    val full = docsArr.selectExpr("doc_id", "n", "explode(sh) AS shingle")
+    val cand = prefixes.as("a").join(full.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * den >= col("a.n") * num)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    cand
+      .join(docsArr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docsArr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("n_inter") * den >= col("na") * num)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("na"), col("nb"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** (doc_id, sig, chunk_id, chunk_val): the 64-bit SimHash split into
     * `numChunks` contiguous chunks with widths differing by at most 1.
     */

@@ -271,6 +271,39 @@ object Sessions {
       .orderBy("prev_type", "next_type")
   }
 
+  /** SEQUENTIAL PATH MINING (order-3): counts every consecutive
+    * event-type TRIGRAM in a user's stream — the length-3 extension of
+    * [[eventTransitions]] and the building block of sequential-pattern
+    * mining (the contiguous-sequence special case of PrefixSpan, which is
+    * the variant that stays a single window pass instead of an iterative
+    * candidate join). `n_users` counts how many distinct users ever walk
+    * the path, separating "one bot loops view→view→view" from "everyone
+    * does".
+    *
+    * Shape: the same single `user_id` exchange as [[eventTransitions]] —
+    * two `lead`s over one (us, event_id)-ordered window (one WindowExec,
+    * O(1) state per row), then a grid aggregation whose output is
+    * ≤ |event_type|³ rows. The distinct-user count re-shuffles only the
+    * (trigram, user) pairs — already ≤ one row per input event post-grid.
+    * The alternative rn-self-join form pays three full-data exchanges for
+    * the same trigram multiset.
+    */
+  def trigramPaths(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(byUser))
+      .withColumn("e3", lead(col("e1"), 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+  }
+
   /** SLIDING-WINDOW event stats via Spark's NATIVE `window()` generator
     * (30-minute windows every 10 minutes): each event lands in
     * window/slide = 3 overlapping windows, counted per (window, type).

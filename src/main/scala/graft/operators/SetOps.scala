@@ -58,4 +58,61 @@ object SetOps {
       .select("o_orderkey", "o_totalprice", "o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
+
+  /** 2-D SKYLINE (Pareto front): parts no other part dominates —
+    * cheaper-or-equal AND bigger-or-equal with at least one strict
+    * (minimize price, maximize size). The multi-objective "best
+    * candidates" cut that a top-k on any single weighted score cannot
+    * express.
+    *
+    * Two-level plan, NOT the textbook NOT-EXISTS self-join (which is a
+    * quadratic non-equi nested loop — a plan-time error here under
+    * CartesianGuard):
+    *
+    *  1. PRE-PRUNE on a coarse price grid: per bucket ⌊cents/W⌋, the max
+    *     size; a running max over STRICTLY LOWER buckets (window over the
+    *     tiny bucket aggregate — metadata-scale rows) dominates — with a
+    *     guaranteed strictly-lower price, since bucket ranges are
+    *     disjoint — every row whose size it reaches. One broadcast join
+    *     back eliminates the bulk of the input before any global step;
+    *     survivors ≈ the skyline's neighborhood, not the table.
+    *  2. EXACT PASS on the survivors: sorted by price, a row survives iff
+    *     its size strictly exceeds the running max size over all
+    *     strictly-cheaper rows (RANGE frame excludes price ties) AND no
+    *     same-price row strictly out-sizes it. Equal (price, size)
+    *     duplicates dominate nothing and both survive, matching the
+    *     NOT-EXISTS oracle exactly.
+    *
+    * The global window runs single-partition — over the pruned remnant
+    * only, the same shape as [[Aggregates]]' bucket-refined percentiles
+    * (dq4): stage 1 is the scale story, stage 2 is exactness over a
+    * provably small set.
+    */
+  def skyline2d(part: DataFrame, bucketCents: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = part.select(col("p_partkey"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"),
+      col("p_size").cast("long").as("size"))
+      .withColumn("bucket", expr(s"cents div ${bucketCents}L"))
+    // per-bucket max size, then the best size among strictly lower buckets
+    val byBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketMax = p.groupBy("bucket").agg(max(col("size")).as("bmax"))
+      .withColumn("lower_max", max(col("bmax")).over(byBucket))
+      .select(col("bucket"), col("lower_max"))
+    val pruned = p.join(broadcast(bucketMax), "bucket")
+      .filter(col("lower_max").isNull || col("size") > col("lower_max"))
+    // exact pass: strictly-cheaper running max (RANGE excludes ties) +
+    // same-price strict out-size check
+    val byPrice = Window.orderBy("cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy("cents")
+    pruned
+      .withColumn("cheaper_max", max(col("size")).over(byPrice))
+      .withColumn("same_price_max", max(col("size")).over(samePrice))
+      .filter((col("cheaper_max").isNull || col("size") > col("cheaper_max")) &&
+        col("size") === col("same_price_max"))
+      .select(col("p_partkey"), col("cents"), col("size"))
+      .orderBy("p_partkey")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, countDistinct, length, lit, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, expr, length, lit, sum}
 import graft.functions.TextFunctions._
 
 /** Query-shaped text analysis + JSON extraction over `documents`/`events`
@@ -364,6 +364,47 @@ object TextOps {
         when(col(strataCol) === stratum, lit(rate))
       } :+ lit(defaultSixteenths): _*)
     df.filter(hexNibble(keyCol) < rateExpr).orderBy(keyCol)
+  }
+
+  /** WEIGHTED SYSTEMATIC SAMPLING per stratum, in exact integer
+    * arithmetic: within each stratum, rows are laid on a line of
+    * cumulative integer weight (deterministic (weight-col) order by key),
+    * and a grid of `k` equally-spaced picks selects the row covering each
+    * grid point — every stratum yields EXACTLY k hits (a heavy row can
+    * absorb several, reported in `n_hits`), and selection probability is
+    * proportional to weight. This is the probability-proportional-to-size
+    * design for "sample 5 documents per language, long docs
+    * proportionally more often" — unlike [[deterministicSample]]'s
+    * Bernoulli rate, the output size is exact, and unlike A-ES
+    * exponential-key sampling there is NO floating-point `pow`/`ln` whose
+    * last-bit rounding could flip a rank between engines: the pick test
+    * is pure integer division — `(cw·k) div W` strictly increases across
+    * the row ⟺ a grid multiple of W/k lands inside the row's weight span
+    * — so the DuckDB oracle reproduces the selection bit-for-bit.
+    *
+    * Scale: one exchange on the stratum key; the cumulative sum is O(1)
+    * running state per row, and parallelism = #strata (language × source
+    * × shard in a real corpus — thousands). A single mega-stratum would
+    * serialize its cumsum; shard such a stratum by a hash salt and sample
+    * k per shard — same guarantee per shard, not needed at fixture scale.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, strataCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k picks per stratum")
+    import org.apache.spark.sql.expressions.Window
+    val byStratum = Window.partitionBy(strataCol).orderBy(keyCol)
+    df.filter(col(weightCol) > 0)
+      .select(col(strataCol), col(keyCol), col(weightCol).cast("long").as("w"))
+      .withColumn("cw", sum(col("w")).over(
+        byStratum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // partition-only window: with orderBy present the default frame is
+      // the RUNNING range, which would alias tot to cw
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy(strataCol)))
+      .withColumn("n_hits",
+        expr(s"(cw * $k) div tot - ((cw - w) * $k) div tot"))
+      .filter(col("n_hits") > 0)
+      .select(col(strataCol), col(keyCol), col("w"), col("n_hits"))
+      .orderBy(strataCol, keyCol)
   }
 
   /** Value of the first hex digit of md5(key) in [0,16) — `instr` over the

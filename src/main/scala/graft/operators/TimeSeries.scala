@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling over the event stream: OHLC bars and interval
+  * coverage — the two classic "continuous signal from discrete events"
+  * reductions the reference's event-analytics pipeline
+  * (`/root/reference/src/glue/b3_collector.py` daily aggregation loop)
+  * implies but computes only in its single-key daily form.
+  *
+  * Both operators are single-exchange designs: the bar aggregation
+  * shuffles once on (bar, series) and the coverage plan shuffles once on
+  * the user key, with every window and re-aggregation riding that same
+  * partitioning. All arithmetic is integer microseconds / integer cents,
+  * so results are engine-exact under the DuckDB hash gate.
+  */
+object TimeSeries {
+
+  /** OHLC (open/high/low/close) resampling: tumbling `barUs` bars per
+    * event_type over the `value` signal, in integer cents.
+    *
+    * Open/close are `min_by`/`max_by` with a (us, event_id) struct
+    * ordering — a single hash aggregate, NOT a sort + first/last window:
+    * partial min_by/max_by combine map-side, so the only exchange moves
+    * one partially-reduced row per (bar, series) per task, and a bar's
+    * full event list is never co-resident. The event_id tiebreak makes
+    * the ordering total, so open/close are deterministic even when two
+    * trades share a microsecond.
+    *
+    * Scale shape: cardinality of the output ∝ bars × series — bounded
+    * and tiny relative to input; the aggregation is the map-side-combine
+    * pattern that survives any input volume. No window function touches
+    * the raw stream.
+    */
+  def ohlcBars(events: DataFrame, barUs: Long = 3600000000L): DataFrame = {
+    val e = events
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+      .select(
+        col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("bar_us", expr(s"(us div ${barUs}L) * ${barUs}L"))
+    e.groupBy("bar_us", "event_type")
+      .agg(
+        min_by(col("cents"), struct(col("us"), col("event_id"))).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), struct(col("us"), col("event_id"))).as("close_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("vol_cents"))
+      .orderBy("bar_us", "event_type")
+  }
+
+  /** Interval union ("gaps and islands" over real intervals): each event
+    * opens a `holdUs`-long activity interval; per user, overlapping or
+    * touching intervals merge into islands, reported as island count,
+    * total covered time, and the longest island.
+    *
+    * The merge is the running-max-of-end technique: ordered by (us,
+    * event_id) within the user, an interval starts a new island iff its
+    * start lies strictly past the max end seen so far (boundary-touching
+    * intervals merge). Island ids are a running sum of that flag. Both
+    * windows and both downstream aggregations share the `user_id`
+    * partitioning — Catalyst plans ONE Exchange for the whole query
+    * (pinned in TimeSeriesSpec).
+    *
+    * Scale: the island flag is O(1) state per row (running max + running
+    * sum), never a buffered frame; skew bound is the hottest user, same
+    * argument as [[Sessions.sessionize]]. Fixed-length intervals mean
+    * sorting by start also sorts by end, which is what makes the
+    * running-max proof exact.
+    */
+  def intervalCoverage(events: DataFrame, holdUs: Long = 1800000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val islands = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("end_us", col("us") + lit(holdUs))
+      .withColumn("prev_end", max(col("end_us")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("us") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min(col("us")).as("start_us"), max(col("end_us")).as("fin_us"),
+        count(lit(1)).as("n"))
+    islands
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("fin_us") - col("start_us")).as("covered_us"),
+        max(col("fin_us") - col("start_us")).as("longest_us"),
+        sum(col("n")).as("n_events"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sessions, SetOps, TextOps, TimeSeries}
+
+/** Round-8 additions: OHLC bars, interval coverage, trigram paths,
+  * containment join, weighted systematic sampling, 2-D skyline.
+  * Semantics on literal frames (referee = hand-computed or brute-force),
+  * plan pins where the operator's reason-to-exist is a plan property.
+  */
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ev(us: Long, id: Long, typ: String, value: Double,
+      user: java.lang.Long = 1L) =
+    (id, us, user, typ, value)
+
+  private def eventsDf(rows: Seq[(Long, Long, java.lang.Long, String, Double)]) =
+    rows.toDF("event_id", "usl", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+
+  test("ohlcBars: open/close follow (us, event_id) order, ties broken by id") {
+    val h = 3600000000L
+    val df = eventsDf(Seq(
+      ev(10L, 5L, "click", 3.00), // same us as id=2: id order decides open
+      ev(10L, 2L, "click", 1.00),
+      ev(20L, 3L, "click", 9.00),
+      ev(30L, 4L, "click", 2.00), // close
+      ev(h + 1, 6L, "click", 7.00), // next bar
+      ev(15L, 7L, "view", 5.00))) // other series
+    val out = TimeSeries.ohlcBars(df, barUs = h).collect()
+    assert(out.length === 3)
+    val bar0 = out.find(r => r.getLong(0) == 0L && r.getString(1) == "click").get
+    assert(bar0.getLong(2) === 100L, "open = cents of id=2 (tie on us, lower id)")
+    assert(bar0.getLong(3) === 900L, "high")
+    assert(bar0.getLong(4) === 100L, "low")
+    assert(bar0.getLong(5) === 200L, "close = last by (us, id)")
+    assert(bar0.getLong(6) === 4L)
+    assert(bar0.getLong(7) === 100L + 300L + 900L + 200L)
+  }
+
+  test("ohlcBars plans a single hash aggregate, no window over the stream") {
+    val df = eventsDf(Seq(ev(1L, 1L, "a", 1.0), ev(2L, 2L, "a", 2.0)))
+    val plan = TimeSeries.ohlcBars(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no WindowExec expected:\n$plan")
+  }
+
+  test("intervalCoverage: touching intervals merge, gaps split islands") {
+    val m30 = 1800000000L
+    val df = eventsDf(Seq(
+      ev(0L, 1L, "a", 0.0),          // island 1: [0, 30m)
+      ev(m30, 2L, "a", 0.0),         // touches end=30m → same island, extends to 60m
+      ev(3 * m30 + 1, 3L, "a", 0.0), // strictly past 60m → island 2
+      ev(0L, 4L, "a", 0.0, 2L)))     // another user
+    val out = TimeSeries.intervalCoverage(df, holdUs = m30)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 2 * m30 + m30, 2 * m30)),
+      "user 1: two islands, covered 60m+30m, longest 60m")
+    assert(out(2L) === ((1L, m30, m30)))
+  }
+
+  test("intervalCoverage plans ONE hash exchange (windows + aggs share user_id)") {
+    val df = Tables.events(spark, sf001)
+    val plan = TimeSeries.intervalCoverage(df).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"expected 1 hash exchange:\n$plan")
+  }
+
+  test("trigramPaths: counts and distinct users on a literal stream") {
+    val df = eventsDf(Seq(
+      ev(1L, 1L, "a", 0.0), ev(2L, 2L, "b", 0.0), ev(3L, 3L, "c", 0.0),
+      ev(4L, 4L, "b", 0.0), ev(5L, 5L, "c", 0.0), // user 1: abc, bcb, cbc? no: abc,bcb,cbc
+      ev(1L, 6L, "a", 0.0, 2L), ev(2L, 7L, "b", 0.0, 2L), ev(3L, 8L, "c", 0.0, 2L)))
+    val out = Sessions.trigramPaths(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", "b", "c")) === ((2L, 2L)), "abc walked once by each user")
+    assert(out(("b", "c", "b")) === ((1L, 1L)))
+    assert(out(("c", "b", "c")) === ((1L, 1L)))
+    assert(out.size === 3)
+  }
+
+  test("containmentJoin finds asymmetric containment that Jaccard misses") {
+    // doc 1 = 6 tokens (4 shingles), doc 2 = doc 1 + 12 tokens of suffix:
+    // containment(1 in 2) = 1, Jaccard ≈ 4/16 — far below any threshold
+    val small = "w1 w2 w3 w4 w5 w6"
+    val big = small + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated text here entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)), "only small-in-big, directed")
+    val jac = Dedup.prefixFilterJoin(docs, 4, 5).collect()
+    assert(jac.isEmpty, "symmetric Jaccard at 0.8 must NOT find the pair")
+  }
+
+  test("containmentJoin equals brute force on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docs = (0 until 40).map { i =>
+      val n = 4 + rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    import graft.functions.TextFunctions.shingles3
+    val sets = docs.select(col("doc_id"),
+        array_distinct(shingles3(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && (sa & sb).size * 5L >= sa.size * 4L
+    } yield (a, b)).toSet
+    val got = Dedup.containmentJoin(docs, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect)
+  }
+
+  test("weightedSample: exactly k hits per stratum, heavy rows hit more") {
+    val df = Seq(
+      ("s1", 1L, 1000L), ("s1", 2L, 1L), ("s1", 3L, 1L),
+      ("s2", 4L, 10L), ("s2", 5L, 10L), ("s2", 6L, 10L), ("s2", 7L, 10L))
+      .toDF("lang", "doc_id", "n_chars")
+    val out = TextOps.weightedSample(df, "doc_id", "lang", "n_chars", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val hits = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(hits === Map("s1" -> 4L, "s2" -> 4L), "every stratum yields exactly k")
+    val s1 = out.filter(_._1 == "s1")
+    assert(s1.exists(r => r._2 == 1L && r._3 >= 3L),
+      "the row with ~99.8% of the weight absorbs most grid points")
+    val s2 = out.filter(_._1 == "s2").map(_._2).toSet
+    assert(s2 === Set(4L, 5L, 6L, 7L), "equal weights, k=n → every row once")
+  }
+
+  test("weightedSample zero/negative weights are excluded, k=1 picks one") {
+    val df = Seq(("s", 1L, 0L), ("s", 2L, 5L)).toDF("lang", "doc_id", "n_chars")
+    val out = TextOps.weightedSample(df, "doc_id", "lang", "n_chars", 1).collect()
+    assert(out.length === 1 && out.head.getLong(1) === 2L)
+  }
+
+  test("skyline2d equals brute-force dominance on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, 1.0 + rnd.nextInt(500) / 10.0, rnd.nextInt(40) + 1)) ++
+      Seq((990L, 3.7, 39), (991L, 3.7, 39)) // exact duplicate pair
+    val df = rows.toDF("p_partkey", "p_retailprice", "p_size")
+    val pts = rows.map { case (k, p, s) => (k, math.round(p * 100), s.toLong) }
+    val expect = pts.filter { case (_, c, sz) =>
+      !pts.exists { case (_, c2, sz2) =>
+        c2 <= c && sz2 >= sz && (c2 < c || sz2 > sz) }
+    }.map(_._1).toSet
+    val got = SetOps.skyline2d(df, bucketCents = 700L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    assert(got.contains(990L) === got.contains(991L),
+      "equal points survive or fall together")
+  }
+
+  test("skyline2d bucket pre-prune discards the bulk before the global window") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 2000).map(i =>
+      (i.toLong, 1.0 + rnd.nextInt(900) / 10.0, rnd.nextInt(50) + 1))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    // count rows surviving stage 1 by running the same prune standalone:
+    // the exact skyline must be reproduced regardless of bucket width
+    val wide = SetOps.skyline2d(df, bucketCents = 100000L).collect().map(_.getLong(0)).toSet
+    val narrow = SetOps.skyline2d(df, bucketCents = 500L).collect().map(_.getLong(0)).toSet
+    assert(wide === narrow, "bucket width is a performance knob, not semantics")
+  }
+}
