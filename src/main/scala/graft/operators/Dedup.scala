@@ -562,7 +562,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
         count(lit(1)).as("n"))
-      .select(col("doc_id"), col("n"),
+      .select(col("doc_id"), col("n"), col("ord"),
         expr("transform(ord, x -> x.shingle)").as("sh"))
       // p = n − ceil(num·n/den) + 1 ≥ 1, in exact integer arithmetic
       .withColumn("p", col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
@@ -570,9 +570,15 @@ object Dedup {
     // truncates the triple lineage for batch jobs (lazy default for the
     // same plan-inspection reason as nearDupPairs)
     val docsArr = if (materialize) docsArr0.localCheckpoint(true) else docsArr0
+    // df=1 prefix tokens are dropped AFTER posexplode (original positions
+    // kept for the PPJoin bound): a globally-unique shingle can't match
+    // another doc, and dropping it is completeness-safe — a qualifying
+    // pair's smallest common token has df ≥ 2 and stays on both sides.
     val prefixes = docsArr
       .selectExpr("doc_id", "n",
-        "posexplode(slice(sh, 1, CAST(p AS INT))) AS (pos, shingle)")
+        "posexplode(slice(ord, 1, CAST(p AS INT))) AS (pos, o)")
+      .where("o.df >= 2")
+      .selectExpr("doc_id", "n", "pos", "o.shingle AS shingle")
     // join condition carries three progressively tighter pruning filters,
     // all evaluated BEFORE a pair materializes: length (min·den ≥ max·num),
     // then the PPJoin positional bound — a match at 0-based positions
@@ -644,18 +650,40 @@ object Dedup {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
         count(lit(1)).as("n"))
-      .select(col("doc_id"), col("n"),
+      .select(col("doc_id"), col("n"), col("ord"),
         expr("transform(ord, x -> x.shingle)").as("sh"))
       .withColumn("p", col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
     val docsArr = if (materialize) docsArr0.localCheckpoint(true) else docsArr0
-    // contained role: prefix tokens only; container role: every token
+    // contained role: prefix tokens only; container role: every token —
+    // both sides drop df=1 shingles BEFORE exploding: a globally-unique
+    // shingle exists in exactly one doc, so it can never equi-match a
+    // different doc, and most of a real corpus's shingles are unique
+    // (completeness holds: the smallest COMMON token of a qualifying pair
+    // is in ≥ 2 docs by definition, so it survives the filter on both
+    // sides). The `ord` struct array carries df precisely so this filter
+    // needs no re-join.
     val prefixes = docsArr
-      .selectExpr("doc_id", "n", "explode(slice(sh, 1, CAST(p AS INT))) AS shingle")
-    val full = docsArr.selectExpr("doc_id", "n", "explode(sh) AS shingle")
+      .selectExpr("doc_id", "n",
+        "posexplode(slice(ord, 1, CAST(p AS INT))) AS (pos, o)")
+      .where("o.df >= 2")
+      .selectExpr("doc_id", "n", "pos", "o.shingle AS shingle")
+    val full = docsArr
+      .selectExpr("doc_id", "n", "posexplode(ord) AS (pos, o)")
+      .where("o.df >= 2")
+      .selectExpr("doc_id", "n", "pos", "o.shingle AS shingle")
+    // positional bound, containment form: a match at 0-based positions
+    // (i, j) caps the remaining common tokens at min(na−i, nb−j), which
+    // must reach α = ⌈num·na/den⌉ — safe per-row because a qualifying
+    // pair's FIRST common token has all α overlap tokens at or after it
+    // on both sides. High-df shingles sit LATE in the df-ascending order,
+    // so this prunes exactly the common-shingle matches that generate
+    // the candidate bulk.
     val cand = prefixes.as("a").join(full.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") =!= col("b.doc_id") &&
-          col("b.n") * den >= col("a.n") * num)
+          col("b.n") * den >= col("a.n") * num &&
+          least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) * den >=
+            col("a.n") * num)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
