@@ -696,6 +696,14 @@ object SparkEntry {
     // 2-D skyline (min price, max size): bucket pre-prune + exact
     // running-max pass — never the quadratic NOT-EXISTS self-join.
     "o_skyline" -> ((s, dir) => SetOps.skyline2d(Tables.part(s, dir))),
+    // CDC changelog apply: per-key max_by compaction (last op wins, D
+    // deletes) + ONE full-outer merge into the base snapshot.
+    "e21_cdc_apply" -> ((s, dir) =>
+      MergeOps.cdcApplyDemo(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Incremental join-view maintenance: ΔL⋈O₀ ∪ L₀⋈ΔO ∪ ΔL⋈ΔO added to
+    // the stored view equals the full recompute — TRUE-boolean contract.
+    "e22_join_maintenance" -> ((s, dir) =>
+      MergeOps.joinMaintenanceDemo(Tables.orders(s, dir), Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2385,6 +2393,75 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM c
         |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
         |ORDER BY lang, doc_id""".stripMargin,
+    "e21_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS base_cents
+        |  FROM orders
+        |  WHERE instr('0123456789abcdef',
+        |              substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 < 12
+        |), chg AS (
+        |  SELECT l_orderkey AS key, l_linenumber AS seq,
+        |         CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), comp AS (
+        |  SELECT key, op, cents AS chg_cents FROM (
+        |    SELECT key, op, cents,
+        |      row_number() OVER (PARTITION BY key
+        |        ORDER BY seq DESC, op DESC, cents DESC) AS rn
+        |    FROM chg) WHERE rn = 1
+        |)
+        |SELECT COALESCE(b.key, c.key) AS key,
+        |       CAST(COALESCE(c.chg_cents, b.base_cents) AS BIGINT) AS cents,
+        |       CASE WHEN c.key IS NULL THEN 'base'
+        |            WHEN b.key IS NULL THEN 'insert'
+        |            ELSE 'update' END AS src
+        |FROM base b FULL OUTER JOIN comp c ON b.key = c.key
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY key""".stripMargin,
+    "e22_join_maintenance" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         instr('0123456789abcdef',
+        |               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM orders
+        |), l AS (
+        |  SELECT l_orderkey,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), j AS (
+        |  SELECT o_orderstatus, cents,
+        |         CASE WHEN l_orderkey % 7 = 0 THEN 1 ELSE 0 END AS is_dl,
+        |         CASE WHEN nb >= 12 THEN 1 ELSE 0 END AS is_do
+        |  FROM l JOIN o ON l_orderkey = o_orderkey
+        |), terms AS (
+        |  SELECT o_orderstatus, SUM(cents) AS c, COUNT(*) AS n
+        |  FROM j WHERE is_dl = 0 AND is_do = 0 GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, SUM(cents), COUNT(*)
+        |  FROM j WHERE is_dl = 1 AND is_do = 0 GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, SUM(cents), COUNT(*)
+        |  FROM j WHERE is_dl = 0 AND is_do = 1 GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, SUM(cents), COUNT(*)
+        |  FROM j WHERE is_dl = 1 AND is_do = 1 GROUP BY 1
+        |), m AS (
+        |  SELECT o_orderstatus, CAST(SUM(c) AS BIGINT) AS maintained_cents,
+        |         CAST(SUM(n) AS BIGINT) AS maintained_rows
+        |  FROM terms GROUP BY 1
+        |), f AS (
+        |  SELECT o_orderstatus, CAST(SUM(cents) AS BIGINT) AS full_cents,
+        |         CAST(COUNT(*) AS BIGINT) AS full_rows
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT f.o_orderstatus, full_cents, maintained_cents,
+        |       full_rows, maintained_rows,
+        |       full_cents IS NOT DISTINCT FROM maintained_cents AS cents_agree,
+        |       full_rows IS NOT DISTINCT FROM maintained_rows AS rows_agree
+        |FROM f FULL OUTER JOIN m USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
     "o_skyline" ->
       """WITH p AS (
         |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,

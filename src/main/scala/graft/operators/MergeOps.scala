@@ -238,4 +238,105 @@ object MergeOps {
       // per key per batch — so the sort is total and oracle-comparable
       .orderBy("c_custkey", "valid_from")
   }
+
+  /** CDC CHANGELOG APPLY: compact a multi-operation change stream to its
+    * per-key FINAL operation, then merge into the base snapshot — the
+    * Debezium/binlog-consumer pattern (upsert-with-delete materialization)
+    * that [[scd2Merge]]'s key-unique-batch precondition delegates to.
+    *
+    * Semantics per key, ops ordered by `seq`: the LAST operation wins —
+    * `D` removes the key, anything else upserts its payload; keys the
+    * changelog never touches keep their base row. `src` labels the
+    * provenance (base / update / insert).
+    *
+    * Scale shape: compaction is ONE `max_by` hash aggregate on the key —
+    * partial max_by combines map-side, so a key with a million changelog
+    * entries ships one row per map task, never the history (the
+    * sort-within-key window alternative buffers and shuffles every
+    * operation). The merge is one full-outer join of base against the
+    * already-compacted (≤ one row per key) batch.
+    */
+  def cdcApply(base: DataFrame, changelog: DataFrame): DataFrame = {
+    // ordering struct (seq, op, cents): seq decides, and a seq TIE falls
+    // back on the payload itself — rows that still tie are identical, so
+    // the winner is deterministic on any engine (a bare max_by(_, seq)
+    // would be partition-order-dependent under duplicate seqs)
+    val compacted = changelog
+      .groupBy("key")
+      .agg(max_by(struct(col("op"), col("cents")),
+        struct(col("seq"), col("op"), col("cents"))).as("last"))
+      .select(col("key"), col("last.op").as("op"), col("last.cents").as("chg_cents"))
+    base.join(compacted, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        coalesce(col("chg_cents"), col("base_cents")).as("cents"),
+        when(col("op").isNull, "base")
+          .when(col("base_cents").isNull, "insert")
+          .otherwise("update").as("src"))
+      .orderBy("key")
+  }
+
+  /** Registered-query harness (e21_cdc_apply): base = orders whose key
+    * md5-nibble < 12; changelog = lineitem rows replayed as operations on
+    * their order (seq = l_linenumber, so keys carry up to 7 competing
+    * ops and compaction is actually exercised; `R` return-flag rows
+    * delete, everything else upserts the line's extended price). Nibble
+    * ≥ 12 orders exist only through the changelog → `insert` branch.
+    */
+  def cdcApplyDemo(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val base = orders
+      .filter(TextOps.hexNibble("o_orderkey") < 12)
+      .select(col("o_orderkey").as("key"),
+        round(col("o_totalprice") * 100).cast("long").as("base_cents"))
+    val changelog = lineitem.select(
+      col("l_orderkey").as("key"), col("l_linenumber").as("seq"),
+      when(col("l_returnflag") === "R", "D").otherwise("U").as("op"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    cdcApply(base, changelog)
+  }
+
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE contract: the delta-decomposition
+    * identity  Δ(L ⋈ O) = ΔL⋈O₀ ∪ L₀⋈ΔO ∪ ΔL⋈ΔO  applied to a revenue
+    * view over lineitem ⋈ orders, witnessed against a from-scratch
+    * recompute. This is the algebra that lets a 100 TB materialized view
+    * absorb a batch at cost ∝ |Δ| (each delta term has a delta side —
+    * small, broadcastable) instead of re-scanning both full tables; the
+    * stored view contributes the `view_old` term without recomputation in
+    * production (recomputed here only so the contract is self-contained).
+    *
+    * Output per o_orderstatus: the recomputed aggregate, the maintained
+    * aggregate (old view + three delta terms), and the equality booleans
+    * the driver hash-compares as literal TRUE. Additivity of SUM/COUNT
+    * over the disjoint union is what makes maintenance exact — the same
+    * reason the terms must partition the new-pairs space: L and O split
+    * on INDEPENDENT deterministic predicates (line number / key nibble),
+    * so every (line, order) pair lands in exactly one term.
+    */
+  def joinMaintenanceDemo(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_orderstatus"))
+    val l = lineitem.select(col("l_orderkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val (oOld, oNew) = (o.filter(TextOps.hexNibble("o_orderkey") < 12),
+      o.filter(TextOps.hexNibble("o_orderkey") >= 12))
+    val (lOld, lNew) = (l.filter(col("l_orderkey") % 7 =!= 0),
+      l.filter(col("l_orderkey") % 7 === 0))
+    def agg(li: DataFrame, or: DataFrame) = li
+      .join(or, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(sum(col("cents")).as("c"), count(lit(1)).as("n"))
+    val maintained = agg(lOld, oOld)      // = the stored view in production
+      .unionByName(agg(lNew, oOld))       // ΔL ⋈ O₀
+      .unionByName(agg(lOld, oNew))       // L₀ ⋈ ΔO
+      .unionByName(agg(lNew, oNew))       // ΔL ⋈ ΔO
+      .groupBy("o_orderstatus")
+      .agg(sum(col("c")).as("maintained_cents"), sum(col("n")).as("maintained_rows"))
+    val full = agg(l, o)
+      .select(col("o_orderstatus"), col("c").as("full_cents"), col("n").as("full_rows"))
+    full.join(maintained, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"), col("full_cents"), col("maintained_cents"),
+        col("full_rows"), col("maintained_rows"),
+        (col("full_cents") <=> col("maintained_cents")).as("cents_agree"),
+        (col("full_rows") <=> col("maintained_rows")).as("rows_agree"))
+      .orderBy("o_orderstatus")
+  }
 }

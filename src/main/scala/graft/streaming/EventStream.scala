@@ -71,6 +71,34 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("window_start_s"),
         col("event_type"), col("n"), col("total_cents"))
 
+  /** Streaming OHLC bars — [[graft.operators.TimeSeries.ohlcBars]]'s
+    * semantics as a watermarked tumbling-window streaming aggregate.
+    * `min_by`/`max_by` are declarative aggregates, so open/close carry
+    * O(1) state per (bar, series) group in the state store — never a
+    * buffered event list — and the aggregate restarts exactly from the
+    * checkpoint. Batch/stream parity is pinned in StreamingSpec against
+    * the oracle-checked batch form (e18).
+    */
+  def ohlcBarsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("cents"), struct(col("us"), col("event_id"))).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), struct(col("us"), col("event_id"))).as("close_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("vol_cents"))
+      .select(unix_micros(col("window.start")).as("bar_us"), col("event_type"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_events"), col("vol_cents"))
+
   /** Run a streaming frame to completion over currently-available input
     * (Trigger.AvailableNow ≈ the reference's "process everything on
     * trigger"), collecting results via the in-memory sink.

@@ -135,4 +135,38 @@ class MergeOpsSpec extends SparkTestBase {
     assert(pit.filter(nb >= 4 && col("segment_changed")).count() === 0)
     assert(pit.filter(nb < 4).count() > 0)
   }
+
+  test("cdcApply: last op wins, deletes remove, untouched keys keep base") {
+    val base = Seq((1L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("key", "base_cents")
+    val changelog = Seq(
+      (1L, 1L, "U", 110L), (1L, 2L, "U", 120L), // compaction: seq 2 wins
+      (2L, 1L, "U", 210L), (2L, 2L, "D", 0L),   // delete after update → gone
+      (4L, 1L, "U", 400L), (4L, 2L, "U", 410L), // insert of a new key
+      (5L, 1L, "D", 0L)                          // delete of an absent key → no row
+    ).toDF("key", "seq", "op", "cents")
+    val out = MergeOps.cdcApply(base, changelog)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out === Map(
+      1L -> ((120L, "update")),
+      3L -> ((300L, "base")),
+      4L -> ((410L, "insert"))))
+  }
+
+  test("cdcApply compaction is a single hash aggregate, no window pass") {
+    val base = Seq((1L, 100L)).toDF("key", "base_cents")
+    val changelog = Seq((1L, 1L, "U", 110L)).toDF("key", "seq", "op", "cents")
+    val plan = MergeOps.cdcApply(base, changelog)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"compaction must not sort/window:\n$plan")
+  }
+
+  test("join-maintenance contract holds TRUE on the fixture") {
+    val out = MergeOps.joinMaintenanceDemo(
+      Tables.orders(spark, sf001), Tables.lineitem(spark, sf001)).cache()
+    assert(out.count() > 0)
+    assert(out.filter(!col("cents_agree") || !col("rows_agree")).count() === 0,
+      "delta decomposition must equal the recompute for every group")
+    out.unpersist()
+  }
 }

@@ -39,6 +39,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming OHLC bars match the oracle-checked batch query exactly") {
+    val (dir, batch) = stageRawDir()
+    val streamed = EventStream.ohlcBarsStream(
+      EventStream.readRaw(spark, dir, batch.schema))
+    val got = EventStream.runAvailableNow(spark, streamed, "ohlc_stream",
+      tmpDir("ckpt"), outputMode = "complete")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))).toMap
+    val want = graft.operators.TimeSeries.ohlcBars(batch)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("the oracle-checked exact windowed aggregate is batch/stream identical") {
     val (dir, batch) = stageRawDir()
     // same FUNCTION through the streaming engine (complete mode) and the
