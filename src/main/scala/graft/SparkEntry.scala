@@ -704,6 +704,10 @@ object SparkEntry {
     // the stored view equals the full recompute — TRUE-boolean contract.
     "e22_join_maintenance" -> ((s, dir) =>
       MergeOps.joinMaintenanceDemo(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Exact Pearson sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) per
+    // group — one map-side-combining aggregate, FP left to the consumer.
+    "dq13_correlation_stats" -> ((s, dir) =>
+      Quality.correlationStats(Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2393,6 +2397,19 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM c
         |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
         |ORDER BY lang, doc_id""".stripMargin,
+    "dq13_correlation_stats" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(x) AS BIGINT) AS sum_x,
+        |       CAST(SUM(y) AS BIGINT) AS sum_y,
+        |       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+        |       CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+        |       CAST(SUM(x * y) AS BIGINT) AS sum_xy
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "e21_cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey AS key,

@@ -523,4 +523,33 @@ object Quality {
         max(col("disorder")).as("max_disorder_us"))
       .orderBy("event_type")
   }
+
+  /** EXACT CORRELATION SUFFICIENT STATISTICS per group: n, Σx, Σy, Σx²,
+    * Σy², Σxy — everything Pearson's r (and covariance, and both
+    * variances) needs, in pure integer arithmetic. The FP steps (the
+    * centered cross-terms, the square-root-and-divide) are left to the
+    * CONSUMER: n·Σy² overflows BIGINT around sf0.1 and the final division
+    * is where engines disagree in the last bit, while the raw sums
+    * themselves hash exactly (Σy² ≈ 6·10¹⁵ at sf0.1 in whole dollars —
+    * headroom to ~sf100; cents would overflow at sf1, hence dollars).
+    *
+    * This is the distributed-statistics pattern that matters at 100 TB:
+    * sufficient statistics are SUMS, so they combine map-side and merge
+    * associatively across any partitioning — one hash aggregate, no
+    * second pass — and incremental maintenance is addition (the e4/e22
+    * contracts apply verbatim). Computing r per partition and averaging
+    * is simply wrong; shipping raw pairs anywhere is a non-starter.
+    */
+  def correlationStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("y") * col("y")).as("sum_yy"),
+        sum(col("x") * col("y")).as("sum_xy"))
+      .orderBy("l_returnflag")
 }
