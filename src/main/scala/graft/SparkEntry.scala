@@ -708,6 +708,9 @@ object SparkEntry {
     // group — one map-side-combining aggregate, FP left to the consumer.
     "dq13_correlation_stats" -> ((s, dir) =>
       Quality.correlationStats(Tables.lineitem(s, dir))),
+    // CUSUM drift detection: the max(0, S+y) recurrence as prefix-sum
+    // minus running-min — two windows, one exchange, integer-exact.
+    "dq14_cusum" -> ((s, dir) => Quality.cusumRate(Tables.events(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2397,6 +2400,33 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM c
         |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
         |ORDER BY lang, doc_id""".stripMargin,
+    "dq14_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |), bars AS (
+        |  SELECT event_type, (us // 3600000000) * 3600000000 AS bar_us,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, bar_us, n,
+        |         SUM(n) OVER (PARTITION BY event_type) //
+        |           COUNT(n) OVER (PARTITION BY event_type) AS target
+        |  FROM bars
+        |), p AS (
+        |  SELECT event_type, bar_us, n, target,
+        |    SUM(n - target) OVER (PARTITION BY event_type ORDER BY bar_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+        |  FROM t
+        |), c AS (
+        |  SELECT event_type, bar_us, n, target,
+        |    pre - LEAST(0, MIN(pre) OVER (PARTITION BY event_type ORDER BY bar_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+        |  FROM p
+        |)
+        |SELECT event_type, bar_us, n, CAST(target AS BIGINT) AS target,
+        |       CAST(cusum AS BIGINT) AS cusum, cusum >= 20 AS drifting
+        |FROM c ORDER BY event_type, bar_us""".stripMargin,
     "dq13_correlation_stats" ->
       """WITH t AS (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,

@@ -540,6 +540,50 @@ object Quality {
     * contracts apply verbatim). Computing r per partition and averaging
     * is simply wrong; shipping raw pairs anywhere is a non-starter.
     */
+  /** CUSUM CHANGE-POINT DETECTION over the hourly event-rate series, per
+    * event type — the classic sequential drift detector
+    * S_i = max(0, S_{i−1} + y_i), where y_i is the hour's count minus the
+    * series' integer-mean target.
+    *
+    * The recurrence looks inherently sequential (the reset-at-zero makes
+    * it nonlinear), but it has a closed window form:
+    *   S_i = P_i − min(0, min_{j≤i} P_j)
+    * with P the prefix sum of y — the reset is exactly "subtract the
+    * lowest water mark so far". That identity turns per-row stateful
+    * iteration into a prefix sum plus a running minimum: two window
+    * functions on ONE (event_type)-partitioned ordering — a single
+    * exchange, O(1) state per row, no mapPartitions/recursion anywhere.
+    * (Proof sketch: both sides satisfy the recurrence — if P_i sets a new
+    * minimum below 0 the difference clamps to ≥ 0, else it advances by
+    * y_i.) All arithmetic is integer (counts, integer-div target), so the
+    * detector is engine-exact.
+    *
+    * Scale: the hourly pre-aggregation reduces the raw stream to
+    * bars × series rows before any window runs; parallelism = #series.
+    */
+  def cusumRate(events: DataFrame, barUs: Long = 3600000000L,
+      threshold: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bars = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("bar_us", expr(s"(us div ${barUs}L) * ${barUs}L"))
+      .groupBy("event_type", "bar_us")
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("bar_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bars
+      .withColumn("target", expr("sum(n) OVER (PARTITION BY event_type) div " +
+        "count(n) OVER (PARTITION BY event_type)"))
+      .withColumn("y", col("n") - col("target"))
+      .withColumn("p", sum(col("y")).over(ordered))
+      .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(ordered)))
+      .select(col("event_type"), col("bar_us"), col("n"), col("target"),
+        col("cusum"), (col("cusum") >= threshold).as("drifting"))
+      .orderBy("event_type", "bar_us")
+  }
+
   def correlationStats(lineitem: DataFrame): DataFrame =
     lineitem
       .select(col("l_returnflag"),

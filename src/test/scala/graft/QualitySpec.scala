@@ -292,4 +292,22 @@ class QualitySpec extends SparkTestBase {
       .map(r => r.getLong(4) - (r.getLong(2) - r.getLong(3)))
     assert(deltas.forall(_ == 0L))
   }
+
+  test("cusum window identity equals the sequential max(0, S+y) fold") {
+    val h = 3600000000L
+    // one event per (bar, type) occurrence: counts per bar = multiplicity
+    val counts = Seq(3L, 3L, 9L, 1L, 1L, 7L, 8L, 1L, 3L) // mean 4 (36/9)
+    val rows = counts.zipWithIndex.flatMap { case (c, bar) =>
+      (0L until c).map(j => (bar * 1000L + j, bar * h, "a"))
+    }
+    val df = rows.toDF("event_id", "usl", "event_type")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val got = Quality.cusumRate(df, barUs = h, threshold = 5L)
+      .collect().map(r => (r.getLong(1) / h, r.getLong(4), r.getBoolean(5)))
+    val target = counts.sum / counts.length
+    val want = counts.scanLeft(0L)((s, n) => math.max(0L, s + n - target)).tail
+    assert(got.map(_._2).toSeq === want, "window form must equal the fold")
+    assert(got.forall { case (_, c, d) => d === (c >= 5L) })
+    assert(got.map(_._1).toSeq === (0L until 9L).toSeq)
+  }
 }
