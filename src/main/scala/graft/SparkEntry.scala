@@ -711,6 +711,13 @@ object SparkEntry {
     // CUSUM drift detection: the max(0, S+y) recurrence as prefix-sum
     // minus running-min — two windows, one exchange, integer-exact.
     "dq14_cusum" -> ((s, dir) => Quality.cusumRate(Tables.events(s, dir))),
+    // Multi-source bounded BFS over the g3 co-purchase graph: frontier
+    // iteration, visited anti-join, eager checkpoints — min-hop exact.
+    "g4_bfs_hops" -> ((s, dir) =>
+      GraphOps.bfsHopsDemo(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // Deterministic mode (most-frequent, smallest on ties) — two hash
+    // aggregates; the builtin mode() tie-break is partition-order noise.
+    "a16_mode" -> ((s, dir) => Aggregates.modeOf(Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2400,6 +2407,36 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM c
         |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
         |ORDER BY lang, doc_id""".stripMargin,
+    "g4_bfs_hops" ->
+      """WITH RECURSIVE
+        |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (
+        |  SELECT a.p AS src, b.p AS dst FROM op a JOIN op b
+        |  ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), e AS (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        |), walk(node, hops) AS (
+        |  SELECT p_partkey, 0 FROM part WHERE p_brand = 'Brand#11'
+        |  UNION ALL
+        |  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.hops < 3
+        |)
+        |SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a16_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT l_returnflag, q, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, q ASC) AS rn
+        |  FROM c
+        |)
+        |SELECT l_returnflag, q AS mode_quantity, CAST(cnt AS BIGINT) AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "dq14_cusum" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) AS us

@@ -407,4 +407,25 @@ object Aggregates {
         max(col("total")).as("total_weight"))
       .orderBy("l_returnflag")
   }
+
+  /** DETERMINISTIC MODE per group — the most frequent value, smallest
+    * value on a frequency tie. Spark's builtin `mode()` breaks ties
+    * arbitrarily (partition visit order), which is useless under a hash
+    * gate and a repro hazard in production; the explicit two-level form
+    * — count per (group, value), then `max_by` on the (count, −value)
+    * struct — pins the tie and stays two map-side-combining hash
+    * aggregates (state ∝ distinct values per group, no sort, no window
+    * over the raw data).
+    */
+  def modeOf(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_returnflag", "q")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(max_by(struct(col("q"), col("cnt")),
+        struct(col("cnt"), (-col("q")).as("neg"))).as("m"))
+      .select(col("l_returnflag"), col("m.q").as("mode_quantity"),
+        col("m.cnt").as("n_mode"))
+      .orderBy("l_returnflag")
 }

@@ -111,16 +111,71 @@ object GraphOps {
     * driver-side graph object.
     */
   def coPurchaseComponents(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    Dedup.connectedComponents(coPurchaseEdges(lineitem, minSupport)).orderBy("node")
+  }
+
+  /** Support-pruned co-purchase edge list (src < dst): parts co-occurring
+    * in ≥ `minSupport` distinct orders. Shared by [[coPurchaseComponents]]
+    * and [[bfsHops]]' demo so both graph queries walk the SAME graph.
+    */
+  def coPurchaseEdges(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
     val op = lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = op.as("a").join(op.as("b"),
+    op.as("a").join(op.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSupport)
       .select("src", "dst")
-    Dedup.connectedComponents(edges).orderBy("node")
   }
+
+  /** MULTI-SOURCE BFS: minimum hop distance from a seed set, bounded at
+    * `maxHops` — the "what's within k links of X" primitive (crawl
+    * frontier expansion, related-product discovery, blast-radius
+    * queries). Frontier-at-a-time iteration: each round joins ONLY the
+    * newly-reached frontier against the symmetrized edge list and
+    * anti-joins the visited set, so a node is expanded exactly once and
+    * per-round work is ∝ frontier × degree, never nodes × edges. The
+    * edge list is the loop invariant (cached); the visited set is
+    * eagerly checkpointed per round — the same lineage-truncation
+    * discipline as [[pageRank]] (without it, round k recomputes rounds
+    * 1..k−1 once per downstream consumer). Distances are integers and
+    * min-hop is partition-invariant, so the result is engine-exact.
+    *
+    * Seeds outside the edge set still report hop 0 (a seed is at
+    * distance 0 from itself whether or not anything links to it).
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 12, "bounded BFS only")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var dist = seeds.select(col("node"), lit(0L).as("hops")).localCheckpoint(true)
+    var frontier = dist.select("node")
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontier.join(sym, frontier("node") === sym("src"))
+        .select(sym("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint(true)
+      dist = dist.union(next).localCheckpoint(true)
+      frontier = next.select("node")
+      h += 1
+    }
+    sym.unpersist()
+    dist.orderBy("node")
+  }
+
+  /** Registered-query harness (g4_bfs_hops): hop distance from the
+    * Brand#11 parts over the same support-pruned co-purchase graph as
+    * g3 — "how far is every product from this brand's neighborhood".
+    */
+  def bfsHopsDemo(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#11", maxHops: Int = 3): DataFrame =
+    bfsHops(coPurchaseEdges(lineitem),
+      part.filter(col("p_brand") === brand).select(col("p_partkey").as("node")),
+      maxHops)
 
   /** PageRank with a FIXED iteration count, INTEGER-EXACT: scores live in
     * micro-units (init 10⁶ per node) and every step is floor arithmetic —

@@ -769,4 +769,24 @@ class DedupSimilaritySpec extends SparkTestBase {
       "null group must be re-aggregated, not kept stale")
     assert(repaired.contains(Some("fr")), "unaffected group must survive")
   }
+
+  test("bfsHops: min-hop distances, bound respected, isolated seed at 0") {
+    // path 1-2-3-4-5 plus a cycle 2-6-7-3 and an isolated seed 99
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 6L), (6L, 7L), (7L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = GraphOps.bfsHops(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 2L, 6L -> 2L,
+      4L -> 3L, 7L -> 3L), "node 5 is 4 hops away and must be absent")
+  }
+
+  test("bfsHops expands each node once (frontier shrinks on revisits)") {
+    // complete graph K4: everything is 1 hop from the seed, round 2 empty
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.bfsHops(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }

@@ -503,4 +503,14 @@ class OperatorSpec extends SparkTestBase {
     // blocks, so the single-pass form never compares them
     assert(!got.exists(p => p._1 == "red bolt" && p._2 == "red ring"))
   }
+
+  test("modeOf picks the most frequent value, smallest on a frequency tie") {
+    val df = Seq(
+      ("A", 5.0), ("A", 5.0), ("A", 9.0), ("A", 9.0), ("A", 2.0), // tie 5 vs 9 → 5
+      ("B", 7.0), ("B", 3.0), ("B", 7.0))                          // clear winner 7
+      .toDF("l_returnflag", "l_quantity")
+    val got = Aggregates.modeOf(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map("A" -> ((5L, 2L)), "B" -> ((7L, 2L))))
+  }
 }
