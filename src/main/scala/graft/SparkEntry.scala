@@ -723,6 +723,10 @@ object SparkEntry {
     // the non-equi strategy surface next to j7 range and j12 binning.
     "e23_session_incidents" -> ((s, dir) =>
       Sessions.sessionIncidentOverlap(Tables.events(s, dir))),
+    // Corpus-wide segment dedup (repeated-paragraph removal, keep first
+    // occurrence) with per-doc reconstruction — three linear stages.
+    "t31_segment_dedup" -> ((s, dir) =>
+      TextOps.segmentDedup(Tables.documents(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2412,6 +2416,22 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM c
         |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
         |ORDER BY lang, doc_id""".stripMargin,
+    "t31_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ') AS seg
+        |  FROM t, UNNEST(generate_series(1, ((len(toks) - 1) // 8) + 1)) AS u(i)
+        |), k AS (
+        |  SELECT doc_id, pos, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM segs
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+        |                           ORDER BY pos), '') AS cleaned_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e23_session_incidents" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us

@@ -407,6 +407,55 @@ object TextOps {
       .orderBy(strataCol, keyCol)
   }
 
+  /** CORPUS-WIDE SEGMENT DEDUP (the "remove repeated lines/paragraphs
+    * across documents, keep the first occurrence" cleaning pass of
+    * large-scale corpus pipelines — boilerplate nav bars, license
+    * blocks, quoted headers): documents are segmented into fixed
+    * `segTokens`-token chunks (the fixture has no sentence punctuation;
+    * position-based segmentation keeps the operator shape identical),
+    * every repeated segment keeps ONLY its globally-first occurrence
+    * (min (doc_id, position) — deterministic, not partition-order), and
+    * each document is reconstructed from its surviving segments in
+    * original order. Differs from [[boilerplateStrip]] (t21): that
+    * SCORES n-grams by document frequency and strips within each doc;
+    * this deduplicates EXACT segments across the corpus — first
+    * occurrence survives, later copies vanish.
+    *
+    * Scale shape: three linear, key-hashed stages — explode segments
+    * (rows ∝ corpus tokens / segTokens), min-aggregate per segment
+    * (map-side combine; the keeper struct is 16 bytes of state however
+    * often a segment repeats), join back on the segment hash + regroup
+    * per doc. Reconstruction sorts only each doc's OWN segment list
+    * (array_sort of ≤ doc-length/segTokens entries), never a global
+    * sort.
+    */
+  def segmentDedup(documents: DataFrame, segTokens: Int = 8): DataFrame = {
+    require(segTokens > 0)
+    import org.apache.spark.sql.functions.{array_sort, col => c, collect_list,
+      concat_ws, explode, min, struct}
+    val segs = documents
+      .select(c("doc_id"), tokens(c("text")).as("toks"))
+      .select(c("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST((size(toks) - 1) div $segTokens AS INT)),
+           |  i -> struct(i AS pos,
+           |              concat_ws(' ', slice(toks, i * $segTokens + 1, $segTokens)) AS seg))
+           |""".stripMargin)).as("s"))
+      .select(c("doc_id"), c("s.pos").as("pos"), c("s.seg").as("seg"))
+    val keepers = segs.groupBy("seg")
+      .agg(min(struct(c("doc_id"), c("pos"))).as("k"))
+      .select(c("seg"), c("k.doc_id").as("kdoc"), c("k.pos").as("kpos"))
+    segs.join(keepers, "seg")
+      .withColumn("kept",
+        (c("doc_id") === c("kdoc") && c("pos") === c("kpos")).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"), sum(c("kept")).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(filter(collect_list(CASE WHEN kept = 1 " +
+            "THEN struct(pos, seg) END), x -> x IS NOT NULL)), x -> x.seg)"))
+          .as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Value of the first hex digit of md5(key) in [0,16) — `instr` over the
     * hex alphabet rather than `conv`, because the oracle engine has the
     * same `instr`/`strpos` semantics (1-based, 0 when absent). Public:

@@ -154,6 +154,24 @@ class TimeSeriesSpec extends SparkTestBase {
       "equal points survive or fall together")
   }
 
+  test("segmentDedup keeps the globally-first copy and reconstructs in order") {
+    val segA = (1 to 8).map(i => s"a$i").mkString(" ")  // 8-token segment
+    val segB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$segA $segB"),      // first occurrence of A and B
+      (2L, s"$segC $segA"),      // C new; A is a later copy → dropped
+      (3L, s"$segB $segB"))      // doc-internal repeat: second B dropped too
+      .toDF("doc_id", "text")
+    val out = TextOps.segmentDedup(docs, segTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 2L, s"$segA $segB")))
+    assert(out(2L) === ((2L, 1L, segC)), "later copy of A removed, order kept")
+    assert(out(3L) === ((2L, 0L, "")),
+      "every B here is a later copy; empty doc reconstructs to empty string")
+  }
+
   test("skyline2d bucket pre-prune discards the bulk before the global window") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 2000).map(i =>
