@@ -727,6 +727,10 @@ object SparkEntry {
     // occurrence) with per-doc reconstruction — three linear stages.
     "t31_segment_dedup" -> ((s, dir) =>
       TextOps.segmentDedup(Tables.documents(s, dir))),
+    // t-closeness (privacy triad leg 3): integer-exact EMD between each
+    // class's and the global sensitive-decile distribution.
+    "dq15_t_closeness" -> ((s, dir) =>
+      Quality.tClosenessAudit(Tables.customer(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2416,6 +2420,42 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM c
         |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
         |ORDER BY lang, doc_id""".stripMargin,
+    "dq15_t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 110000
+        |           AS bucket
+        |  FROM customer
+        |), gh AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS g FROM base GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(g) AS BIGINT) AS gtot,
+        |         CAST(COUNT(*) AS BIGINT) AS nb FROM gh
+        |), ch AS (
+        |  SELECT c_nationkey, c_mktsegment, bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3
+        |), cls AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS ctot
+        |  FROM ch GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.ctot,
+        |         gh.bucket, gh.g, tot.gtot, tot.nb, COALESCE(ch.c, 0) AS c
+        |  FROM cls CROSS JOIN gh CROSS JOIN tot
+        |  LEFT JOIN ch ON ch.c_nationkey = cls.c_nationkey
+        |    AND ch.c_mktsegment = cls.c_mktsegment AND ch.bucket = gh.bucket
+        |), cum AS (
+        |  SELECT *, SUM(c * gtot - g * ctot) OVER (
+        |    PARTITION BY c_nationkey, c_mktsegment ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+        |  FROM grid
+        |)
+        |SELECT c_nationkey, c_mktsegment, ctot,
+        |       CAST(SUM(ABS(cumv)) AS BIGINT) AS emd_num,
+        |       CAST(ctot * gtot * (nb - 1) AS BIGINT) AS emd_den,
+        |       SUM(ABS(cumv)) * 4 > ctot * gtot * (nb - 1) AS breach
+        |FROM cum GROUP BY c_nationkey, c_mktsegment, ctot, gtot, nb
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "t31_segment_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |segs AS (

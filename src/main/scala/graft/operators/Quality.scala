@@ -540,6 +540,61 @@ object Quality {
     * contracts apply verbatim). Computing r per partition and averaging
     * is simply wrong; shipping raw pairs anywhere is a non-starter.
     */
+  /** T-CLOSENESS audit — the third leg of the privacy triad after
+    * [[kAnonymityAudit]] and [[lDiversityAudit]]: a group can be ≥ k rows
+    * AND l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    * skews far from the table's (the skewness attack: "this group is
+    * mostly top-decile balances" is a disclosure even with all deciles
+    * present). Per quasi-identifier class, the Earth Mover's Distance
+    * between the class's and the global sensitive-bucket distribution —
+    * for an ordered attribute, EMD = Σᵢ |Σ_{j≤i}(p_j − q_j)| / (m−1).
+    *
+    * INTEGER-EXACT throughout: with class counts c_j (total C), global
+    * counts g_j (total G), the cumulative term c_j·G − g_j·C clears both
+    * denominators, so the audit emits emd_num = Σ|cum| and
+    * emd_den = C·G·(m−1) with the breach test
+    * emd_num·t_den > t_num·emd_den — no floating point, engine-exact.
+    * Sensitive attribute: account balance on a fixed integer-cents decile
+    * grid.
+    *
+    * Scale shape: two scan-bound aggregates (class×bucket and bucket
+    * histograms — state ∝ domains, not rows); everything after runs on
+    * metadata-scale frames (the dense class×bucket grid is |classes|·m
+    * rows), with the tiny global histogram broadcast. The guarded
+    * crossJoin is the blessed |small|-per-row kind.
+    */
+  def tClosenessAudit(customer: DataFrame, tNum: Long = 1L,
+      tDen: Long = 4L): DataFrame = {
+    require(tNum > 0 && tDen > 0, "threshold t = tNum/tDen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = customer.select(col("c_nationkey"), col("c_mktsegment"),
+      expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 110000")
+        .as("bucket"))
+    val globalHist = base.groupBy("bucket").agg(count(lit(1)).as("g"))
+    val totals = globalHist.agg(sum(col("g")).as("gtot"),
+      count(lit(1)).as("nb"))
+    val gh = globalHist.crossJoin(broadcast(totals))
+    val classHist = base.groupBy("c_nationkey", "c_mktsegment", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val classes = classHist.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum(col("c")).as("ctot"))
+    val byClass = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.crossJoin(broadcast(gh))
+      .join(classHist, Seq("c_nationkey", "c_mktsegment", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum", sum(col("c") * col("gtot") - col("g") * col("ctot"))
+        .over(byClass))
+      .groupBy("c_nationkey", "c_mktsegment", "ctot", "gtot", "nb")
+      .agg(sum(abs(col("cum"))).as("emd_num"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("ctot"),
+        col("emd_num"),
+        (col("ctot") * col("gtot") * (col("nb") - 1)).as("emd_den"),
+        (col("emd_num") * tDen > col("emd_den") * tNum).as("breach"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
   /** CUSUM CHANGE-POINT DETECTION over the hourly event-rate series, per
     * event type — the classic sequential drift detector
     * S_i = max(0, S_{i−1} + y_i), where y_i is the hour's count minus the

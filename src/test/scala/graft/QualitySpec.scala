@@ -293,6 +293,28 @@ class QualitySpec extends SparkTestBase {
     assert(deltas.forall(_ == 0L))
   }
 
+  test("t-closeness EMD is exact, boundary EMD = t is NOT a breach") {
+    // buckets: bal −999.00 → 0, 1201.00 → 1 (cents+100000 div 110000)
+    // global: bucket0 = 8(A) + 4(B) = 12, bucket1 = 4 → G = 16, m = 2
+    // class A (8 rows, all bucket0): cum = 8·16 − 12·8 = 32, then 0
+    //   → emd 32/128 = 1/4 = t exactly → NOT a breach (strict >)
+    // class B (4/4): cum = 4·16 − 12·8 = −32, then 0 → emd 32/128 too
+    val rows = (0 until 8).map(_ => (1L, "A", -999.0)) ++
+      (0 until 4).map(_ => (2L, "B", -999.0)) ++
+      (0 until 4).map(_ => (2L, "B", 1201.0))
+    val df = rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = Quality.tClosenessAudit(df)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got("A") === ((8L, 32L, 128L, false)),
+      "EMD exactly t must not breach")
+    assert(got("B") === ((8L, 32L, 128L, false)))
+    // tighten t to 1/8: both classes now sit strictly above and breach
+    val tight = Quality.tClosenessAudit(df, tNum = 1L, tDen = 8L)
+      .collect().map(r => r.getString(1) -> r.getBoolean(5)).toMap
+    assert(tight === Map("A" -> true, "B" -> true))
+  }
+
   test("cusum window identity equals the sequential max(0, S+y) fold") {
     val h = 3600000000L
     // one event per (bar, type) occurrence: counts per bar = multiplicity
