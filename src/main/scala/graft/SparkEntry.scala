@@ -688,6 +688,13 @@ object SparkEntry {
     // all tokens — the asymmetric complement of d18.
     "d19_containment" -> ((s, dir) =>
       Dedup.containmentJoin(Tables.documents(s, dir), 4, 5, materialize = true)),
+    // EXACT edit-distance join (PassJoin segment pigeonhole) at k=4 on
+    // 32-char prefixes: character-SEQUENCE closeness — the typo/OCR
+    // regime where one edit kills every shingle crossing it, invisible
+    // to the token-set joins d18/d19. Candidates from one equi-join on
+    // (segment_index, substring); verification is codegen'd levenshtein.
+    "d20_edit_distance" -> ((s, dir) =>
+      Dedup.editDistanceJoin(Tables.documents(s, dir), 4, 32)),
     // Weighted systematic sampling: exactly 5 picks per language,
     // probability ∝ n_chars, pure integer-division grid test — the
     // engine-exact alternative to FP exponential-key (A-ES) sampling.
@@ -2333,6 +2340,14 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
         | AND len(b.sh) * 5 >= len(a.sh) * 4
         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(a.sh) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d20_edit_distance" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 32) AS s
+        |           FROM documents WHERE length(text) >= 32)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 4
         |ORDER BY doc_a, doc_b""".stripMargin,
     "e18_ohlc_bars" ->
       """WITH e AS (

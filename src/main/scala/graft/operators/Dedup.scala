@@ -696,6 +696,96 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT EDIT-DISTANCE similarity join (PassJoin-style segment
+    * pigeonhole): every unordered pair of documents whose first
+    * `prefixLen` characters are within Levenshtein distance `k`, found
+    * WITHOUT an all-pairs comparison.
+    *
+    * The operator completes the similarity-join family: [[prefixFilterJoin]]
+    * catches token-SET overlap (word reorderings score high),
+    * [[containmentJoin]] catches asymmetric inclusion, and this catches
+    * character-level SEQUENCE closeness — typo variants, OCR noise,
+    * single-token substitutions — pairs whose shingle Jaccard can be low
+    * because one edited character kills every shingle crossing it.
+    *
+    * Candidate generation is the pigeonhole partition scheme of
+    * PassJoin (Li, Deng, Wang, Feng, 2011): split each indexed string
+    * into k+1 contiguous segments. An alignment with ≤ k edits can touch
+    * at most k segments, so at least one segment survives UNEDITED and
+    * appears verbatim in the other string at a start position shifted by
+    * at most k (the net insertion/deletion drift is bounded by the edit
+    * count). Each document therefore indexes its k+1 segments and probes
+    * with its O(k²) shifted substrings; candidates come from ONE
+    * equi-join on (segment_index, substring) — a hash shuffle, never a
+    * cartesian. (PassJoin's multi-match-aware selection tightens the ±k
+    * shift window per side; the symmetric ±k window kept here is strictly
+    * larger, so completeness is preserved at a small candidate premium.)
+    *
+    * Only documents with at least `prefixLen` characters participate —
+    * the key is then exactly `prefixLen` chars on every side, which keeps
+    * the equal-length form of the pigeonhole argument (no per-length
+    * probe fan-out) and matches the oracle's identical WHERE clause.
+    *
+    * Scale: probe fan-out is ≤ (k+1)(2k+1) rows per doc (a constant),
+    * the join key (segment_index, 6-7 char substring) is fine-grained,
+    * and verification runs one codegen'd `levenshtein` per surviving
+    * candidate — work ∝ corpus + collisions, the same contract as the
+    * other prefix-filter joins.
+    */
+  def editDistanceJoin(documents: DataFrame, k: Int = 4,
+      prefixLen: Int = 32): DataFrame = {
+    val (docs, cand) = editDistancePrune(documents, k, prefixLen)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate pairs of [[editDistanceJoin]]'s pigeonhole stage — also
+    * exposed on its own so tests can assert the pruning actually prunes
+    * (candidates ≪ n·(n−1)/2 on non-pathological corpora).
+    */
+  private[graft] def editDistancePrune(documents: DataFrame, k: Int,
+      prefixLen: Int): (DataFrame, DataFrame) = {
+    require(k >= 1, s"editDistanceJoin: k=$k must be >= 1")
+    require(prefixLen >= 2 * (k + 1),
+      s"editDistanceJoin: prefixLen=$prefixLen too short for k=$k segments")
+    val nSeg = k + 1
+    val base = prefixLen / nSeg
+    val rem = prefixLen % nSeg
+    def segStart(i: Int): Int = i * base + math.min(i, rem) // 0-based
+    val docs = documents
+      .filter(length(col("text")) >= prefixLen)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
+    val segs = docs.select(col("doc_id"),
+      explode(array((0 until nSeg).map { i =>
+        val st = segStart(i); val len = segStart(i + 1) - st
+        struct(lit(i).as("i"), substring(col("s"), st + 1, len).as("sub"))
+      }: _*)).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.sub").as("sub"))
+    val probes = docs.select(col("doc_id"),
+      explode(array((0 until nSeg).flatMap { i =>
+        val st = segStart(i); val len = segStart(i + 1) - st
+        val lo = math.max(0, st - k); val hi = math.min(prefixLen - len, st + k)
+        (lo to hi).map(q =>
+          struct(lit(i).as("i"), substring(col("s"), q + 1, len).as("sub")))
+      }: _*)).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.sub").as("sub"))
+    // probe×index orientation covered both ways by construction (every
+    // doc both indexes and probes), so least/greatest normalization plus
+    // distinct yields each unordered candidate pair once
+    val cand = probes.as("a").join(segs.as("b"),
+        col("a.i") === col("b.i") && col("a.sub") === col("b.sub") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    (docs, cand)
+  }
+
   /** (doc_id, sig, chunk_id, chunk_val): the 64-bit SimHash split into
     * `numChunks` contiguous chunks with widths differing by at most 1.
     */

@@ -789,4 +789,70 @@ class DedupSimilaritySpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  private def bruteEditPairs(documents: org.apache.spark.sql.DataFrame,
+      k: Int, prefixLen: Int): Set[(Long, Long, Long)] = {
+    val t = documents.filter(length(col("text")) >= prefixLen)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
+    t.select(col("doc_id").as("doc_a"), col("s").as("s_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("s").as("s_b")),
+        col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("editDistanceJoin equals brute force on planted edits and the fixture") {
+    // Planted set exercises each edit kind within the 32-char prefix —
+    // substitution, deletion, insertion, a k-edit combination just at the
+    // bound, a (k+1)-edit pair just past it, and the token-set blind spot
+    // this operator exists for: doc 6 is doc 0 with one char flipped in
+    // every 8th position, whose shingle Jaccard is tiny but edit distance
+    // exactly 4. Shorter-than-prefix docs must be excluded, not crash.
+    val base = "abcdefgh ijklmnop qrstuvwx yzabcd fill tail beyond prefix"
+    val planted = Seq(
+      (0L, base),
+      (1L, "Xbcdefgh ijklmnop qrstuvwx yzabcd fill"), // 1 substitution
+      (2L, "bcdefgh ijklmnop qrstuvwx yzabcde fill"), // 1 deletion (shifted)
+      (3L, "Zabcdefgh ijklmnop qrstuvwx yzabc fill"), // 1 insertion
+      (4L, "AbcdefgH ijklmnoP qrstuvwX yzabcd fill"), // 4 subs == k
+      (5L, "AbcdefgH ijklmnoP qrstuvwX Yzabcd Fill"), // 6 subs > k: out
+      (6L, "Abcdefgh Ijklmnop Qrstuvwx Yzabcd fill"), // 4 spread subs
+      (7L, "totally different text with nothing shared at all here ok"),
+      (8L, "short doc") // < 32 chars: excluded by contract
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistanceJoin(planted, 4, 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = bruteEditPairs(planted, 4, 32)
+    assert(got === want,
+      s"planted mismatch: missed ${want.diff(got)}, extra ${got.diff(want)}")
+    assert(got.exists(p => p._1 == 0L && p._2 == 4L && p._3 == 4L),
+      "k-edit boundary pair (0,4) must be found at dist exactly 4")
+    assert(!got.exists(p => p._1 == 0L && p._2 == 5L),
+      "pair (0,5) past the k bound must be absent")
+    assert(!got.exists(p => p._1 == 8L || p._2 == 8L),
+      "short doc must be excluded, not paired")
+
+    // fixture at the registered (k=4, prefix=32): candidate completeness
+    // on real data at both driver-compared scales
+    for (sfDir <- Seq(sf0001, sf001)) {
+      val fixture = Tables.documents(spark, sfDir)
+      val g = Dedup.editDistanceJoin(fixture, 4, 32).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = bruteEditPairs(fixture, 4, 32)
+      assert(g === w,
+        s"$sfDir mismatch: missed ${w.diff(g)}, extra ${g.diff(w)}")
+      assert(w.nonEmpty, s"$sfDir must contain at least one k<=4 pair")
+    }
+  }
+
+  test("editDistanceJoin pigeonhole candidates prune far below all-pairs") {
+    val fixture = Tables.documents(spark, sf001)
+    val n = fixture.filter(length(col("text")) >= 32).count()
+    val allPairs = n * (n - 1) / 2
+    val cand = Dedup.editDistancePrune(fixture, 4, 32)._2.count()
+    assert(cand * 10 < allPairs,
+      s"pigeonhole stage generated $cand of $allPairs pairs — not pruning")
+  }
 }
