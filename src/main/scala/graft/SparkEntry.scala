@@ -683,6 +683,11 @@ object SparkEntry {
     // Sequential path mining: consecutive event-type trigrams per user —
     // two leads over one window, grid aggregation ≤ |type|³ rows.
     "e20_trigram_paths" -> ((s, dir) => Sessions.trigramPaths(Tables.events(s, dir))),
+    // Per-series OLS trend slope as an exact integer rational (num/den
+    // BIGINTs, FP division left to the consumer): minutes-offset x from
+    // each series' own start, window min + aggregate share one user_id
+    // exchange.
+    "e24_trend_slopes" -> ((s, dir) => TimeSeries.trendSlopes(Tables.events(s, dir))),
     // EXACT set-containment join at 4/5 (quote/truncation detection):
     // contained side keeps its AllPairs prefix, container side indexes
     // all tokens — the asymmetric complement of d18.
@@ -2341,6 +2346,29 @@ GROUP BY doc_id ORDER BY doc_id"""
         | AND len(b.sh) * 5 >= len(a.sh) * 4
         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(a.sh) * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "e24_trend_slopes" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+        |), x AS (
+        |  SELECT user_id, cents,
+        |         (us - min(us) OVER (PARTITION BY user_id)) // 60000000 AS x
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(cents) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(x * cents) AS BIGINT) AS sxy
+        |  FROM x GROUP BY user_id
+        |)
+        |SELECT user_id, n,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN n * sxy - sx * sy END AS slope_num,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN n * sxx - sx * sx END AS slope_den,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN sy * sxx - sx * sxy END AS intercept_num
+        |FROM s ORDER BY user_id""".stripMargin,
     "d20_edit_distance" ->
       """WITH t AS (SELECT doc_id, substr(text, 1, 32) AS s
         |           FROM documents WHERE length(text) >= 32)

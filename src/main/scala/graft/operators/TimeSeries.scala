@@ -96,4 +96,52 @@ object TimeSeries {
         sum(col("n")).as("n_events"))
       .orderBy("user_id")
   }
+
+  /** Per-series least-squares TREND as an exact integer rational: for
+    * each user, the OLS slope of value-cents against minutes-since-the-
+    * series-start, emitted as (numerator, denominator) BIGINTs —
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * plus the intercept numerator over the same denominator. The FP
+    * division is left to the CONSUMER, where engine-specific rounding
+    * lives; everything the engine computes is integer arithmetic, so the
+    * result is hash-exact across engines (same design as the correlation
+    * sufficient statistics).
+    *
+    * x is the MINUTE offset from the series' own first event — slope is
+    * translation-invariant in x, and the group-relative origin keeps
+    * every product far inside BIGINT (x ≤ minutes-of-retention, not
+    * epoch minutes whose squares approach 2⁶³). The per-series min rides
+    * a window over the same user_id partitioning the aggregation
+    * shuffles on: ONE exchange end-to-end.
+    *
+    * Series with a degenerate design matrix (all events in one minute →
+    * denominator 0) are reported with n but null slope terms rather than
+    * dropped — "no trend measurable" is an answer, not a missing row.
+    */
+  def trendSlopes(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val stats = events
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("min_us", min(col("us")).over(byUser))
+      // SQL `div` (integer division), NOT `/` (double division): the
+      // offset stays in exact integer arithmetic end-to-end
+      .withColumn("x", expr("(us - min_us) div 60000000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("cents")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("cents")).as("sxy"))
+    stats
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("user_id"), col("n"),
+        when(col("den") > 0, col("n") * col("sxy") - col("sx") * col("sy"))
+          .as("slope_num"),
+        when(col("den") > 0, col("den")).as("slope_den"),
+        when(col("den") > 0, col("sy") * col("sxx") - col("sx") * col("sxy"))
+          .as("intercept_num"))
+      .orderBy("user_id")
+  }
 }

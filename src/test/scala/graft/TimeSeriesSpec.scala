@@ -183,4 +183,40 @@ class TimeSeriesSpec extends SparkTestBase {
     val narrow = SetOps.skyline2d(df, bucketCents = 500L).collect().map(_.getLong(0)).toSet
     assert(wide === narrow, "bucket width is a performance knob, not semantics")
   }
+
+  test("trendSlopes: hand-computed rational slope, degenerate series -> nulls") {
+    val m = 60000000L // one minute in us
+    val df = eventsDf(Seq(
+      // user 1: (x, cents) = (0,100),(1,200),(2,300) — y = 100x + 100:
+      //   n=3 sx=3 sy=600 sxx=5 sxy=800 -> den=6, slope 600/6, icept 600/6
+      ev(0L, 1L, "a", 1.00, 1L),
+      ev(m, 2L, "a", 2.00, 1L),
+      ev(2 * m, 3L, "a", 3.00, 1L),
+      // user 2: both events inside ONE minute -> x=0,0 -> den=0 -> nulls
+      ev(0L, 4L, "a", 1.00, 2L),
+      ev(30000000L, 5L, "a", 9.00, 2L),
+      // user 3: group-relative origin — events at minutes 100,101 must
+      // produce x=0,1, slope = y-diff in cents
+      ev(100 * m, 6L, "a", 5.00, 3L),
+      ev(101 * m, 7L, "a", 5.25, 3L)
+    ))
+    val got = TimeSeries.trendSlopes(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(1L) === ((3L, Some(600L), Some(6L), Some(600L))))
+    assert(got(2L) === ((2L, None, None, None)),
+      "single-minute series must report n with null slope terms")
+    // n=2 sx=1 sy=1025 sxx=1 sxy=525: den=1, slope 25/1, intercept 500/1
+    assert(got(3L) === ((2L, Some(25L), Some(1L), Some(500L))),
+      "origin must be group-relative (slope 25 cents/min)")
+  }
+
+  test("trendSlopes plans ONE hash exchange (window min + agg share user_id)") {
+    val df = Tables.events(spark, sf001)
+    val plan = TimeSeries.trendSlopes(df).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"expected 1 hash exchange:\n$plan")
+  }
 }
