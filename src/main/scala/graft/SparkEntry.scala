@@ -420,6 +420,11 @@ object SparkEntry {
     // DataSketches HLL surface: estimate-accuracy + sketch-mergeability
     // booleans hash-compared against literal TRUE (d4c pattern).
     "a12_hll_contract" -> ((s, dir) => Aggregates.hllContract(Tables.events(s, dir))),
+    // KMV bottom-k sketch: union + intersection estimates composed from
+    // two groups' k-smallest-hash summaries with plain array ops — the
+    // set-operation sketch HLL cannot express; bounds witnessed as
+    // booleans next to SQL-exact overlap counts.
+    "a17_kmv_contract" -> ((s, dir) => Aggregates.kmvContract(Tables.events(s, dir))),
     // Unpivot/melt: the inverse reshape of a9 (native Expand, row-local).
     "a14_unpivot" -> ((s, dir) =>
       Aggregates.unpivotSummary(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -3080,6 +3085,23 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       TRUE AS within_5pct, TRUE AS merge_within_5pct
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a17_kmv_contract" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |i AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+        |             CAST(COUNT(*) AS BIGINT) AS n_inter
+        |      FROM d a JOIN d b ON a.user_id = b.user_id
+        |                       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT i.et_a, i.et_b,
+        |       na.n + nb.n - i.n_inter AS n_union_exact,
+        |       i.n_inter AS n_inter_exact,
+        |       TRUE AS dist_a_within_20pct, TRUE AS dist_b_within_20pct,
+        |       TRUE AS union_within_20pct, TRUE AS inter_within_quarter_union
+        |FROM i JOIN n na ON na.event_type = i.et_a
+        |       JOIN n nb ON nb.event_type = i.et_b
+        |ORDER BY et_a, et_b""".stripMargin,
     "a13_cms_contract" ->
       """WITH c AS (
         |  SELECT event_type, user_id, COUNT(*) AS cnt
