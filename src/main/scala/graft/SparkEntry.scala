@@ -748,6 +748,11 @@ object SparkEntry {
     // class's and the global sensitive-decile distribution.
     "dq15_t_closeness" -> ((s, dir) =>
       Quality.tClosenessAudit(Tables.customer(s, dir))),
+    // Functional-dependency audit: exact violating-key counts per
+    // candidate A→B via TANE-style stripped partitions (distinct pairs
+    // first, so shuffle state is pair cardinality, not row count).
+    "dq16_fd_audit" -> ((s, dir) =>
+      Quality.fdAudit(Tables.orders(s, dir), Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2468,6 +2473,26 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM c
         |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
         |ORDER BY lang, doc_id""".stripMargin,
+    "dq16_fd_audit" -> {
+      def one(table: String, det: String, dep: String): String =
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+           |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |       CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_violating_keys,
+           |       CAST(MAX(ndep) AS BIGINT) AS max_distinct_dep,
+           |       SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+           |FROM (SELECT k, COUNT(*) AS ndep
+           |      FROM (SELECT DISTINCT $det AS k, $dep AS v FROM $table
+           |            WHERE $det IS NOT NULL) GROUP BY k)""".stripMargin
+      Seq(
+        one("orders", "o_orderkey", "o_custkey"),
+        one("orders", "o_custkey", "o_orderpriority"),
+        one("orders", "o_orderdate", "o_orderstatus"),
+        one("lineitem", "l_orderkey", "l_returnflag"),
+        one("lineitem", "l_partkey", "l_suppkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY determinant, dependent")
+    },
     "dq15_t_closeness" ->
       """WITH base AS (
         |  SELECT c_nationkey, c_mktsegment,

@@ -651,4 +651,45 @@ object Quality {
         sum(col("y") * col("y")).as("sum_yy"),
         sum(col("x") * col("y")).as("sum_xy"))
       .orderBy("l_returnflag")
+
+  /** FUNCTIONAL-DEPENDENCY audit (dq16): for each candidate A→B, the
+    * exact number of determinant values that map to more than one
+    * dependent value — the profiling primitive behind key discovery,
+    * schema inference, and "is this column derivable" checks, and the
+    * counting core of FD-discovery algorithms (TANE's stripped
+    * partitions).
+    *
+    * Shape per candidate: `distinct(A, B)` then `count per A` — two
+    * map-side-combining hash aggregates whose state is the PAIR
+    * cardinality, never the row count. The naive per-A `countDistinct(B)`
+    * over raw rows shuffles the same keys but carries every duplicate
+    * row into the exchange; collapsing to the stripped partition first is
+    * what keeps a 100 TB fact-table audit shuffle-proportional to the
+    * key space. A null dependent counts as a value (an FD violated only
+    * by nulls is still violated — exactly what the audit must surface);
+    * null determinants are excluded (no key, no dependency claim).
+    */
+  def fdAudit(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def audit(df: DataFrame, det: String, dep: String): DataFrame =
+      df.select(col(det).as("k"), col(dep).as("v"))
+        .filter(col("k").isNotNull)
+        .distinct()
+        .groupBy("k").agg(count(lit(1)).as("ndep"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max(col("ndep")).as("max_distinct_dep"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_keys"), col("n_violating_keys"), col("max_distinct_dep"),
+          (col("n_violating_keys") === 0).as("fd_holds"))
+    // candidates span held FDs (a real key), violated ones (many-to-many
+    // columns), and a date→status pair whose verdict is data-dependent
+    Seq(
+      audit(orders, "o_orderkey", "o_custkey"),
+      audit(orders, "o_custkey", "o_orderpriority"),
+      audit(orders, "o_orderdate", "o_orderstatus"),
+      audit(lineitem, "l_orderkey", "l_returnflag"),
+      audit(lineitem, "l_partkey", "l_suppkey"))
+      .reduce(_ unionByName _)
+      .orderBy("determinant", "dependent")
+  }
 }

@@ -332,4 +332,40 @@ class QualitySpec extends SparkTestBase {
     assert(got.forall { case (_, c, d) => d === (c >= 5L) })
     assert(got.map(_._1).toSeq === (0L until 9L).toSeq)
   }
+
+  test("fdAudit: held and violated dependencies, null semantics pinned") {
+    // orders: o_orderkey -> o_custkey HOLDS (key); o_custkey ->
+    // o_orderpriority violated at custkey 1 (P1, P2) and by custkey 2's
+    // null-vs-P1 split (null dependent counts as a value); null
+    // determinant row is excluded entirely
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val ordersDf = Seq(
+      (1L, jl(1L), "O", 10.0, "2024-01-01", "P1"),
+      (2L, jl(1L), "O", 20.0, "2024-01-01", "P2"),
+      (3L, jl(2L), "F", 30.0, "2024-01-02", "P1"),
+      (4L, jl(2L), "F", 40.0, "2024-01-02", null),
+      (5L, null.asInstanceOf[java.lang.Long], "F", 50.0, "2024-01-03", "P3")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val lineitemDf = Seq(
+      (1L, 100L, 7L, "A"), (1L, 101L, 7L, "A"), // l_orderkey 1 -> one flag
+      (2L, 100L, 8L, "N"), (2L, 102L, 9L, "R")  // orderkey 2 -> two flags
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+    val got = Quality.fdAudit(ordersDf, lineitemDf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // o_orderkey -> o_custkey: 4 non-null keys (order 5 has null det?
+    // no — det is o_orderkey, never null here: 5 keys), all singletons
+    assert(got(("o_orderkey", "o_custkey")) === ((5L, 0L, 1L, true)))
+    // o_custkey -> o_orderpriority: keys {1, 2}; both map to 2 values
+    // (custkey 2 via the null priority), null custkey excluded
+    assert(got(("o_custkey", "o_orderpriority")) === ((2L, 2L, 2L, false)))
+    // o_orderdate -> o_orderstatus: 3 dates, each one status
+    assert(got(("o_orderdate", "o_orderstatus")) === ((3L, 0L, 1L, true)))
+    // l_orderkey -> l_returnflag: key 1 holds, key 2 violates
+    assert(got(("l_orderkey", "l_returnflag")) === ((2L, 1L, 2L, false)))
+    // l_partkey -> l_suppkey: 100 -> {7,8} violates; 101, 102 hold
+    assert(got(("l_partkey", "l_suppkey")) === ((3L, 1L, 2L, false)))
+  }
 }
