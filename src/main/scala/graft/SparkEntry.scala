@@ -322,6 +322,9 @@ object SparkEntry {
     // co-purchase graph (large-star/small-star, per-node min-id labels).
     "g3_components" -> ((s, dir) =>
       GraphOps.coPurchaseComponents(Tables.lineitem(s, dir), minSupport = 2L)),
+    // k-core membership (k=2) over the same graph: iterative peel to the
+    // fixpoint — structural embeddedness that degree alone can't express.
+    "g5_kcore" -> ((s, dir) => GraphOps.kCore(Tables.lineitem(s, dir))),
     // Quality-aware survivor per near-dup cluster (best doc, not min id).
     "d16_cluster_reps" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir), 0.9)),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
@@ -3011,6 +3014,27 @@ GROUP BY doc_id ORDER BY doc_id"""
         |)
         |SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
         |ORDER BY node""".stripMargin,
+    "g5_kcore" -> {
+      // peel rounds k1..k11 = maxRounds−1 (see GraphOps.kCore): whenever
+      // the engine's convergence require passes, round 11 has provably
+      // reached the same fixpoint (extra rounds are idempotent no-ops)
+      // every k_t is referenced twice by k_{t+1}; without MATERIALIZED,
+      // DuckDB inlines CTEs and the 11-round chain expands 2^11-fold
+      val rounds = (1 to 11).map { t =>
+        s"""k$t AS MATERIALIZED (SELECT u AS node, COUNT(*) AS c FROM e
+           |  WHERE u IN (SELECT node FROM k${t - 1})
+           |    AND v IN (SELECT node FROM k${t - 1})
+           |  GROUP BY u HAVING COUNT(*) >= 2)""".stripMargin
+      }.mkString(",\n", ",\n", "\n")
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |eu AS (SELECT u, v FROM e0 WHERE c >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM eu UNION ALL SELECT v, u FROM eu),
+        |k0 AS MATERIALIZED (SELECT u AS node, COUNT(*) AS c FROM e
+        |       GROUP BY u HAVING COUNT(*) >= 2)""".stripMargin + rounds +
+        "SELECT node, CAST(c AS BIGINT) AS core_deg FROM k11 ORDER BY node"
+    },
     "g1_pagerank" ->
       """WITH base AS (
         |  SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node

@@ -790,6 +790,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("kCore: pendant cascade peels multi-round; cycle survives with degrees") {
+    // co-purchase planting: each desired edge gets two 2-part baskets so
+    // it clears support >= 2. Graph: triangle {1,2,3} + chain 3-4-5 +
+    // star 6-(7,8,9). The star hub has degree 3 — ABOVE k — yet must fall
+    // out after its pendants peel (the structural-embeddedness case), and
+    // the chain needs two rounds (5 first, then 4): the fixpoint loop is
+    // what's under test, not one filter pass.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (6L, 9L))
+    val li = edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq((i * 2L, u), (i * 2L, v), (i * 2L + 1, u), (i * 2L + 1, v))
+    }.toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.kCore(li, k = 2L, minSupport = 2L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"only the triangle is the 2-core, with within-core degree 2: $got")
+  }
+
+  test("kCore converges well inside the round budget on the fixtures") {
+    // guard for the oracle's 11 unrolled rounds: if a regenerated fixture
+    // peels longer, this (and kCore's own require at 12) fails loudly
+    // before the driver sees an opaque hash mismatch
+    for (sfDir <- Seq(sf0001, sf001)) {
+      val core = GraphOps.kCore(Tables.lineitem(spark, sfDir), maxRounds = 8)
+      assert(core.count() >= 0L) // force the fixpoint loop
+    }
+  }
+
   private def bruteEditPairs(documents: org.apache.spark.sql.DataFrame,
       k: Int, prefixLen: Int): Set[(Long, Long, Long)] = {
     val t = documents.filter(length(col("text")) >= prefixLen)
