@@ -551,6 +551,12 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
     // Set ops + top-k (U1, O3/O4)
+    // Perceptual dHash near-dup over binary payloads: 8×9 byte-grid
+    // gradient signature, 8-band pigeonhole candidates, bit_count(xor)
+    // verification — the multimodal sibling of the SimHash text path.
+    "m3_phash_neardup" -> ((s, dir) =>
+      Multimodal.perceptualNearDup(
+        Multimodal.fromDocuments(Tables.documents(s, dir)), maxHamming = 4)),
     "u1_union_by_name" -> ((s, dir) => SetOps.unionByNameRoundTrip(Tables.orders(s, dir))),
     // Schema-drift union: generations with missing columns → NULL fill.
     "u4_union_missing" -> ((s, dir) => SetOps.unionMissingColumns(Tables.orders(s, dir))),
@@ -1608,6 +1614,47 @@ GROUP BY doc_id ORDER BY doc_id"""
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |       - n_tokens) / 512) AS INT) AS chunk_id
         |FROM reps ORDER BY doc_id""".stripMargin,
+    "m3_phash_neardup" ->
+      // the dHash signature recomputed from the hex expansion, split into
+      // two 32-bit halves (a single BIGINT would need the sign bit);
+      // cell j covers byte indices [ceil(j*n/72), ceil((j+1)*n/72)) — the
+      // inverse image of the engine's cell(i) = i*72 div n assignment
+      """WITH h AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |), bt AS (
+        |  SELECT media_id, n,
+        |    list_transform(range(0, n), i ->
+        |      (strpos('0123456789ABCDEF', hx[CAST(2*i+1 AS INT)]) - 1) * 16 +
+        |      (strpos('0123456789ABCDEF', hx[CAST(2*i+2 AS INT)]) - 1)) AS bs
+        |  FROM h
+        |), cl AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 72), j ->
+        |      COALESCE(list_sum(bs[CAST((j*n+71)//72+1 AS INT)
+        |                          : CAST(((j+1)*n+71)//72 AS INT)]), 0)) AS cs
+        |  FROM bt
+        |), sg AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN cs[CAST((k//8)*9+(k%8)+1 AS INT)]
+        |              > cs[CAST((k//8)*9+(k%8)+2 AS INT)]
+        |           THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END))
+        |      AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN cs[CAST((k//8)*9+(k%8)+1 AS INT)]
+        |              > cs[CAST((k//8)*9+(k%8)+2 AS INT)]
+        |           THEN CAST(1 AS BIGINT) << CAST(k - 32 AS INT) ELSE 0 END))
+        |      AS BIGINT) AS hi
+        |  FROM cl
+        |)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |            AS BIGINT) AS hamming
+        |FROM sg a JOIN sg b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 4
+        |ORDER BY media_a, media_b""".stripMargin,
     "m1_multimodal_features" ->
       """WITH h AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,

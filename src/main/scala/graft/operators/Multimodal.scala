@@ -294,4 +294,85 @@ object Multimodal {
       payload.substr(bound(i) + 1, bound(i + 1) - bound(i))
     }: _*)
   }
+
+  /** 64-bit PERCEPTUAL dHash over an opaque binary payload: downsample
+    * the byte stream onto a fixed 8×9 grid (byte i lands in cell
+    * ⌊i·72/n⌋, each cell an integer byte-sum) and emit one bit per
+    * row-adjacent comparison — bit (r,c) = cell[r][c] > cell[r][c+1].
+    * This is the classic image dHash gradient scheme applied to the raw
+    * encoded stream: content-position-sensitive like a real perceptual
+    * hash, robust to small local edits (one changed byte moves ONE cell
+    * sum slightly, flipping at most its two adjacent comparisons), and
+    * pure integer arithmetic — which is what lets the DuckDB oracle
+    * recompute the identical signature from the hex expansion. On real
+    * decoded images the same grid would be fed by luminance means
+    * ([[imageDecode]]'s pipeline); byte-domain feeding is the declared
+    * codec-free stand-in, consistent with [[stubDecode]].
+    */
+  def dHash64(payload: Array[Byte]): Long = {
+    if (payload == null || payload.isEmpty) return 0L
+    val n = payload.length
+    val cs = new Array[Long](72)
+    var i = 0
+    while (i < n) {
+      cs((i.toLong * 72 / n).toInt) += (payload(i) & 0xFF).toLong
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      val r = k / 8
+      val c = k % 8
+      if (cs(r * 9 + c) > cs(r * 9 + c + 1)) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  /** (media_id, sig): [[dHash64]] per payload — per-partition batch loop
+    * like [[extractFeatures]].
+    */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), dHash64(r.getAs[Array[Byte]](1))))
+    }(encoder)
+  }
+
+  /** PERCEPTUAL NEAR-DUPLICATE join (m3): unordered media pairs within
+    * Hamming distance `maxHamming` of each other's [[dHash64]], found
+    * WITHOUT an all-pairs scan — the binary-payload sibling of the
+    * SimHash text pipeline. Each 64-bit signature is cut into 8
+    * contiguous 8-bit chunks; ≤ 7 differing bits cannot touch all 8
+    * chunks (pigeonhole), so the (chunk_id, chunk_val) equi-join is a
+    * complete candidate generator for any `maxHamming` ≤ 7. Verification
+    * is one codegen'd `bit_count(xor)` per candidate; signatures travel
+    * as single longs, so the whole join state is 16 bytes per media per
+    * band — the shape that holds at 100 TB of payloads.
+    */
+  def perceptualNearDup(media: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"8-band pigeonhole guarantees recall only for maxHamming <= 7, got $maxHamming")
+    val sigs = perceptualHashes(media)
+    val chunks = sigs.select(col("media_id"), col("sig"),
+      explode(array((0 until 8).map { i =>
+        struct(lit(i).as("chunk_id"),
+          (shiftrightunsigned(col("sig"), i * 8) bitwiseAND lit(0xFFL))
+            .as("chunk_val"))
+      }: _*)).as("c"))
+      .select(col("media_id"), col("sig"),
+        col("c.chunk_id").as("chunk_id"), col("c.chunk_val").as("chunk_val"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("media_a", "media_b")
+  }
 }

@@ -190,4 +190,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(kept.toSeq === Seq((1L, 0, 6), (1L, 2, 6), (1L, 4, 6)),
       "3 evenly spaced keyframes from the 6-frame animation; the still emits nothing")
   }
+
+  test("dHash64: identical payloads collide, one byte edit flips <= 2 bits") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val a = Multimodal.dHash64(base)
+    assert(a === Multimodal.dHash64(base.clone()))
+    // a single byte change perturbs ONE cell sum, flipping at most its
+    // two adjacent gradient comparisons
+    val edited = base.clone(); edited(100) = 'X'.toByte
+    val d = java.lang.Long.bitCount(a ^ Multimodal.dHash64(edited))
+    assert(d <= 2, s"single-byte edit moved $d bits")
+    // a different payload should be far
+    val other = ("completely different content about query engines " * 8)
+      .getBytes("UTF-8")
+    assert(java.lang.Long.bitCount(a ^ Multimodal.dHash64(other)) > 4)
+    assert(Multimodal.dHash64(Array.emptyByteArray) === 0L)
+    assert(Multimodal.dHash64(null) === 0L)
+  }
+
+  test("perceptualNearDup equals brute force over signatures on the fixture") {
+    val media = Multimodal.fromDocuments(Tables.documents(spark, sf0001))
+    val got = Multimodal.perceptualNearDup(media, maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Multimodal.perceptualHashes(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 4
+    } yield (sigs(i)._1, sigs(j)._1, h.toLong)).toSet
+    assert(got === want,
+      s"missed ${want.diff(got).take(5)}, extra ${got.diff(want).take(5)}")
+    assert(want.nonEmpty, "fixture must contain at least one close pair")
+  }
 }
