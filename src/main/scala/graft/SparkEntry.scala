@@ -325,6 +325,10 @@ object SparkEntry {
     // k-core membership (k=2) over the same graph: iterative peel to the
     // fixpoint — structural embeddedness that degree alone can't express.
     "g5_kcore" -> ((s, dir) => GraphOps.kCore(Tables.lineitem(s, dir))),
+    // Weighted companion of g4: min-cost <=3-edge walk from the Brand#11
+    // seeds, integer costs 10^6 div support, fixed-round Bellman-Ford.
+    "g6_cheapest_path" -> ((s, dir) =>
+      GraphOps.cheapestPath(Tables.lineitem(s, dir), Tables.part(s, dir))),
     // Quality-aware survivor per near-dup cluster (best doc, not min id).
     "d16_cluster_reps" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir), 0.9)),
     // Gopher-style repetition quality: per-doc 2-gram totals / distincts /
@@ -3061,6 +3065,28 @@ GROUP BY doc_id ORDER BY doc_id"""
         |)
         |SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
         |ORDER BY node""".stripMargin,
+    "g6_cheapest_path" -> {
+      // 3 unrolled MATERIALIZED relaxation rounds — a min-table per
+      // round (≤ |V| rows each), never a recursive walk enumeration
+      val rounds = (1 to 3).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT node, MIN(cost) AS cost FROM (
+           |    SELECT node, cost FROM d${t - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.cost + e.w AS cost
+           |    FROM d${t - 1} d JOIN e ON d.node = e.src
+           |  ) GROUP BY node)""".stripMargin
+      }.mkString(",\n", ",\n", "\n")
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS src, b.p AS dst, 1000000 // COUNT(*) AS w
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT src, dst, w FROM e0
+        |     UNION ALL SELECT dst, src, w FROM e0),
+        |d0 AS MATERIALIZED (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS cost
+        |     FROM part WHERE p_brand = 'Brand#11')""".stripMargin + rounds +
+        "SELECT node, CAST(cost AS BIGINT) AS cost FROM d3 ORDER BY node"
+    },
     "g5_kcore" -> {
       // peel rounds k1..k11 = maxRounds−1 (see GraphOps.kCore): whenever
       // the engine's convergence require passes, round 11 has provably

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions.{array, broadcast, col, count, explode,
-  expr, lit, row_number, struct, sum, when}
+  expr, lit, min, row_number, struct, sum, when}
 
 /** Iterative graph ranking over edge tables (the crawl-frontier /
   * entity-importance tier of a training-data pipeline: PageRank over the
@@ -366,5 +366,56 @@ object GraphOps {
     require(converged,
       s"k-core peel (k=$k) did not reach its fixpoint in $maxRounds rounds")
     kept.orderBy("node")
+  }
+
+  /** BOUNDED-HOP CHEAPEST PATH (g6): minimum edge-cost walk of ≤
+    * `maxHops` edges from a seed set, over the co-purchase graph with
+    * integer costs 10⁶ div support — the WEIGHTED companion of
+    * [[bfsHops]] (hop count treats a 2-order co-occurrence and a
+    * 200-order one identically; cost-weighted reach is what "closely
+    * related products" actually means).
+    *
+    * Fixed-round Bellman-Ford relaxation: dist_t(v) = min(dist_{t-1}(v),
+    * min over edges (u,v) of dist_{t-1}(u) + w(u,v)). Costs are positive
+    * integers, so the fixed-round result ("cheapest walk using ≤ H
+    * edges") is well-defined, partition-invariant, and engine-exact —
+    * the same fixed-iteration discipline as [[pageRank]], and the DuckDB
+    * oracle unrolls the identical H rounds as MATERIALIZED min-tables
+    * (never a recursive walk ENUMERATION, whose path count explodes
+    * where the relaxation table stays ≤ |V|).
+    *
+    * Per round: one equi-join of the distance table onto the cached
+    * weighted edge list + one map-side-combining min — the distance
+    * table never exceeds the vertex set, and nothing is quadratic.
+    */
+  def cheapestPath(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#11", maxHops: Int = 3,
+      minSupport: Long = 2L): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8, "bounded relaxation only")
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e0 = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport)
+      .select(col("src"), col("dst"), expr("1000000 div c").as("w"))
+    val sym = e0.select(col("src"), col("dst"), col("w"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .cache()
+    var dist = part.filter(col("p_brand") === brand)
+      .select(col("p_partkey").as("node"), lit(0L).as("cost"))
+      .localCheckpoint(true)
+    var h = 0
+    while (h < maxHops) {
+      val relaxed = dist.join(sym, dist("node") === sym("src"))
+        .select(sym("dst").as("node"), (dist("cost") + sym("w")).as("cost"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+      h += 1
+    }
+    sym.unpersist()
+    dist.orderBy("node")
   }
 }

@@ -818,6 +818,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("cheapestPath: cheap 2-hop beats expensive direct edge; hop bound holds") {
+    // edge weight = 10^6 div support. Direct 1-3 has support 2 (w=500000);
+    // the detour 1-2-3 has support 10 per leg (w=100000 each, total
+    // 200000) — the weighted answer differs from BFS, which is the point.
+    // Node 5 is reached only through the EXPENSIVE direct edge (1-3-4-5,
+    // 3 hops, 1.5M) — the cheap detour needs 4 hops and loses to the hop
+    // bound; node 6 (4 hops minimum) must be absent entirely.
+    val weighted = Seq(((1L, 3L), 2), ((1L, 2L), 10), ((2L, 3L), 10),
+      ((3L, 4L), 2), ((4L, 5L), 2), ((5L, 6L), 2))
+    var oid = 0L
+    val li = weighted.flatMap { case ((u, v), support) =>
+      (0 until support).flatMap { _ =>
+        oid += 1; Seq((oid, u), (oid, v))
+      }
+    }.toDF("l_orderkey", "l_partkey")
+    val partDf = Seq((1L, "Brand#11"), (2L, "Brand#other"), (3L, "Brand#other"),
+      (4L, "Brand#other"), (5L, "Brand#other"), (6L, "Brand#other"))
+      .toDF("p_partkey", "p_brand")
+    val got = GraphOps.cheapestPath(li, partDf, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 100000L, 3L -> 200000L,
+      4L -> 700000L, 5L -> 1500000L),
+      s"expected the 200000 detour to beat the 500000 direct edge: $got")
+  }
+
   private def bruteEditPairs(documents: org.apache.spark.sql.DataFrame,
       k: Int, prefixLen: Int): Set[(Long, Long, Long)] = {
     val t = documents.filter(length(col("text")) >= prefixLen)
