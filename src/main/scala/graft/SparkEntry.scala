@@ -117,6 +117,12 @@ object SparkEntry {
     "j11_salted_join" -> ((s, dir) => JoinOps.saltedSupplierRevenue(
       Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "j6_star_join" -> ((s, dir) => JoinOps.starJoin(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    // TPC-H Q8 shape: per-year revenue share of one nation's suppliers
+    // as an integer permille (sum(when) rides the same partial agg; the
+    // share is floor division — no cross-engine FP anywhere).
+    "j17_market_share" -> ((s, dir) => JoinOps.marketShare(
+      Tables.lineitem(s, dir), Tables.orders(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir))),
     "j7_range_join" -> ((s, dir) => JoinOps.rangeJoin(Tables.events(s, dir))),
     // Fact-fact proximity join by interval binning: equi-join on
     // (user, time bucket) with 3-bucket neighbor probing - no cross
@@ -1319,6 +1325,23 @@ GROUP BY doc_id ORDER BY doc_id"""
         |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
         |GROUP BY n_name
         |ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "j17_market_share" ->
+      """WITH r AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |           AS cents,
+        |         n_name = 'NATION_7' AS is_t
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |)
+        |SELECT yr, CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |       CAST(SUM(CASE WHEN is_t THEN cents ELSE 0 END) AS BIGINT)
+        |         AS nation_cents,
+        |       CAST(SUM(CASE WHEN is_t THEN cents ELSE 0 END) * 1000
+        |            // SUM(cents) AS BIGINT) AS share_permille
+        |FROM r GROUP BY yr ORDER BY yr""".stripMargin,
     "j11_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))

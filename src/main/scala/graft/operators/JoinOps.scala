@@ -300,4 +300,36 @@ object JoinOps {
         sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
           .cast("long")).as("revenue_cents"))
       .orderBy(col("revenue_cents").desc, col("n_name"))
+
+  /** MARKET SHARE (j17, the TPC-H Q8 shape): per order-year, the share
+    * of total revenue flowing through one nation's suppliers, as an
+    * integer PERMILLE — conditional aggregation over a fact-dim star,
+    * with the share arithmetic kept engine-exact: per-row revenue is
+    * rounded to integer cents once (the identical IEEE expression on
+    * both engines), all sums are BIGINT, and the share is a floor
+    * integer division, so no cross-engine FP division ever happens.
+    *
+    * Scale shape: one fact-fact equi-join (lineitem⋈orders, both sides
+    * hash-partitioned on the order key) and two broadcast dims; the
+    * conditional share needs NO second pass — `sum(when)` rides the
+    * same partial aggregate as the total.
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      targetNation: String = "NATION_7"): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(year(col("o_orderdate")).as("yr"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"),
+        (col("n_name") === targetNation).as("is_target"))
+      .groupBy("yr")
+      .agg(sum(col("cents")).as("total_cents"),
+        sum(when(col("is_target"), col("cents")).otherwise(0L))
+          .as("nation_cents"))
+      .select(col("yr"), col("total_cents"), col("nation_cents"),
+        expr("nation_cents * 1000 div total_cents").as("share_permille"))
+      .orderBy("yr")
 }
