@@ -712,6 +712,12 @@ object SparkEntry {
     // each series' own start, window min + aggregate share one user_id
     // exchange.
     "e24_trend_slopes" -> ((s, dir) => TimeSeries.trendSlopes(Tables.events(s, dir))),
+    // Max drawdown per series: running-max window + aggregate + earliest
+    // trough via an argmax equi-join — one event_type partitioning.
+    "e25_max_drawdown" -> ((s, dir) => TimeSeries.maxDrawdown(Tables.events(s, dir))),
+    // RSI over hourly closes in integer permille (Cutler's simple form —
+    // the hash-pinnable one); warm-up and flat windows report null.
+    "e26_rsi" -> ((s, dir) => TimeSeries.rsiBars(Tables.events(s, dir))),
     // EXACT set-containment join at 4/5 (quote/truncation detection):
     // contained side keeps its AllPairs prefix, container side indexes
     // all tokens — the asymmetric complement of d18.
@@ -2433,6 +2439,64 @@ GROUP BY doc_id ORDER BY doc_id"""
         | AND len(b.sh) * 5 >= len(a.sh) * 4
         |WHERE len(list_intersect(a.sh, b.sh)) * 5 >= len(a.sh) * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "e25_max_drawdown" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), d AS (
+        |  SELECT event_type, us,
+        |         MAX(cents) OVER w - cents AS dd,
+        |         MAX(cents) OVER w AS peak
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), a AS (
+        |  SELECT event_type, CAST(MAX(dd) AS BIGINT) AS max_drawdown_cents,
+        |         CAST(MAX(peak) AS BIGINT) AS peak_cents,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM d GROUP BY event_type
+        |)
+        |SELECT a.event_type, a.max_drawdown_cents, a.peak_cents, a.n_events,
+        |       CAST(MIN(d.us) AS BIGINT) AS trough_us
+        |FROM a JOIN d ON d.event_type = a.event_type
+        |              AND d.dd = a.max_drawdown_cents
+        |GROUP BY 1, 2, 3, 4 ORDER BY a.event_type""".stripMargin,
+    "e26_rsi" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         (epoch_us(ts) // 3600000000) * 3600000000 AS bar_us
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), cl AS (
+        |  SELECT DISTINCT bar_us, event_type,
+        |    last_value(cents) OVER (PARTITION BY bar_us, event_type
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS close_cents
+        |  FROM e
+        |), w AS (
+        |  SELECT event_type, bar_us, close_cents,
+        |    close_cents - lag(close_cents) OVER
+        |      (PARTITION BY event_type ORDER BY bar_us) AS delta
+        |  FROM cl
+        |), g AS (
+        |  SELECT event_type, bar_us, close_cents,
+        |    COUNT(delta) OVER f AS n_deltas,
+        |    SUM(GREATEST(delta, 0)) OVER f AS gsum,
+        |    SUM(GREATEST(-delta, 0)) OVER f AS lsum
+        |  FROM w
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY bar_us
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, CAST(bar_us AS BIGINT) AS bar_us,
+        |       CAST(close_cents AS BIGINT) AS close_cents,
+        |       CASE WHEN n_deltas >= 14 AND gsum + lsum > 0
+        |            THEN CAST(gsum * 1000 // (gsum + lsum) AS BIGINT)
+        |       END AS rsi_permille
+        |FROM g ORDER BY event_type, bar_us""".stripMargin,
     "e24_trend_slopes" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us,

@@ -144,4 +144,78 @@ object TimeSeries {
           .as("intercept_num"))
       .orderBy("user_id")
   }
+
+  /** MAXIMUM DRAWDOWN per series (the B3 risk classic): the largest
+    * peak-to-trough fall of the cents signal in (us, event_id) order —
+    * running max over the ordered stream, drawdown = peak − value, one
+    * max per series, plus the EARLIEST trough time achieving it (an
+    * aggregated argmax re-derived by an equi-join on the per-series max,
+    * which is deterministic where a bare max_by over ties is not).
+    *
+    * Shape: the running-max window and both aggregations all ride ONE
+    * event_type hash partitioning; the argmax join touches only the
+    * |series|-row aggregate against the windowed stream — no second
+    * global pass.
+    */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = events
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("peak", max(col("cents")).over(w))
+      .withColumn("dd", col("peak") - col("cents"))
+    val agg = dd.groupBy("event_type")
+      .agg(max(col("dd")).as("max_drawdown_cents"),
+        max(col("peak")).as("peak_cents"),
+        count(lit(1)).as("n_events"))
+    agg.join(dd.select(col("event_type"), col("dd"), col("us")),
+        Seq("event_type"))
+      .filter(col("dd") === col("max_drawdown_cents"))
+      .groupBy("event_type")
+      .agg(max(col("max_drawdown_cents")).as("max_drawdown_cents"),
+        max(col("peak_cents")).as("peak_cents"),
+        max(col("n_events")).as("n_events"),
+        min(col("us")).as("trough_us"))
+      .orderBy("event_type")
+  }
+
+  /** RSI over hourly close bars, in integer PERMILLE (Cutler's simple-
+    * average form): per series, close deltas between consecutive bars
+    * split into gains and losses, summed over a trailing `period`-bar
+    * frame, rsi = 1000·G div (G+L) — floor integer division, so the
+    * indicator is engine-exact (Wilder's exponential smoothing would
+    * drag FP across the whole history; the simple form is the one a
+    * hash gate can pin). Bars inside the warm-up (fewer than `period`
+    * deltas) and flat windows (G+L = 0) report null.
+    *
+    * Shape: one hash aggregate to bars (map-side-combining min_by/
+    * max_by), then lag + two frame sums over the SAME (series, bar)
+    * ordering — a single exchange on event_type, windows over ≤ bars
+    * rows, never the raw stream.
+    */
+  def rsiBars(events: DataFrame, period: Int = 14,
+      barUs: Long = 3600000000L): DataFrame = {
+    require(period >= 2, "RSI needs at least two deltas")
+    val byType = Window.partitionBy("event_type").orderBy("bar_us")
+    val frame = byType.rowsBetween(-(period - 1), Window.currentRow)
+    ohlcBars(events, barUs)
+      .select(col("event_type"), col("bar_us"), col("close_cents"))
+      .withColumn("delta",
+        col("close_cents") - lag(col("close_cents"), 1).over(byType))
+      .withColumn("gain", greatest(col("delta"), lit(0L)))
+      .withColumn("loss", greatest(-col("delta"), lit(0L)))
+      .withColumn("n_deltas",
+        count(col("delta")).over(frame))
+      .withColumn("gsum", sum(col("gain")).over(frame))
+      .withColumn("lsum", sum(col("loss")).over(frame))
+      .select(col("event_type"), col("bar_us"), col("close_cents"),
+        when(col("n_deltas") >= period && col("gsum") + col("lsum") > 0,
+          expr("gsum * 1000 div (gsum + lsum)")).as("rsi_permille"))
+      .orderBy("event_type", "bar_us")
+  }
 }

@@ -213,6 +213,31 @@ class TimeSeriesSpec extends SparkTestBase {
       "origin must be group-relative (slope 25 cents/min)")
   }
 
+  test("maxDrawdown: hand-computed peak-to-trough, earliest trough on ties") {
+    val m = 60000000L
+    val df = eventsDf(Seq(
+      ev(0L, 1L, "a", 1.00), ev(m, 2L, "a", 3.00), ev(2 * m, 3L, "a", 1.50),
+      ev(3 * m, 4L, "a", 2.50), ev(4 * m, 5L, "a", 0.50), ev(5 * m, 6L, "a", 2.00)
+    ))
+    // peaks 100,300,300,300,300,300 -> dd 0,0,150,50,250,100
+    val r = TimeSeries.maxDrawdown(df).collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === (("a", 250L, 300L, 6L, 4 * m)))
+  }
+
+  test("rsiBars: hand-computed permille, warm-up and flat windows null") {
+    val m = 60000000L
+    val df = eventsDf(Seq(
+      ev(0L, 1L, "a", 1.00), ev(m, 2L, "a", 2.00),
+      ev(2 * m, 3L, "a", 1.50), ev(3 * m, 4L, "a", 1.50)
+    ))
+    // 1-minute bars, period 2: deltas null,+100,-50,0 -> frames of 2:
+    // bar2 g=100 l=50 -> 666; bar3 g=0 l=50 -> 0; bars 0,1 warm up
+    val got = TimeSeries.rsiBars(df, period = 2, barUs = m).collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    assert(got.toSeq === Seq(None, None, Some(666L), Some(0L)))
+  }
+
   test("trendSlopes plans ONE hash exchange (window min + agg share user_id)") {
     val df = Tables.events(spark, sf001)
     val plan = TimeSeries.trendSlopes(df).queryExecution.executedPlan.toString
