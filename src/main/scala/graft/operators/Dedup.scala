@@ -766,13 +766,18 @@ object Dedup {
         struct(lit(i).as("i"), substring(col("s"), st + 1, len).as("sub"))
       }: _*)).as("g"))
       .select(col("doc_id"), col("g.i").as("i"), col("g.sub").as("sub"))
+    // array_distinct before the explode: on repetitive text the same
+    // substring recurs at several positions inside one ±k window, and
+    // each duplicate multiplies the join's pre-distinct match rows for
+    // no new candidate — the dedup is lossless (candidate SET unchanged)
+    // and bounds the worst-case match fan-out on pathological inputs
     val probes = docs.select(col("doc_id"),
-      explode(array((0 until nSeg).flatMap { i =>
+      explode(array_distinct(array((0 until nSeg).flatMap { i =>
         val st = segStart(i); val len = segStart(i + 1) - st
         val lo = math.max(0, st - k); val hi = math.min(prefixLen - len, st + k)
         (lo to hi).map(q =>
           struct(lit(i).as("i"), substring(col("s"), q + 1, len).as("sub")))
-      }: _*)).as("g"))
+      }: _*))).as("g"))
       .select(col("doc_id"), col("g.i").as("i"), col("g.sub").as("sub"))
     // probe×index orientation covered both ways by construction (every
     // doc both indexes and probes), so least/greatest normalization plus
