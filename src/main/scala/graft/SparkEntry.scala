@@ -718,6 +718,9 @@ object SparkEntry {
     // RSI over hourly closes in integer permille (Cutler's simple form —
     // the hash-pinnable one); warm-up and flat windows report null.
     "e26_rsi" -> ((s, dir) => TimeSeries.rsiBars(Tables.events(s, dir))),
+    // Bullish-engulfing scan: fixed-length sequence pattern as one lag
+    // window + row predicate (MATCH_RECOGNIZE-lite), integer cents.
+    "e27_engulfing" -> ((s, dir) => TimeSeries.engulfingBars(Tables.events(s, dir))),
     // EXACT set-containment join at 4/5 (quote/truncation detection):
     // contained side keeps its AllPairs prefix, container side indexes
     // all tokens — the asymmetric complement of d18.
@@ -2463,6 +2466,36 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM a JOIN d ON d.event_type = a.event_type
         |              AND d.dd = a.max_drawdown_cents
         |GROUP BY 1, 2, 3, 4 ORDER BY a.event_type""".stripMargin,
+    "e27_engulfing" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         (epoch_us(ts) // 3600000000) * 3600000000 AS bar_us
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), oc AS (
+        |  SELECT DISTINCT bar_us, event_type,
+        |    first_value(cents) OVER w AS open_cents,
+        |    last_value(cents) OVER w AS close_cents
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY bar_us, event_type ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), lagged AS (
+        |  SELECT event_type, bar_us, open_cents, close_cents,
+        |    lag(open_cents) OVER p AS prev_open,
+        |    lag(close_cents) OVER p AS prev_close
+        |  FROM oc
+        |  WINDOW p AS (PARTITION BY event_type ORDER BY bar_us)
+        |)
+        |SELECT event_type, CAST(bar_us AS BIGINT) AS bar_us,
+        |       CAST(prev_open AS BIGINT) AS prev_open,
+        |       CAST(prev_close AS BIGINT) AS prev_close,
+        |       CAST(open_cents AS BIGINT) AS open_cents,
+        |       CAST(close_cents AS BIGINT) AS close_cents
+        |FROM lagged
+        |WHERE prev_close < prev_open AND close_cents > open_cents
+        |  AND open_cents <= prev_close AND close_cents >= prev_open
+        |ORDER BY event_type, bar_us""".stripMargin,
     "e26_rsi" ->
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts) AS us,

@@ -218,4 +218,32 @@ object TimeSeries {
           expr("gsum * 1000 div (gsum + lsum)")).as("rsi_permille"))
       .orderBy("event_type", "bar_us")
   }
+
+  /** BULLISH-ENGULFING candlestick scan (e27): consecutive-bar pattern
+    * predicates over the hourly OHLC stream — a down bar (close < open)
+    * whose successor's body strictly engulfs it upward (open ≤ previous
+    * close, close ≥ previous open, close > open). The SQL-native
+    * MATCH_RECOGNIZE-lite: a fixed-length sequence pattern is one lag
+    * window + a row predicate, no state machine needed — integer-cents
+    * comparisons end to end, so the matches are engine-exact.
+    *
+    * Shape: bars are a map-side-combining aggregate (∝ bars, not
+    * events); the lag and the scan ride one (series) partitioning.
+    */
+  def engulfingBars(events: DataFrame, barUs: Long = 3600000000L): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("bar_us")
+    ohlcBars(events, barUs)
+      .select(col("event_type"), col("bar_us"),
+        col("open_cents"), col("close_cents"))
+      .withColumn("prev_open", lag(col("open_cents"), 1).over(byType))
+      .withColumn("prev_close", lag(col("close_cents"), 1).over(byType))
+      .filter(col("prev_close") < col("prev_open") &&
+        col("close_cents") > col("open_cents") &&
+        col("open_cents") <= col("prev_close") &&
+        col("close_cents") >= col("prev_open"))
+      .select(col("event_type"), col("bar_us"),
+        col("prev_open"), col("prev_close"),
+        col("open_cents"), col("close_cents"))
+      .orderBy("event_type", "bar_us")
+  }
 }

@@ -238,6 +238,24 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got.toSeq === Seq(None, None, Some(666L), Some(0L)))
   }
 
+  test("engulfingBars: planted pattern matches, near-miss (no engulf) doesn't") {
+    val h = 3600000000L
+    // bar0: red 300->100. bar1: green 100->300, engulfs (open<=prev_close,
+    // close>=prev_open). bar2: red again. bar3: green 150->250 — up but
+    // does NOT reach prev_open 300: near-miss, must not match.
+    val df = eventsDf(Seq(
+      ev(0L, 1L, "a", 3.00), ev(1L, 2L, "a", 1.00),            // bar0 red
+      ev(h, 3L, "a", 1.00), ev(h + 1, 4L, "a", 3.00),          // bar1 engulf
+      ev(2 * h, 5L, "a", 3.00), ev(2 * h + 1, 6L, "a", 1.50),  // bar2 red
+      ev(3 * h, 7L, "a", 1.50), ev(3 * h + 1, 8L, "a", 2.50)   // bar3 near-miss
+    ))
+    val got = TimeSeries.engulfingBars(df).collect()
+      .map(r => (r.getLong(1) / h, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq((1L, 300L, 100L, 100L, 300L)),
+      s"only bar1 engulfs bar0: ${got.toSeq}")
+  }
+
   test("trendSlopes plans ONE hash exchange (window min + agg share user_id)") {
     val df = Tables.events(spark, sf001)
     val plan = TimeSeries.trendSlopes(df).queryExecution.executedPlan.toString
