@@ -438,6 +438,10 @@ object SparkEntry {
     // set-operation sketch HLL cannot express; bounds witnessed as
     // booleans next to SQL-exact overlap counts.
     "a17_kmv_contract" -> ((s, dir) => Aggregates.kmvContract(Tables.events(s, dir))),
+    // Trailing-7-day distinct users via HLL sketch unions over a RANGE
+    // frame — one reduce per day then metadata-scale merges, vs the
+    // exact path's per-window key re-shuffle; 5% contract per day.
+    "a18_sliding_hll" -> ((s, dir) => Aggregates.slidingDistinct(Tables.events(s, dir))),
     // Unpivot/melt: the inverse reshape of a9 (native Expand, row-local).
     "a14_unpivot" -> ((s, dir) =>
       Aggregates.unpivotSummary(Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -3327,6 +3331,15 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       TRUE AS within_5pct, TRUE AS merge_within_5pct
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a18_sliding_hll" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT DISTINCT day AS g_day FROM d)
+        |SELECT g.g_day AS day,
+        |       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_exact_7d,
+        |       TRUE AS within_5pct
+        |FROM g JOIN d ON d.day BETWEEN g.g_day - 6 AND g.g_day
+        |GROUP BY g.g_day ORDER BY day""".stripMargin,
     "a17_kmv_contract" ->
       """WITH d AS (SELECT DISTINCT event_type, user_id FROM events
         |           WHERE user_id IS NOT NULL),

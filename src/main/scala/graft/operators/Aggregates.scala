@@ -456,6 +456,52 @@ object Aggregates {
     * sf0.1 (1500 users) exercises the estimation regime — both witnessed
     * in the cross-scale sweep.
     */
+  /** SLIDING-WINDOW DISTINCT via sketch merges (a18): per day, the
+    * distinct users over the trailing 7 calendar days, estimated by
+    * unioning the 7 daily HLL sketches — against the exactly recomputed
+    * count, witnessed within 5%.
+    *
+    * Why this exists: exact trailing-window distinct at 100 TB re-shuffles
+    * the full key universe once PER WINDOW (every day's query touches 7
+    * days of raw keys); the sketch form reduces each day once into a
+    * ~4 KB summary and every window after that is a 7-sketch union at
+    * metadata scale — the canonical daily-active/weekly-active pattern.
+    * The union rides a RANGE frame over epoch-day (calendar-correct
+    * under day gaps, unlike a rows frame); the daily frame is |days|
+    * rows, so the unpartitioned window is metadata-scale by
+    * construction, not a data-scale single-reducer.
+    *
+    * The exact side re-derives per-window distincts with a broadcast
+    * day-grid interval join over the distinct (day, user) frame — a
+    * second independent path, which is what makes the 5% booleans an
+    * actual contract rather than self-agreement.
+    */
+  def slidingDistinct(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = base.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .withColumn("day_i", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day_i").rangeBetween(-6, 0)
+    val est = daily
+      .withColumn("est_7d", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+      .select(col("day"), col("est_7d"))
+    val du = base.distinct()
+    val grid = daily.select(col("day").as("g_day"))
+    val exact = du.join(broadcast(grid),
+        col("day") >= date_sub(col("g_day"), 6) && col("day") <= col("g_day"))
+      .groupBy("g_day")
+      .agg(countDistinct(col("user_id")).as("n_exact_7d"))
+      .select(col("g_day").as("day"), col("n_exact_7d"))
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("n_exact_7d"),
+        (abs(col("est_7d") - col("n_exact_7d")) * 20 <= col("n_exact_7d"))
+          .as("within_5pct"))
+      .orderBy("day")
+  }
+
   def kmvContract(events: DataFrame, k: Int = 1024): DataFrame = {
     val kmv = udaf(new graft.functions.KmvSketchAgg(k))
     val base = events.filter(col("user_id").isNotNull)

@@ -513,4 +513,25 @@ class OperatorSpec extends SparkTestBase {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === Map("A" -> ((5L, 2L)), "B" -> ((7L, 2L))))
   }
+
+  test("slidingDistinct: trailing window accumulates and expires by calendar") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val day = 86400000000L
+    // users 1,2 on day 0; user 3 on day 2; user 1 AGAIN on day 8 — day 8's
+    // trailing-7 window must contain only {3 (day 2? no — expired), 1}:
+    // day 2 is 6 days before day 8, so user 3 still counts; day 0 expired.
+    val df = Seq((1L, 0L, 1L), (2L, 1L, 2L), (3L, 2 * day, 3L),
+      (4L, 8 * day, 1L))
+      .toDF("event_id", "usl", "user_id")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("x"))
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+    val got = Aggregates.slidingDistinct(df).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      ("1970-01-01", 2L, true),   // {1,2}
+      ("1970-01-03", 3L, true),   // {1,2,3}
+      ("1970-01-09", 2L, true)),  // {3 (in range), 1}; day-0 users expired
+      s"got ${got.toSeq}")
+  }
 }
