@@ -785,6 +785,10 @@ object SparkEntry {
     // first, so shuffle state is pair cardinality, not row count).
     "dq16_fd_audit" -> ((s, dir) =>
       Quality.fdAudit(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Header-vs-lines financial reconciliation per status, integer cents;
+    // header-only orders are their own category, not zero-diff matches.
+    "dq17_reconciliation" -> ((s, dir) =>
+      Quality.reconcile(Tables.orders(s, dir), Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -2651,6 +2655,34 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM c
         |WHERE (cw * 5) // tot > ((cw - w) * 5) // tot
         |ORDER BY lang, doc_id""".stripMargin,
+    "dq17_reconciliation" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+        |                * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS lines_cents
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT o.o_orderstatus,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+        |         l.lines_cents
+        |  FROM orders o LEFT JOIN l USING (o_orderkey)
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CASE WHEN lines_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_lines,
+        |  CAST(SUM(CASE WHEN lines_cents IS NOT NULL
+        |                 AND header_cents = lines_cents THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_reconciled,
+        |  CAST(SUM(CASE WHEN lines_cents IS NOT NULL
+        |                 AND header_cents <> lines_cents THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_mismatched,
+        |  CAST(MAX(CASE WHEN lines_cents IS NOT NULL
+        |                THEN abs(header_cents - lines_cents) END) AS BIGINT)
+        |    AS max_abs_diff_cents,
+        |  CAST(SUM(CASE WHEN lines_cents IS NOT NULL
+        |                THEN abs(header_cents - lines_cents) ELSE 0 END)
+        |       AS BIGINT) AS total_abs_diff_cents
+        |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "dq16_fd_audit" -> {
       def one(table: String, det: String, dep: String): String =
         s"""SELECT '$det' AS determinant, '$dep' AS dependent,

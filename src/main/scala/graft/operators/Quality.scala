@@ -692,4 +692,41 @@ object Quality {
       .reduce(_ unionByName _)
       .orderBy("determinant", "dependent")
   }
+
+  /** FINANCIAL RECONCILIATION (dq17): does each order's header total
+    * equal the sum of its lines' extended amounts? The classic
+    * cross-table integrity audit (invoice-vs-lines, ledger-vs-journal)
+    * — per status: how many orders reconcile exactly, how many drift,
+    * and by how much at worst and in aggregate. Header-only orders
+    * (no lines) are their own category, not silently folded into
+    * mismatches of amount 0.
+    *
+    * All arithmetic in integer cents (each side rounds its own dollars
+    * once), so the verdict is engine-exact; the line rollup is one
+    * map-side-combining aggregate and the header join is on the rollup
+    * (∝ orders), never line-grain.
+    */
+  def reconcile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lines = lineitem.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        (lit(1) + col("l_tax")) * 100).cast("long")).as("lines_cents"))
+    orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("header_cents"))
+      .join(lines, Seq("o_orderkey"), "left")
+      .withColumn("diff_cents",
+        col("header_cents") - coalesce(col("lines_cents"), lit(0L)))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("lines_cents").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("lines_cents").isNotNull && col("diff_cents") === 0, 1L)
+          .otherwise(0L)).as("n_reconciled"),
+        sum(when(col("lines_cents").isNotNull && col("diff_cents") =!= 0, 1L)
+          .otherwise(0L)).as("n_mismatched"),
+        max(when(col("lines_cents").isNotNull, abs(col("diff_cents"))))
+          .as("max_abs_diff_cents"),
+        sum(when(col("lines_cents").isNotNull, abs(col("diff_cents")))
+          .otherwise(0L)).as("total_abs_diff_cents"))
+      .orderBy("o_orderstatus")
+  }
 }

@@ -368,4 +368,23 @@ class QualitySpec extends SparkTestBase {
     // l_partkey -> l_suppkey: 100 -> {7,8} violates; 101, 102 hold
     assert(got(("l_partkey", "l_suppkey")) === ((3L, 1L, 2L, false)))
   }
+
+  test("reconcile: exact match, drift, and header-only orders separated") {
+    // order 1: two lines summing exactly to the header (reconciled).
+    // order 2: lines drift +25 cents. order 3: header only (no lines).
+    val ordersDf = Seq(
+      (1L, "O", 30.0), (2L, "O", 10.0), (3L, "F", 5.0)
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lineitemDf = Seq(
+      (1L, 10.0, 0.0, 0.0), (1L, 20.0, 0.0, 0.0), // 1000 + 2000 = 3000 ✔
+      (2L, 10.25, 0.0, 0.0)                        // 1025 vs 1000 ✘ (+25)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val got = Quality.reconcile(ordersDf, lineitemDf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getLong(6)))).toMap
+    assert(got("O") === ((2L, 0L, 1L, 1L, Some(25L), 25L)))
+    assert(got("F") === ((1L, 1L, 0L, 0L, None, 0L)),
+      "header-only order is n_no_lines, with null max diff")
+  }
 }
