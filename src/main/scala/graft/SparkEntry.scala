@@ -700,6 +700,10 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")),
     "u2_except" -> ((s, dir) => SetOps.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
     "u3_intersect" -> ((s, dir) => SetOps.intersectKeys(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // Bag-semantics set ops: multiplicity differences/minima, which the
+    // set forms u2/u3 cannot express (count state ∝ distinct keys).
+    "u5_except_all" -> ((s, dir) => SetOps.exceptAllPriorities(Tables.orders(s, dir))),
+    "u6_intersect_all" -> ((s, dir) => SetOps.intersectAllPriorities(Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -1465,6 +1469,16 @@ GROUP BY doc_id ORDER BY doc_id"""
       "SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey AS key FROM orders ORDER BY key",
     "u3_intersect" ->
       "SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey AS key FROM orders ORDER BY key",
+    "u5_except_all" ->
+      """SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT ALL
+        |SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_orderpriority""".stripMargin,
+    "u6_intersect_all" ->
+      """SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT ALL
+        |SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_orderpriority""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

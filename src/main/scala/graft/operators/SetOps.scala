@@ -52,6 +52,28 @@ object SetOps {
       .intersect(orders.select(col("o_custkey").as("key")))
       .orderBy("key")
 
+  /** EXCEPT ALL parity (bag semantics): each row survives with
+    * multiplicity max(0, count_left − count_right) — the count
+    * DIFFERENCE, where the set form answers only membership. The plan is
+    * a replicate-by-count aggregate, not a row-by-row anti join: shuffle
+    * state is ∝ distinct keys. Demo: 1996's order-priority mix minus
+    * 1997's — what the set EXCEPT would always report as empty.
+    */
+  def exceptAllPriorities(orders: DataFrame): DataFrame =
+    orders.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_orderpriority"))
+      .exceptAll(orders.filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderpriority")))
+      .orderBy("o_orderpriority")
+
+  /** INTERSECT ALL parity: multiplicity min(count_left, count_right). */
+  def intersectAllPriorities(orders: DataFrame): DataFrame =
+    orders.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_orderpriority"))
+      .intersectAll(orders.filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderpriority")))
+      .orderBy("o_orderpriority")
+
   /** O3/O4 analog: deterministic top-k (sort + limit → TakeOrderedAndProject). */
   def topK(orders: DataFrame, k: Int): DataFrame =
     orders
