@@ -793,6 +793,33 @@ object SparkEntry {
     // header-only orders are their own category, not zero-diff matches.
     "dq17_reconciliation" -> ((s, dir) =>
       Quality.reconcile(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Exact AUC (Mann-Whitney rank-sum) per source: does document length
+    // separate lang='en'? Integer u2 + floor permille, no FP ranks.
+    "dq18_auc" -> ((s, dir) => Evaluation.aucStats(Tables.documents(s, dir))),
+    // Chi-squared token<->label association, DECIMAL(38) exact: the top
+    // tokens whose presence is most associated with lang='en'.
+    "t32_chi2_tokens" -> ((s, dir) =>
+      Evaluation.chi2Association(Tables.documents(s, dir))),
+    // Golden-record attribute survivorship: per-attribute latest non-null
+    // with provenance, composed from different events per column.
+    "e28_golden_record" -> ((s, dir) =>
+      MergeOps.goldenRecord(Tables.events(s, dir))),
+    // Inverted-index build: df/cf + top-3 postings by (tf desc, doc_id)
+    // per token, bounded group state via the windowed-rank guard.
+    "t33_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(Tables.documents(s, dir))),
+    // Hybrid retrieval: reciprocal-rank fusion of the s1 dense cosine
+    // ranking and the t22 sparse BM25 ranking, floor-integer RRF terms.
+    "s14_rrf_fusion" -> ((s, dir) =>
+      Similarity.rrfFusion(Tables.embeddings(s, dir), Tables.documents(s, dir),
+        0L, Seq("spark", "vector", "merge"))),
+    // Calibration table: empirical P(en) per 100-char length bin.
+    "dq19_calibration" -> ((s, dir) =>
+      Evaluation.calibrationBins(Tables.documents(s, dir))),
+    // Operating-point sweep: confusion matrix + precision/recall permille
+    // for "n_chars >= t => en" at six thresholds, one fan-out scan.
+    "dq20_pr_curve" -> ((s, dir) =>
+      Evaluation.prCurve(Tables.documents(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -3774,5 +3801,183 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM embeddings e, q
         |WHERE e.vec_id <> 0
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    "dq18_auc" ->
+      """WITH s AS (
+        |  SELECT source, n_chars AS score,
+        |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+        |         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n
+        |  FROM documents GROUP BY 1, 2
+        |), c AS (
+        |  SELECT source, p, n,
+        |         COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+        |  FROM s
+        |)
+        |SELECT source,
+        |       CAST(SUM(p) AS BIGINT) AS n_pos,
+        |       CAST(SUM(n) AS BIGINT) AS n_neg,
+        |       CAST(SUM(p * (2 * cn + n)) AS BIGINT) AS u2,
+        |       CAST(SUM(p * (2 * cn + n)) * 1000
+        |            // (2 * SUM(p) * SUM(n)) AS BIGINT) AS auc_permille
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "t32_chi2_tokens" ->
+      """WITH tot AS (
+        |  SELECT COUNT(*) AS nd,
+        |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+        |  FROM documents
+        |), d AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+        |         unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents
+        |), g AS (
+        |  SELECT tok, COUNT(*) AS df, SUM(is_en) AS a
+        |  FROM d GROUP BY 1
+        |  HAVING COUNT(*) >= 50 AND COUNT(*) < (SELECT nd FROM tot)
+        |), t AS (
+        |  SELECT tok, a, df - a AS b, tot.np - a AS c,
+        |         tot.nd - tot.np - (df - a) AS d, tot.nd AS nd,
+        |         a * (tot.nd - tot.np - (df - a)) - (df - a) * (tot.np - a) AS det
+        |  FROM g CROSS JOIN tot
+        |)
+        |SELECT tok, CAST(a AS BIGINT) AS n_en_with,
+        |       CAST(b AS BIGINT) AS n_other_with,
+        |       CAST(CAST(1000000 AS HUGEINT) * nd * det * det
+        |            // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+        |            AS BIGINT) AS chi2_micro,
+        |       CAST(CASE WHEN det > 0 THEN 1 WHEN det < 0 THEN -1 ELSE 0 END
+        |            AS BIGINT) AS direction
+        |FROM t ORDER BY chi2_micro DESC, tok LIMIT 25""".stripMargin,
+    "e28_golden_record" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(round(value * 100) AS BIGINT) END AS value_cents,
+        |         CASE WHEN event_type = 'click'
+        |              THEN CAST(props->>'$.k' AS BIGINT) END AS k
+        |  FROM events WHERE user_id IS NOT NULL
+        |), w AS (
+        |  SELECT user_id,
+        |    last_value(event_type IGNORE NULLS) OVER wu AS last_event_type,
+        |    last_value(CASE WHEN event_type IS NOT NULL THEN us END
+        |               IGNORE NULLS) OVER wu AS last_event_type_us,
+        |    last_value(value_cents IGNORE NULLS) OVER wu AS last_purchase_cents,
+        |    last_value(CASE WHEN value_cents IS NOT NULL THEN us END
+        |               IGNORE NULLS) OVER wu AS last_purchase_us,
+        |    last_value(k IGNORE NULLS) OVER wu AS last_click_k,
+        |    last_value(CASE WHEN k IS NOT NULL THEN us END
+        |               IGNORE NULLS) OVER wu AS last_click_us
+        |  FROM b
+        |  WINDOW wu AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MAX(last_event_type) AS last_event_type,
+        |       CAST(MAX(last_event_type_us) AS BIGINT) AS last_event_type_us,
+        |       CAST(MAX(last_purchase_cents) AS BIGINT) AS last_purchase_cents,
+        |       CAST(MAX(last_purchase_us) AS BIGINT) AS last_purchase_us,
+        |       CAST(MAX(last_click_k) AS BIGINT) AS last_click_k,
+        |       CAST(MAX(last_click_us) AS BIGINT) AS last_click_us
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "t33_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT tok, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT tok, doc_id, tf,
+        |         row_number() OVER (PARTITION BY tok
+        |           ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf
+        |)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+        |       CAST(SUM(tf) AS BIGINT) AS cf,
+        |       string_agg(CASE WHEN rn <= 3
+        |                       THEN doc_id || ':' || tf END, ',' ORDER BY rn)
+        |         AS top_postings
+        |FROM r GROUP BY tok HAVING COUNT(*) >= 20 ORDER BY tok""".stripMargin,
+    "s14_rrf_fusion" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+        |), dtop AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                   CAST(e.embedding AS DOUBLE[])))
+        |             * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, vec_id LIMIT 50
+        |), dense AS (
+        |  SELECT vec_id AS id,
+        |         ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rank_dense
+        |  FROM dtop
+        |), t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(len(toks)) AS BIGINT) AS total_tokens FROM t
+        |), post AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+        |  FROM t
+        |), tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM post
+        |  WHERE term IN ('spark', 'vector', 'merge')
+        |  GROUP BY doc_id, dl, term
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    10000 * (2 * s.n_docs - 2 * df.df + 1) * tf.tf * 22 * s.total_tokens
+        |    // ((2 * df.df + 1)
+        |        * (10 * tf.tf * s.total_tokens + 3 * s.total_tokens
+        |           + 9 * tf.dl * s.n_docs)) AS term_score_e4
+        |  FROM tf JOIN df USING (term), stats s
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(term_score_e4) AS BIGINT) AS score_e4
+        |  FROM scored GROUP BY doc_id
+        |), sparse AS (
+        |  SELECT doc_id AS id,
+        |         ROW_NUMBER() OVER (ORDER BY score_e4 DESC, doc_id) AS rank_sparse
+        |  FROM agg
+        |  QUALIFY ROW_NUMBER() OVER (ORDER BY score_e4 DESC, doc_id) <= 50
+        |)
+        |SELECT COALESCE(dense.id, sparse.id) AS id,
+        |       CAST(rank_dense AS BIGINT) AS rank_dense,
+        |       CAST(rank_sparse AS BIGINT) AS rank_sparse,
+        |       CAST(COALESCE(1000000 // (60 + rank_dense), 0)
+        |            + COALESCE(1000000 // (60 + rank_sparse), 0) AS BIGINT)
+        |         AS rrf_e6
+        |FROM dense FULL JOIN sparse ON dense.id = sparse.id
+        |ORDER BY rrf_e6 DESC, id LIMIT 20""".stripMargin,
+    "dq19_calibration" ->
+      """SELECT n_chars // 100 AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_pos,
+        |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000
+        |            // COUNT(*) AS BIGINT) AS pos_permille
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq20_pr_curve" ->
+      """WITH th AS (
+        |  SELECT unnest([100, 200, 300, 400, 600, 800]) AS threshold
+        |), c AS (
+        |  SELECT th.threshold,
+        |    SUM(CASE WHEN d.n_chars >= th.threshold AND d.lang = 'en'
+        |             THEN 1 ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN d.n_chars >= th.threshold AND d.lang <> 'en'
+        |             THEN 1 ELSE 0 END) AS fp,
+        |    SUM(CASE WHEN d.n_chars < th.threshold AND d.lang = 'en'
+        |             THEN 1 ELSE 0 END) AS fn,
+        |    SUM(CASE WHEN d.n_chars < th.threshold AND d.lang <> 'en'
+        |             THEN 1 ELSE 0 END) AS tn
+        |  FROM documents d CROSS JOIN th GROUP BY 1
+        |)
+        |SELECT CAST(threshold AS BIGINT) AS threshold,
+        |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |       CAST(tp * 1000 // (tp + fp) AS BIGINT) AS precision_permille,
+        |       CAST(tp * 1000 // (tp + fn) AS BIGINT) AS recall_permille
+        |FROM c ORDER BY threshold""".stripMargin,
   )
 }

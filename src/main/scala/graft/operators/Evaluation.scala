@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model- and feature-evaluation primitives over corpus tables — the
+  * measurement side of a training-data pipeline (does a cheap signal
+  * predict the label? which features are associated with a class?),
+  * kept in exact integer / decimal arithmetic so the verdicts are
+  * engine-portable.
+  *
+  * Reference analog: the refined-layer sanity aggregations in
+  * `b3_transform.py:242-352` gate a batch on counts; these operators
+  * gate a CURATION RULE on its measured predictive value instead.
+  */
+object Evaluation {
+
+  /** Exact AUC via the Mann–Whitney rank-sum identity, per group — the
+    * standard check that a heuristic quality score actually separates a
+    * binary label (here: does document length predict `lang = 'en'`,
+    * per source). No sampling, no FP ranks:
+    *
+    *   U = #{(pos, neg) pairs with score_pos > score_neg} + ties/2
+    *   AUC = U / (n_pos · n_neg)
+    *
+    * computed without materializing pairs, from per-score counts:
+    * with p_s / n_s the positive/negative counts AT score s and cn_s the
+    * negatives strictly below s,  2U = Σ_s p_s · (2·cn_s + n_s).  The 2×
+    * form keeps tie halves integral; `auc_permille` is the floor-integer
+    * ⌊1000·2U / (2·n_pos·n_neg)⌋, and `u2` rides along so a consumer can
+    * recover full precision.
+    *
+    * Scale shape: the input collapses to DISTINCT (group, score) rows in
+    * one map-side-combining aggregate (state ∝ score cardinality, not
+    * rows); the cumulative window and the final per-group aggregate both
+    * ride the same group partitioning. Bounds: u2 ≤ 2·n_pos·n_neg < 2N²,
+    * ×1000 still far inside BIGINT for any per-group N < 2·10⁷ — and a
+    * 100 TB corpus shards this per (group, day) long before that.
+    */
+  def aucStats(documents: DataFrame): DataFrame = {
+    val perScore = documents
+      .select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
+      .groupBy("source", "score")
+      .agg(sum(col("is_pos")).as("p"),
+        sum(lit(1L) - col("is_pos")).as("n"))
+    val below = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cn", coalesce(sum(col("n")).over(below), lit(0L)))
+      .groupBy("source")
+      .agg(sum(col("p")).as("n_pos"),
+        sum(col("n")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("cn") + col("n"))).as("u2"))
+      .select(col("source"), col("n_pos"), col("n_neg"), col("u2"),
+        // nullif: a single-class group has no pairs to rank — NULL AUC on
+        // both engines (ANSI div would error)
+        expr("u2 * 1000L div nullif(2L * n_pos * n_neg, 0L)").as("auc_permille"))
+      .orderBy("source")
+  }
+
+  /** Chi-squared token↔label association (feature selection for corpus
+    * curation): the top-k tokens whose PRESENCE in a document is most
+    * associated with `lang = 'en'`, scored by the 2×2 chi-squared
+    * statistic in exact arithmetic:
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * with a = en docs containing the token, b = other docs containing it,
+    * c/d the complements. Emitted as `chi2_micro` = ⌊10⁶·χ²⌋ — the
+    * numerator N·(ad−bc)²·10⁶ can reach ~10³⁵ at corpus scale, so the
+    * product is built in DECIMAL(38,0) (Tungsten's 16-byte decimal, still
+    * codegen'd) and only the quotient, ≤ 10⁶·N, returns to BIGINT. The
+    * DuckDB oracle mirrors with HUGEINT. Sign of (ad−bc) rides along as
+    * `direction` so anti-associated tokens are distinguishable.
+    *
+    * Scale shape: presence = per-doc DISTINCT tokens (one explode, then
+    * ONE map-side-combining aggregate keyed by token — state ∝ vocab);
+    * the two corpus totals are driver-side scalars embedded as literals
+    * (the collocations/BPE precedent); top-k is TakeOrderedAndProject,
+    * never a global sort.
+    */
+  def chi2Association(documents: DataFrame, minDf: Long = 50L,
+      k: Int = 25): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val labeled = documents.select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("is_en"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val totals = documents
+      .agg(count(lit(1)).cast("long"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long"))
+      .head()
+    val (nDocs, nEn) = (totals.getLong(0), totals.getLong(1))
+    labeled
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum(col("is_en")).as("a"))
+      // df = N would zero the (c+d) factor — a token in EVERY document
+      // carries no signal anyway, and the guard keeps the floor division
+      // total on both engines (Spark nulls on /0, DuckDB errors)
+      .filter(col("df") >= minDf && col("df") < nDocs)
+      .select(col("tok"), col("a"), (col("df") - col("a")).as("b"),
+        (lit(nEn) - col("a")).as("c"),
+        (lit(nDocs - nEn) - col("df") + col("a")).as("d"))
+      .withColumn("det", col("a") * col("d") - col("b") * col("c"))
+      .withColumn("chi2_micro", expr(
+        s"""CAST(CAST(1000000L * ${nDocs}L AS DECIMAL(38,0)) * det * det
+           |  div (CAST((a + b) AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))
+           |  AS BIGINT)""".stripMargin))
+      .select(col("tok"), col("a").as("n_en_with"), col("b").as("n_other_with"),
+        col("chi2_micro"), signum(col("det")).cast("long").as("direction"))
+      .orderBy(desc("chi2_micro"), col("tok"))
+      .limit(k)
+  }
+
+  /** CALIBRATION table for a heuristic score: empirical P(label) per
+    * fixed-width score bin — the companion readout to [[aucStats]] (AUC
+    * says the score ranks; the calibration table says what a given score
+    * VALUE means). Integer floor bins and floor-permille rates, one
+    * map-side-combining aggregate keyed by bin (state ∝ bins).
+    */
+  def calibrationBins(documents: DataFrame, binWidth: Long = 100L): DataFrame =
+    documents
+      .select(expr(s"n_chars div ${binWidth}L").as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000L div n").as("pos_permille"))
+      .orderBy("bin")
+
+  /** PRECISION/RECALL sweep: the confusion matrix and floor-permille
+    * precision/recall of the rule "score ≥ t ⇒ positive" at each
+    * threshold — the operating-point table behind choosing a filter
+    * cutoff. Each input row fans out to |thresholds| (a handful of)
+    * counting rows in the same scan; partial aggregation collapses the
+    * fan-out map-side, so the exchange carries ∝ |thresholds| rows.
+    * A threshold above every score yields tp+fp = 0 and a NULL precision
+    * (both engines null on integer /0) — visible, not masked.
+    */
+  def prCurve(documents: DataFrame,
+      thresholds: Seq[Long] = Seq(100L, 200L, 300L, 400L, 600L, 800L)): DataFrame =
+    documents
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("score") >= col("threshold"), col("is_pos"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("threshold"), lit(1L) - col("is_pos"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("threshold"), col("is_pos"))
+          .otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("threshold"), lit(1L) - col("is_pos"))
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        // nullif: ANSI div errors on /0; DuckDB nulls — align on NULL
+        expr("tp * 1000L div nullif(tp + fp, 0L)").as("precision_permille"),
+        expr("tp * 1000L div nullif(tp + fn, 0L)").as("recall_permille"))
+      .orderBy("threshold")
+}

@@ -339,4 +339,55 @@ object MergeOps {
         (col("full_rows") <=> col("maintained_rows")).as("rows_agree"))
       .orderBy("o_orderstatus")
   }
+
+  /** GOLDEN-RECORD attribute survivorship (the MDM merge pattern): one
+    * consolidated row per entity where EACH attribute independently takes
+    * its most recent NON-NULL observation, with per-attribute provenance
+    * (the µs timestamp of the contributing event) — unlike
+    * [[latestByKey]], which keeps one whole winning row, survivorship
+    * composes the golden row from different source events per column.
+    *
+    * Recency is the total order (us, event_id) — event_id is unique, so
+    * ties at the same microsecond resolve deterministically. Each
+    * attribute is a `max_by(struct(us, event_id, attr)) FILTER (WHERE
+    * attr IS NOT NULL)` leg: all legs ride ONE map-side-combining hash
+    * aggregate keyed by user_id (state = a handful of scalars per entity,
+    * never the event list), so 100 TB of history consolidates in a single
+    * exchange. Entities with zero observations for an attribute surface
+    * NULL there (never a resurrected stale value).
+    *
+    * Attributes deliberately come from DIFFERENT source events — spend
+    * from the latest purchase (integer cents), `k` from the latest
+    * click's `props` JSON, status from any event — so the golden row is
+    * genuinely composed, not a copy of one winning event.
+    */
+  def goldenRecord(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      col("event_type"),
+      when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).as("value_cents"),
+      when(col("event_type") === "click",
+        get_json_object(col("props"), "$.k").cast("long")).as("k"))
+    def lastNonNull(attr: String) = expr(
+      s"""max_by(struct(us, event_id, $attr), struct(us, event_id))
+         |  FILTER (WHERE $attr IS NOT NULL)""".stripMargin)
+    base
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        lastNonNull("event_type").as("_t"),
+        lastNonNull("value_cents").as("_v"),
+        lastNonNull("k").as("_k"))
+      .select(col("user_id"), col("n_events"),
+        col("_t.event_type").as("last_event_type"),
+        col("_t.us").as("last_event_type_us"),
+        col("_v.value_cents").as("last_purchase_cents"),
+        col("_v.us").as("last_purchase_us"),
+        col("_k.k").as("last_click_k"),
+        col("_k.us").as("last_click_us"))
+      .orderBy("user_id")
+  }
 }

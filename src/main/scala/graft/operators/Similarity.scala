@@ -394,6 +394,46 @@ object Similarity {
             x => (code(x) - 128).cast("byte"))))
       .drop("xs")
   }
+
+  /** RECIPROCAL-RANK FUSION (hybrid retrieval): merge a dense ranking
+    * (cosine top-`kEach` vs a query vector, [[bruteForceTopK]] — the
+    * proven s1 kernel) and a sparse ranking (integer-exact BM25 top-
+    * `kEach` for a bag-of-terms query, [[TextOps.bm25Rank]]) into one
+    * list by RRF score — the standard zero-training fusion behind
+    * "vector + keyword" search:
+    *
+    *   rrf_e6 = Σ_legs ⌊10⁶ / (c + rank_leg)⌋,  c = 60
+    *
+    * Floor-integer per-leg terms (no FP addition whose rounding could
+    * reorder near-ties across engines); a document absent from a leg
+    * contributes 0 there but keeps its other-leg rank visible as NULL vs
+    * value.
+    *
+    * Scale shape: both legs end in TakeOrderedAndProject top-`kEach`
+    * lists, so the fusion full-outer join and its rank windows run over
+    * ≤ 2·kEach rows — driver-scale by construction, after which EACH leg
+    * retains its own scale path (IVF for dense, postings-filter for
+    * sparse). The unpartitioned rank window here is post-limit, like the
+    * g1 supplier-rank precedent.
+    */
+  def rrfFusion(embeddings: DataFrame, documents: DataFrame,
+      queryVecId: Long, queryTerms: Seq[String],
+      kEach: Int = 50, k: Int = 20, c: Long = 60L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val denseW = Window.orderBy(col("score").desc, col("vec_id"))
+    val dense = bruteForceTopK(embeddings, queryVecId, kEach)
+      .select(col("vec_id").as("id"),
+        row_number().over(denseW).cast("long").as("rank_dense"))
+    val sparse = TextOps.bm25Rank(documents, queryTerms, kEach)
+      .select(col("doc_id").as("id"), col("rank").cast("long").as("rank_sparse"))
+    dense.join(sparse, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_dense"), col("rank_sparse"),
+        (coalesce(expr(s"1000000L div (${c}L + rank_dense)"), lit(0L)) +
+          coalesce(expr(s"1000000L div (${c}L + rank_sparse)"), lit(0L)))
+          .as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("id"))
+      .limit(k)
+  }
 }
 
 /** Random-hyperplane LSH index over an embedding column.

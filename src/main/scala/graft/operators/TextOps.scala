@@ -1168,4 +1168,39 @@ object TextOps {
         substring(md5(col("norm")), 1, 8).as("norm_key"))
       .orderBy("doc_id")
   }
+
+  /** INVERTED-INDEX construction (the serving artifact behind
+    * [[phraseSearch]]-style retrieval, built as a dataset): per token with
+    * df ≥ `minDf` — document frequency, collection frequency, and the
+    * top-`topPostings` postings by (tf desc, doc_id) rendered as a
+    * deterministic `"doc:tf,…"` string.
+    *
+    * Scale shape: term frequencies are ONE map-side-combining aggregate
+    * keyed (token, doc_id); the per-token rank is a sort-based window on
+    * the token key (spills gracefully — a stopword's posting list is
+    * never collected into executor memory as an array; only the ≤
+    * `topPostings` survivors of the `when(rn ≤ …)` are, since
+    * collect_list skips the nulls the guard produces). df/cf ride the
+    * same final aggregate, so the full postings volume is counted but
+    * never materialized per group.
+    */
+  def invertedIndex(documents: DataFrame, minDf: Long = 20L,
+      topPostings: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{array_sort, collect_list, concat,
+      concat_ws, desc, explode, row_number, struct, transform, when}
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    val byTok = Window.partitionBy("tok").orderBy(desc("tf"), col("doc_id"))
+    tf.withColumn("rn", row_number().over(byTok))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        concat_ws(",", transform(
+          array_sort(collect_list(when(col("rn") <= topPostings,
+            struct(col("rn"), col("doc_id"), col("tf"))))),
+          e => concat(e("doc_id"), lit(":"), e("tf")))).as("top_postings"))
+      .filter(col("df") >= minDf)
+      .orderBy("tok")
+  }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Evaluation, MergeOps, Similarity, TextOps}
+
+/** Hand-computed referees for the evaluation tier (exact AUC, chi-squared
+  * association) plus the golden-record survivorship merge and the
+  * inverted-index build added in the same session.
+  */
+class EvaluationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("aucStats: hand-computed U with a tie, perfect and inverse separation") {
+    val docs = Seq(
+      // source s: pos scores {3, 5}, neg scores {1, 5}
+      //   pairs: 3>1 win, 3<5 loss, 5>1 win, 5=5 tie -> U = 2.5 of 4
+      (0L, "en", "s", 3L), (1L, "en", "s", 5L),
+      (2L, "de", "s", 1L), (3L, "fr", "s", 5L),
+      // source p: perfect separation -> AUC 1
+      (4L, "en", "p", 10L), (5L, "en", "p", 11L),
+      (6L, "de", "p", 1L), (7L, "zh", "p", 2L),
+      // source i: perfectly inverted -> AUC 0
+      (8L, "en", "i", 1L), (9L, "de", "i", 9L)
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val out = Evaluation.aucStats(docs)
+      .select("source", "n_pos", "n_neg", "u2", "auc_permille")
+      .as[(String, Long, Long, Long, Long)].collect().toMap2
+    assert(out("s") == ((2L, 2L, 5L, 625L)))  // 2U = 5, AUC = 5/8
+    assert(out("p") == ((2L, 2L, 8L, 1000L)))
+    assert(out("i") == ((1L, 1L, 0L, 0L)))
+  }
+
+  test("chi2Association: perfect association scores chi2 = N, uniform scores 0") {
+    // token "hot" in exactly the 3 en docs; "cold" in exactly the 2 others;
+    // "meh" in one of each class (near-independent)
+    val docs = Seq(
+      (0L, "en", "s", "hot meh"), (1L, "en", "s", "hot"), (2L, "en", "s", "hot"),
+      (3L, "de", "s", "cold meh"), (4L, "fr", "s", "cold")
+    ).toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val out = Evaluation.chi2Association(docs, minDf = 1L, k = 10)
+      .select("tok", "chi2_micro", "direction")
+      .as[(String, Long, Long)].collect().toMap2
+    // perfect 2x2: chi2 = N = 5 -> 5_000_000 micro; signs by class
+    assert(out("hot") == ((5000000L, 1L)))
+    assert(out("cold") == ((5000000L, -1L)))
+    // meh: a=1 b=1 c=2 d=1, det = 1-2 = -1, chi2 = 5*1/(2*3*3*2) = 5/36
+    assert(out("meh") == ((5L * 1000000L / 36L, -1L)))
+  }
+
+  test("goldenRecord: attributes survive from different events; absent legs null") {
+    val events = Seq(
+      // user 1: purchase then click then view -> each attribute from its
+      // own event, status from the latest of all three
+      (10L, 1L, 1000L, "purchase", 12.34, """{"k": 7}"""),
+      (11L, 1L, 2000L, "click", 99.0, """{"k": 42}"""),
+      (12L, 1L, 3000L, "view", 1.0, """{"k": 9}"""),
+      // user 2: views only -> purchase/click legs null, status still set
+      (13L, 2L, 500L, "view", 2.0, """{"k": 1}"""),
+      // user 3: two purchases, same us -> event_id breaks the tie
+      (14L, 3L, 4000L, "purchase", 1.00, "{}"),
+      (15L, 3L, 4000L, "purchase", 2.00, "{}")
+    ).toDF("event_id", "user_id", "usl", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val out = MergeOps.goldenRecord(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(1) == 3L && u1.getString(2) == "view")
+    assert(u1.getLong(3) == 3000L)                    // status provenance
+    assert(u1.getLong(4) == 1234L && u1.getLong(5) == 1000L)
+    assert(u1.getLong(6) == 42L && u1.getLong(7) == 2000L)
+    val u2 = out(2L)
+    assert(u2.getString(2) == "view" && u2.isNullAt(4) && u2.isNullAt(6))
+    assert(out(3L).getLong(4) == 200L)                // higher event_id wins
+  }
+
+  test("invertedIndex: df/cf over all postings, top list capped and ordered") {
+    val docs = Seq(
+      (0L, "a a b"), (1L, "a c"), (2L, "b b b")
+    ).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(docs, minDf = 1L, topPostings = 2)
+      .as[(String, Long, Long, String)].collect().toMap2
+    assert(out("a") == ((2L, 3L, "0:2,1:1")))   // tf desc breaks before doc_id
+    assert(out("b") == ((2L, 4L, "2:3,0:1")))   // cap at 2 still counts cf = 4
+    assert(out("c") == ((1L, 1L, "1:1")))
+  }
+
+  test("rrfFusion: both-leg docs sum both terms, single-leg docs keep one") {
+    val embeddings = Seq(
+      (0L, Array(1f, 0f)),    // the query vector
+      (1L, Array(1f, 0f)),    // cosine 1.0 -> dense rank 1
+      (2L, Array(0.9f, 0.1f)),// dense rank 2
+      (3L, Array(0f, 1f))     // cosine 0 -> outside kEach = 2
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (2L, "spark merge"),    // the only term-hitting doc -> sparse rank 1
+      (3L, "nothing here")
+    ).toDF("doc_id", "text")
+    val out = Similarity
+      .rrfFusion(embeddings, docs, 0L, Seq("spark", "merge"), kEach = 2, k = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val d2 = out(2L)
+    assert(d2.getLong(1) == 2L && d2.getLong(2) == 1L)
+    assert(d2.getLong(3) == 1000000L / 62 + 1000000L / 61)
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 1L && d1.isNullAt(2))
+    assert(d1.getLong(3) == 1000000L / 61)
+    // fused order: the both-leg doc outranks the dense-only leader
+    assert(out(2L).getLong(3) > out(1L).getLong(3))
+  }
+
+  test("calibrationBins and prCurve: hand-computed counts and permilles") {
+    val docs = Seq(
+      (0L, "en", 50L), (1L, "en", 150L), (2L, "de", 150L),
+      (3L, "en", 250L), (4L, "fr", 260L), (5L, "zh", 40L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val bins = Evaluation.calibrationBins(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(bins(0L) == ((2L, 1L, 500L)))   // chars 50, 40
+    assert(bins(1L) == ((2L, 1L, 500L)))   // chars 150, 150
+    assert(bins(2L) == ((2L, 1L, 500L)))   // chars 250, 260
+    val pr = Evaluation.prCurve(docs, Seq(100L, 1000L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val t100 = pr(100L)   // >=100: docs 1..4 -> tp 2 (en), fp 2; below: tp-miss 1
+    assert(t100.getLong(1) == 2L && t100.getLong(2) == 2L &&
+      t100.getLong(3) == 1L && t100.getLong(4) == 1L)
+    assert(t100.getLong(5) == 500L && t100.getLong(6) == 666L)
+    val t1k = pr(1000L)   // nothing passes: precision NULL, recall 0
+    assert(t1k.getLong(1) == 0L && t1k.isNullAt(5) && t1k.getLong(6) == 0L)
+  }
+
+  private implicit class Map2[K, V1, V2, V3, V4](rows: Array[(K, V1, V2, V3, V4)]) {
+    def toMap2: Map[K, (V1, V2, V3, V4)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+  private implicit class Map2b[K, V1, V2](rows: Array[(K, V1, V2)]) {
+    def toMap2: Map[K, (V1, V2)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+  private implicit class Map2c[K, V1, V2, V3](rows: Array[(K, V1, V2, V3)]) {
+    def toMap2: Map[K, (V1, V2, V3)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}
