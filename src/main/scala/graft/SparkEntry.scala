@@ -820,6 +820,17 @@ object SparkEntry {
     // for "n_chars >= t => en" at six thresholds, one fan-out scan.
     "dq20_pr_curve" -> ((s, dir) =>
       Evaluation.prCurve(Tables.documents(s, dir))),
+    // CBO cardinality contract: exact self-join size vs the uniform and
+    // heavy-hitter-aware estimates, with permille error for each.
+    "dq21_join_estimate" -> ((s, dir) =>
+      Evaluation.joinCardinalityEstimate(Tables.events(s, dir))),
+    // Seasonal-naive backtest: hour-vs-same-hour-yesterday forecast error
+    // per event_type over the calendar-joined hourly grid.
+    "e29_seasonal_backtest" -> ((s, dir) =>
+      TimeSeries.seasonalBacktest(Tables.events(s, dir))),
+    // Type-token ratio + hapax share per source, floor permille.
+    "t34_lexical_diversity" -> ((s, dir) =>
+      TextOps.lexicalDiversity(Tables.documents(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -3979,5 +3990,73 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       CAST(tp * 1000 // (tp + fp) AS BIGINT) AS precision_permille,
         |       CAST(tp * 1000 // (tp + fn) AS BIGINT) AS recall_permille
         |FROM c ORDER BY threshold""".stripMargin,
+    "dq21_join_estimate" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS c FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1
+        |), heavy AS (
+        |  SELECT COALESCE(SUM(c * c), 0) AS heavy_pairs,
+        |         COALESCE(SUM(c), 0) AS heavy_rows,
+        |         COUNT(*) AS heavy_keys
+        |  FROM (SELECT c FROM counts ORDER BY c DESC, user_id LIMIT 20)
+        |), tot AS (
+        |  SELECT SUM(c) AS n_rows, COUNT(*) AS n_keys,
+        |         SUM(c * c) AS exact_pairs
+        |  FROM counts
+        |)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_keys AS BIGINT) AS n_keys,
+        |       CAST(exact_pairs AS BIGINT) AS exact_pairs,
+        |       CAST(n_rows * n_rows // n_keys AS BIGINT) AS est_uniform,
+        |       CAST(heavy_pairs + (n_rows - heavy_rows) * (n_rows - heavy_rows)
+        |            // NULLIF(n_keys - heavy_keys, 0) AS BIGINT) AS est_hybrid,
+        |       CAST((n_rows * n_rows // n_keys) * 1000 // exact_pairs
+        |            AS BIGINT) AS uniform_permille,
+        |       CAST((heavy_pairs + (n_rows - heavy_rows) * (n_rows - heavy_rows)
+        |             // NULLIF(n_keys - heavy_keys, 0)) * 1000 // exact_pairs
+        |            AS BIGINT) AS hybrid_permille
+        |FROM tot CROSS JOIN heavy""".stripMargin,
+    "e29_seasonal_backtest" ->
+      """WITH grid AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) // 3600000000) * 3600000000 AS bar_us,
+        |         COUNT(*) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT g.event_type, g.bar_us, g.cnt, b.cnt AS base_cnt
+        |  FROM grid g LEFT JOIN grid b
+        |    ON b.event_type = g.event_type
+        |   AND b.bar_us = g.bar_us - 86400000000
+        |  WHERE g.bar_us >= (SELECT MIN(bar_us) FROM grid) + 86400000000
+        |)
+        |SELECT event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |       CAST(SUM(CASE WHEN base_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_missing_base,
+        |       CAST(SUM(CASE WHEN base_cnt IS NOT NULL
+        |                     THEN abs(cnt - base_cnt) END) AS BIGINT)
+        |         AS abs_err_sum,
+        |       CAST(SUM(CASE WHEN base_cnt IS NOT NULL
+        |                     THEN cnt - base_cnt END) AS BIGINT) AS bias_sum,
+        |       CAST(MAX(CASE WHEN base_cnt IS NOT NULL
+        |                     THEN abs(cnt - base_cnt) END) AS BIGINT)
+        |         AS worst_abs_err
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "t34_lexical_diversity" ->
+      """WITH tc AS (
+        |  SELECT source, tok, COUNT(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_types,
+        |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       CAST(COUNT(*) * 1000 // SUM(c) AS BIGINT) AS ttr_permille,
+        |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+        |            AS BIGINT) AS hapax_permille
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
   )
 }

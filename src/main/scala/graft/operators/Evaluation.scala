@@ -159,4 +159,45 @@ object Evaluation {
         expr("tp * 1000L div nullif(tp + fp, 0L)").as("precision_permille"),
         expr("tp * 1000L div nullif(tp + fn, 0L)").as("recall_permille"))
       .orderBy("threshold")
+
+  /** JOIN-CARDINALITY ESTIMATION contract (the statistic a cost-based
+    * optimizer runs on): for the skewed self-equi-join events ⋈ events on
+    * user_id, compare
+    *
+    *   exact        = Σ_k c(k)²                 (ground truth)
+    *   est_uniform  = ⌊n² / ndv⌋                (the textbook CBO formula —
+    *                                             blind to skew)
+    *   est_hybrid   = Σ_{top-h} c(k)² + ⌊n_tail² / ndv_tail⌋
+    *                                            (heavy hitters kept exact,
+    *                                             uniformity only for the tail
+    *                                             — the End-Biased-Histogram
+    *                                             estimate)
+    *
+    * plus each estimate's floor-permille ratio to exact — the measured
+    * case for why engine statistics must carry heavy hitters, not just
+    * (n, ndv). Everything is integer arithmetic on exact counts, so the
+    * contract is engine-portable; at 100 TB the per-key count table is
+    * the only shuffled state (∝ ndv) and the top-h pick is a
+    * TakeOrderedAndProject.
+    */
+  def joinCardinalityEstimate(events: DataFrame, topH: Int = 20): DataFrame = {
+    val counts = events.filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    val heavy = counts.orderBy(desc("c"), col("user_id")).limit(topH)
+      .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("heavy_pairs"),
+        coalesce(sum(col("c")), lit(0L)).as("heavy_rows"),
+        count(lit(1)).as("heavy_keys"))
+    counts
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("exact_pairs"))
+      .crossJoin(broadcast(heavy)) // single-row side; satisfies CartesianGuard
+      .select(col("n_rows"), col("n_keys"), col("exact_pairs"),
+        expr("n_rows * n_rows div n_keys").as("est_uniform"),
+        expr("""heavy_pairs + (n_rows - heavy_rows) * (n_rows - heavy_rows)
+                div nullif(n_keys - heavy_keys, 0L)""").as("est_hybrid"))
+      .select(col("n_rows"), col("n_keys"), col("exact_pairs"),
+        col("est_uniform"), col("est_hybrid"),
+        expr("est_uniform * 1000L div exact_pairs").as("uniform_permille"),
+        expr("est_hybrid * 1000L div exact_pairs").as("hybrid_permille"))
+  }
 }

@@ -246,4 +246,48 @@ object TimeSeries {
         col("open_cents"), col("close_cents"))
       .orderBy("event_type", "bar_us")
   }
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST: score the forecast "this hour's
+    * event count = the same hour yesterday" per event_type — the standard
+    * baseline every real forecasting model must beat, and the shape of a
+    * capacity-planning backtest over the event stream.
+    *
+    * The hourly grid joins to itself on (event_type, hour − 24 h) — a
+    * calendar-exact equi-join (a `lag(24)` window over observed rows
+    * would silently misalign across gap hours). Hours with no
+    * yesterday-observation are excluded (`n_missing_base` counts them),
+    * matching how a production backtest treats cold starts. Absolute
+    * errors, bias, and the worst miss are integer counts; MAE surfaces
+    * as numerator + n so the consumer divides.
+    *
+    * Scale shape: the raw stream collapses to the hourly grid in ONE
+    * map-side-combining aggregate (state ∝ hours × types); the self-join
+    * and final per-type rollup move only grid-sized data.
+    */
+  def seasonalBacktest(events: DataFrame, seasonUs: Long = 86400000000L,
+      barUs: Long = 3600000000L): DataFrame = {
+    val grid = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) div ${barUs}L) * ${barUs}L").as("bar_us"))
+      .groupBy("event_type", "bar_us")
+      .agg(count(lit(1)).as("cnt"))
+    val base = grid.select(col("event_type"),
+      (col("bar_us") + lit(seasonUs)).as("bar_us"), col("cnt").as("base_cnt"))
+    grid.join(base, Seq("event_type", "bar_us"), "left")
+      // the first season of hours has no base by construction; drop it so
+      // n_missing_base measures real gaps, not the warm-up edge
+      .filter(col("bar_us") >= grid.agg(min(col("bar_us"))).head().getLong(0) + seasonUs)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("base_cnt").isNull, 1L).otherwise(0L)).as("n_missing_base"),
+        sum(when(col("base_cnt").isNotNull,
+          abs(col("cnt") - col("base_cnt")))).as("abs_err_sum"),
+        sum(when(col("base_cnt").isNotNull,
+          col("cnt") - col("base_cnt"))).as("bias_sum"),
+        max(when(col("base_cnt").isNotNull,
+          abs(col("cnt") - col("base_cnt")))).as("worst_abs_err"))
+      .orderBy("event_type")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Evaluation, MergeOps, Similarity, TextOps}
+import graft.operators.{Evaluation, MergeOps, Similarity, TextOps, TimeSeries}
 
 /** Hand-computed referees for the evaluation tier (exact AUC, chi-squared
   * association) plus the golden-record survivorship merge and the
@@ -129,6 +129,44 @@ class EvaluationSpec extends SparkTestBase {
     assert(t100.getLong(5) == 500L && t100.getLong(6) == 666L)
     val t1k = pr(1000L)   // nothing passes: precision NULL, recall 0
     assert(t1k.getLong(1) == 0L && t1k.isNullAt(5) && t1k.getLong(6) == 0L)
+  }
+
+  test("joinCardinalityEstimate: hybrid recovers skew the uniform formula misses") {
+    // counts 3,1,1,1 -> exact 12; uniform 36 div 4 = 9; with topH = 1 the
+    // heavy key is exact and the 3-row/3-key tail is truly uniform -> 12
+    val events = (Seq.fill(3)(1L) ++ Seq(2L, 3L, 4L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("event_id", "user_id")
+    val r = Evaluation.joinCardinalityEstimate(events, topH = 1).head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 4L && r.getLong(2) == 12L)
+    assert(r.getLong(3) == 9L && r.getLong(4) == 12L)
+    assert(r.getLong(5) == 750L && r.getLong(6) == 1000L)
+  }
+
+  test("seasonalBacktest: calendar join skips gap hours, warm-up excluded") {
+    val h = 3600000000L
+    val events = Seq(
+      (0L, 0L), (1L, 1L),            // hour 0: 2 events
+      (2L, 24 * h), (3L, 24 * h + 5L), (4L, 24 * h + 9L), // hour 24: 3
+      (5L, 48 * h),                  // hour 48: 1 (base hour 24 -> err 2)
+      (6L, 49 * h)                   // hour 49: no hour-25 base -> missing
+    ).map { case (id, us) => (id, "A", us) }
+      .toDF("event_id", "event_type", "usl")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val r = TimeSeries.seasonalBacktest(events).head()
+    assert(r.getString(0) == "A")
+    assert(r.getLong(1) == 3L)   // hours 24, 48, 49 evaluated
+    assert(r.getLong(2) == 1L)   // hour 49 has no base
+    assert(r.getLong(3) == 3L)   // |3-2| + |1-3|
+    assert(r.getLong(4) == -1L)  // (3-2) + (1-3)
+    assert(r.getLong(5) == 2L)
+  }
+
+  test("lexicalDiversity: TTR and hapax share on a literal corpus") {
+    val docs = Seq((0L, "s", "a a b"), (1L, "s", "c"))
+      .toDF("doc_id", "source", "text")
+    val r = TextOps.lexicalDiversity(docs).head()
+    assert(r.getString(0) == "s" && r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 750L && r.getLong(5) == 666L)
   }
 
   private implicit class Map2[K, V1, V2, V3, V4](rows: Array[(K, V1, V2, V3, V4)]) {
