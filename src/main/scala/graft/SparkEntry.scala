@@ -831,6 +831,15 @@ object SparkEntry {
     // Type-token ratio + hapax share per source, floor permille.
     "t34_lexical_diversity" -> ((s, dir) =>
       TextOps.lexicalDiversity(Tables.documents(s, dir))),
+    // Incremental sessionization across a time cut with carried open-
+    // session state; the one-shot e6 SQL is the oracle, so the hash gate
+    // proves incremental == full recompute.
+    "e30_incremental_sessions" -> ((s, dir) =>
+      Sessions.incrementalSessionize(Tables.events(s, dir))),
+    // Crawl-overlap matrix: exact-duplicate pairs within and across
+    // sources, from (text-hash, source) counts.
+    "d21_cross_source_dups" -> ((s, dir) =>
+      Dedup.crossSourceDups(Tables.documents(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4058,5 +4067,46 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
         |            AS BIGINT) AS hapax_permille
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    // e30's oracle is the ONE-SHOT sessionization (same SQL as e6): the
+    // incremental path must reproduce it bit for bit.
+    "e30_incremental_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 86400000000 THEN 1
+        |            ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT *, SUM(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(MIN(us) AS BIGINT) AS start_us,
+        |       CAST(MAX(us) AS BIGINT) AS end_us,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "d21_cross_source_dups" ->
+      """WITH counts AS (
+        |  SELECT md5(text) AS h, source, COUNT(*) AS c
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(SUM(CASE WHEN a.source = b.source
+        |                     THEN a.c * (a.c - 1) // 2
+        |                     ELSE a.c * b.c END) AS BIGINT) AS n_dup_pairs
+        |FROM counts a JOIN counts b
+        |  ON a.h = b.h AND a.source <= b.source
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.source = b.source
+        |                THEN a.c * (a.c - 1) // 2
+        |                ELSE a.c * b.c END) > 0
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

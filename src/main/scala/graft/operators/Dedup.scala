@@ -809,4 +809,34 @@ object Dedup {
         }: _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.chunk_id"), col("c.chunk_val"))
   }
+
+  /** CROSS-SOURCE DUPLICATION MATRIX: for every (source_a ≤ source_b)
+    * pair, the number of exact-duplicate DOCUMENT PAIRS spanning them —
+    * the crawl-overlap readout ("which feeds re-serve each other's
+    * content") that decides which source to drop when de-weighting a
+    * corpus. Same-source cells count internal duplication C(c,2);
+    * cross cells count c_a·c_b over each shared text group.
+    *
+    * Scale shape: documents collapse to (text-hash, source) counts in ONE
+    * map-side-combining aggregate; the pair join runs per HASH GROUP, so
+    * its fan-out is bounded by duplicate-group source spread (tiny), and
+    * the output is ∝ sources² — metadata-scale regardless of corpus size.
+    */
+  def crossSourceDups(documents: DataFrame): DataFrame = {
+    val counts = documents.filter(col("text").isNotNull)
+      .groupBy(md5(col("text")).as("h"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val a = counts.select(col("h"), col("source").as("source_a"), col("c").as("ca"))
+    val b = counts.select(col("h"), col("source").as("source_b"), col("c").as("cb"))
+    a.join(b, Seq("h"))
+      .filter(col("source_a") <= col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"),
+          expr("ca * (ca - 1) div 2")).otherwise(col("ca") * col("cb"))
+          .as("pairs"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("pairs")).as("n_dup_pairs"))
+      .filter(col("n_dup_pairs") > 0)
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -386,4 +386,85 @@ object Sessions {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("cents")).as("cents"))
       .orderBy("window_start_us", "event_type")
+
+  /** INCREMENTAL SESSIONIZATION across a batch boundary: process the
+    * stream in two time-contiguous batches, carrying per-user OPEN-SESSION
+    * state over the cut, and produce a session table IDENTICAL to the
+    * one-shot [[sessionize]] over the whole stream — the production
+    * pattern that absorbs each day's events at cost ∝ batch + state
+    * instead of re-sessionizing all history. The registered oracle is the
+    * ONE-SHOT SQL, so "incremental == full recompute" is exactly what the
+    * hash gate proves (the [[MergeOps.joinMaintenanceDemo]] algebra,
+    * applied to a stateful window operator).
+    *
+    * Mechanics: each user's LAST batch-1 session is the carried state
+    * (it may still be open at the cut). Batch 2 sessionizes alone with
+    * per-user LOCAL ids, then one equi-join on user_id decides
+    * continuation — first batch-2 event within `gapSeconds` of the
+    * state's end merges into the carried session (summing counts/cents,
+    * keeping its start), otherwise the carried session closes unchanged —
+    * and shifts local ids by the carried numbering. Every step is
+    * batch-/state-sized; history is touched only through the state table.
+    *
+    * `cutUs` defaults to the driver-computed midpoint of the observed
+    * time range, so the demo genuinely exercises both batches at any
+    * fixture scale.
+    */
+  def incrementalSessionize(events: DataFrame, gapSeconds: Long = 86400L,
+      cutUs: Option[Long] = None): DataFrame = {
+    val base = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val cut = cutUs.getOrElse {
+      val r = base.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      (r.getLong(0) + r.getLong(1)) / 2
+    }
+    val batch1 = base.filter(unix_micros(col("ts")) < cut)
+    val batch2 = base.filter(unix_micros(col("ts")) >= cut)
+    val s1 = sessionize(batch1, gapSeconds)
+    // carried state: each user's last batch-1 session (possibly open)
+    val lastW = Window.partitionBy("user_id").orderBy(col("session_id").desc)
+    val ranked1 = s1.withColumn("_rn", row_number().over(lastW))
+    val closed1 = ranked1.filter(col("_rn") > 1).drop("_rn")
+    val state = ranked1.filter(col("_rn") === 1).drop("_rn")
+    val s2 = sessionize(batch2, gapSeconds)
+      .withColumnRenamed("session_id", "local_id")
+    val st = state.select(col("user_id"),
+      col("session_id").as("st_id"), col("start_us").as("st_start"),
+      col("end_us").as("st_end"), col("n_events").as("st_n"),
+      col("sum_cents").as("st_sum"))
+    val joined = s2.join(st, Seq("user_id"), "full_outer")
+      .withColumn("continues",
+        col("st_id").isNotNull && col("local_id") === 1L &&
+          col("start_us") - col("st_end") <= gapSeconds * 1000000L)
+    // per-user shift: did local session 1 merge into the carried session?
+    val userShift = joined.filter(col("local_id") === 1L)
+      .select(col("user_id"),
+        when(col("continues"), lit(1L)).otherwise(lit(0L)).as("merge1"),
+        coalesce(col("st_id"), lit(0L)).as("base_id"))
+    val merged = joined.join(userShift, Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("local_id"), col("st_id"), col("continues"),
+        col("start_us"), col("end_us"), col("n_events"), col("sum_cents"),
+        col("st_start"), col("st_end"), col("st_n"), col("st_sum"),
+        coalesce(col("merge1"), lit(0L)).as("merge1"),
+        coalesce(col("base_id"), col("st_id"), lit(0L)).as("base_id"))
+    val fromBatch2 = merged.filter(col("local_id").isNotNull)
+      .select(col("user_id"),
+        (col("base_id") + col("local_id") - col("merge1")).as("session_id"),
+        when(col("continues"), col("st_start")).otherwise(col("start_us"))
+          .as("start_us"),
+        col("end_us"),
+        (col("n_events") + when(col("continues"), col("st_n")).otherwise(0L))
+          .as("n_events"),
+        (col("sum_cents") + when(col("continues"), col("st_sum")).otherwise(0L))
+          .as("sum_cents"))
+    // carried sessions that nothing in batch 2 continued close unchanged
+    val stateClosed = merged
+      .filter(col("st_id").isNotNull &&
+        (col("local_id").isNull || (col("local_id") === 1L && !col("continues"))))
+      .select(col("user_id"), col("st_id").as("session_id"),
+        col("st_start").as("start_us"), col("st_end").as("end_us"),
+        col("st_n").as("n_events"), col("st_sum").as("sum_cents"))
+    closed1.unionByName(stateClosed).unionByName(fromBatch2)
+      .orderBy("user_id", "session_id")
+  }
 }

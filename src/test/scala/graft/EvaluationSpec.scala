@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Evaluation, MergeOps, Similarity, TextOps, TimeSeries}
+import graft.operators.{Dedup, Evaluation, MergeOps, Sessions, Similarity,
+  TextOps, TimeSeries}
 
 /** Hand-computed referees for the evaluation tier (exact AUC, chi-squared
   * association) plus the golden-record survivorship merge and the
@@ -167,6 +168,35 @@ class EvaluationSpec extends SparkTestBase {
     val r = TextOps.lexicalDiversity(docs).head()
     assert(r.getString(0) == "s" && r.getLong(1) == 4L && r.getLong(2) == 3L)
     assert(r.getLong(3) == 2L && r.getLong(4) == 750L && r.getLong(5) == 666L)
+  }
+
+  test("incrementalSessionize == one-shot sessionize at every cut position") {
+    val hourUs = 3600000000L
+    // deterministic scatter: 120 events, 6 users, inter-event gaps that
+    // straddle the 24 h boundary both ways
+    val events = (0 until 120).map { i =>
+      val us = ((i * 2654435761L) % 97) * hourUs + (i % 7) * 1000L
+      (i.toLong, (i % 6).toLong, us, (i % 50) / 10.0)
+    }.toDF("event_id", "user_id", "usl", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val oneShot = Sessions.sessionize(events).collect().toSeq
+    val allUs = (0 until 120).map(i => ((i * 2654435761L) % 97) * hourUs)
+    for (cut <- Seq(0L, allUs.min + 1, allUs.max / 3, allUs.max / 2,
+        allUs.max, allUs.max + hourUs)) {
+      val inc = Sessions.incrementalSessionize(events, cutUs = Some(cut))
+        .collect().toSeq
+      assert(inc == oneShot, s"mismatch at cut $cut")
+    }
+  }
+
+  test("crossSourceDups: within-source C(c,2), cross-source c_a*c_b") {
+    val docs = Seq(
+      (0L, "A", "x"), (1L, "A", "x"), (2L, "A", "y"),
+      (3L, "B", "x"), (4L, "B", "z"), (5L, "C", "q")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.crossSourceDups(docs)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("A", "A", 1L), ("A", "B", 2L)))
   }
 
   private implicit class Map2[K, V1, V2, V3, V4](rows: Array[(K, V1, V2, V3, V4)]) {
