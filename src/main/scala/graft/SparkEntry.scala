@@ -840,6 +840,17 @@ object SparkEntry {
     // sources, from (text-hash, source) counts.
     "d21_cross_source_dups" -> ((s, dir) =>
       Dedup.crossSourceDups(Tables.documents(s, dir))),
+    // Order-independent content checksums (bit-XOR of canonical row
+    // hashes + count/min/max) for three tables - the publish-integrity
+    // artifact any engine reproduces.
+    "dq22_table_checksum" -> ((s, dir) =>
+      Quality.tableChecksums(Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.customer(s, dir))),
+    // TPC-H Q18 shape: HAVING-filtered fact pre-aggregation joined back
+    // to orders + broadcast customer, top-k by cents.
+    "j18_q18_bigspenders" -> ((s, dir) =>
+      JoinOps.q18BigSpenders(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4108,5 +4119,58 @@ GROUP BY doc_id ORDER BY doc_id"""
         |                THEN a.c * (a.c - 1) // 2
         |                ELSE a.c * b.c END) > 0
         |ORDER BY 1, 2""".stripMargin,
+    "dq22_table_checksum" ->
+      """WITH co AS (
+        |  SELECT CAST('0x' || substr(md5(
+        |           c_custkey || '|' || c_name || '|' || c_nationkey || '|' ||
+        |           CAST(round(c_acctbal * 100) AS BIGINT) || '|' ||
+        |           c_mktsegment), 1, 15) AS BIGINT) AS h
+        |  FROM customer
+        |), lo AS (
+        |  SELECT CAST('0x' || substr(md5(
+        |           l_orderkey || '|' || l_linenumber || '|' || l_partkey
+        |           || '|' || l_suppkey || '|' ||
+        |           CAST(round(l_quantity) AS BIGINT) || '|' ||
+        |           CAST(round(l_extendedprice * 100) AS BIGINT) || '|' ||
+        |           l_returnflag || '|' || l_linestatus || '|' ||
+        |           epoch_us(l_shipdate)), 1, 15) AS BIGINT) AS h
+        |  FROM lineitem
+        |), oo AS (
+        |  SELECT CAST('0x' || substr(md5(
+        |           o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+        |           || '|' || CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
+        |           epoch_us(o_orderdate) || '|' || o_orderpriority), 1, 15)
+        |         AS BIGINT) AS h
+        |  FROM orders
+        |)
+        |SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(xor_sig AS BIGINT) AS xor_sig,
+        |       CAST(min_sig AS BIGINT) AS min_sig,
+        |       CAST(max_sig AS BIGINT) AS max_sig
+        |FROM (
+        |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+        |         bit_xor(h) AS xor_sig, MIN(h) AS min_sig, MAX(h) AS max_sig
+        |  FROM co
+        |  UNION ALL
+        |  SELECT 'lineitem', COUNT(*), bit_xor(h), MIN(h), MAX(h) FROM lo
+        |  UNION ALL
+        |  SELECT 'orders', COUNT(*), bit_xor(h), MIN(h), MAX(h) FROM oo
+        |) ORDER BY table_name""".stripMargin,
+    "j18_q18_bigspenders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |           AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 200
+        |)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |       epoch_us(o.o_orderdate) AS order_us,
+        |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |       big.total_qty
+        |FROM big
+        |JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY total_cents DESC, o.o_orderkey LIMIT 100""".stripMargin,
   )
 }

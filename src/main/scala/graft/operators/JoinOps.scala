@@ -332,4 +332,34 @@ object JoinOps {
       .select(col("yr"), col("total_cents"), col("nation_cents"),
         expr("nation_cents * 1000 div total_cents").as("share_permille"))
       .orderBy("yr")
+
+  /** TPC-H Q18 shape ("large-volume customers"): aggregate the FACT table
+    * first (per-order total quantity), filter to the rare heavy orders,
+    * and only then join orders + customer — the aggregate-below-join
+    * ordering that turns a fact-fact join into a join against a
+    * HAVING-filtered sliver. At 100 TB the pre-aggregation is the whole
+    * plan: lineitem collapses map-side to one row per order and the > t
+    * filter drops ~99% of those before anything reaches a join; joining
+    * first would shuffle the full fact table twice for rows mostly
+    * destined for the HAVING bin.
+    *
+    * Quantities round to exact integers (TPC-H quantities are integral),
+    * money to cents; top-k is TakeOrderedAndProject on (cents, orderkey).
+    */
+  def q18BigSpenders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQty: Long = 200L, k: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        col("total_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(k)
+  }
 }

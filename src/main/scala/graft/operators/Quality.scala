@@ -729,4 +729,45 @@ object Quality {
           .otherwise(0L)).as("total_abs_diff_cents"))
       .orderBy("o_orderstatus")
   }
+
+  /** ORDER-INDEPENDENT TABLE CHECKSUMS (the CHECKSUM TABLE / publish-gate
+    * integrity artifact): one row per table with a content signature that
+    * any engine reproduces — row count plus the bit-XOR / min / max of a
+    * canonical per-row hash. XOR is commutative-associative, so the
+    * signature is partition- and order-invariant and combines map-side;
+    * count+min+max catch the XOR blind spot (a vanished duplicate PAIR
+    * cancels out of XOR but not out of the count).
+    *
+    * Canonicalization rules (the whole contract): money pre-rounded to
+    * integer cents, timestamps as epoch-µs integers, fields joined with
+    * '|', md5 → first 15 hex digits → BIGINT. No floating-point value is
+    * ever stringified (engines format doubles differently).
+    */
+  def tableChecksums(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val o = orders.select(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"),
+      unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority")).as("__canon"))
+    val l = lineitem.select(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"), round(col("l_quantity")).cast("long"),
+      round(col("l_extendedprice") * 100).cast("long"),
+      col("l_returnflag"), col("l_linestatus"),
+      unix_micros(col("l_shipdate").cast("timestamp"))).as("__canon"))
+    val c = customer.select(concat_ws("|",
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long"),
+      col("c_mktsegment")).as("__canon"))
+    def one(name: String, canon: DataFrame): DataFrame = canon
+      .select(expr("CAST(conv(substring(md5(__canon), 1, 15), 16, 10) AS BIGINT)")
+        .as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_sig"),
+        min(col("h")).as("min_sig"), max(col("h")).as("max_sig"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("xor_sig"),
+        col("min_sig"), col("max_sig"))
+    one("customer", c).unionByName(one("lineitem", l))
+      .unionByName(one("orders", o))
+      .orderBy("table_name")
+  }
 }

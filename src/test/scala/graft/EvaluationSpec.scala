@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Evaluation, MergeOps, Sessions, Similarity,
-  TextOps, TimeSeries}
+import graft.operators.{Dedup, Evaluation, JoinOps, MergeOps, Quality,
+  Sessions, Similarity, TextOps, TimeSeries}
 
 /** Hand-computed referees for the evaluation tier (exact AUC, chi-squared
   * association) plus the golden-record survivorship merge and the
@@ -197,6 +197,47 @@ class EvaluationSpec extends SparkTestBase {
     val out = Dedup.crossSourceDups(docs)
       .as[(String, String, Long)].collect().toSet
     assert(out == Set(("A", "A", 1L), ("A", "B", 2L)))
+  }
+
+  test("tableChecksums: partition/order-invariant, sensitive to one cent") {
+    val orders = Tables.orders(spark, sf0001)
+    val lineitem = Tables.lineitem(spark, sf0001)
+    val customer = Tables.customer(spark, sf0001)
+    val base = Quality.tableChecksums(orders, lineitem, customer).collect()
+    val shuffled = Quality.tableChecksums(
+      orders.repartition(13), lineitem.repartition(7), customer.repartition(3))
+      .collect()
+    assert(base.toSeq == shuffled.toSeq) // XOR signature ignores layout
+    val mutated = Quality.tableChecksums(
+      orders.withColumn("o_totalprice",
+        when(col("o_orderkey") === orders.select(min("o_orderkey")).head().getLong(0),
+          col("o_totalprice") + 0.01).otherwise(col("o_totalprice"))),
+      lineitem, customer).collect()
+    val b = base.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val m = mutated.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(b("orders") != m("orders") && b("lineitem") == m("lineitem"))
+  }
+
+  test("q18BigSpenders: HAVING bound, join-back fields, cents ordering") {
+    val lineitem = Seq(
+      (1L, 1, 150.0), (1L, 2, 100.0),  // order 1: qty 250 -> big
+      (2L, 1, 250.0),                  // order 2: qty 250 -> big
+      (3L, 1, 200.0)                   // order 3: qty 200 -> NOT > 200
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity")
+    val orders = Seq(
+      (1L, 10L, "O", 500.00, 86400000000L, "1-URGENT"),
+      (2L, 11L, "F", 700.00, 0L, "2-HIGH"),
+      (3L, 10L, "O", 900.00, 0L, "3-MEDIUM")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "usl", "o_orderpriority")
+      .withColumn("o_orderdate", timestamp_micros(col("usl"))).drop("usl")
+    val customer = Seq((10L, "alice"), (11L, "bob"))
+      .toDF("c_custkey", "c_name")
+    val out = JoinOps.q18BigSpenders(customer, orders, lineitem).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L)) // 700 > 500; 3 excluded
+    val top = out.head
+    assert(top.getString(1) == "bob" && top.getLong(3) == 0L &&
+      top.getLong(4) == 70000L && top.getLong(5) == 250L)
   }
 
   private implicit class Map2[K, V1, V2, V3, V4](rows: Array[(K, V1, V2, V3, V4)]) {
