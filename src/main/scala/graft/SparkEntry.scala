@@ -851,6 +851,22 @@ object SparkEntry {
     "j18_q18_bigspenders" -> ((s, dir) =>
       JoinOps.q18BigSpenders(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    // TPC-H Q17 shape: correlated per-part average decorrelated into one
+    // broadcast aggregate; cross-multiplied integer threshold.
+    "j19_q17_smallqty" -> ((s, dir) =>
+      JoinOps.q17SmallQtyRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // TPC-H Q21 shape: EXISTS + NOT-EXISTS over the fact table rewritten
+    // as one per-order aggregate (no l2/l3 self-joins).
+    "j20_q21_waiting" -> ((s, dir) =>
+      JoinOps.q21WaitingSuppliers(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.supplier(s, dir))),
+    // TPC-H Q15 shape: revenue view reused for max + probe; all ties.
+    "j21_q15_topsupplier" -> ((s, dir) =>
+      JoinOps.q15TopSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    // TPC-H Q22 shape: scalar-average subquery (cross-multiplied to
+    // integer cents) + anti-join against orders.
+    "j22_q22_opportunity" -> ((s, dir) =>
+      JoinOps.q22SalesOpportunity(Tables.customer(s, dir), Tables.orders(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4172,5 +4188,77 @@ GROUP BY doc_id ORDER BY doc_id"""
         |JOIN orders o ON o.o_orderkey = big.l_orderkey
         |JOIN customer c ON c.c_custkey = o.o_custkey
         |ORDER BY total_cents DESC, o.o_orderkey LIMIT 100""".stripMargin,
+    "j19_q17_smallqty" ->
+      """WITH bl AS (
+        |  SELECT l.l_partkey,
+        |         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+        |         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#4'
+        |), pp AS (
+        |  SELECT l_partkey AS agg_partkey, SUM(qty) AS sum_qty,
+        |         COUNT(*) AS cnt
+        |  FROM bl GROUP BY 1
+        |)
+        |SELECT 'Brand#4' AS brand, COUNT(*) AS n_lines,
+        |       SUM(bl.price_cents) AS total_cents,
+        |       SUM(bl.price_cents) // 7 AS avg_weekly_cents
+        |FROM bl JOIN pp ON bl.l_partkey = pp.agg_partkey
+        |WHERE bl.qty * pp.cnt * 5 < pp.sum_qty""".stripMargin,
+    // The classic correlated EXISTS / NOT-EXISTS form — deliberately NOT
+    // the aggregate rewrite the Spark side runs, so the hash gate proves
+    // the decorrelated plan computes the textbook semantics.
+    "j20_q21_waiting" ->
+      """SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND CAST(l1.l_shipdate AS DATE) >
+        |      CAST(o.o_orderdate AS DATE) + INTERVAL 1500 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND CAST(l3.l_shipdate AS DATE) >
+        |          CAST(o.o_orderdate AS DATE) + INTERVAL 1500 DAY)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s.s_suppkey LIMIT 100""".stripMargin,
+    "j21_q15_topsupplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |             AS BIGINT)) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, r.revenue_cents
+        |FROM revenue r
+        |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.revenue_cents = (SELECT MAX(revenue_cents) FROM revenue)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    // Correlated textbook form on the oracle side (scalar subquery +
+    // NOT EXISTS), vs the broadcast-cross decorrelated Spark plan.
+    "j22_q22_opportunity" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE c_nationkey IN (0, 3, 7, 11, 14, 18, 21)
+        |)
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |       CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM pool p
+        |WHERE p.cents * (SELECT COUNT(*) FROM pool WHERE cents > 0)
+        |      > (SELECT CAST(SUM(cents) AS BIGINT) FROM pool WHERE cents > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -362,4 +362,143 @@ object JoinOps {
       .orderBy(col("total_cents").desc, col("o_orderkey"))
       .limit(k)
   }
+
+  /** TPC-H Q17 shape ("small-quantity-order revenue"): revenue locked in
+    * lines whose quantity is below 20% of their part's average — the
+    * canonical CORRELATED-AVERAGE query. The decorrelated form computes
+    * the per-part aggregate once and joins it back; because the probe is
+    * restricted to ONE brand, the per-part (sum, count) table is a few
+    * hundred rows and BROADCASTS, so the fact table is touched exactly
+    * once with no shuffle at all (the brand part list broadcasts too).
+    * At 100 TB the correlated-subquery formulation would re-aggregate
+    * the part's lines per outer row; this is the plan a decorrelation
+    * rule must reach, written directly.
+    *
+    * Engine-exact arithmetic: quantities are integral after rounding, so
+    * `qty < 0.2 * avg` is cross-multiplied to `5 * qty * cnt < sum` —
+    * strict integer comparison, no FP division on either engine. Revenue
+    * is per-row integer cents; the weekly figure is a floor division.
+    */
+  def q17SmallQtyRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#4"): DataFrame = {
+    val brandParts = part.filter(col("p_brand") === brand)
+      .select("p_partkey")
+    val brandLines = lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    val perPart = brandLines
+      .groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    brandLines
+      .join(broadcast(perPart), col("l_partkey") === col("agg_partkey"))
+      .filter(col("qty") * col("cnt") * 5 < col("sum_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("price_cents")).as("total_cents"))
+      .select(lit(brand).as("brand"), col("n_lines"), col("total_cents"),
+        expr("total_cents div 7").as("avg_weekly_cents"))
+  }
+
+  /** TPC-H Q21 shape ("suppliers who kept orders waiting", adapted): for
+    * finished orders, suppliers who were the ONLY late supplier on a
+    * multi-supplier order. The fixture has no commit/receipt dates, so
+    * "late" is `l_shipdate > o_orderdate + lateDays` — same line-level
+    * predicate role, same EXISTS (another supplier) + NOT EXISTS (another
+    * late supplier) structure.
+    *
+    * The textbook formulation self-joins the fact table twice (l2, l3).
+    * This implementation replaces BOTH self-joins with one per-order
+    * aggregate: n_supp (distinct suppliers), n_late_supp (distinct late
+    * suppliers), n_late_lines, and — exploiting `n_late_supp = 1` — the
+    * lone late supplier via `max(when(late, suppkey))`. The EXISTS is
+    * `n_supp >= 2`, the NOT-EXISTS is `n_late_supp = 1`, and the Q21
+    * per-l1-row count is `sum(n_late_lines)` per supplier. One exchange
+    * on the order key + one on the supplier key — at 100 TB that is two
+    * fact-table shuffles saved relative to the l2/l3 joins, and no
+    * skewed self-join keys.
+    */
+  def q21WaitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+      supplier: DataFrame, lateDays: Int = 1500, k: Int = 100): DataFrame = {
+    val lines = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate").cast("date") >
+          date_add(col("o_orderdate").cast("date"), lateDays)).as("is_late"))
+    val perOrder = lines
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"),
+        max(when(col("is_late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder
+      .groupBy(col("late_supp"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
+      .join(broadcast(supplier), col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q15 shape ("top supplier"): per-supplier revenue over one
+    * shipdate quarter, returning every supplier whose revenue EQUALS the
+    * global maximum — the view-plus-max-join shape. The revenue view is
+    * computed ONCE and reused for both the max and the probe (Spark
+    * plans the reuse as an exchange-reuse; the max side collapses to one
+    * row and broadcasts back, so the "second scan" costs one row). Ties
+    * all surface, per the spec. Integer cents throughout; the quarter
+    * filter pushes to the parquet scan as a shipdate range.
+    */
+  def q15TopSupplier(lineitem: DataFrame, supplier: DataFrame,
+      qStart: String = "1998-01-01", qEnd: String = "1998-04-01"): DataFrame = {
+    val revenue = lineitem
+      .filter(col("l_shipdate").cast("date") >= lit(qStart).cast("date") &&
+        col("l_shipdate").cast("date") < lit(qEnd).cast("date"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"))
+    val top = revenue.agg(max(col("revenue_cents")).as("max_cents"))
+    revenue
+      .join(broadcast(top), col("revenue_cents") === col("max_cents"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q22 shape ("global sales opportunity"): customers from a
+    * nation subset whose balance beats the subset's positive-balance
+    * average and who have NO orders — the scalar-aggregate-subquery +
+    * anti-join combination. The scalar (sum, count) pair is a one-row
+    * aggregate broadcast-crossed into the probe (Spark plans the
+    * textbook correlated form the same way only after subquery rewrite;
+    * this is that plan written directly), then a LEFT ANTI against
+    * orders carrying only o_custkey.
+    *
+    * Engine-exact: `bal > avg` is FP-unsafe (sum/count division rounds
+    * differently per engine), so balances are rounded to integer cents
+    * once and the comparison is cross-multiplied: `cents·cnt >
+    * sum_cents`. At 100 TB the anti-join shuffles orders' KEY COLUMN
+    * only — the projection matters, o_custkey is a fraction of the
+    * orders row — and the customer side is already the small side.
+    */
+  def q22SalesOpportunity(customer: DataFrame, orders: DataFrame,
+      nations: Seq[Int] = Seq(0, 3, 7, 11, 14, 18, 21)): DataFrame = {
+    val pool = customer
+      .filter(col("c_nationkey").isin(nations.map(Int.box): _*))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val stats = pool.filter(col("cents") > 0L)
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("cnt"))
+    pool
+      .crossJoin(broadcast(stats))
+      .filter(col("cents") * col("cnt") > col("sum_cents"))
+      .join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("total_cents"))
+      .orderBy("c_nationkey")
+  }
 }
