@@ -388,11 +388,15 @@ object JoinOps {
       .select(col("l_partkey"),
         round(col("l_quantity")).cast("long").as("qty"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
-    val perPart = brandLines
-      .groupBy(col("l_partkey").as("agg_partkey"))
-      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+    // The aggregate-then-join-back form scans the fact table TWICE (the
+    // per-part stats leg and the probe leg can't share an exchange). A
+    // whole-partition window over the brand subset computes the same
+    // (sum, count) without reducing rows: ONE lineitem scan, one
+    // exchange on the part key, both window functions in one WindowExec.
+    val perPart = Window.partitionBy("l_partkey")
     brandLines
-      .join(broadcast(perPart), col("l_partkey") === col("agg_partkey"))
+      .withColumn("sum_qty", sum(col("qty")).over(perPart))
+      .withColumn("cnt", count(lit(1)).over(perPart))
       .filter(col("qty") * col("cnt") * 5 < col("sum_qty"))
       .agg(count(lit(1)).as("n_lines"),
         sum(col("price_cents")).as("total_cents"))
@@ -427,12 +431,22 @@ object JoinOps {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate").cast("date") >
           date_add(col("o_orderdate").cast("date"), lateDays)).as("is_late"))
-    val perOrder = lines
+    // Two distinct-counts in one aggregate would plan an Expand that
+    // replicates every row per distinct column; the two-level form
+    // (collapse to (order, supplier) grain first, then count plain rows)
+    // computes the same distincts with map-side partial aggregation and
+    // no row replication.
+    val perSupp = lines
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("is_late")).as("supp_late"),
+        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_supp_late_lines"))
+    val perOrder = perSupp
       .groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late_supp"),
-        sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"),
-        max(when(col("is_late"), col("l_suppkey"))).as("late_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"),
+        sum(when(col("supp_late"), col("n_supp_late_lines")).otherwise(0L))
+          .as("n_late_lines"),
+        max(when(col("supp_late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
     perOrder
       .groupBy(col("late_supp"))
@@ -460,9 +474,16 @@ object JoinOps {
       .groupBy("l_suppkey")
       .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
         .cast("long")).as("revenue_cents"))
-    val top = revenue.agg(max(col("revenue_cents")).as("max_cents"))
+    // A separate max-aggregate leg re-evaluates the revenue view (two
+    // fact scans — ReuseExchange doesn't fire across the differing
+    // downstream shapes). A whole-partition window max over the
+    // AGGREGATED view touches |suppliers| rows — metadata scale next to
+    // the fact table — so the single-partition WindowExec it plans is
+    // deliberate, not a defect, and the fact table is scanned once.
     revenue
-      .join(broadcast(top), col("revenue_cents") === col("max_cents"))
+      .withColumn("max_cents",
+        max(col("revenue_cents")).over(Window.partitionBy()))
+      .filter(col("revenue_cents") === col("max_cents"))
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
       .orderBy("s_suppkey")
