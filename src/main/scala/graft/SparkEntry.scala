@@ -867,6 +867,14 @@ object SparkEntry {
     // integer cents) + anti-join against orders.
     "j22_q22_opportunity" -> ((s, dir) =>
       JoinOps.q22SalesOpportunity(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // Retrieval-quality metrics (hit@k / MRR / recall@k in floor
+    // permille, label agreement as relevance) over the s3 ranking.
+    "s15_retrieval_eval" -> ((s, dir) =>
+      Evaluation.retrievalEval(Tables.embeddings(s, dir), (0L until 20L), 20)),
+    // Integer-exact CUSUM changepoint per series: argmax |n·S_i − i·S_n|
+    // over hourly totals, before/after sums as exact rationals.
+    "e31_cusum_changepoint" -> ((s, dir) =>
+      TimeSeries.cusumChangepoint(Tables.events(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4260,5 +4268,73 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  AND NOT EXISTS (
         |    SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s15_retrieval_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe,
+        |         label AS q_label
+        |  FROM embeddings WHERE vec_id BETWEEN 0 AND 19
+        |), scored AS (
+        |  SELECT q.query_id, q.q_label, e.vec_id, e.label AS n_label_val,
+        |    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+        |          / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                   CAST(e.embedding AS DOUBLE[])))
+        |             * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, q_label, n_label_val,
+        |         CAST(ROW_NUMBER() OVER w AS INT) AS rank
+        |  FROM scored
+        |  WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, vec_id)
+        |  QUALIFY ROW_NUMBER() OVER w <= 20
+        |), agg AS (
+        |  SELECT query_id, q_label,
+        |    CAST(SUM(CASE WHEN n_label_val = q_label THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_rel_at_k,
+        |    MIN(CASE WHEN n_label_val = q_label THEN rank END)
+        |      AS first_rel_rank,
+        |    MAX(n_label_val = q_label) AS hit_at_k
+        |  FROM ranked GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+        |  FROM embeddings GROUP BY 1
+        |)
+        |SELECT a.query_id, a.q_label, a.n_rel_at_k, a.first_rel_rank,
+        |  a.hit_at_k,
+        |  CAST(COALESCE(1000 // a.first_rel_rank, 0) AS BIGINT)
+        |    AS mrr_permille,
+        |  CAST(a.n_rel_at_k * 1000 // nullif(t.n_label - 1, 0) AS BIGINT)
+        |    AS recall_permille
+        |FROM agg a JOIN totals t ON t.label = a.q_label
+        |ORDER BY a.query_id""".stripMargin,
+    "e31_cusum_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
+        |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS hour_cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT event_type, bar,
+        |    CAST(SUM(hour_cents) OVER
+        |      (PARTITION BY event_type ORDER BY bar) AS BIGINT) AS s_i,
+        |    CAST(ROW_NUMBER() OVER
+        |      (PARTITION BY event_type ORDER BY bar) AS BIGINT) AS i,
+        |    CAST(SUM(hour_cents) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS s_n,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hourly
+        |), d AS (
+        |  SELECT *, n * s_i - i * s_n AS d FROM scored WHERE i < n
+        |)
+        |SELECT event_type, n AS n_hours,
+        |       bar * 3600000000 AS changepoint_us,
+        |       abs(d) AS max_abs_d, s_i AS sum_before, i AS n_before,
+        |       s_n - s_i AS sum_after, n - i AS n_after
+        |FROM d
+        |QUALIFY ROW_NUMBER() OVER
+        |  (PARTITION BY event_type ORDER BY abs(d) DESC, bar) = 1
+        |ORDER BY event_type""".stripMargin,
   )
 }

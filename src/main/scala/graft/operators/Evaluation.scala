@@ -200,4 +200,53 @@ object Evaluation {
         expr("est_uniform * 1000L div exact_pairs").as("uniform_permille"),
         expr("est_hybrid * 1000L div exact_pairs").as("hybrid_permille"))
   }
+
+  /** RETRIEVAL-QUALITY metrics for the embedding index — per query:
+    * hit@k, first-relevant rank, floor-permille MRR and recall@k —
+    * using label agreement as the relevance judgment (the standard
+    * proxy when no human qrels exist; every same-label corpus vector is
+    * "relevant"). This is the measurement that decides whether an ANN
+    * configuration (s8/s13) is good enough to SERVE, not just whether
+    * it matches a contract.
+    *
+    * Engine-exact: ranks are integers from the proven s3 ranking
+    * (cosine rounded to 6 places, ties broken by vec_id), MRR is
+    * `1000 div first_rel_rank`, recall is `1000·n_rel_at_k div
+    * n_rel_total` — floor divisions only, no FP averages.
+    *
+    * Scale shape: the ranking is the one corpus scan [[Similarity.knnJoin]]
+    * already makes (anchors broadcast, WindowGroupLimit bounds the
+    * exchange); everything after operates on |queries|·k rows joined
+    * against a |labels|-row count table — metadata scale. The
+    * label-of-neighbor lookup joins the TINY top-k side as the build
+    * side via broadcast, so the corpus is never reshuffled.
+    */
+  def retrievalEval(embeddings: DataFrame, queryIds: Seq[Long],
+      k: Int = 20): DataFrame = {
+    val topk = Similarity.knnJoin(embeddings, queryIds, k)
+    val qLabels = embeddings.filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val labelTotals = embeddings.groupBy("label")
+      .agg(count(lit(1)).as("n_label"))
+    // neighbor label lookup: corpus-sized side stays put, top-k broadcasts
+    val withLabels = embeddings
+      .select(col("vec_id").as("n_vec_id"), col("label").as("n_label_val"))
+      .join(broadcast(topk), col("n_vec_id") === col("vec_id"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .select(col("query_id"), col("q_label"), col("rank"),
+        (col("n_label_val") === col("q_label")).as("is_rel"))
+    withLabels
+      .groupBy("query_id", "q_label")
+      .agg(sum(when(col("is_rel"), 1L).otherwise(0L)).as("n_rel_at_k"),
+        min(when(col("is_rel"), col("rank"))).as("first_rel_rank"),
+        max(col("is_rel")).as("hit_at_k"))
+      .join(broadcast(labelTotals), col("q_label") === col("label"))
+      .select(col("query_id"), col("q_label"), col("n_rel_at_k"),
+        col("first_rel_rank"), col("hit_at_k"),
+        coalesce(expr("1000L div first_rel_rank"), lit(0L)).as("mrr_permille"),
+        // self excluded from both the ranking and the relevant universe
+        expr("n_rel_at_k * 1000L div nullif(n_label - 1L, 0L)")
+          .as("recall_permille"))
+      .orderBy("query_id")
+  }
 }

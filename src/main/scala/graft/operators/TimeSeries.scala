@@ -290,4 +290,57 @@ object TimeSeries {
           abs(col("cnt") - col("base_cnt")))).as("worst_abs_err"))
       .orderBy("event_type")
   }
+
+  /** CUSUM CHANGEPOINT detection per series — the classic single
+    * mean-shift locator over the hourly cents signal, kept ENTIRELY in
+    * integer arithmetic so the verdict is engine-exact (the textbook
+    * form subtracts the FP mean per step; cross-multiplying by n removes
+    * the division):
+    *
+    *   D_i = n·S_i − i·S_n   (S_i = prefix sum of hourly totals)
+    *
+    * is n times the centered CUSUM; the i maximizing |D_i| is the
+    * changepoint estimate, and the two sides' (sum, count) pairs are
+    * emitted as exact rationals for the consumer to divide. Bounds:
+    * |D_i| ≤ n·|S_n|, safely inside BIGINT for any per-series hour count
+    * the fixture or a sharded 100 TB series reaches.
+    *
+    * Scale shape: hourly totals are ONE map-side-combining aggregate on
+    * (series, hour); the prefix sums, the row index, the whole-series
+    * totals, and the argmax rank all ride ONE exchange on the series key
+    * (four window specs, one partitioning); ties on |D| break to the
+    * earliest hour so the answer is unique.
+    */
+  def cusumChangepoint(events: DataFrame,
+      barUs: Long = 3600000000L): DataFrame = {
+    val hourly = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div ${barUs}L").as("bar"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "bar")
+      .agg(sum(col("cents")).as("hour_cents"))
+    val ordered = Window.partitionBy("event_type").orderBy("bar")
+    val whole = Window.partitionBy("event_type")
+    val scored = hourly
+      .withColumn("s_i", sum(col("hour_cents")).over(ordered))
+      .withColumn("i", row_number().over(ordered).cast("long"))
+      .withColumn("s_n", sum(col("hour_cents")).over(whole))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("d", col("n") * col("s_i") - col("i") * col("s_n"))
+      // the last index always has D_n = 0 and cannot split the series
+      .filter(col("i") < col("n"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("d")).desc, col("bar"))
+    scored
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_hours"),
+        (col("bar") * barUs).as("changepoint_us"),
+        abs(col("d")).as("max_abs_d"),
+        col("s_i").as("sum_before"), col("i").as("n_before"),
+        (col("s_n") - col("s_i")).as("sum_after"),
+        (col("n") - col("i")).as("n_after"))
+      .orderBy("event_type")
+  }
 }

@@ -240,6 +240,26 @@ class EvaluationSpec extends SparkTestBase {
       top.getLong(4) == 70000L && top.getLong(5) == 250L)
   }
 
+  test("retrievalEval: label-relevance hit/MRR/recall on a crafted cluster") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0L),
+      (1L, Array(0.9f, 0.1f), 0L),
+      (2L, Array(0.8f, 0.2f), 0L),
+      (3L, Array(0.0f, 1.0f), 1L),
+      (4L, Array(0.1f, 0.9f), 1L),
+      (5L, Array(1.0f, 0.01f), 1L) // label 1 but sits inside the 0-cluster
+    ).toDF("vec_id", "embedding", "label")
+    val out = Evaluation.retrievalEval(emb, Seq(0L, 5L), 2)
+      .select("query_id", "n_rel_at_k", "hit_at_k", "mrr_permille",
+        "recall_permille")
+      .as[(Long, Long, Boolean, Long, Long)].collect().sortBy(_._1)
+    // query 0 (label 0): top-2 is v5 (cross-label) then v1 (relevant,
+    // rank 2) -> MRR 1000 div 2; recall 1 of the 2 same-label others
+    assert(out(0) == ((0L, 1L, true, 500L, 500L)))
+    // query 5 (label 1): top-2 = v0, v1 - both cross-label -> all zeros
+    assert(out(1) == ((5L, 0L, false, 0L, 0L)))
+  }
+
   private implicit class Map2[K, V1, V2, V3, V4](rows: Array[(K, V1, V2, V3, V4)]) {
     def toMap2: Map[K, (V1, V2, V3, V4)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap

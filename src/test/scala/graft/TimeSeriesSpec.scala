@@ -262,4 +262,34 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
       s"expected 1 hash exchange:\n$plan")
   }
+
+  test("cusumChangepoint: locates the mean shift; |D| ties break to the earliest hour") {
+    val H = 3600000000L
+    val evs = eventsDf(Seq(
+      // series x: 100,100,100 | 900,900,900 cents -> split after hour 2
+      //   D_i = 6*S_i - i*3000: -2400,-4800,-7200,-4800,-2400 (max at i=3)
+      ev(0 * H, 1, "x", 1.00), ev(1 * H, 2, "x", 1.00), ev(2 * H, 3, "x", 1.00),
+      ev(3 * H, 4, "x", 9.00), ev(4 * H, 5, "x", 9.00), ev(5 * H, 6, "x", 9.00),
+      // series y: 100,900,100,900 -> D = -1600, 0, -1600: |D| ties at
+      // i=1 and i=3, the earlier hour must win
+      ev(0 * H, 7, "y", 1.00), ev(1 * H, 8, "y", 9.00),
+      ev(2 * H, 9, "y", 1.00), ev(3 * H, 10, "y", 9.00)))
+    val out = TimeSeries.cusumChangepoint(evs)
+      .select("event_type", "n_hours", "changepoint_us", "max_abs_d",
+        "sum_before", "n_before", "sum_after", "n_after")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out(0) == (("x", 6L, 2 * H, 7200L, 300L, 3L, 2700L, 3L)))
+    assert(out(1) == (("y", 4L, 0L, 1600L, 100L, 1L, 1900L, 3L)))
+  }
+
+  test("cusumChangepoint shares ONE series exchange across all four windows") {
+    val df = Tables.events(spark, sf001)
+    val plan = TimeSeries.cusumChangepoint(df)
+      .queryExecution.executedPlan.toString
+    // one exchange for the (series, hour) aggregate, one for the series
+    // windows - the four window specs and the argmax rank must not add more
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"expected <=2 hash exchanges:\n$plan")
+  }
 }
