@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // native as-of join: AsOfJoinPlan → AsOfJoinExec (partition-local
     // sorted merge; zero exchanges on key-bucketed inputs)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // native interval-overlap join: plane sweep over (key, start)-sorted
+    // children — O(L+R+output) where SMJ post-filters the per-key product
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }
 

@@ -875,6 +875,33 @@ object SparkEntry {
     // over hourly totals, before/after sums as exact rationals.
     "e31_cusum_changepoint" -> ((s, dir) =>
       TimeSeries.cusumChangepoint(Tables.events(s, dir))),
+    // The NATIVE interval-overlap operator (the second custom
+    // LogicalPlan+Strategy+SparkPlan) on j12's proximity semantics:
+    // error windows × click points per user via the plane sweep; the
+    // oracle is the independently-written naive non-equi SQL, so the
+    // hash gate verifies the physical operator itself.
+    "j23_interval_native" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, dir)
+      val W = 300000000L
+      val base = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val errors = base.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          (col("us") - W).as("w_start"), (col("us") + W).as("w_end"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"))
+      val pairs = graft.plans.IntervalJoinNative.join(errors, clicks,
+        key = "user_id", lStart = "w_start", lEnd = "w_end",
+        rStart = "us", rEnd = "us", rightCols = Seq("us"))
+      val counts = pairs.groupBy("event_id").agg(count(lit(1)).as("n"))
+      errors.select("event_id", "user_id")
+        .join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n"), lit(0L)).as("n_near_clicks"))
+        .orderBy("event_id")
+    }),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4336,5 +4363,17 @@ GROUP BY doc_id ORDER BY doc_id"""
         |QUALIFY ROW_NUMBER() OVER
         |  (PARTITION BY event_type ORDER BY abs(d) DESC, bar) = 1
         |ORDER BY event_type""".stripMargin,
+    // The naive non-equi form (independently written, same as j12's
+    // oracle): verifies the native plane-sweep physical operator.
+    "j23_interval_native" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(COUNT(c.event_id) AS BIGINT) AS n_near_clicks
+        |FROM events e LEFT JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        |  AND c.ts IS NOT NULL
+        |  AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+        |WHERE e.event_type = 'error' AND e.user_id IS NOT NULL
+        |  AND e.ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
   )
 }
