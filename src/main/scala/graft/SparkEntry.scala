@@ -892,14 +892,13 @@ object SparkEntry {
           (col("us") - W).as("w_start"), (col("us") + W).as("w_end"))
       val clicks = base.filter(col("event_type") === "click")
         .select(col("user_id"), col("us"))
+      // outer = true keeps zero-hit errors in ONE pass — no join-back;
+      // count(iv_us) ignores the null-padded unmatched rows
       val pairs = graft.plans.IntervalJoinNative.join(errors, clicks,
         key = "user_id", lStart = "w_start", lEnd = "w_end",
-        rStart = "us", rEnd = "us", rightCols = Seq("us"))
-      val counts = pairs.groupBy("event_id").agg(count(lit(1)).as("n"))
-      errors.select("event_id", "user_id")
-        .join(counts, Seq("event_id"), "left")
-        .select(col("event_id"), col("user_id"),
-          coalesce(col("n"), lit(0L)).as("n_near_clicks"))
+        rStart = "us", rEnd = "us", rightCols = Seq("us"), outer = true)
+      pairs.groupBy("event_id", "user_id")
+        .agg(count(col("iv_us")).as("n_near_clicks"))
         .orderBy("event_id")
     }),
   )

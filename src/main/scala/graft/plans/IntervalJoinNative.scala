@@ -45,9 +45,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftStart: Attribute, leftEnd: Attribute,
-    rightKey: Attribute, rightStart: Attribute, rightEnd: Attribute)
+    rightKey: Attribute, rightStart: Attribute, rightEnd: Attribute,
+    outer: Boolean = false)
   extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -55,10 +58,13 @@ case class IntervalJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftStart: Attribute, leftEnd: Attribute,
-    rightKey: Attribute, rightStart: Attribute, rightEnd: Attribute)
+    rightKey: Attribute, rightStart: Attribute, rightEnd: Attribute,
+    outer: Boolean)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (outer) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
@@ -89,8 +95,12 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
     val timeType = leftStart.dataType
     val keyOrdering = TypeUtils.getInterpretedOrdering(keyType)
     val timeOrdering = TypeUtils.getInterpretedOrdering(timeType)
+    val nRight = right.output.length
+    val emitOuter = outer
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
+      val nullRight =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRight)
       val rBuf = rIter.buffered
       // right rows of the CURRENT key whose start has been passed and
       // whose end hasn't fallen behind the sweep line (the left start)
@@ -99,7 +109,8 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.flatMap { lRow =>
         if (lRow.isNullAt(lKeyOrd) || lRow.isNullAt(lStartOrd) ||
             lRow.isNullAt(lEndOrd)) {
-          Iterator.empty
+          if (emitOuter) Iterator.single(joined(lRow, nullRight))
+          else Iterator.empty
         } else {
           val lk = lRow.get(lKeyOrd, keyType)
           val ls = lRow.get(lStartOrd, timeType)
@@ -144,7 +155,9 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
             i += 1
           }
           active.dropRightInPlace(active.length - kept)
-          matches.iterator.map(r => joined(lRow, r))
+          if (matches.isEmpty && emitOuter)
+            Iterator.single(joined(lRow, nullRight))
+          else matches.iterator.map(r => joined(lRow, r))
         }
       }
     }
@@ -160,24 +173,28 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
   */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinPlan(l, r, lk, ls, le, rk, rs, re) =>
-      IntervalJoinExec(planLater(l), planLater(r), lk, ls, le, rk, rs, re) :: Nil
+    case IntervalJoinPlan(l, r, lk, ls, le, rk, rs, re, outer) =>
+      IntervalJoinExec(planLater(l), planLater(r),
+        lk, ls, le, rk, rs, re, outer) :: Nil
     case _ => Nil
   }
 }
 
 /** Column-level API over the native interval-overlap join. */
 object IntervalJoinNative {
-  /** Inner interval-overlap join of `left` to `right` on `key`, with
+  /** Interval-overlap join of `left` to `right` on `key`, with
     * closed-interval bounds `[lStart, lEnd]` × `[rStart, rEnd]`; right
     * columns surfaced under `outPrefix`. The right side is re-aliased
     * column-by-column (fresh ExprIds — self-join-safe), exactly as
     * [[AsOfJoinNative.join]]. For a point right side pass the same
-    * column as both bounds.
+    * column as both bounds. `outer = true` keeps unmatched (and
+    * null-bound) left rows with null right columns — the zero-retention
+    * shape without a second join-back pass.
     */
   def join(left: DataFrame, right: DataFrame, key: String,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
-      rightCols: Seq[String], outPrefix: String = "iv_"): DataFrame = {
+      rightCols: Seq[String], outPrefix: String = "iv_",
+      outer: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(IntervalJoinStrategy))
@@ -195,7 +212,7 @@ object IntervalJoinNative {
     val out = GraftShims.ofRows(spark,
       IntervalJoinPlan(la, ra,
         attr(la, key), attr(la, lStart), attr(la, lEnd),
-        attr(ra, key), attr(ra, rStart), attr(ra, rEnd)))
+        attr(ra, key), attr(ra, rStart), attr(ra, rEnd), outer))
     val projections = la.output.map(a => GraftShims.toColumn(a)) ++
       rightCols.map(c => GraftShims.toColumn(attr(ra, c)).as(outPrefix + c))
     out.select(projections: _*)

@@ -118,6 +118,23 @@ class IntervalNativeSpec extends SparkTestBase {
     }
   }
 
+  test("outer = true keeps unmatched and null-bound left rows with null right") {
+    val left = Seq((Some(1L), Some(0L), Some(10L), 1L),
+      (Some(1L), Some(50L), Some(60L), 2L), // no overlap
+      (Some(1L), None, Some(10L), 3L)) // null bound
+      .toDF("k", "ls", "le", "lid")
+    val right = Seq((1L, 5L, 6L, 100L)).toDF("k", "rs", "re", "rid")
+    val got = IntervalJoinNative.join(left, right,
+      "k", "ls", "le", "rs", "re", Seq("rid"), outer = true)
+      .select("lid", "iv_rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(1L -> Some(100L), 2L -> None, 3L -> None))
+    // and the inner form drops exactly the unmatched rows
+    val inner = pairsOf(IntervalJoinNative.join(left, right,
+      "k", "ls", "le", "rs", "re", Seq("rid")))
+    assert(inner === Set((1L, 100L)))
+  }
+
   test("self-join-safe: both sides from the same frame get fresh ExprIds") {
     val df = Seq((1L, 0L, 10L, 1L), (1L, 5L, 15L, 2L), (1L, 20L, 25L, 3L))
       .toDF("k", "ls", "le", "lid")
