@@ -168,15 +168,103 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: [[IntervalJoinPlan]] → [[IntervalJoinExec]].
+/** Planner strategy: [[IntervalJoinPlan]] → [[IntervalJoinExec]], AND
+  * recognition of the same shape written as a PLAIN `join(cond)`: an
+  * inner/left-outer equi-key join whose remaining condition is exactly
+  * the closed-interval overlap `lStart ≤ rEnd AND rStart ≤ lEnd` over
+  * bare attribute operands. Users don't have to know the native API —
+  * the ordinary DataFrame join plans as the sweep instead of a
+  * sort-merge join that post-filters each key group's full product.
   * Injected by [[graft.GraftExtensions]].
   */
-object IntervalJoinStrategy extends SparkStrategy {
+object IntervalJoinStrategy extends SparkStrategy
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual}
+  import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case IntervalJoinPlan(l, r, lk, ls, le, rk, rs, re, outer) =>
       IntervalJoinExec(planLater(l), planLater(r),
         lk, ls, le, rk, rs, re, outer) :: Nil
+    case Join(l, r, joinType, Some(cond), hint)
+        if (joinType == Inner || joinType == LeftOuter) &&
+          hint.leftHint.isEmpty && hint.rightHint.isEmpty &&
+          !l.isStreaming && !r.isStreaming =>
+      recognize(l, r, cond, joinType == LeftOuter) match {
+        case Some(p) => IntervalJoinExec(planLater(p.left), planLater(p.right),
+          p.leftKey, p.leftStart, p.leftEnd,
+          p.rightKey, p.rightStart, p.rightEnd, p.outer) :: Nil
+        case None => Nil
+      }
     case _ => Nil
+  }
+
+  /** Sort each conjunct into (left-attr, right-attr) pairs by which side
+    * its operands resolve to; claim the join only when the condition is
+    * EXACTLY one key equality plus the two overlap bounds (any extra
+    * conjunct → leave it to the built-in join strategies).
+    */
+  private def recognize(l: LogicalPlan, r: LogicalPlan, cond: Expression,
+      outer: Boolean): Option[IntervalJoinPlan] = {
+    def attrOf(e: Expression, side: LogicalPlan): Option[Attribute] = e match {
+      case a: Attribute if a.references.subsetOf(side.outputSet) &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType) => Some(a)
+      case _ => None
+    }
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.length != 3) return None
+    var key: Option[(Attribute, Attribute)] = None // (left, right)
+    var upper: Option[(Attribute, Attribute)] = None // lStart ≤ rEnd
+    var lower: Option[(Attribute, Attribute)] = None // rStart ≤ lEnd
+    conjuncts.foreach {
+      case EqualTo(a, b) =>
+        (attrOf(a, l), attrOf(b, r), attrOf(b, l), attrOf(a, r)) match {
+          case (Some(la), Some(ra), _, _) if key.isEmpty => key = Some((la, ra))
+          case (_, _, Some(la), Some(ra)) if key.isEmpty => key = Some((la, ra))
+          case _ => return None
+        }
+      case LessThanOrEqual(a, b) => classifyRange(a, b, l, r) match {
+        case Some(Left(p)) if upper.isEmpty => upper = Some(p)
+        case Some(Right(p)) if lower.isEmpty => lower = Some(p)
+        case _ => return None
+      }
+      case GreaterThanOrEqual(a, b) => classifyRange(b, a, l, r) match {
+        case Some(Left(p)) if upper.isEmpty => upper = Some(p)
+        case Some(Right(p)) if lower.isEmpty => lower = Some(p)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    (key, upper, lower) match {
+      case (Some((lk, rk)), Some((lStart, rEnd)), Some((rStart, lEnd)))
+          if lStart.dataType == rEnd.dataType &&
+            rStart.dataType == lEnd.dataType &&
+            lStart.dataType == rStart.dataType =>
+        Some(IntervalJoinPlan(l, r, lk, lStart, lEnd, rk, rStart, rEnd, outer))
+      case _ => None
+    }
+  }
+
+  /** A `a ≤ b` range conjunct is Left((lStart, rEnd)) when a is a left
+    * attr and b a right attr, Right((rStart, lEnd)) when the sides are
+    * swapped, None otherwise.
+    */
+  private def classifyRange(a: Expression, b: Expression,
+      l: LogicalPlan, r: LogicalPlan)
+    : Option[Either[(Attribute, Attribute), (Attribute, Attribute)]] = {
+    def attrOf(e: Expression, side: LogicalPlan): Option[Attribute] = e match {
+      case at: Attribute if at.references.subsetOf(side.outputSet) &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(at.dataType) => Some(at)
+      case _ => None
+    }
+    (attrOf(a, l), attrOf(b, r), attrOf(a, r), attrOf(b, l)) match {
+      case (Some(la), Some(ra), _, _) => Some(Left((la, ra)))
+      case (_, _, Some(ra), Some(la)) => Some(Right((ra, la)))
+      case _ => None
+    }
   }
 }
 

@@ -135,6 +135,61 @@ class IntervalNativeSpec extends SparkTestBase {
     assert(inner === Set((1L, 100L)))
   }
 
+  test("a PLAIN join(cond) with the overlap shape plans as the sweep exec") {
+    val rnd = new scala.util.Random(37)
+    val left = (0 until 300).map { i =>
+      val s = rnd.nextInt(800).toLong
+      (rnd.nextInt(9).toLong, s, s + rnd.nextInt(30), i.toLong)
+    }.toDF("k", "ls", "le", "lid")
+    val right = (0 until 250).map { i =>
+      val s = rnd.nextInt(800).toLong
+      (rnd.nextInt(9).toLong, s, s + rnd.nextInt(30), 1000L + i)
+    }.toDF("k", "rs", "re", "rid")
+    val r2 = right.withColumnRenamed("k", "rk")
+    val joined = left.join(r2,
+      col("k") === col("rk") && col("ls") <= col("re") &&
+        col("rs") <= col("le"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("IntervalJoin"),
+      s"overlap-shaped join must plan as the native sweep:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val got = joined.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive(left, right))
+
+    // LEFT OUTER form: unmatched left rows survive with null right
+    val outer = left.join(r2,
+      col("k") === col("rk") && col("ls") <= col("re") &&
+        col("rs") <= col("le"), "left")
+    assert(outer.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    val gotOuter = outer.select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).groupBy(_._1)
+    val matchedLids = naive(left, right).map(_._1)
+    val allLids = left.select("lid").collect().map(_.getLong(0)).toSet
+    assert(gotOuter.keySet === allLids)
+    assert((allLids -- matchedLids).forall(lid =>
+      gotOuter(lid).toSeq === Seq(lid -> None)))
+  }
+
+  test("near-miss shapes are NOT claimed (strict bound, extra conjunct, no key)") {
+    val left = Seq((1L, 0L, 10L, 1L)).toDF("k", "ls", "le", "lid")
+    val right = Seq((1L, 5L, 6L, 100L)).toDF("rk", "rs", "re", "rid")
+    // strict < is not the closed-interval contract
+    val strict = left.join(right,
+      col("k") === col("rk") && col("ls") < col("re") &&
+        col("rs") <= col("le"))
+    assert(!strict.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    // an extra conjunct must fall through to the built-in strategies
+    val extra = left.join(right,
+      col("k") === col("rk") && col("ls") <= col("re") &&
+        col("rs") <= col("le") && col("lid") =!= col("rid"))
+    assert(!extra.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+    // no key equality: CartesianGuard territory, not ours
+    val noKey = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+    assert(!noKey.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+  }
+
   test("self-join-safe: both sides from the same frame get fresh ExprIds") {
     val df = Seq((1L, 0L, 10L, 1L), (1L, 5L, 15L, 2L), (1L, 20L, 25L, 3L))
       .toDF("k", "ls", "le", "lid")
