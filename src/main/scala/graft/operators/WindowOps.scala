@@ -143,26 +143,62 @@ object WindowOps {
   }
 
   /** ROLLING DISTINCT COUNT — `count(distinct)` is not a supported
-    * window function on any engine; the standard rewrite is a windowed
-    * set: `size(array_distinct(collect_list(user) over frame))`. Here:
-    * distinct users seen per event type over the trailing 500 events —
-    * the rolling-audience shape behind "unique actives in the last N".
-    * State is the frame array, row-local dedup (collect_list +
-    * array_distinct measures FASTER than a windowed collect_set — the
-    * list buffer appends while the set rebuilds per row); cost is
-    * ∝ rows × frame, so size the frame to the report, and for frames
-    * where that array is too big the answer changes to sliding HLL sketches
-    * ([[graft.operators.Aggregates.hllContract]]'s machinery per
-    * window) — at report-grade frame widths the exact set IS the plan.
+    * window function on any engine. The naive rewrite (windowed
+    * `collect_list` + `array_distinct`) costs ∝ rows × frame — at a
+    * 250-row frame that is 250× the data moved per row, and it measured
+    * 9.7 s at sf0.1. This is the O(rows) duplicate-link formulation:
+    *
+    *   distinct-in-frame(R) = |frame(R)| − #{rows r ∈ frame whose
+    *                           PREVIOUS occurrence of the same user
+    *                           is also inside frame(R)}
+    *
+    * (each distinct user is over-counted once per repeat whose
+    * predecessor link lies wholly inside the frame — subtracting the
+    * in-frame links leaves exactly the first-in-frame occurrences).
+    * A link (p, q) = (prev position, position) with gap ≤ frame−1 is
+    * inside frame(R) = [R−frame+1, R] exactly for R ∈ [q, p+frame−1],
+    * so each link becomes a +1 delta at position q and a −1 delta at
+    * position p+frame; a running RANGE-frame sum over position then
+    * yields the in-frame-link count at every row — constant state per
+    * row instead of a frame-sized array. Three keyed exchanges
+    * (position numbering, per-user lag, final running sum), all O(n)
+    * — the shape survives any frame width, where the array rewrite's
+    * memory is the frame itself.
     */
   def rollingDistinct(events: DataFrame, frame: Int = 500): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("event_id")
-      .rowsBetween(-(frame - 1), Window.currentRow)
-    events
+    val wPos  = Window.partitionBy("event_type").orderBy("event_id")
+    val wUser = Window.partitionBy("event_type", "user_id").orderBy("event_id")
+    val pos = events
       .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .withColumn("rn", row_number().over(wPos))
+      .withColumn("prev_rn", lag(col("rn"), 1).over(wUser))
+    // links longer than the frame can never have both endpoints inside
+    // one frame — dropped before the union, not filtered per row.
+    val links = pos.filter(col("prev_rn").isNotNull &&
+      col("rn") - col("prev_rn") <= frame - 1)
+    val deltas = links
+      .select(col("event_type"), col("rn").cast("long").as("pos"),
+        lit(1L).as("delta"))
+      .unionAll(links.select(col("event_type"),
+        (col("prev_rn") + frame).cast("long").as("pos"), lit(-1L).as("delta")))
+      .select(col("event_type"), col("pos"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("int").as("rn"), col("delta"))
+    val rows = pos.select(col("event_type"), col("rn").cast("long").as("pos"),
+      col("event_id"), col("rn"), lit(0L).as("delta"))
+    // RANGE (not ROWS) running frame: delta rows share a `pos` with the
+    // data row they act on, and both the +1 at q = R and the −1 at
+    // p+frame = R must be included AT row R — peers-by-value gives that
+    // tie handling for free, with no dependence on union order.
+    val wCum = Window.partitionBy("event_type").orderBy("pos")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.unionAll(deltas)
+      .withColumn("dups", sum(col("delta")).over(wCum))
+      .filter(col("event_id").isNotNull)
       .select(col("event_id"), col("event_type"),
-        size(array_distinct(collect_list(col("user_id")).over(w)))
-          .cast("long").as("distinct_users"))
+        (least(col("rn").cast("long"), lit(frame.toLong)) - col("dups"))
+          .as("distinct_users"))
       .orderBy("event_id")
   }
 

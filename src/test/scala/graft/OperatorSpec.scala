@@ -445,6 +445,36 @@ class OperatorSpec extends SparkTestBase {
     assert(share === Map(1L -> 2500L, 2L -> 7500L)) // 100/400, 300/400 in bp
   }
 
+  test("rolling distinct: duplicate-link running sum equals the frame-set answer") {
+    import spark.implicits._
+    // literal case, frame 3, one event type: users a b a a c b
+    //   frames: [a]=1 [a,b]=2 [a,b,a]=2 [b,a,a]=2 [a,a,c]=2 [a,c,b]=3
+    val ev = Seq((1L, "x", "a"), (2L, "x", "b"), (3L, "x", "a"),
+        (4L, "x", "a"), (5L, "x", "c"), (6L, "x", "b"))
+      .toDF("event_id", "event_type", "user_id")
+    val got = WindowOps.rollingDistinct(ev, frame = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L),
+      (5L, 2L), (6L, 3L)))
+
+    // equivalence oracle on real fixture data: the O(n·frame) windowed
+    // set rewrite IS the spec; the link formulation must match it row
+    // for row (frame 7 exercises partial frames, repeats, many types)
+    val events = Tables.events(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"),
+        size(array_distinct(collect_list(col("user_id")).over(w)))
+          .cast("long").as("d"))
+    val fast = WindowOps.rollingDistinct(events, frame = 7)
+      .select(col("event_id"), col("distinct_users").as("d"))
+    assert(naive.exceptAll(fast).isEmpty && fast.exceptAll(naive).isEmpty,
+      "link-formulation rolling distinct diverged from the frame-set answer")
+  }
+
   test("bpe encode: token counts under the learned merges, per doc") {
     import spark.implicits._
     // k=1 learns (a,a) (count 2 in "aaab", beats (a,b)'s 2? (a,a)=2,
