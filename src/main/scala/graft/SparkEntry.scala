@@ -901,6 +901,56 @@ object SparkEntry {
         .agg(count(col("iv_us")).as("n_near_clicks"))
         .orderBy("event_id")
     }),
+    // TPC-H Q4 shape: quarter of orders, EXISTS late-shipped line as a
+    // LEFT SEMI with a non-equi term, counts by priority class.
+    "j24_q4_priority" -> ((s, dir) =>
+      JoinOps.q4OrderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q7 shape: bilateral nation trade, nation dim joined twice in
+    // two roles (both broadcast, pre-filtered to the pair).
+    "j25_q7_volume" -> ((s, dir) =>
+      JoinOps.q7NationVolume(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q9 shape: profit by nation×year over name-matched parts;
+    // supply cost modeled as 60% retail in exact integer cents.
+    "j26_q9_profit" -> ((s, dir) =>
+      JoinOps.q9ProductProfit(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q10 shape: top-20 customers by returned revenue in a quarter
+    // (both fact filters pushed below the key shuffle; top-k plan).
+    "j27_q10_returns" -> ((s, dir) =>
+      JoinOps.q10ReturnedItems(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))),
+    // TPC-H Q12 shape: high/low-priority conditional counts per return
+    // flag over one ship year — sum(when) on one partial aggregate.
+    "j28_q12_priority" -> ((s, dir) =>
+      JoinOps.q12PriorityByFlag(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // TPC-H Q13 shape: order-count histogram including the zero bucket —
+    // exclusion filter in the LEFT JOIN's ON clause, two cascaded aggs.
+    "j29_q13_custdist" -> ((s, dir) =>
+      JoinOps.q13CustomerDistribution(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
+    // TPC-H Q14 shape: promo revenue share of a month in floor permille.
+    "j30_q14_promo" -> ((s, dir) =>
+      JoinOps.q14PromoShare(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // TPC-H Q16 shape: distinct-supplier counts per part bucket from the
+    // observed (part, supplier) pairs, denylist as broadcast anti join.
+    "j31_q16_suppcnt" -> ((s, dir) =>
+      JoinOps.q16SupplierCount(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir))),
+    // TPC-H Q19 shape: OR-of-ANDs brand/size/qty branches with the
+    // loosest-bound conjunct pushed to the scan.
+    "j32_q19_disjunct" -> ((s, dir) =>
+      JoinOps.q19DisjunctiveRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
+    // TPC-H Q2 shape: per-part minimum-metric region supplier (ties
+    // kept) — correlated scalar MIN decorrelated to one window-min.
+    "j33_q2_mincost" -> ((s, dir) =>
+      JoinOps.q2MinCostSupplier(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    // TPC-H Q6 shape: single-scan conditional aggregate, all three range
+    // predicates scan-pushable; discount band in integer permille.
+    "a19_q6_revenue" -> ((s, dir) =>
+      Aggregates.q6ForecastRevenue(Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4374,5 +4424,137 @@ GROUP BY doc_id ORDER BY doc_id"""
         |WHERE e.event_type = 'error' AND e.user_id IS NOT NULL
         |  AND e.ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "j24_q4_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j25_q7_volume" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE (n2.n_name = 'NATION_3' AND n1.n_name = 'NATION_7')
+        |   OR (n2.n_name = 'NATION_7' AND n1.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "j26_q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |        AS BIGINT)
+        |      - (CAST(round(p_retailprice * 100) AS BIGINT)
+        |         * CAST(round(l_quantity) AS BIGINT) * 3) // 5)
+        |    AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "j27_q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "j28_q12_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE EXTRACT(year FROM l_shipdate) = 1997
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j29_q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "j30_q14_promo" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |      ELSE 0 END) * 1000
+        |    // SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |         AS BIGINT)) AS BIGINT) AS promo_permille
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-03-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'""".stripMargin,
+    "j31_q16_suppcnt" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "j32_q19_disjunct" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
+    "j33_q2_mincost" ->
+      """WITH cand AS (
+        |  SELECT p_partkey, p_type, s_suppkey, s_name, n_name,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |  JOIN part ON p_partkey = l_partkey
+        |    AND p_size = 15 AND p_type = 'STANDARD'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |)
+        |SELECT p_partkey, p_type, s_suppkey, s_name, n_name, bal_cents
+        |FROM cand c
+        |WHERE bal_cents = (SELECT MIN(bal_cents) FROM cand c2
+        |                   WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "a19_q6_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE EXTRACT(year FROM l_shipdate) = 1997
+        |  AND CAST(round(l_discount * 1000) AS BIGINT) BETWEEN 50 AND 70
+        |  AND CAST(round(l_quantity) AS BIGINT) < 24""".stripMargin,
   )
 }

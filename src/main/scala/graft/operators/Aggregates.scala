@@ -542,4 +542,27 @@ object Aggregates {
           .as("inter_within_quarter_union"))
       .orderBy("et_a", "et_b")
   }
+
+  /** TPC-H Q6 shape ("forecasting revenue change"): single-scan
+    * conditional aggregate under three range predicates — the query
+    * whose entire cost is how much the SCAN prunes. All three filters
+    * (ship year, discount band, quantity cap) are scan-pushable
+    * conjuncts: at 100 TB the year restricts partitions / row-group
+    * min-max, and the other two drop row-groups before any operator
+    * runs. Revenue here is price × discount (the forgone-discount
+    * figure, per the spec), rounded to integer cents per row before the
+    * BIGINT sum. The discount band is compared in integer permille
+    * (round(d·1000)) — an FP `BETWEEN 0.05 AND 0.07` reads back
+    * differently per engine for values stored as 64-bit doubles.
+    */
+  def q6ForecastRevenue(lineitem: DataFrame, yr: Int = 1997,
+      dMinPm: Int = 50, dMaxPm: Int = 70, maxQty: Long = 24L): DataFrame =
+    lineitem
+      .filter(year(col("l_shipdate")) === yr &&
+        round(col("l_discount") * 1000).cast("long")
+          .between(dMinPm.toLong, dMaxPm.toLong) &&
+        round(col("l_quantity")).cast("long") < maxQty)
+      .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+        .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
 }

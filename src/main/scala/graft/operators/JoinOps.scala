@@ -522,4 +522,286 @@ object JoinOps {
       .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("total_cents"))
       .orderBy("c_nationkey")
   }
+
+  /** TPC-H Q4 shape ("order priority checking"): orders placed in one
+    * quarter that had at least one line shipped after the order date
+    * (the fixture's late-commit analog), counted by priority class. The
+    * EXISTS is a LEFT SEMI join whose extra non-equi term rides the
+    * same sort-merge/hash join as the key — the right side contributes
+    * only (l_orderkey, l_shipdate) and each order short-circuits at its
+    * first qualifying line, so no per-order line counts are ever built.
+    * The quarter filter prunes the orders scan before the join.
+    */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame,
+      qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate").cast("date") >= lit(qStart).cast("date") &&
+        col("o_orderdate").cast("date") < lit(qEnd).cast("date"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate").cast("date") > col("o_orderdate").cast("date"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q7 shape ("volume shipping"): bilateral trade revenue between
+    * two nations, by supplier nation × customer nation × ship year. The
+    * nation dim joins twice in different ROLES (supplier's vs
+    * customer's) — both broadcast, pre-filtered to the two nations of
+    * interest so the fact rows drop at the earliest join instead of in
+    * a post-join filter. customer is NOT broadcast (at scale it's a
+    * large dim; the o_custkey join shuffles on the key), supplier is.
+    */
+  def q7NationVolume(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_3", nationB: String = "NATION_7"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val supN = supplier.join(
+      broadcast(nation.filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+      col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custN = customer.join(
+      broadcast(nation.filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))),
+      col("c_nationkey") === col("nk2"))
+      .select(col("c_custkey"), col("cust_nation"))
+    lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q9 shape ("product type profit"): profit by supplier nation ×
+    * order year over the parts whose name contains a token. The fixture
+    * has no partsupp, so supply cost is modeled as 60% of the part's
+    * retail price — kept EXACT by integer arithmetic: cost_cents =
+    * (retail_cents · qty · 3) div 5, floor division on nonnegative
+    * operands, so both engines compute the identical long. The name
+    * filter collapses part to a sliver that broadcasts, pruning the
+    * fact join before the orders join; supplier/nation broadcast too, so
+    * the only shuffle is lineitem⋈orders on the order key.
+    */
+  def q9ProductProfit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame,
+      nameToken: String = "red"): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameToken))
+        .select(col("p_partkey"), round(col("p_retailprice") * 100)
+          .cast("long").as("retail_cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"),
+        (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long") -
+          expr("retail_cents * CAST(round(l_quantity) AS BIGINT) * 3 div 5"))
+          .as("amount_cents"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("amount_cents")).as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q10 shape ("returned item reporting"): top-k customers by
+    * revenue lost to returns in one quarter. Both fact filters (return
+    * flag on lineitem, quarter on orders) push to their scans BEFORE the
+    * key shuffle — at 100 TB the R-flag filter alone drops ~75% of
+    * lineitem at the parquet row-group level. customer joins on the
+    * shuffled key (large dim), nation broadcasts, and the top-k is
+    * TakeOrderedAndProject — no global sort of the aggregate.
+    */
+  def q10ReturnedItems(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame,
+      qStart: String = "1996-07-01", qEnd: String = "1996-10-01",
+      k: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.filter(
+        col("o_orderdate").cast("date") >= lit(qStart).cast("date") &&
+          col("o_orderdate").cast("date") < lit(qEnd).cast("date"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q12 shape ("shipping modes and order priority"): two
+    * conditional counts per class over a year of shipments — the fixture
+    * has no ship mode, so lines group by return flag instead. The
+    * priority split is `sum(when)` riding one partial aggregate (no
+    * second pass, no join back); the only shuffle after the fact-fact
+    * join is the 3-row final aggregate.
+    */
+  def q12PriorityByFlag(lineitem: DataFrame, orders: DataFrame,
+      yr: Int = 1997): DataFrame =
+    lineitem
+      .filter(year(col("l_shipdate")) === yr)
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  /** TPC-H Q13 shape ("customer distribution"): histogram of per-customer
+    * order counts INCLUDING zero-order customers — the left-outer join
+    * whose filter must live in the ON clause (a WHERE would turn it
+    * inner and drop the zero bucket, the most interesting row). Two
+    * cascaded aggregates: per-customer count (shuffle on c_custkey),
+    * then the tiny count-of-counts. `count(o_orderkey)` counts matches
+    * only — NULLs from unmatched customers fall out for free.
+    */
+  def q13CustomerDistribution(customer: DataFrame, orders: DataFrame,
+      excludePriority: String = "5-LOW"): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"))
+        .filter(col("o_orderpriority") =!= excludePriority),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q14 shape ("promotion effect"): promo revenue share of one
+    * month's shipments as integer permille. One broadcast dim join, one
+    * single-row aggregate; the share is sum(when)/sum on the SAME
+    * partial aggregate, then a floor division — no FP ratio.
+    */
+  def q14PromoShare(lineitem: DataFrame, part: DataFrame,
+      mStart: String = "1997-03-01", mEnd: String = "1997-04-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate").cast("date") >= lit(mStart).cast("date") &&
+        col("l_shipdate").cast("date") < lit(mEnd).cast("date"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select((col("p_type") === "PROMO").as("is_promo"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .agg(sum(when(col("is_promo"), col("cents")).otherwise(0L))
+        .as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("promo_cents * 1000 div total_cents").as("promo_permille"))
+
+  /** TPC-H Q16 shape ("parts/supplier relationship"): distinct-supplier
+    * counts per (brand, type, size) bucket over an approved part subset,
+    * excluding a supplier denylist. The fixture has no partsupp — the
+    * observed DISTINCT (l_partkey, l_suppkey) pairs from lineitem are
+    * the relationship table (dedup BEFORE any dim join: the pair set is
+    * ~10× smaller than the fact). The denylist (negative balance — the
+    * complaints analog) is a BROADCAST ANTI join, the NOT-IN form that
+    * stays correct and shuffle-free at any fact size; part's filters
+    * broadcast. count(DISTINCT) plans as the two-level expand aggregate.
+    */
+  def q16SupplierCount(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, excludeBrand: String = "Brand#1",
+      sizes: Seq[Int] = Seq(1, 3, 9, 14, 19, 23, 36, 45)): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(part
+        .filter(col("p_brand") =!= excludeBrand &&
+          col("p_size").isin(sizes.map(Int.box): _*))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  /** TPC-H Q19 shape ("discounted revenue"): revenue under a DISJUNCTION
+    * of brand × size × quantity branches — the query that tests whether
+    * OR-of-ANDs predicates still prune. The part-side terms (brand,
+    * size) evaluate on the broadcast dim; the lineitem-side quantity
+    * terms are written as a disjunction REFERENCING ONLY lineitem
+    * columns pre-join where possible (qty ≤ the loosest bound) so the
+    * scan prunes rows no branch can accept, then the exact branch
+    * predicate runs post-join. One broadcast join, one single-row
+    * aggregate, zero shuffles of the fact beyond the scan.
+    */
+  def q19DisjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val qty = round(col("l_quantity")).cast("long")
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && qty.between(1L, 11L)
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && qty.between(10L, 20L)
+    val branch3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 15) && qty.between(20L, 30L)
+    lineitem
+      // loosest-bound prefilter: no branch accepts qty outside [1, 30].
+      // Written on the RAW double (superset range [0.5, 30.5]) — a bound
+      // on round(qty) is scan-opaque, but a plain column range reaches
+      // the parquet row-group min-max stats; the exact rounded-integer
+      // branch predicates then run post-join on the surviving sliver
+      .filter(col("l_quantity").between(0.5, 30.5))
+      .join(broadcast(part.filter(col("p_size").between(1, 15) &&
+        col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q2 shape ("minimum cost supplier"): for each part of one
+    * size/type, every region supplier matching the part's MINIMUM
+    * supply metric — the correlated-scalar-MIN query. The fixture's
+    * relationship table is the distinct (part, supplier) pairs observed
+    * in lineitem; the metric is the supplier balance in cents. The
+    * correlated form re-aggregates per outer row; this is the
+    * decorrelated plan written directly — candidates narrowed by ALL
+    * dim filters first (region suppliers broadcast, filtered part
+    * sliver broadcast), then ONE window-min per part and an equality
+    * filter, so the per-part minimum costs one exchange over the
+    * already-tiny candidate set and ties surface per the spec.
+    */
+  def q2MinCostSupplier(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String = "EUROPE", size: Int = 15,
+      pType: String = "STANDARD"): DataFrame = {
+    val supRegion = supplier
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        round(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+    val cand = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(part.filter(col("p_size") === size &&
+        col("p_type") === pType)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+    cand
+      .withColumn("min_cents",
+        min(col("bal_cents")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("bal_cents") === col("min_cents"))
+      .select(col("p_partkey"), col("p_type"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("bal_cents"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
 }
