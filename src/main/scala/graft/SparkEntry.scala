@@ -831,6 +831,18 @@ object SparkEntry {
     // Type-token ratio + hapax share per source, floor permille.
     "t34_lexical_diversity" -> ((s, dir) =>
       TextOps.lexicalDiversity(Tables.documents(s, dir))),
+    // Exact-percentile curation cut (top 30% by the 0-4 quality score):
+    // histogram-walk threshold, ties kept, per-language kept counts.
+    "t35_quality_cut" -> ((s, dir) =>
+      TextOps.qualityPercentileCut(Tables.documents(s, dir))),
+    // Length-bucketed batching with per-batch padding-waste accounting;
+    // fixed-width buckets keep every window keyed (no global ntile).
+    "t36_length_batches" -> ((s, dir) =>
+      TextOps.lengthBatches(Tables.documents(s, dir))),
+    // Per-dimension embedding stats (n, mean, variance in micro-units)
+    // via the one-pass vector-sum Aggregator — no n×d explode shuffle.
+    "s16_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir))),
     // Incremental sessionization across a time cut with carried open-
     // session state; the one-shot e6 SQL is the oracle, so the hash gate
     // proves incremental == full recompute.
@@ -4556,5 +4568,68 @@ GROUP BY doc_id ORDER BY doc_id"""
         |WHERE EXTRACT(year FROM l_shipdate) = 1997
         |  AND CAST(round(l_discount * 1000) AS BIGINT) BETWEEN 50 AND 70
         |  AND CAST(round(l_quantity) AS BIGINT) < 24""".stripMargin,
+    "t35_quality_cut" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, length(text) AS nc,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','an','and','of','to','in','is','it','that')))
+        |      AS INT) AS nsw,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> length(x) > 25)) AS INT) AS nlong
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN nc >= 100 AND nc <= 5000 THEN 1 ELSE 0 END
+        |     + CASE WHEN (nc - nt + 1) >= nt * 3 AND (nc - nt + 1) <= nt * 10
+        |       THEN 1 ELSE 0 END
+        |     + CASE WHEN nsw * 20 >= nt THEN 1 ELSE 0 END
+        |     + CASE WHEN nlong = 0 THEN 1 ELSE 0 END) AS score
+        |  FROM c
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+        |h AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt FROM s
+        |      GROUP BY score),
+        |cum AS (SELECT score, SUM(cnt) OVER (ORDER BY score) AS cum FROM h),
+        |thr AS (SELECT CAST(MIN(score) AS INT) AS threshold FROM cum, n
+        |        WHERE cum * 10 >= n * 7)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(MAX(threshold) AS INT) AS threshold
+        |FROM s, thr GROUP BY lang ORDER BY lang""".stripMargin,
+    "t36_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+        |    (ROW_NUMBER() OVER (PARTITION BY n_tokens // 64
+        |       ORDER BY doc_id) - 1) // 32 AS batch_id
+        |  FROM t
+        |)
+        |SELECT bucket, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+        |    AS padding_waste
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s16_dim_stats" ->
+      """WITH e AS (
+        |  SELECT CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1
+        |           AS dim,
+        |         unnest(list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+        |           AS m
+        |  FROM embeddings
+        |), a AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(m) AS BIGINT) AS s, CAST(SUM(m * m) AS BIGINT) AS q
+        |  FROM e GROUP BY dim
+        |)
+        |SELECT dim, n, s // n AS mean_micro,
+        |       q // n - (s // n) * (s // n) AS var_micro2
+        |FROM a ORDER BY dim""".stripMargin,
   )
 }

@@ -434,6 +434,35 @@ object Similarity {
       .orderBy(col("rrf_e6").desc, col("id"))
       .limit(k)
   }
+
+  /** Per-dimension corpus statistics (n, mean, variance in integer
+    * micro-units) — the feature-normalization aggregate a z-scoring
+    * layer needs before training. ONE pass via
+    * [[graft.functions.VectorStatsAgg]]: the shuffle carries a single
+    * (2·dim+1)-long state per map partition; the naive
+    * `posexplode → groupBy dim` would shuffle dim× the table. The tiny
+    * dim-row expansion happens AFTER aggregation, on one row.
+    *
+    * Integer discipline: micro-unit floor scaling at read; mean and
+    * second moment use `div` — Spark's integral division and DuckDB's
+    * `//` BOTH truncate toward zero (verified on negative operands), so
+    * the statistics are bit-identical across engines with no rounding
+    * adapter. Variance is the truncated second moment minus the squared
+    * truncated mean — a deterministic integer statistic.
+    */
+  def dimStats(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    embeddings
+      .agg(graft.functions.VectorStatsAgg.vectorStats(col("embedding"), dim)
+        .as("vs"))
+      .select(col("vs.n").as("n"), col("vs.sums").as("sums"),
+        col("vs.sumsqs").as("sumsqs"))
+      .select(col("n"), posexplode(arrays_zip(col("sums"), col("sumsqs"))))
+      .select(col("pos").cast("int").as("dim"), col("n"),
+        col("col.sums").as("s"), col("col.sumsqs").as("q"))
+      .select(col("dim"), col("n"),
+        expr("s div n").as("mean_micro"),
+        (expr("q div n") - expr("(s div n) * (s div n)")).as("var_micro2"))
+      .orderBy("dim")
 }
 
 /** Random-hyperplane LSH index over an embedding column.

@@ -1228,4 +1228,75 @@ object TextOps {
         expr("n_hapax * 1000L div n_types").as("hapax_permille"))
       .orderBy("source")
   }
+
+  /** EXACT-PERCENTILE quality gate ("keep the top 30% by score"): the
+    * curation cut every corpus release makes, with the threshold derived
+    * from the data, not hand-picked. The quality score is a BOUNDED
+    * SMALL INTEGER (0–4), which turns the exact percentile into a
+    * histogram walk — a 5-row aggregate plus a running sum — instead of
+    * a global sort: at 100 TB the histogram is the whole trick, and it
+    * extends to any low-cardinality metric (integer permille scores
+    * bound the histogram at 1001 rows). The threshold is the SMALLEST
+    * score whose cumulative count reaches ⌈pct·n⌉ (cum·den ≥ n·num in
+    * exact integers); ties at the threshold are all kept — a rank-based
+    * cut would split equal-quality documents nondeterministically.
+    * One doc-side aggregate per language; the 5-row histogram window
+    * runs on metadata scale (its single-partition WindowExec is over ≤5
+    * rows, deliberate).
+    */
+  def qualityPercentileCut(documents: DataFrame, pctNum: Long = 7L,
+      pctDen: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, max, min, when}
+    val scored = documents
+      .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("score"))
+    val total = scored.agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val threshold = scored.groupBy("score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(total))
+      .filter(col("cum") * pctDen >= col("n") * pctNum)
+      .agg(min(col("score")).as("threshold"))
+    scored.crossJoin(broadcast(threshold))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        max(col("threshold")).as("threshold"))
+      .orderBy("lang")
+  }
+
+  /** LENGTH-BUCKETED BATCHING: assign documents to fixed token-width
+    * buckets, then to fixed-size batches within each bucket, and account
+    * the padding waste (batch_max·count − batch_sum) each batch would
+    * pay — the standard packing layout that minimizes pad tokens when
+    * batching variable-length sequences for training. Buckets come from
+    * a FIXED-WIDTH division of the token count (no global ntile — a
+    * quantile bucketing needs a corpus-wide ordered window; the fixed
+    * grid keeps every window KEYED by bucket, so the plan is one keyed
+    * exchange and scales with the widest bucket, not the corpus).
+    * Deterministic: batch membership orders by doc_id within bucket.
+    */
+  def lengthBatches(documents: DataFrame, bucketTokens: Int = 64,
+      batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{max, min, row_number}
+    val wB = Window.partitionBy("bucket").orderBy("doc_id")
+    documents
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketTokens"))
+      .withColumn("rn", row_number().over(wB))
+      .withColumn("batch_id", expr(s"CAST(rn - 1 AS BIGINT) div $batchSize"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("bucket"), col("batch_id"), col("n_docs"), col("min_tokens"),
+        col("max_tokens"), col("sum_tokens"),
+        (col("max_tokens") * col("n_docs") - col("sum_tokens"))
+          .as("padding_waste"))
+      .orderBy("bucket", "batch_id")
+  }
 }

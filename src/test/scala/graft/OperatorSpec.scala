@@ -445,6 +445,63 @@ class OperatorSpec extends SparkTestBase {
     assert(share === Map(1L -> 2500L, 2L -> 7500L)) // 100/400, 300/400 in bp
   }
 
+  test("quality cut: histogram threshold keeps ties; length batches account padding") {
+    import spark.implicits._
+    // 10 docs, scores land so that the 70th-percentile threshold falls
+    // on a tie group — every tied doc must be kept, not rank-split.
+    // All texts are crafted to differ only in the length criterion:
+    // short texts lose the length point.
+    val long = ("the quick brown fox jumps over the lazy dog and " * 4).trim
+    val docs = (1L to 10L).map { i =>
+      val text = if (i <= 4) "the cat sat" else long
+      (i, text, "en", "web", text.length)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cut = TextOps.qualityPercentileCut(docs).collect()
+    assert(cut.length === 1)
+    val r = cut.head
+    // 6 long docs tie at the top score (4); the 70th-percentile value
+    // IS that tie bin (cum 10 ≥ 7), so ALL six tied docs are kept — a
+    // rank cut would keep exactly 3 and split equal-quality docs. The
+    // keep count always covers the requested 30% (6 ≥ 3).
+    assert(r.getLong(1) === 10L)
+    assert((r.getLong(2), r.getInt(3)) === ((6L, 4)),
+      s"all threshold-tied docs must be kept, got $r")
+
+    val lb = TextOps.lengthBatches(docs, bucketTokens = 8, batchSize = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(6)))
+    // short docs: 3 tokens -> bucket 0; long docs: 40 tokens -> bucket 5
+    // batchSize=2: bucket 0 has 2 batches (4 docs), bucket 5 has 3 (6)
+    assert(lb.count(_._1 == 0L) === 2 && lb.count(_._1 == 5L) === 3)
+    // identical lengths within a bucket => zero padding waste
+    assert(lb.forall(_._4 == 0L))
+  }
+
+  test("dim stats: one-pass vector aggregate equals the explode formulation") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0.5f, -0.25f, 1.0f), 0),
+      (2L, Seq(0.1f, 0.75f, -1.0f), 1),
+      (3L, Seq(-0.3f, 0.5f, 0.25f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.dimStats(emb, dim = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val naive = emb
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")))
+      .groupBy(col("pos")).agg(count(lit(1)).as("n"), sum(col("col")).as("s"),
+        sum(col("col") * col("col")).as("q"))
+      .select(col("pos").cast("int"), col("n"), expr("s div n"),
+        expr("q div n - (s div n) * (s div n)"))
+      .orderBy("pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === naive.toSeq)
+    // malformed rows (wrong dim / null) are skipped, not poisoning sums
+    val withBad = emb.unionAll(Seq((9L, Seq(1.0f), 9)).toDF("vec_id", "embedding", "label"))
+    val n = graft.operators.Similarity.dimStats(withBad, dim = 3)
+      .select(max(col("n"))).head().getLong(0)
+    assert(n === 3L)
+  }
+
   test("rolling distinct: duplicate-link running sum equals the frame-set answer") {
     import spark.implicits._
     // literal case, frame 3, one event type: users a b a a c b
