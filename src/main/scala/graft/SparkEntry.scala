@@ -963,6 +963,24 @@ object SparkEntry {
     // predicates scan-pushable; discount band in integer permille.
     "a19_q6_revenue" -> ((s, dir) =>
       Aggregates.q6ForecastRevenue(Tables.lineitem(s, dir))),
+    // TPC-H Q11 shape: per-part value for one nation's suppliers vs a
+    // scalar grand-total fraction (decorrelated broadcast cross).
+    "j34_q11_stock" -> ((s, dir) =>
+      JoinOps.q11ImportantStock(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir))),
+    // TPC-H Q20 shape: dominant shipper per name-matched part-year via
+    // keyed window total, then LEFT SEMI into supplier.
+    "j35_q20_promo_suppliers" -> ((s, dir) =>
+      JoinOps.q20PromoSuppliers(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // Per-type column completeness matrix in integer permille — one
+    // keyed aggregate, one sum(when) per nullable column.
+    "dq23_completeness" -> ((s, dir) =>
+      Quality.completenessMatrix(Tables.events(s, dir))),
+    // Exact p50/p90/p99 order->ship latency days per priority class via
+    // a per-group histogram walk (no approx percentile, no global sort).
+    "dq24_fulfillment_sla" -> ((s, dir) =>
+      Quality.fulfillmentLatency(Tables.lineitem(s, dir), Tables.orders(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4631,5 +4649,71 @@ GROUP BY doc_id ORDER BY doc_id"""
         |SELECT dim, n, s // n AS mean_micro,
         |       q // n - (s // n) * (s // n) AS var_micro2
         |FROM a ORDER BY dim""".stripMargin,
+    "j34_q11_stock" ->
+      """WITH v AS (
+        |  SELECT p_partkey,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+        |      * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = 7
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_partkey
+        |), t AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM v)
+        |SELECT p_partkey, value_cents FROM v, t
+        |WHERE value_cents * 1000 > total_cents
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+    "j35_q20_promo_suppliers" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part
+        |    ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  WHERE EXTRACT(year FROM l_shipdate) = 1997
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT l_suppkey, qty,
+        |         SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+        |  FROM sp
+        |)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM w WHERE qty * 2 > part_total)
+        |ORDER BY s_suppkey""".stripMargin,
+    "dq23_completeness" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |    // COUNT(*) AS BIGINT) AS user_id_permille,
+        |  CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |    // COUNT(*) AS BIGINT) AS value_permille,
+        |  CAST(SUM(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |    // COUNT(*) AS BIGINT) AS props_permille,
+        |  CAST(SUM(CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END) * 1000
+        |    // COUNT(*) AS BIGINT) AS ts_permille
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dq24_fulfillment_sla" ->
+      """WITH lat AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), h AS (
+        |  SELECT o_orderpriority, days, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lat GROUP BY 1, 2
+        |), cw AS (
+        |  SELECT o_orderpriority, days, c,
+        |    CAST(SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        |  FROM h
+        |)
+        |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_lines,
+        |  CAST(MIN(CASE WHEN cum * 2 >= n THEN days END) AS BIGINT) AS p50_days,
+        |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN days END) AS BIGINT)
+        |    AS p90_days,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN days END) AS BIGINT)
+        |    AS p99_days
+        |FROM cw GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -804,4 +804,65 @@ object JoinOps {
         col("n_name"), col("bal_cents"))
       .orderBy("p_partkey", "s_suppkey")
   }
+
+  /** TPC-H Q11 shape ("important stock identification"): per-part
+    * inventory value restricted to one nation's suppliers, keeping the
+    * parts whose value exceeds a fixed FRACTION OF THE GRAND TOTAL —
+    * the group-by + scalar-subquery-HAVING query. The fixture has no
+    * partsupp, so value is shipped-quantity × retail price in integer
+    * cents. The scalar total is a one-row aggregate broadcast-crossed
+    * into the per-part rows (the subquery decorrelated by hand);
+    * supplier's nation filter broadcasts and prunes BEFORE the part
+    * aggregate, so the heavy groupBy only sees one nation's lines.
+    */
+  def q11ImportantStock(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nationKey: Int = 7,
+      fractionDen: Long = 1000L): DataFrame = {
+    val value = lineitem
+      .join(broadcast(supplier.filter(col("s_nationkey") === nationKey)
+        .select(col("s_suppkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey")
+      .agg(sum(expr("CAST(round(l_quantity) AS BIGINT) * retail_cents"))
+        .as("value_cents"))
+    val total = value.agg(sum(col("value_cents")).as("total_cents"))
+    value.crossJoin(broadcast(total))
+      .filter(col("value_cents") * fractionDen > col("total_cents"))
+      .select(col("p_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q20 shape ("potential part promotion"): suppliers who were
+    * the DOMINANT shipper of some name-matched part in one year (their
+    * quantity exceeds half the part's total — the availqty > ½·ordered
+    * analog on observed shipments). The nested-IN chain becomes: per
+    * (supplier, part) aggregate → per-part total as a KEYED window (no
+    * second aggregate or join-back) → dominance filter → LEFT SEMI into
+    * supplier. Every step is keyed on part or supplier — nothing
+    * corpus-wide. The name-matched part sliver broadcasts; the year
+    * filter pushes to the scan.
+    */
+  def q20PromoSuppliers(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, nameToken: String = "red",
+      yr: Int = 1997): DataFrame = {
+    val perPair = lineitem
+      .filter(year(col("l_shipdate")) === yr)
+      .join(broadcast(part.filter(col("p_name").contains(nameToken))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+    val dominant = perPair
+      .withColumn("part_total",
+        sum(col("qty")).over(Window.partitionBy("l_partkey")))
+      .filter(col("qty") * 2 > col("part_total"))
+      .select(col("l_suppkey"))
+    supplier
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
 }

@@ -770,4 +770,62 @@ object Quality {
       .unionByName(one("orders", o))
       .orderBy("table_name")
   }
+
+  /** COMPLETENESS MATRIX: per event type, the non-null share of every
+    * nullable column in integer permille — the first report any data
+    * contract publishes, and the one that localizes "field X went dark
+    * for source Y at 2pm" to a single cell. One scan, one keyed hash
+    * aggregate; each cell is a `sum(when(isNotNull))` riding the same
+    * partial aggregate, so adding columns adds state, not passes.
+    */
+  def completenessMatrix(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNotNull, 1L).otherwise(0L)).as("nn_user"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("nn_value"),
+        sum(when(col("props").isNotNull, 1L).otherwise(0L)).as("nn_props"),
+        sum(when(col("ts").isNotNull, 1L).otherwise(0L)).as("nn_ts"))
+      .select(col("event_type"), col("n_rows"),
+        expr("nn_user * 1000 div n_rows").as("user_id_permille"),
+        expr("nn_value * 1000 div n_rows").as("value_permille"),
+        expr("nn_props * 1000 div n_rows").as("props_permille"),
+        expr("nn_ts * 1000 div n_rows").as("ts_permille"))
+      .orderBy("event_type")
+
+  /** FULFILLMENT-LATENCY SLA percentiles (p50/p90/p99 of order→ship
+    * days, per priority class), EXACT — latency in whole days is a
+    * bounded small integer, so the exact percentile is a histogram
+    * walk (the [[graft.operators.TextOps.qualityPercentileCut]] trick
+    * applied per group): counts per (priority, days), one keyed
+    * cumulative window over the ≤few-hundred distinct day values, and
+    * each percentile is a `min(when(cum·den ≥ n·num))` riding ONE
+    * final aggregate. No sort of the joined fact, no approx-percentile
+    * nondeterminism; the shape scales with distinct latencies per
+    * class, not with rows.
+    */
+  def fulfillmentLatency(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = lineitem
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("days"))
+      .groupBy("o_orderpriority", "days")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("o_orderpriority").orderBy("days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("o_orderpriority")
+    hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy("o_orderpriority")
+      .agg(max(col("n")).as("n_lines"),
+        min(when(col("cum") * 2 >= col("n"), col("days"))).as("p50_days"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("days"))).as("p90_days"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("days"))).as("p99_days"))
+      .orderBy("o_orderpriority")
+  }
 }

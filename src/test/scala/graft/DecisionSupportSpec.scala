@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Aggregates, JoinOps}
+import graft.operators.{Aggregates, JoinOps, Quality}
 
 /** Semantics + plan-shape pins for the round-8 TPC-H decision-support
   * additions (Q2/Q4/Q6/Q7/Q9/Q10/Q12/Q13/Q14/Q16/Q19 adaptations).
@@ -98,6 +98,42 @@ class DecisionSupportSpec extends SparkTestBase {
     val p = plan(df)
     assert(p.contains("LeftAnti"), s"expected LeftAnti in:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"denylist must broadcast:\n$p")
+  }
+
+  test("q20: dominance is per part, not global; semi join dedups suppliers") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("1997-06-01 00:00:00")
+    // part 1: supp 10 ships 30 of 40 (dominant); part 2: 50/50 split —
+    // neither dominates (strict >). supp 10 also dominates part 3, but
+    // must appear ONCE.
+    val li = Seq((1L, 1L, 10L, 30.0, ts), (2L, 1L, 11L, 10.0, ts),
+        (3L, 2L, 10L, 5.0, ts), (4L, 2L, 11L, 5.0, ts),
+        (5L, 3L, 10L, 9.0, ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val part = Seq((1L, "red bolt"), (2L, "red nut"), (3L, "red gear"))
+      .toDF("p_partkey", "p_name")
+    val supplier = Seq((10L, "s10", 0L), (11L, "s11", 0L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((0L, "NATION_0")).toDF("n_nationkey", "n_name")
+    val got = JoinOps.q20PromoSuppliers(li, part, supplier, nation)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(10L))
+  }
+
+  test("fulfillment latency: histogram-walk percentiles are the exact ranks") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // one priority class, latencies 1..10 days, one line each:
+    // p50 -> smallest d with cum >= 5 -> 5; p90 -> 9; p99 -> 10
+    val orders = (1L to 10L).map(i => (i, t("1997-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = (1L to 10L).map(i =>
+        (i, t(f"1997-01-${1 + i}%02d"))).toDF("l_orderkey", "l_shipdate")
+    val got = Quality.fulfillmentLatency(li, orders).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((10L, 5L, 9L, 10L)))
   }
 
   test("q7: both nation roles broadcast; revenue symmetric in the pair") {
