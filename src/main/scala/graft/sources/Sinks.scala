@@ -357,4 +357,41 @@ object Sinks {
       .drop("_z") // projection after the local sort; file order is kept
       .write.mode("overwrite").parquet(path)
   }
+
+  /** SHARDED JSONL CORPUS EXPORT + MANIFEST — the delivery format a
+    * training run actually consumes: `shards` range-partitioned
+    * `.jsonl` files, key-clustered so a shard is a contiguous doc_id
+    * range (resumable, splittable by shard), plus a manifest DataFrame
+    * the publisher persists next to the data: per shard the row count,
+    * byte size, and an ORDER-INDEPENDENT content checksum (bit-XOR of
+    * per-line xxhash64 — file order and layout don't matter, one
+    * flipped byte does). The manifest is rebuilt FROM THE WRITTEN
+    * FILES, not from the in-memory frame: it attests what landed on
+    * disk, which is the thing a consumer can re-verify.
+    *
+    * Determinism: Spark writes JSON fields in schema order, and
+    * `repartitionByRange` samples with a fixed seed — two exports of
+    * the same data produce the same shard membership and checksums
+    * (asserted in the spec). Scale shape: one range shuffle to cluster,
+    * one scan of the written text for the manifest; both ∝ corpus.
+    */
+  def exportJsonlShards(documents: DataFrame, path: String,
+      shards: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = documents.sparkSession
+    documents
+      .repartitionByRange(shards, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").json(path)
+    spark.read.text(path)
+      .select(regexp_extract(input_file_name(), "part-(\\d+)", 1)
+        .cast("int").as("shard"),
+        col("value"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        // +1 per line for the newline the file carries
+        sum(length(col("value")) + 1).as("bytes"),
+        expr("bit_xor(xxhash64(value))").as("checksum"))
+      .orderBy("shard")
+  }
 }

@@ -110,6 +110,27 @@ class IngestSinkSpec extends SparkTestBase {
     assert(back.schema.fieldNames.contains("ticker"))
   }
 
+  test("JSONL shard export: manifest attests the files; re-export is deterministic") {
+    val docs = Tables.documents(spark, sf0001)
+    val p1 = tmpDir("jsonl1")
+    val m1 = Sinks.exportJsonlShards(docs, p1, shards = 4).collect()
+    assert(m1.length === 4, s"expected 4 shards, got ${m1.length}")
+    assert(m1.map(_.getLong(1)).sum === docs.count())
+    // manifest is from the written bytes: byte sizes match the files
+    val files = new java.io.File(p1).listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    assert(files.map(_.length()).sum === m1.map(_.getLong(2)).sum)
+    // round-trip: every doc_id survives
+    val back = spark.read.schema(docs.schema).json(p1)
+    assert(back.select("doc_id").exceptAll(docs.select("doc_id")).isEmpty &&
+      docs.select("doc_id").exceptAll(back.select("doc_id")).isEmpty)
+    // determinism: a second export yields identical shard checksums
+    val p2 = tmpDir("jsonl2")
+    val m2 = Sinks.exportJsonlShards(docs, p2, shards = 4).collect()
+    assert(m1.map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).toSeq ===
+      m2.map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).toSeq)
+  }
+
   test("K3/K4: external table create-or-replace + recoverPartitions") {
     val df = Ingest.ingest(spark, Seq("AAA.SA", "BBB.SA"), fakeFetch)
     val path = tmpDir("ext")
