@@ -981,6 +981,10 @@ object SparkEntry {
     // a per-group histogram walk (no approx percentile, no global sort).
     "dq24_fulfillment_sla" -> ((s, dir) =>
       Quality.fulfillmentLatency(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // Degree distribution of the co-purchase graph — the heavy-tail
+    // diagnostic the other graph operators size against.
+    "g7_degree_hist" -> ((s, dir) =>
+      GraphOps.degreeHistogram(Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4715,5 +4719,20 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN days END) AS BIGINT)
         |    AS p99_days
         |FROM cw GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "g7_degree_hist" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e0 AS (
+        |  SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2
+        |), eu AS (SELECT u, v FROM e0 WHERE c >= 2),
+        |d AS (
+        |  SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        |  FROM (SELECT u AS x FROM eu UNION ALL SELECT v AS x FROM eu)
+        |  GROUP BY x
+        |)
+        |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY degree ORDER BY degree""".stripMargin,
   )
 }

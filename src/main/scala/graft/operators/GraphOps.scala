@@ -129,6 +129,23 @@ object GraphOps {
       .select("src", "dst")
   }
 
+  /** DEGREE DISTRIBUTION of the support-pruned co-purchase graph — the
+    * first diagnostic run on any production graph: a heavy-tailed
+    * histogram says "orient before counting wedges" ([[triangleCount]])
+    * and "expect skewed reducers on vertex joins"; its max degree IS
+    * the celebrity-vertex bound the other graph operators size against.
+    * Two keyed aggregates after the edge build: per-node degree (state
+    * ∝ vertices), then nodes-per-degree (state ∝ distinct degrees —
+    * metadata scale). Engine-exact by construction: counts only.
+    */
+  def degreeHistogram(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    val e = coPurchaseEdges(lineitem, minSupport)
+    e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
   /** MULTI-SOURCE BFS: minimum hop distance from a seed set, bounded at
     * `maxHops` — the "what's within k links of X" primitive (crawl
     * frontier expansion, related-product discovery, blast-radius
