@@ -985,6 +985,10 @@ object SparkEntry {
     // diagnostic the other graph operators size against.
     "g7_degree_hist" -> ((s, dir) =>
       GraphOps.degreeHistogram(Tables.lineitem(s, dir))),
+    // Duplicate-payment audit: equi-join on (customer, exact cents)
+    // with a day-window conjunct — double-submit forensics.
+    "dq25_duplicate_payments" -> ((s, dir) =>
+      Quality.duplicatePayments(Tables.orders(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4734,5 +4738,21 @@ GROUP BY doc_id ORDER BY doc_id"""
         |)
         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY degree ORDER BY degree""".stripMargin,
+    "dq25_duplicate_payments" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS band,
+        |         CAST(o_orderdate AS DATE) AS d
+        |  FROM orders
+        |)
+        |SELECT a.o_custkey, a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+        |       a.band, a.cents - b.cents AS delta_cents,
+        |       CAST(abs(date_diff('day', b.d, a.d)) AS BIGINT) AS days_apart
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.band = b.band
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND abs(date_diff('day', b.d, a.d)) <= 90
+        |ORDER BY a.o_custkey, order_a, order_b""".stripMargin,
   )
 }

@@ -793,6 +793,38 @@ object Quality {
         expr("nn_ts * 1000 div n_rows").as("ts_permille"))
       .orderBy("event_type")
 
+  /** DUPLICATE-PAYMENT AUDIT (the classic AP-forensics screen): pairs of
+    * DISTINCT orders by the same customer in the same amount BAND within
+    * `windowDays` of each other — double-submits, double-captures, and
+    * replayed batches all land here. The band (floor of amount /
+    * `bandDollars`, computed on exact integer cents) is the fuzziness an
+    * auditor actually wants — re-keyed duplicates rarely match to the
+    * cent — and it is also the join's strong EQUI key: the pair space is
+    * per-(customer, band) groups, never a cross of the customer's whole
+    * history. The day-window bound rides the same join as a non-equi
+    * conjunct, and `o1 < o2` emits each pair once. At 100 TB: shuffle on
+    * the composite key; a hot (customer, band) key IS the finding, not a
+    * skew accident.
+    */
+  def duplicatePayments(orders: DataFrame, windowDays: Int = 90,
+      bandDollars: Long = 1000L): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("d"))
+      .withColumn("band", expr(s"cents div ${bandDollars * 100L}"))
+    o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.band") === col("b.band") &&
+          col("a.o_orderkey") < col("b.o_orderkey") &&
+          abs(datediff(col("a.d"), col("b.d"))) <= windowDays)
+      .select(col("a.o_custkey").as("o_custkey"),
+        col("a.o_orderkey").as("order_a"), col("b.o_orderkey").as("order_b"),
+        col("a.band").as("band"),
+        (col("a.cents") - col("b.cents")).as("delta_cents"),
+        abs(datediff(col("a.d"), col("b.d"))).cast("long").as("days_apart"))
+      .orderBy("o_custkey", "order_a", "order_b")
+  }
+
   /** FULFILLMENT-LATENCY SLA percentiles (p50/p90/p99 of order→ship
     * days, per priority class), EXACT — latency in whole days is a
     * bounded small integer, so the exact percentile is a histogram
