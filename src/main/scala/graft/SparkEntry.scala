@@ -989,6 +989,12 @@ object SparkEntry {
     // with a day-window conjunct — double-submit forensics.
     "dq25_duplicate_payments" -> ((s, dir) =>
       Quality.duplicatePayments(Tables.orders(s, dir))),
+    // ORACLE-EXACT MinHash+LSH: md5-derived affine permutation family
+    // both engines compute bit-identically — the full sign→band→bucket-
+    // join→verify pipeline under the hash gate (d3's fast seeded kernel
+    // stays rows-only with its contract twin).
+    "d22_minhash_oracle" -> ((s, dir) =>
+      Dedup.minhashOraclePairs(Tables.documents(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4754,5 +4760,51 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  AND a.o_orderkey < b.o_orderkey
         |  AND abs(date_diff('day', b.d, a.d)) <= 90
         |ORDER BY a.o_custkey, order_a, order_b""".stripMargin,
+    "d22_minhash_oracle" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM t
+        |), tok AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647
+        |      AS m
+        |  FROM tok
+        |), sig AS (
+        |  SELECT doc_id,
+        |    MIN((919393 * m + 12289) % 2147483647) AS h0,
+        |    MIN((273647 * m + 514229) % 2147483647) AS h1,
+        |    MIN((877571 * m + 39916801) % 2147483647) AS h2,
+        |    MIN((499979 * m + 6700417) % 2147483647) AS h3,
+        |    MIN((331777 * m + 1299709) % 2147483647) AS h4,
+        |    MIN((764321 * m + 15485863) % 2147483647) AS h5,
+        |    MIN((104729 * m + 32452843) % 2147483647) AS h6,
+        |    MIN((611953 * m + 49979687) % 2147483647) AS h7
+        |  FROM m GROUP BY doc_id
+        |), bk AS (
+        |  SELECT doc_id, concat_ws(':', 0, h0, h1) AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', 1, h2, h3) FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', 2, h4, h5) FROM sig
+        |  UNION ALL SELECT doc_id, concat_ws(':', 3, h6, h7) FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+        |  CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+        |    AS BIGINT) AS n_union
+        |FROM cand JOIN s sa ON sa.doc_id = doc_a
+        |          JOIN s sb ON sb.doc_id = doc_b
+        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 5
+        |      >= CAST(len(sa.sh) + len(sb.sh)
+        |              - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

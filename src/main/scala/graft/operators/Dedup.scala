@@ -121,6 +121,73 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** ORACLE-EXACT MinHash+LSH near-dup pairs — the same
+    * sign→band→bucket-join→exact-verify pipeline as [[nearDupPairs]],
+    * but with an md5-derived affine permutation family BOTH engines can
+    * compute bit-identically, so the ENTIRE banding pipeline is
+    * verified end-to-end by the DuckDB hash gate (the production d3
+    * path keeps its seeded codegen'd kernel and is rows-only with a
+    * contract twin; this variant closes the verification gap the fast
+    * kernel leaves).
+    *
+    * Family: one strong hash per DISTINCT shingle, m = md5→60-bit→mod
+    * p (p = 2³¹−1), then k affine permutations hᵢ = (aᵢ·m + bᵢ) mod p —
+    * aᵢ·m < 2⁶² so no overflow on either engine, all operands
+    * nonnegative so `%` agrees. ONE md5 per shingle row: the signature
+    * is built explode-side as k min-aggregates on a single pass (k
+    * columns of map-side-combining MIN state — the lambda formulation
+    * would re-evaluate the md5 array per signature element). Bands of
+    * `rows` consecutive signature values join on a concat band key;
+    * verification is exact integer Jaccard (n_inter·den ≥ n_union·num).
+    */
+  def minhashOraclePairs(documents: DataFrame, thresholdNum: Long = 4L,
+      thresholdDen: Long = 5L): DataFrame = {
+    val p = 2147483647L
+    val as = Seq(919393L, 273647L, 877571L, 499979L, 331777L, 764321L,
+      104729L, 611953L)
+    val bs = Seq(12289L, 514229L, 39916801L % p, 6700417L, 1299709L,
+      15485863L, 32452843L, 49979687L)
+    val sh = documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shingles3Tokens(col("toks"), col("text"))).as("sh"))
+    val m = sh
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), expr(
+        s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $p")
+        .as("m"))
+    val sig = m.groupBy("doc_id")
+      .agg(min(expr(s"(${as(0)} * m + ${bs(0)}) % $p")).as("h0"),
+        min(expr(s"(${as(1)} * m + ${bs(1)}) % $p")).as("h1"),
+        min(expr(s"(${as(2)} * m + ${bs(2)}) % $p")).as("h2"),
+        min(expr(s"(${as(3)} * m + ${bs(3)}) % $p")).as("h3"),
+        min(expr(s"(${as(4)} * m + ${bs(4)}) % $p")).as("h4"),
+        min(expr(s"(${as(5)} * m + ${bs(5)}) % $p")).as("h5"),
+        min(expr(s"(${as(6)} * m + ${bs(6)}) % $p")).as("h6"),
+        min(expr(s"(${as(7)} * m + ${bs(7)}) % $p")).as("h7"))
+    val bk = sig.select(col("doc_id"), explode(array(
+      concat_ws(":", lit(0), col("h0"), col("h1")),
+      concat_ws(":", lit(1), col("h2"), col("h3")),
+      concat_ws(":", lit(2), col("h4"), col("h5")),
+      concat_ws(":", lit(3), col("h6"), col("h7")))).as("band_key"))
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("n_both"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_both") - col("n_inter")).as("n_union"))
+      .filter(col("n_inter") * thresholdDen >= col("n_union") * thresholdNum)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The persistable LSH BAND INDEX of a corpus: one (doc_id, band_key)
     * row per band — what [[incrementalNearDups]] joins new batches
     * against. Write it bucketed on `band_key` (`Sinks.saveBucketed`) and
