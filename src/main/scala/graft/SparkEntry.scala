@@ -995,6 +995,11 @@ object SparkEntry {
     // stays rows-only with its contract twin).
     "d22_minhash_oracle" -> ((s, dir) =>
       Dedup.minhashOraclePairs(Tables.documents(s, dir))),
+    // ORACLE-EXACT SimHash: md5-bit-sum 60-bit signature, 4×15-bit
+    // pigeonhole bands (complete for Hamming ≤ 3), bit_count(xor)
+    // verify — the d4 companion to d22.
+    "d23_simhash_oracle" -> ((s, dir) =>
+      Dedup.simhashOraclePairs(Tables.documents(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4806,5 +4811,40 @@ GROUP BY doc_id ORDER BY doc_id"""
         |      >= CAST(len(sa.sh) + len(sb.sh)
         |              - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // the 60 per-bit sums / signature recombination / band extraction are
+    // generated, not hand-written — same structure as the Scala side
+    "d23_simhash_oracle" -> {
+      val sums = (0 until 60).map(b =>
+        s"SUM(CASE WHEN (m // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val sigExpr = (0 until 60).map(b =>
+        s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      val bands = (0 until 4).map(i =>
+        s"SELECT doc_id, sig, concat_ws(':', $i, " +
+          s"(sig // ${1L << (15 * i)}) % ${1L << 15}) AS band_key FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+         |    AS tok
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS m
+         |  FROM tok
+         |), sums AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM m GROUP BY doc_id
+         |), sig AS (SELECT doc_id, $sigExpr AS sig FROM sums),
+         |bk AS (
+         |  $bands
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hd
+         |FROM bk a JOIN bk b
+         |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
   )
 }

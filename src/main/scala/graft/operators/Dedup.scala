@@ -188,6 +188,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** ORACLE-EXACT SimHash near-dup pairs — [[minhashOraclePairs]]'s
+    * companion for the SimHash family: a 60-bit signature whose bit b is
+    * the sign of Σ±1 over the b-th bit of each DISTINCT token's
+    * md5-derived 60-bit hash (ties count positive — deterministic), so
+    * BOTH engines compute the identical signature and the whole
+    * sign→band→join→verify pipeline sits under the hash gate (the
+    * production d4 path keeps its codegen'd kernel, rows-only with its
+    * banding-contract twin). Four 15-bit pigeonhole bands: 3 differing
+    * bits can touch at most 3 bands, so candidates are COMPLETE for
+    * Hamming ≤ 3; verification is codegen'd `bit_count(xor)`. The 60
+    * per-bit sums are map-side-combining aggregates on ONE explode pass
+    * (one md5 per token row), state 60 longs per doc per partition.
+    */
+  def simhashOraclePairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bits = 60
+    val sums = documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("tok"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)")
+          .as("m"))
+      .groupBy("doc_id")
+      .agg(expr(s"SUM(CASE WHEN (m div ${1L << 0}) % 2 = 1 THEN 1 ELSE -1 END)")
+        .as("s0"),
+        (1 until bits).map(b =>
+          expr(s"SUM(CASE WHEN (m div ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END)")
+            .as(s"s$b")): _*)
+    val sig = sums.select(col("doc_id"),
+      (0 until bits).map(b =>
+        when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+    val bk = sig.select(col("doc_id"), col("sig"), explode(array(
+      (0 until 4).map(i => concat_ws(":", lit(i),
+        expr(s"(sig div ${1L << (15 * i)}) % ${1L << 15}"))): _*))
+      .as("band_key"))
+    bk.as("a").join(bk.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.sig ^ b.sig")).cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The persistable LSH BAND INDEX of a corpus: one (doc_id, band_key)
     * row per band — what [[incrementalNearDups]] joins new batches
     * against. Write it bucketed on `band_key` (`Sinks.saveBucketed`) and
