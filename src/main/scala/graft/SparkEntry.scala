@@ -1000,6 +1000,11 @@ object SparkEntry {
     // verify — the d4 companion to d22.
     "d23_simhash_oracle" -> ((s, dir) =>
       Dedup.simhashOraclePairs(Tables.documents(s, dir))),
+    // ORACLE-EXACT hyperplane-LSH ANN: LCG integer planes, 6×5-bit sign
+    // bands, exact integer-cosine verify in 16-byte decimals — the s2
+    // companion to d22/d23.
+    "s17_ann_oracle" -> ((s, dir) =>
+      Similarity.annOraclePairs(Tables.embeddings(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4845,6 +4850,57 @@ GROUP BY doc_id ORDER BY doc_id"""
          |  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // the 30 plane-dot columns and band keys are generated from the SAME
+    // LCG weight formula the Spark operator embeds (single source of truth)
+    "s17_ann_oracle" -> {
+      val dims = 64
+      val dotCols = (0 until 30).map { i =>
+        val w = (0 until dims)
+          .map(j => operators.Similarity.annPlaneWeight(i, j, dims))
+          .mkString("[", ", ", "]")
+        s"list_sum(list_transform(generate_series(1, $dims), j -> ($w)[j] * m[j])) AS d$i"
+      }.mkString(",\n    ")
+      val bandSelects = (0 until 6).map { b =>
+        val bits = (0 until 5).map { r =>
+          s"CASE WHEN d${b * 5 + r} >= 0 THEN 1 ELSE 0 END"
+        }.mkString(", ")
+        s"SELECT vec_id, concat_ws(':', $b, $bits) AS band_key FROM dots"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+         |  FROM embeddings WHERE len(embedding) = $dims
+         |), dots AS (
+         |  SELECT vec_id,
+         |    $dotCols
+         |  FROM base
+         |), bk AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+         |), n AS (
+         |  SELECT vec_id, m,
+         |    list_sum(list_transform(generate_series(1, $dims),
+         |      j -> m[j] * m[j])) AS n2
+         |  FROM base
+         |), v AS (
+         |  SELECT vec_a, vec_b,
+         |    list_sum(list_transform(generate_series(1, $dims),
+         |      j -> na.m[j] * nb.m[j])) AS dot,
+         |    na.n2 AS na2, nb.n2 AS nb2
+         |  FROM cand JOIN n na ON na.vec_id = vec_a
+         |            JOIN n nb ON nb.vec_id = vec_b
+         |)
+         |SELECT vec_a, vec_b, CAST(dot AS BIGINT) AS dot_micro2,
+         |  CAST(na2 AS BIGINT) AS norm2_a, CAST(nb2 AS BIGINT) AS norm2_b
+         |FROM v
+         |WHERE dot >= 0
+         |  AND CAST(25 AS HUGEINT) * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+         |      >= CAST(4 AS HUGEINT) * CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT)
+         |ORDER BY vec_a, vec_b""".stripMargin
     },
   )
 }

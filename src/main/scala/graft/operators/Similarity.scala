@@ -435,6 +435,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic pseudo-random hyperplane weight for
+    * [[annOraclePairs]]: plain LCG over the flattened (plane, dim)
+    * index, range [−1000, 1000]. A FUNCTION of the index, not stored
+    * state — the Spark operator and the generated oracle SQL call the
+    * same formula, so the planes are a single source of truth.
+    */
+  private[graft] def annPlaneWeight(plane: Int, dim: Int, dims: Int): Long =
+    ((1103515245L * (plane.toLong * dims + dim) + 12345L) % 2001L) - 1000L
+
+  /** ORACLE-EXACT hyperplane-LSH ANN pairs — the [[graft.operators.Dedup.minhashOraclePairs]]
+    * pattern applied to the EMBEDDING near-neighbor family (s2's seeded
+    * hyperplane kernel is rows-only; this variant puts the whole
+    * sign→band→bucket-join→verify pipeline under the DuckDB hash gate).
+    *
+    * Signature: 30 integer hyperplanes with LCG weights (|w| ≤ 1000, a
+    * pure index formula both engines embed as literals), dotted against
+    * the micro-unit floor rendering of the embedding — every dot is an
+    * exact BIGINT (|w·m| ≤ 4·10⁹ per term, ×64 dims ≪ 2⁶³). Six 5-bit
+    * pigeonhole bands (sign bits concatenated): complete for
+    * signature-Hamming ≤ 5, candidate noise bounded by 6·n²∕2⁵·2.
+    * Verification is EXACT integer cosine: dot ≥ 0 and 25·dot² ≥
+    * 4·‖a‖²·‖b‖² (cos ≥ 2/5 cross-multiplied into squares), built in
+    * DECIMAL(38,0) against HUGEINT on the oracle side — dot² ≤ ~10²⁷
+    * needs 16-byte integers on both engines.
+    */
+  def annOraclePairs(embeddings: DataFrame, planes: Int = 30,
+      bandBits: Int = 5, dims: Int = 64): DataFrame = {
+    require(planes % bandBits == 0, "bands must tile the planes")
+    val wRows = (0 until planes).map { i =>
+      (0 until dims).map(j => annPlaneWeight(i, j, dims)).mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    val base = embeddings
+      .filter(size(col("embedding")) === dims)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("m"))
+    val withDots = base.withColumn("dots", expr(
+      s"transform($wRows, w -> aggregate(zip_with(m, w, (x, y) -> x * y), 0L, (acc, v) -> acc + v))"))
+    val nBands = planes / bandBits
+    val bandKeys = (0 until nBands).map { b =>
+      val bits = (0 until bandBits).map { r =>
+        s"CASE WHEN element_at(dots, ${b * bandBits + r + 1}) >= 0 THEN 1 ELSE 0 END"
+      }.mkString(", ")
+      expr(s"concat_ws(':', $b, $bits)")
+    }
+    val bk = withDots.select(col("vec_id"),
+      explode(array(bandKeys: _*)).as("band_key"))
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val norms = base.select(col("vec_id"), col("m"),
+      expr("aggregate(transform(m, x -> x * x), 0L, (acc, v) -> acc + v)")
+        .as("n2"))
+    cand
+      .join(norms.select(col("vec_id").as("vec_a"), col("m").as("m_a"),
+        col("n2").as("na")), "vec_a")
+      .join(norms.select(col("vec_id").as("vec_b"), col("m").as("m_b"),
+        col("n2").as("nb")), "vec_b")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(m_a, m_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .filter(col("dot") >= 0L && expr(
+        "CAST(25 AS DECIMAL(38,0)) * dot * dot >= CAST(4 AS DECIMAL(38,0)) * na * nb"))
+      .select(col("vec_a"), col("vec_b"), col("dot").as("dot_micro2"),
+        col("na").as("norm2_a"), col("nb").as("norm2_b"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Per-dimension corpus statistics (n, mean, variance in integer
     * micro-units) — the feature-normalization aggregate a z-scoring
     * layer needs before training. ONE pass via
