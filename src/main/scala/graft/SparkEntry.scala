@@ -1005,6 +1005,11 @@ object SparkEntry {
     // companion to d22/d23.
     "s17_ann_oracle" -> ((s, dir) =>
       Similarity.annOraclePairs(Tables.embeddings(s, dir))),
+    // The md5-affine signature TABLE itself (d5's oracle-exact twin):
+    // per-doc h0..h7 permutation minima, hash-checked value by value.
+    "d24_signatures_oracle" -> ((s, dir) =>
+      Dedup.minhashOracleSignatures(Tables.documents(s, dir))
+        .orderBy("doc_id")),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4902,5 +4907,31 @@ GROUP BY doc_id ORDER BY doc_id"""
          |      >= CAST(4 AS HUGEINT) * CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT)
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+    "d24_signatures_oracle" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM t
+        |), tok AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647
+        |      AS m
+        |  FROM tok
+        |)
+        |SELECT doc_id,
+        |  MIN((919393 * m + 12289) % 2147483647) AS h0,
+        |  MIN((273647 * m + 514229) % 2147483647) AS h1,
+        |  MIN((877571 * m + 39916801) % 2147483647) AS h2,
+        |  MIN((499979 * m + 6700417) % 2147483647) AS h3,
+        |  MIN((331777 * m + 1299709) % 2147483647) AS h4,
+        |  MIN((764321 * m + 15485863) % 2147483647) AS h5,
+        |  MIN((104729 * m + 32452843) % 2147483647) AS h6,
+        |  MIN((611953 * m + 49979687) % 2147483647) AS h7
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

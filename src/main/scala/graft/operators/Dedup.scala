@@ -140,23 +140,27 @@ object Dedup {
     * `rows` consecutive signature values join on a concat band key;
     * verification is exact integer Jaccard (n_inter·den ≥ n_union·num).
     */
-  def minhashOraclePairs(documents: DataFrame, thresholdNum: Long = 4L,
-      thresholdDen: Long = 5L): DataFrame = {
+  /** The md5-affine signature table behind [[minhashOraclePairs]] (and
+    * registrable on its own as the oracle-exact twin of the d5 corpus
+    * signatures): per doc the k = 8 permutation minima h0..h7, each an
+    * exact BIGINT both engines compute identically. One md5 per
+    * DISTINCT shingle row; k map-side-combining MIN aggregates.
+    */
+  def minhashOracleSignatures(documents: DataFrame): DataFrame = {
     val p = 2147483647L
     val as = Seq(919393L, 273647L, 877571L, 499979L, 331777L, 764321L,
       104729L, 611953L)
     val bs = Seq(12289L, 514229L, 39916801L % p, 6700417L, 1299709L,
       15485863L, 32452843L, 49979687L)
-    val sh = documents
+    documents
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(shingles3Tokens(col("toks"), col("text"))).as("sh"))
-    val m = sh
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        explode(array_distinct(shingles3Tokens(col("toks"), col("text"))))
+          .as("shingle"))
       .select(col("doc_id"), expr(
         s"CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % $p")
         .as("m"))
-    val sig = m.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(min(expr(s"(${as(0)} * m + ${bs(0)}) % $p")).as("h0"),
         min(expr(s"(${as(1)} * m + ${bs(1)}) % $p")).as("h1"),
         min(expr(s"(${as(2)} * m + ${bs(2)}) % $p")).as("h2"),
@@ -165,6 +169,15 @@ object Dedup {
         min(expr(s"(${as(5)} * m + ${bs(5)}) % $p")).as("h5"),
         min(expr(s"(${as(6)} * m + ${bs(6)}) % $p")).as("h6"),
         min(expr(s"(${as(7)} * m + ${bs(7)}) % $p")).as("h7"))
+  }
+
+  def minhashOraclePairs(documents: DataFrame, thresholdNum: Long = 4L,
+      thresholdDen: Long = 5L): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shingles3Tokens(col("toks"), col("text"))).as("sh"))
+    val sig = minhashOracleSignatures(documents)
     val bk = sig.select(col("doc_id"), explode(array(
       concat_ws(":", lit(0), col("h0"), col("h1")),
       concat_ws(":", lit(1), col("h2"), col("h3")),
