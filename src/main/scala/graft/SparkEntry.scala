@@ -1010,6 +1010,30 @@ object SparkEntry {
     "d24_signatures_oracle" -> ((s, dir) =>
       Dedup.minhashOracleSignatures(Tables.documents(s, dir))
         .orderBy("doc_id")),
+    // Common-neighbor link prediction over the support-pruned co-purchase
+    // graph — the "customers also buy" candidate generator.
+    "g8_link_prediction" -> ((s, dir) =>
+      GraphOps.linkPrediction(Tables.lineitem(s, dir))),
+    // A-priori frequent triples (market-basket level 3) with the item
+    // prune executed and the plain triple join as referee.
+    "g9_frequent_triples" -> ((s, dir) =>
+      GraphOps.frequentTriples(Tables.lineitem(s, dir))),
+    // Bollinger ±2σ breakouts decided by integer cross-multiplication.
+    "e32_bollinger" -> ((s, dir) =>
+      TimeSeries.bollingerBreakouts(Tables.events(s, dir))),
+    // Hourly VWAP with the JSON `k` field as volume.
+    "e33_vwap" -> ((s, dir) => TimeSeries.vwapBars(Tables.events(s, dir))),
+    // Duration-weighted TWAP per series over irregular event spacing.
+    "e34_twap" -> ((s, dir) => TimeSeries.twap(Tables.events(s, dir))),
+    // First-half vs second-half total-variation drift in floor permille.
+    "dq26_distribution_drift" -> ((s, dir) =>
+      Quality.distributionDrift(Tables.events(s, dir))),
+    // Per-series event_id sequence-gap audit (CDC offset integrity).
+    "dq27_sequence_gaps" -> ((s, dir) =>
+      Quality.sequenceGaps(Tables.events(s, dir))),
+    // Two-measure pivot compiled to one conditional hash aggregate.
+    "a20_pivot_multi" -> ((s, dir) =>
+      Aggregates.pivotMultiAgg(Tables.orders(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -4933,5 +4957,161 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  MIN((104729 * m + 32452843) % 2147483647) AS h6,
         |  MIN((611953 * m + 49979687) % 2147483647) AS h7
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g8_link_prediction" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e AS (
+        |  SELECT a.p AS src, b.p AS dst
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), sym AS (
+        |  SELECT src AS x, dst AS y FROM e
+        |  UNION ALL SELECT dst AS x, src AS y FROM e
+        |), deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |cn AS (
+        |  SELECT l.x AS a, r.x AS b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM sym l JOIN sym r ON l.y = r.y AND l.x < r.x
+        |  GROUP BY 1, 2
+        |), nonadj AS (
+        |  SELECT cn.a, cn.b, cn.common FROM cn
+        |  ANTI JOIN e ON cn.a = e.src AND cn.b = e.dst
+        |)
+        |SELECT n.a, n.b, n.common, da.d AS deg_a, db.d AS deg_b,
+        |       CAST(n.common * 1000 // (da.d + db.d - n.common) AS BIGINT)
+        |         AS jaccard_permille
+        |FROM nonadj n JOIN deg da ON n.a = da.x JOIN deg db ON n.b = db.x
+        |ORDER BY n.common DESC, n.a, n.b LIMIT 25""".stripMargin,
+    "g9_frequent_triples" ->
+      """WITH op0 AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), op AS (
+        |  SELECT o, p FROM (
+        |    SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS n FROM op0
+        |  ) WHERE n <= 8
+        |)
+        |SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+        |       CAST(COUNT(*) AS BIGINT) AS support
+        |FROM op a
+        |JOIN op b ON a.o = b.o AND a.p < b.p
+        |JOIN op c ON b.o = c.o AND b.p < c.p
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, p1, p2, p3 LIMIT 50""".stripMargin,
+    "e32_bollinger" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         epoch_us(ts) // 3600000000 AS bar,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), h AS (
+        |  SELECT event_type, bar,
+        |         arg_max(cents, CAST(us AS HUGEINT) * 1000000 + event_id)
+        |           AS close
+        |  FROM e GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, close,
+        |         COUNT(*) OVER w AS n, SUM(close) OVER w AS s,
+        |         SUM(close * close) OVER w AS q
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bar
+        |                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(CASE WHEN (n*close - s) > 0
+        |        AND (n*close - s) * (n*close - s) > 4 * (n*q - s*s)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(SUM(CASE WHEN (n*close - s) < 0
+        |        AND (n*close - s) * (n*close - s) > 4 * (n*q - s*s)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+        |FROM s WHERE n = 20 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e33_vwap" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         epoch_us(ts) // 3600000000 * 3600000000 AS bar_us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CAST(json_extract_string(props, 'k') AS BIGINT) AS vol
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |)
+        |SELECT bar_us, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(vol) AS BIGINT) AS volume,
+        |       CAST(SUM(cents * vol) AS BIGINT) AS notional_cents,
+        |       CASE WHEN SUM(vol) > 0
+        |            THEN CAST(SUM(cents * vol) // SUM(vol) AS BIGINT) END
+        |         AS vwap_cents
+        |FROM e WHERE vol IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e34_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), l AS (
+        |  SELECT event_type, cents,
+        |         lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+        |           - us AS dur_us
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |       CAST(SUM(dur_us) AS BIGINT) AS span_us,
+        |       CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_cents,
+        |       CAST(SUM(cents * dur_us) // SUM(dur_us) AS BIGINT) AS twap_cents
+        |FROM l WHERE dur_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq26_distribution_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) // 5000 AS bin
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM e),
+        |b AS (
+        |  SELECT event_type, bin,
+        |    CAST(SUM(CASE WHEN us <= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN us > mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM e CROSS JOIN m GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+        |         CAST(SUM(c2) AS BIGINT) AS n2
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT b.event_type, CAST(MAX(t.n1) AS BIGINT) AS n1,
+        |       CAST(MAX(t.n2) AS BIGINT) AS n2,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |       CAST(SUM(abs(c1 * t.n2 - c2 * t.n1)) * 500
+        |              // (MAX(t.n1) * MAX(t.n2)) AS BIGINT) AS tvd_permille
+        |FROM b JOIN t USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq27_sequence_gaps" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         event_id - lag(event_id) OVER (PARTITION BY event_type
+        |                                        ORDER BY event_id) - 1 AS gap
+        |  FROM events WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ids,
+        |       CAST(MIN(event_id) AS BIGINT) AS min_id,
+        |       CAST(MAX(event_id) AS BIGINT) AS max_id,
+        |       CAST(MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS BIGINT)
+        |         AS n_missing,
+        |       CAST(SUM(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_gap_runs,
+        |       CAST(MAX(CASE WHEN gap > 0 THEN gap END) AS BIGINT) AS max_gap
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a20_pivot_multi" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |    AS f_cents,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |    AS o_cents,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |    AS p_cents,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -162,6 +162,31 @@ object Aggregates {
       .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
       .orderBy("o_orderpriority")
 
+  /** MULTI-AGGREGATE PIVOT (a20): pivot on order status carrying TWO
+    * measures per pivot value — sum in exact integer cents and row count
+    * — yielding the wide `<status>_{cents,n}` matrix a finance dashboard
+    * reads as one row per priority. Spark compiles multi-agg pivot to
+    * the SAME single hash aggregate as the one-measure form (each
+    * (value, agg) pair becomes one conditional aggregate expression):
+    * the pivot values are declared, so no extra distinct-values job
+    * runs, and everything map-side combines. The oracle states it as
+    * explicit FILTER aggregates — which is exactly the plan Spark
+    * generates, making this a cross-engine contract on the conditional-
+    * aggregation rewrite itself.
+    */
+  def pivotMultiAgg(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("cents")).as("cents"), count(lit(1)).as("n"))
+      .withColumnsRenamed(Map(
+        "F_cents" -> "f_cents", "F_n" -> "f_n",
+        "O_cents" -> "o_cents", "O_n" -> "o_n",
+        "P_cents" -> "p_cents", "P_n" -> "p_n"))
+      .orderBy("o_orderpriority")
+
   /** UNPIVOT / melt (a14) — the inverse of [[pivotSummary]], the other
     * half of the wide↔long reshaping pair: the wide per-priority
     * (qty_a, qty_n, qty_r) frame back to long (priority, returnflag,

@@ -194,6 +194,93 @@ object GraphOps {
       part.filter(col("p_brand") === brand).select(col("p_partkey").as("node")),
       maxHops)
 
+  /** LINK PREDICTION by common-neighbor counting over the support-pruned
+    * co-purchase graph: for every NON-adjacent pair of parts, how many
+    * parts are co-purchased with both — the classic "customers who buy
+    * these also buy..." candidate generator (Liben-Nowell & Kleinberg,
+    * CIKM'03: common-neighbors and its Jaccard normalization are the
+    * standard first-line link predictors). Emits the top-k candidate
+    * edges with the evidence a recommender ranks on: shared-neighbor
+    * count, both degrees, and Jaccard of the neighborhoods in floor
+    * permille — all integer arithmetic, so the result is engine-exact.
+    *
+    * Scale shape: the wedge self-join through the shared neighbor is the
+    * only superlinear step, and its volume is Σ deg² over the PRUNED
+    * graph — the support threshold (and the heavy-tail diagnosis from
+    * [[degreeHistogram]]) is what keeps that bounded; on a 100 TB graph
+    * the same query runs after the same prune, optionally with
+    * [[triangleCount]]'s orientation trick if a celebrity vertex
+    * survives pruning. Candidate pairs then anti-join the edge list
+    * (drop already-connected pairs) and pick up two broadcast-size
+    * degree lookups; the final top-k is a TakeOrderedAndProject, never
+    * a full sort. The (common DESC, a, b) order is total — (a, b) is
+    * unique per pair — so the k-boundary is deterministic.
+    */
+  def linkPrediction(lineitem: DataFrame, minSupport: Long = 2L,
+      k: Int = 25): DataFrame = {
+    val e = coPurchaseEdges(lineitem, minSupport).localCheckpoint(true)
+    val sym = e.select(col("src").as("x"), col("dst").as("y"))
+      .union(e.select(col("dst").as("x"), col("src").as("y")))
+    val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val common = sym.as("l").join(sym.as("r"),
+        col("l.y") === col("r.y") && col("l.x") < col("r.x"))
+      .groupBy(col("l.x").as("a"), col("r.x").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(e, common("a") === e("src") && common("b") === e("dst"), "left_anti")
+      .join(broadcast(deg.select(col("x").as("a"), col("d").as("deg_a"))), "a")
+      .join(broadcast(deg.select(col("x").as("b"), col("d").as("deg_b"))), "b")
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        expr("common * 1000 div (deg_a + deg_b - common)").as("jaccard_permille"))
+      .orderBy(col("common").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** FREQUENT TRIPLES (market-basket level 3): part triples co-occurring
+    * in ≥ `minSupport` distinct orders — the step after the pairwise
+    * co-purchase edges, where bundles ("the three things bought
+    * together") live. A-priori in plan form:
+    *
+    *  - items below `minSupport` order-frequency are pruned FIRST — the
+    *    classic downward-closure argument (a triple's support ≤ any
+    *    member item's support) makes the prune semantics-preserving, so
+    *    the oracle can stay a plain three-way join + HAVING while the
+    *    executed plan never enumerates triples of rare items;
+    *  - `maxBasket` caps per-order candidate work at C(cap, 3) — the
+    *    same mega-basket bound as [[triangleCount]], applied by the
+    *    oracle too (a predicate, not an approximation);
+    *  - the three-way self-join is equi on the order key, so each
+    *    order's triples are generated within one hash-join task; the
+    *    support count is then a single map-side-combined aggregate
+    *    ((o, p) is distinct, so COUNT(*) per triple IS distinct-order
+    *    support).
+    *
+    * Output bounded to the top `k` by (support DESC, part ids) — a total
+    * order, deterministic at the cut.
+    */
+  def frequentTriples(lineitem: DataFrame, minSupport: Long = 2L,
+      maxBasket: Int = 8, k: Int = 50): DataFrame = {
+    val opAll = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val capped = opAll
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o")))
+      .filter(col("n") <= maxBasket)
+      .drop("n")
+    // a-priori item prune: pure optimization (downward closure), absent
+    // from the oracle on purpose — results are identical with or without.
+    val freqItems = capped.groupBy("p").agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minSupport).select("p")
+    val op = capped.join(broadcast(freqItems), "p").localCheckpoint(true)
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .join(op.as("c"), col("b.o") === col("c.o") && col("b.p") < col("c.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"), col("c.p").as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+      .limit(k)
+  }
+
   /** PageRank with a FIXED iteration count, INTEGER-EXACT: scores live in
     * micro-units (init 10⁶ per node) and every step is floor arithmetic —
     * contribution = score ÷ outdegree, update = 150000 + 85·Σin ÷ 100

@@ -343,4 +343,111 @@ object TimeSeries {
         (col("n") - col("i")).as("n_after"))
       .orderBy("event_type")
   }
+
+  /** BOLLINGER-BAND BREAKOUTS per series, INTEGER-EXACT: an hourly close
+    * is a breakout when it leaves mean ± 2σ of the PRIOR `period` closes.
+    * The float-free trick: with trailing sums S = Σx and Q = Σx² over n
+    * bars, "x above the upper band" ⇔ (n·x − S) > 0 AND
+    * (n·x − S)² > 4·(n·Q − S²) — both sides exact BIGINT products
+    * (cents ≤ ~5·10⁴, n = 20 ⇒ the squared term ≤ ~10¹², and
+    * n·Q − S² = n²·σ² ≤ ~10¹²; comfortable headroom), so the breakout
+    * decision is bit-identical on any engine — no sqrt, no division.
+    *
+    * Scale shape: one aggregate to hourly bars (map-side combined), then
+    * two trailing-frame window sums riding ONE exchange on the series
+    * key; output is a per-series summary row. The bar count per series is
+    * time-bounded, so the window state is too.
+    */
+  def bollingerBreakouts(events: DataFrame, period: Int = 20,
+      barUs: Long = 3600000000L): DataFrame = {
+    val hourly = events
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr(s"unix_micros(ts) div ${barUs}L").as("bar"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "bar")
+      .agg(max_by(col("cents"), struct(col("us"), col("event_id"))).as("close"))
+    val trail = Window.partitionBy("event_type").orderBy("bar")
+      .rowsBetween(-period, -1)
+    val scored = hourly
+      .withColumn("n", count(lit(1)).over(trail))
+      .withColumn("s", sum(col("close")).over(trail))
+      .withColumn("q", sum(col("close") * col("close")).over(trail))
+      .filter(col("n") === period)
+      .withColumn("dev", col("n") * col("close") - col("s"))
+      .withColumn("var4", lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .withColumn("above",
+        when(col("dev") > 0 && col("dev") * col("dev") > col("var4"), 1L).otherwise(0L))
+      .withColumn("below",
+        when(col("dev") < 0 && col("dev") * col("dev") > col("var4"), 1L).otherwise(0L))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("above")).as("n_above"),
+        sum(col("below")).as("n_below"))
+      .orderBy("event_type")
+  }
+
+  /** VWAP (volume-weighted average price) per hourly bar: the serving
+    * form of [[ohlcBars]] when a size signal exists — here the integer
+    * `k` field of the event's JSON payload plays volume (the same
+    * extraction path as the JSON-projection query battery). vwap_cents =
+    * ⌊Σ(cents·k) / Σk⌋ — exact integer division, engine-stable; bars
+    * whose total volume is zero carry no average and are reported with a
+    * NULL vwap rather than dropped (losing the bar would silently shrink
+    * the time axis).
+    *
+    * Scale shape: row-local JSON extraction (codegen'd `get_json_object`,
+    * no UDF) feeding ONE map-side-combined aggregate on (bar, series);
+    * output ∝ bars × series. Σ(cents·k) per row ≤ 5·10⁶ and bars hold
+    * bounded event counts, so BIGINT headroom is ~12 orders of magnitude.
+    */
+  def vwapBars(events: DataFrame, barUs: Long = 3600000000L): DataFrame = {
+    events
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div ${barUs}L * ${barUs}L").as("bar_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("vol"))
+      .filter(col("vol").isNotNull)
+      .groupBy("bar_us", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("vol")).as("volume"),
+        sum(col("cents") * col("vol")).as("notional_cents"))
+      .withColumn("vwap_cents",
+        when(col("volume") > 0, expr("notional_cents div volume")))
+      .orderBy("bar_us", "event_type")
+  }
+
+  /** TWAP (time-weighted average price) per series over irregular
+    * events: each observation holds until the next one, so its weight is
+    * the µs gap to the successor — the standard irregular-sampling
+    * average (a plain mean over-weights bursts; duration weighting is
+    * what "average level of the signal" actually means). The final
+    * observation has no successor and contributes no duration — exactly
+    * the right-open integral convention. twap_cents =
+    * ⌊Σ(cents·dur_us) / Σdur_us⌋, all BIGINT: max Σ(cents·dur) ≈
+    * 5·10⁴ · 2.6·10¹² ≈ 10¹⁷ per series at the fixture's one-month span
+    * — inside BIGINT, and the oracle casts its HUGEINT sums back down.
+    *
+    * Scale shape: one lead() window and one aggregate, both on the
+    * series-key exchange; ties on ts break by event_id so the ordering
+    * is total and the durations engine-deterministic.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    events
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("span_us"),
+        sum(col("cents") * col("dur_us")).as("weighted_cents"))
+      .withColumn("twap_cents", expr("weighted_cents div span_us"))
+      .orderBy("event_type")
+  }
 }

@@ -387,4 +387,39 @@ class QualitySpec extends SparkTestBase {
     assert(got("F") === ((1L, 1L, 0L, 0L, None, 0L)),
       "header-only order is n_no_lines, with null max diff")
   }
+
+  test("sequenceGaps: run count, widest gap, and span-minus-count missing total") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (5L, "a"), (9L, "a"), // gaps {3,4} and {6,7,8}
+      (1L, "b"), (2L, "b"))                       // dense: no gaps
+      .toDF("event_id", "event_type")
+    val got = Quality.sequenceGaps(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 1L, 9L)))
+    assert(a.getLong(4) === 5L, "missing = span - count = 9 - 4")
+    assert(a.getLong(5) === 2L, "two gap runs")
+    assert(a.getLong(6) === 3L, "widest run is {6,7,8}")
+    val b = got("b")
+    assert(b.getLong(4) === 0L)
+    assert(b.getLong(5) === 0L)
+    assert(b.isNullAt(6), "no gaps -> null max_gap")
+  }
+
+  test("distributionDrift: identical halves score 0, disjoint halves score 1000") {
+    def ev(id: Long, us: Long, typ: String, v: Double) = (id, us, typ, v)
+    val df = Seq(
+      // type a: both halves occupy the same two bins -> TVD 0
+      ev(1L, 0L, "a", 10.0), ev(2L, 10L, "a", 60.0),
+      ev(3L, 60L, "a", 10.0), ev(4L, 100L, "a", 60.0),
+      // type b: halves in disjoint bins -> TVD 1 (1000 permille)
+      ev(5L, 0L, "b", 10.0), ev(6L, 100L, "b", 200.0))
+      .toDF("event_id", "usl", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val got = Quality.distributionDrift(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(4) === 0L)
+    assert(got("a").getLong(3) === 2L, "two occupied bins")
+    assert(got("b").getLong(4) === 1000L)
+  }
 }

@@ -292,4 +292,46 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
       s"expected <=2 hash exchanges:\n$plan")
   }
+
+  test("bollingerBreakouts: flat window never fires, a spike fires above only") {
+    val h = 3600000000L
+    // 20 flat hourly closes (var = 0, dev = 0: 0 > 0 is false, so even a
+    // zero-variance window never flags its own level), then a spike bar.
+    val rows = (0 until 20).map(i => ev(i * h, i + 1L, "click", 100.00)) :+
+      ev(20L * h, 21L, "click", 200.00)
+    val out = TimeSeries.bollingerBreakouts(eventsDf(rows), period = 20).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "click")
+    assert(r.getLong(1) === 1L, "only the bar with a full 20-bar history evaluates")
+    assert(r.getLong(2) === 1L, "spike breaks the upper band")
+    assert(r.getLong(3) === 0L)
+  }
+
+  test("twap: duration weights, last observation carries no interval") {
+    val df = eventsDf(Seq(
+      ev(0L, 1L, "click", 1.00),   // holds 10us at 100c
+      ev(10L, 2L, "click", 2.00),  // holds 20us at 200c
+      ev(30L, 3L, "click", 9.99))) // no successor: dropped
+    val r = TimeSeries.twap(df).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((2L, 30L, 100L * 10 + 200L * 20, (100L * 10 + 200L * 20) / 30)))
+  }
+
+  test("vwapBars: volume weighting from the JSON k field, zero-volume bar keeps a null vwap") {
+    val df = Seq(
+      (1L, 0L, "click", 1.00, """{"k": 2}"""),
+      (2L, 10L, "click", 2.00, """{"k": 4}"""),
+      (3L, 20L, "view", 5.00, """{"k": 0}"""))
+      .toDF("event_id", "usl", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val out = TimeSeries.vwapBars(df).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val click = out("click")
+    assert(click.getLong(2) === 2L)
+    assert(click.getLong(3) === 6L, "volume")
+    assert(click.getLong(4) === 100L * 2 + 200L * 4, "notional")
+    assert(click.getLong(5) === (100L * 2 + 200L * 4) / 6)
+    assert(out("view").isNullAt(5), "zero-volume bar reports null vwap, not dropped")
+  }
 }
