@@ -1034,6 +1034,18 @@ object SparkEntry {
     // Two-measure pivot compiled to one conditional hash aggregate.
     "a20_pivot_multi" -> ((s, dir) =>
       Aggregates.pivotMultiAgg(Tables.orders(s, dir))),
+    // MIPS top-k: raw inner-product ranking (two-tower recommender
+    // serving) via the codegen'd DotProduct expression.
+    "s18_mips" -> ((s, dir) =>
+      Similarity.mipsTopK(Tables.embeddings(s, dir), 0L, 20)),
+    // Row-local character-class permilles — the pre-tokenizer QA screen.
+    "t37_char_profile" -> ((s, dir) =>
+      TextOps.charClassProfile(Tables.documents(s, dir))),
+    // Share of bigrams outside the corpus head — templatedness signal.
+    "t38_bigram_novelty" -> ((s, dir) =>
+      TextOps.bigramNovelty(Tables.documents(s, dir))),
+    // Longest strictly-rising/falling step runs per user (islands trick).
+    "w_streaks" -> ((s, dir) => WindowOps.streaks(Tables.events(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5113,5 +5125,81 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    AS p_cents,
         |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s18_mips" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0
+        |)
+        |SELECT e.vec_id,
+        |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+        |    AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    "t37_char_profile" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')))
+        |       * 1000 // LENGTH(text) AS BIGINT) AS upper_permille,
+        |  CAST((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+        |       * 1000 // LENGTH(text) AS BIGINT) AS digit_permille,
+        |  CAST((LENGTH(text) - LENGTH(regexp_replace(text, '[ ]', '', 'g')))
+        |       * 1000 // LENGTH(text) AS BIGINT) AS space_permille,
+        |  CAST((LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |       * 1000 // LENGTH(text) AS BIGINT) AS punct_permille,
+        |  CAST((LENGTH(text) - LENGTH(regexp_replace(text, '[^ -~]', '', 'g')))
+        |       * 1000 // LENGTH(text) AS BIGINT) AS nonascii_permille
+        |FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "t38_bigram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), d AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |         i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT bigram, COUNT(*) AS c FROM d GROUP BY 1
+        |), head AS (
+        |  SELECT bigram FROM c ORDER BY c DESC, bigram LIMIT 200
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(CASE WHEN h.bigram IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       CAST(SUM(CASE WHEN h.bigram IS NULL THEN 1 ELSE 0 END)
+        |            * 1000 // COUNT(*) AS BIGINT) AS novelty_permille
+        |FROM d LEFT JOIN head h USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "w_streaks" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL
+        |), f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN cents > lag(cents) OVER w THEN 1 ELSE 0 END AS up,
+        |    CASE WHEN cents < lag(cents) OVER w THEN 1 ELSE 0 END AS dn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), r AS (
+        |  SELECT user_id, up, dn,
+        |    SUM(1 - up) OVER w2 AS up_run,
+        |    SUM(1 - dn) OVER w2 AS dn_run
+        |  FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS UNBOUNDED PRECEDING)
+        |), ur AS (
+        |  SELECT user_id, up_run, SUM(up) AS len, COUNT(*) AS n
+        |  FROM r GROUP BY 1, 2
+        |), dr AS (
+        |  SELECT user_id, dn_run, SUM(dn) AS len FROM r GROUP BY 1, 2
+        |), u AS (
+        |  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |         CAST(MAX(len) AS BIGINT) AS longest_up
+        |  FROM ur GROUP BY 1
+        |), dd AS (
+        |  SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_down
+        |  FROM dr GROUP BY 1
+        |)
+        |SELECT u.user_id, n_events, longest_up, longest_down
+        |FROM u JOIN dd USING (user_id) ORDER BY user_id""".stripMargin,
   )
 }

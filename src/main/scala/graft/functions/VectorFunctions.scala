@@ -59,6 +59,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Custom Catalyst expression: raw inner product over two `array<float>`
+  * columns — the ranking kernel MIPS retrieval needs (recommendation
+  * scores are inner products, NOT cosines: popular items earn long
+  * vectors and cosine normalization erases exactly that popularity
+  * signal). Same fused-loop/codegen rationale as [[CosineSimilarity]];
+  * accumulation is double in element order, so an engine replaying the
+  * same loop agrees bit-for-bit.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorUtil.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernel for random-hyperplane LSH signatures — ONE code path for
   * executor-side (expression) and driver-side (query vector) signing, so
   * index build and probe can never disagree. Planes are deterministic
@@ -148,6 +172,13 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     GraftShims.toColumn(
       CosineSimilarity(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+
+  /** Native-expression inner product (codegen'd fused loop) — the MIPS
+    * ranking kernel; see [[DotProduct]].
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftShims.toColumn(
+      DotProduct(GraftShims.toExpression(a), GraftShims.toExpression(b)))
 
   /** Builtin-composition cosine (zip_with + aggregate) — the (a)-tier
     * compose-existing-ops variant; kept for cross-checking the custom

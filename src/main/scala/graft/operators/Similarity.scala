@@ -36,6 +36,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** MIPS (maximum inner-product search) top-k: the ranking kernel of a
+    * two-tower recommender — score is the RAW dot product, not cosine
+    * (normalizing erases the popularity/magnitude signal the model put
+    * into vector length on purpose). Same plan shape as
+    * [[bruteForceTopK]]: broadcast 1-row query, one corpus scan with the
+    * fused codegen'd [[graft.functions.DotProduct]] loop per row, top-k
+    * as TakeOrderedAndProject.
+    *
+    * Scale path note: MIPS reduces to cosine ANN by the public
+    * norm-augmentation transform (Shrivastava & Li, NIPS'14 — append
+    * √(M²−‖x‖²) to each item, 0 to the query, M = max norm); after that
+    * the [[IvfIndex]] / hyperplane-LSH machinery serves inner products
+    * too. The brute-force form here is the referee that path would be
+    * measured against, exactly as s8's recall contract does for cosine.
+    * Scores are rounded to 6 decimals with a vec_id tiebreak, so the
+    * k-boundary is deterministic and engine-stable.
+    */
+  def mipsTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    embeddings
+      .join(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(dotProduct(col("embedding"), col("q_emb")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact k-NN JOIN: top-k cosine neighbors for EACH query vector in a
     * (small) query set — the batch form of [[bruteForceTopK]]. The query
     * side is broadcast, so the corpus is scanned once with |Q| fused

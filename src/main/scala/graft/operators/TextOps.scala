@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, countDistinct, expr, length, lit, sum}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct,
+  explode, expr, length, lit, lower, regexp_replace, size, split, sum, when}
 import graft.functions.TextFunctions._
 
 /** Query-shaped text analysis + JSON extraction over `documents`/`events`
@@ -1298,5 +1299,77 @@ object TextOps {
         (col("max_tokens") * col("n_docs") - col("sum_tokens"))
           .as("padding_waste"))
       .orderBy("bucket", "batch_id")
+  }
+
+  /** CHARACTER-CLASS PROFILE per document: permille shares of uppercase,
+    * digit, space, sentence-punctuation, and non-printable-ASCII
+    * characters — the cheapest corpus-QA signals there are (shouting
+    * docs, number dumps, binary-in-text, missing segmentation all show
+    * up here before any tokenizer runs). Counts are derived as
+    * length(text) − length(regexp_replace(text, class, '')) — pure
+    * row-local codegen'd string ops, counting CHARACTERS (not matches),
+    * identical under Java regex and RE2, and the character classes are
+    * explicit ASCII ranges so no engine's Unicode tables are consulted.
+    * Scale shape: a projection — embarrassingly parallel, no exchange
+    * beyond the output sort.
+    */
+  def charClassProfile(documents: DataFrame): DataFrame = {
+    def cnt(pattern: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), pattern, "")))
+        .cast("long")
+    // floor integer division, NOT float-divide-then-cast: Spark's cast
+    // truncates where DuckDB's rounds — `div` sidesteps the disagreement.
+    def pm(name: String): Column = expr(s"$name * 1000 div n_chars")
+    documents
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        cnt("[A-Z]").as("n_upper"), cnt("[0-9]").as("n_digit"),
+        cnt("[ ]").as("n_space"), cnt("[.,!?;:]").as("n_punct"),
+        cnt("[^ -~]").as("n_nonascii"))
+      .select(col("doc_id"), col("n_chars"),
+        pm("n_upper").as("upper_permille"),
+        pm("n_digit").as("digit_permille"),
+        pm("n_space").as("space_permille"),
+        pm("n_punct").as("punct_permille"),
+        pm("n_nonascii").as("nonascii_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** BIGRAM NOVELTY per document: the permille of a document's word
+    * bigrams that fall OUTSIDE the corpus's top-`topK` bigram list — a
+    * distributional novelty/templatedness signal (boilerplate and
+    * machine-generated text sit almost entirely inside the head;
+    * genuinely novel prose does not). The head list is the integer-exact
+    * analog of a unigram-LM cutoff: selected by (count DESC, bigram) —
+    * a total order, so the top-K boundary is deterministic on any
+    * engine.
+    *
+    * Scale shape: one explode + hash aggregate builds the corpus bigram
+    * counts (map-side combined); the top-K is a TakeOrderedAndProject
+    * whose result is broadcast back — the per-document pass joins
+    * against K rows, never shuffling the corpus by bigram a second
+    * time. Documents with fewer than two tokens have no bigrams and are
+    * excluded (a null rate is not a zero rate).
+    */
+  def bigramNovelty(documents: DataFrame, topK: Int = 200): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val bigrams = expr(
+      "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")
+    val docBigrams = documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    val head = docBigrams.groupBy("bigram").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bigram")).limit(topK)
+      .select(col("bigram"), lit(1L).as("in_head"))
+    docBigrams
+      .join(broadcast(head), Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("in_head").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        expr("n_novel * 1000 div n_bigrams").as("novelty_permille"))
+      .orderBy("doc_id")
   }
 }

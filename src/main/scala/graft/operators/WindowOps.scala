@@ -280,4 +280,53 @@ object WindowOps {
         col("v").isNull.as("is_filled"))
       .orderBy("user_id", "date")
   }
+
+  /** LONGEST MONOTONE STREAK per series (gaps-and-islands on the step
+    * DIRECTION): the longest run of strictly-rising and strictly-falling
+    * consecutive steps in each user's value sequence — the "N green days
+    * in a row" / consecutive-failures metric. A streak is counted in
+    * STEPS (a lone observation has streak 0); equal consecutive values
+    * break both directions. Comparisons are on integer cents, so
+    * direction is engine-exact.
+    *
+    * Plan shape: one lag() window computes both direction flags in a
+    * single pass over the (user)-keyed sort; each row then emits its
+    * (direction, run-id) pair via a 2-element inline explode (run-id =
+    * running count of breaks — the cumulative-sum islands trick), and
+    * run lengths fall out of a (user, direction, run) aggregate that a
+    * final (user) aggregate maxes and pivots to two columns with
+    * conditional max — aggregates, not a second window. Every stage
+    * keys on user_id ⊆ its grouping, so the plan reuses one hash
+    * partitioning end to end.
+    */
+  def streaks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = events
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("up",
+        when(col("cents") > lag(col("cents"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("dn",
+        when(col("cents") < lag(col("cents"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("up_run", sum(lit(1L) - col("up")).over(run))
+      .withColumn("dn_run", sum(lit(1L) - col("dn")).over(run))
+    val runs = stepped.select(col("user_id"),
+        explode(array(
+          struct(lit("up").as("dir"), col("up_run").as("run"), col("up").as("step")),
+          struct(lit("dn").as("dir"), col("dn_run").as("run"), col("dn").as("step"))))
+          .as("x"))
+      .groupBy(col("user_id"), col("x.dir"), col("x.run"))
+      .agg(sum(col("x.step")).as("len"), count(lit(1)).as("n_rows"))
+    // n_events recovered from the up-side row counts — no second scan of
+    // the input (each event contributed exactly one 'up' exploded row).
+    runs.groupBy("user_id")
+      .agg(sum(when(col("dir") === "up", col("n_rows")).otherwise(0L)).as("n_events"),
+        max(when(col("dir") === "up", col("len"))).as("longest_up"),
+        max(when(col("dir") === "dn", col("len"))).as("longest_down"))
+      .orderBy("user_id")
+  }
 }

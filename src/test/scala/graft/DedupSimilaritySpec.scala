@@ -254,6 +254,32 @@ class DedupSimilaritySpec extends SparkTestBase {
       assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-12))
   }
 
+  test("dot product expression agrees with the zip_with fold; MIPS ranks by magnitude") {
+    val two = plantedVectors.limit(10)
+      .select(col("vec_id"), col("embedding").as("a"))
+    val one = plantedVectors.limit(1).select(col("embedding").as("b"))
+    val r = two.crossJoin(broadcast(one)).select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("native"),
+      org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        org.apache.spark.sql.functions.lit(0.0), (acc, v) => acc + v).as("fold"))
+      .collect()
+    r.foreach(row =>
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-12))
+    // MIPS vs cosine: double vec 1 to make its inner product dominate
+    // while cosine is scale-invariant — mips must rank the long vector
+    // first even when cosine would tie it with the unit-scale copy.
+    import spark.implicits._
+    val base = Seq(0.6f, 0.8f)
+    val frame = Seq(
+      (0L, base), (1L, base.map(_ * 2f)), (2L, base.map(_ * 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mipsTopK(frame, 0L, 2).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(got.head.getDouble(1) === 2.0, "dot of unit vector with its 2x copy")
+  }
+
   test("integer centroids are partition-invariant and match a driver-side model") {
     val emb = Tables.embeddings(spark, sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -334,4 +334,17 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(click.getLong(5) === (100L * 2 + 200L * 4) / 6)
     assert(out("view").isNullAt(5), "zero-volume bar reports null vwap, not dropped")
   }
+
+  test("streaks: longest rising and falling step runs, plateau breaks both") {
+    import graft.operators.WindowOps
+    val vals = Seq(1.00, 2.00, 3.00, 2.50, 2.40, 2.30, 2.30)
+    val df = eventsDf(vals.zipWithIndex.map { case (v, i) =>
+      ev(i * 10L, i + 1L, "click", v, 7L)
+    })
+    val r = WindowOps.streaks(df).collect().head
+    assert(r.getLong(0) === 7L, "user_id")
+    assert(r.getLong(1) === 7L, "n_events")
+    assert(r.getLong(2) === 2L, "1->2->3 is two rising steps")
+    assert(r.getLong(3) === 3L, "3->2.5->2.4->2.3 is three falling steps; plateau ends it")
+  }
 }
