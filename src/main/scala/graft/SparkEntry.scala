@@ -1046,6 +1046,15 @@ object SparkEntry {
       TextOps.bigramNovelty(Tables.documents(s, dir))),
     // Longest strictly-rising/falling step runs per user (islands trick).
     "w_streaks" -> ((s, dir) => WindowOps.streaks(Tables.events(s, dir))),
+    // Spark 4 VARIANT path: parse_json once, typed variant_get per field.
+    "e35_variant_extract" -> ((s, dir) =>
+      TextOps.variantExtract(Tables.events(s, dir))),
+    // Vocab-size vs corpus-coverage checkpoints (tokenizer sizing curve).
+    "t39_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(Tables.documents(s, dir))),
+    // Lorenz-checkpoint revenue concentration: top 1/5/10% customer share.
+    "dq28_concentration" -> ((s, dir) =>
+      Quality.revenueConcentration(Tables.orders(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5201,5 +5210,58 @@ GROUP BY doc_id ORDER BY doc_id"""
         |)
         |SELECT u.user_id, n_events, longest_up, longest_down
         |FROM u JOIN dd USING (user_id) ORDER BY user_id""".stripMargin,
+    "e35_variant_extract" ->
+      """SELECT event_type,
+        |  CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_with_k,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t39_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT token, COUNT(*) AS c FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1
+        |), r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank,
+        |         SUM(c) OVER (ORDER BY c DESC, token
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c
+        |), t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c)
+        |SELECT CAST(rank AS BIGINT) AS vocab_size, CAST(cum AS BIGINT) AS covered,
+        |       total, CAST(cum * 1000 // total AS BIGINT) AS coverage_permille
+        |FROM r, t WHERE rank IN (5, 10, 15, 20, 25, 30)
+        |ORDER BY vocab_size""".stripMargin,
+    "dq28_concentration" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS rev
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT rev, o_custkey,
+        |         row_number() OVER (ORDER BY rev DESC, o_custkey) AS rank,
+        |         SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pc
+        |), t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |         CAST(SUM(rev) AS BIGINT) AS total_cents
+        |  FROM pc
+        |)
+        |SELECT CAST(CASE rank WHEN greatest(n_customers // 100, 1) THEN 1
+        |            WHEN greatest(n_customers // 20, 1) THEN 5
+        |            ELSE 10 END AS BIGINT) AS top_pct,
+        |       CAST(rank AS BIGINT) AS n_top_customers, n_customers,
+        |       CAST(cum AS BIGINT) AS top_cents, total_cents,
+        |       CAST(cum * 1000 // total_cents AS BIGINT) AS share_permille
+        |FROM r, t
+        |WHERE rank = greatest(n_customers // 100, 1)
+        |   OR rank = greatest(n_customers // 20, 1)
+        |   OR rank = greatest(n_customers // 10, 1)
+        |ORDER BY top_pct""".stripMargin,
   )
 }

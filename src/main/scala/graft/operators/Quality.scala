@@ -915,6 +915,48 @@ object Quality {
     * series key ordered by id (ids unique ⇒ ordering total ⇒
     * engine-exact). Output is one row per series.
     */
+  /** REVENUE CONCENTRATION ("whale") audit: the permille of total order
+    * value held by the top 1% / 5% / 10% of customers — the
+    * integer-exact Lorenz-curve checkpoints behind a Gini coefficient,
+    * and the number a marketplace risk review actually asks for. Top
+    * cohort sizes are ⌊n·p/100⌋ customers under a (revenue DESC,
+    * custkey) total order, so cohort membership is deterministic; shares
+    * are ⌊1000·cohort_cents/total_cents⌋ — all BIGINT.
+    *
+    * Scale shape: the fact table collapses to one row per customer in a
+    * map-side-combined aggregate; the rank window and running sum ride
+    * one exchange over CUSTOMERS (≪ orders), and the output is a single
+    * row. The deliberate global window is bounded by customer
+    * cardinality — same justification as the vocab-coverage curve.
+    */
+  def revenueConcentration(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = orders
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+    val byRev = Window.orderBy(col("rev").desc, col("o_custkey"))
+    val ranked = perCust
+      .withColumn("rank", row_number().over(byRev).cast("long"))
+      .withColumn("cum", sum(col("rev")).over(
+        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked
+      .crossJoin(broadcast(perCust.agg(
+        count(lit(1)).as("n_customers"), sum(col("rev")).as("total_cents"))))
+      .filter(col("rank") === expr("greatest(n_customers div 100, 1)") ||
+        col("rank") === expr("greatest(n_customers div 20, 1)") ||
+        col("rank") === expr("greatest(n_customers div 10, 1)"))
+      .select(
+        expr("""CASE rank WHEN greatest(n_customers div 100, 1) THEN 1
+                WHEN greatest(n_customers div 20, 1) THEN 5
+                ELSE 10 END""").cast("long").as("top_pct"),
+        col("rank").as("n_top_customers"), col("n_customers"),
+        col("cum").as("top_cents"), col("total_cents"),
+        expr("cum * 1000 div total_cents").as("share_permille"))
+      .orderBy("top_pct")
+  }
+
   def sequenceGaps(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("event_id")

@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct,
-  explode, expr, length, lit, lower, regexp_replace, size, split, sum, when}
+  explode, expr, length, lit, lower, regexp_replace, row_number, size, split,
+  sum, when}
 import graft.functions.TextFunctions._
 
 /** Query-shaped text analysis + JSON extraction over `documents`/`events`
@@ -710,6 +711,64 @@ object TextOps {
         org.apache.spark.sql.functions.from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k_typed"))
+
+  /** VARIANT-typed semi-structured extraction — the Spark 4 upgrade path
+    * of [[jsonExtract]]: `parse_json` shreds the payload ONCE into the
+    * binary VARIANT encoding, and every field access is then a cheap
+    * typed `variant_get` against that encoding — at 100 TB the
+    * difference between "parse the JSON string N times for N fields"
+    * (the `get_json_object` form) and "parse once, navigate N times" is
+    * the scan CPU bill. The aggregation proves typed access composes:
+    * per-event-type count / sum / min / max over the extracted integer,
+    * all engine-exact.
+    */
+  def variantExtract(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        expr("min(k)").as("min_k"), expr("max(k)").as("max_k"))
+      .orderBy("event_type")
+
+  /** VOCABULARY COVERAGE CURVE: the share of all token OCCURRENCES
+    * covered by the top-k most frequent types, at standard vocab-size
+    * checkpoints — THE plot read before fixing a tokenizer's vocab size
+    * (coverage at k is what out-of-vocab rate will be at serving:
+    * 1 − coverage). Permille shares are floor-exact; ranking is by
+    * (count DESC, token), a total order, so each checkpoint's membership
+    * is deterministic on any engine.
+    *
+    * Scale shape: the corpus collapses to (token, count) in one
+    * map-side-combined aggregate; the rank window and running sum then
+    * ride a single exchange over the VOCABULARY (≪ corpus — Heaps' law),
+    * and the checkpoint filter keeps |ks| rows. The corpus itself is
+    * scanned once and never sorted.
+    */
+  def vocabCoverage(documents: DataFrame,
+      ks: Seq[Long] = Seq(5L, 10L, 15L, 20L, 25L, 30L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .filter(col("text").isNotNull)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val byRank = Window.orderBy(col("c").desc, col("token"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the global-window warning is intrinsic and bounded: the window runs
+    // over the aggregated vocabulary, not the corpus (t9's shape).
+    ranked
+      .filter(col("rank").isin(ks: _*))
+      .crossJoin(broadcast(counts.agg(sum(col("c")).as("total"))))
+      .select(col("rank").as("vocab_size"), col("cum").as("covered"),
+        col("total"),
+        expr("cum * 1000 div total").as("coverage_permille"))
+      .orderBy("vocab_size")
+  }
 
   /** Boilerplate REMOVAL (the transform [[repeatedNgrams]] only detects):
     * rebuild each document with every token deleted that falls inside any
