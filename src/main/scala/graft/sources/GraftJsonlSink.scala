@@ -57,7 +57,8 @@ private[sources] class GraftJsonlTable(writeSchema: StructType)
   override def name(): String = "graft-jsonl"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftJsonlWriteBuilder(info)
@@ -69,12 +70,16 @@ private[sources] class GraftJsonlWriteBuilder(info: LogicalWriteInfo)
   // SaveMode.Overwrite arrives as truncate(); publish replaces the dir.
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
+    private def validatedPath: String = {
       val path = info.options.get("path")
       require(path != null && path.nonEmpty, "graft-jsonl requires option 'path'")
       GraftJsonlSink.validateSchema(info.schema())
-      new GraftJsonlBatchWrite(path, info.schema(), info.queryId(), doTruncate)
+      path
     }
+    override def toBatch: BatchWrite =
+      new GraftJsonlBatchWrite(validatedPath, info.schema(), info.queryId(), doTruncate)
+    override def toStreaming: streaming.StreamingWrite =
+      new GraftJsonlStreamingWrite(validatedPath, info.schema(), info.queryId())
   }
 }
 
@@ -125,6 +130,70 @@ private[sources] class GraftJsonlBatchWrite(path: String, schema: StructType,
     Option(stagingDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
     stagingDir.delete()
   }
+}
+
+/** STREAMING leg of the sink — the per-EPOCH commit protocol Structured
+  * Streaming drives (`writeStream.format("graft-jsonl")`). Same staging
+  * discipline as the batch leg, with the epoch id folded into the
+  * attempt key and into every published name:
+  *
+  *  - shards publish as `epoch-<id>-shard-<i>.jsonl` via
+  *    REPLACE_EXISTING renames and the per-epoch marker
+  *    `_epoch-<id>.json` is written LAST — so a REPLAYED epoch (the
+  *    at-least-once crash window between sink commit and offset-log
+  *    write) overwrites itself byte-for-byte instead of duplicating:
+  *    idempotent re-publish IS the exactly-once story, the same
+  *    batch-id-partition trick EventStream.writeBatchIdempotent uses at
+  *    the foreachBatch tier, here encoded in the connector itself;
+  *  - different epochs never collide (the epoch id is in the name), so
+  *    no cross-epoch truncation is needed and the directory accumulates
+  *    one shard set + one marker per epoch.
+  */
+private[sources] class GraftJsonlStreamingWrite(path: String,
+    schema: StructType, queryId: String) extends streaming.StreamingWrite {
+
+  private def stagingDir = new File(path, s"_staging-$queryId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    val dir = stagingDir
+    dir.mkdirs()
+    GraftJsonlStreamingWriterFactory(dir.getAbsolutePath, schema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dest = new File(path)
+    dest.mkdirs()
+    val commits = messages.collect { case m: JsonlCommit => m }
+    val shards = commits.zipWithIndex.map { case (m, i) =>
+      val finalName = f"epoch-$epochId-shard-$i%05d.jsonl"
+      Files.move(Paths.get(stagingDir.getAbsolutePath, m.stagedFile),
+        Paths.get(dest.getAbsolutePath, finalName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      (finalName, m.rows)
+    }
+    Option(stagingDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    val body = shards
+      .map { case (n, r) => s"""    {"file": "$n", "rows": $r}""" }
+      .mkString("[\n", ",\n", "\n  ]")
+    Files.write(Paths.get(dest.getAbsolutePath, s"_epoch-$epochId.json"),
+      (s"""{\n  "epoch": $epochId,\n  "total_rows": ${shards.map(_._2).sum},\n""" +
+        s"""  "n_shards": ${shards.length},\n  "shards": $body\n}\n""")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    Option(stagingDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    stagingDir.delete()
+  }
+}
+
+private[graft] case class GraftJsonlStreamingWriterFactory(stagingPath: String,
+    schema: StructType) extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftJsonlDataWriter(stagingPath, schema, partitionId,
+      taskId ^ (epochId << 20))
 }
 
 private[graft] case class GraftJsonlWriterFactory(stagingPath: String,

@@ -92,6 +92,67 @@ class GraftJsonlSinkSpec extends SparkTestBase {
     assert(back === nasty)
   }
 
+  test("streaming epochs publish keyed shards with per-epoch commit markers") {
+    val root = tmpDir()
+    val src = new File(root, "src"); src.mkdirs()
+    val out = new File(root, "out").getAbsolutePath
+    val ckpt = new File(root, "ckpt").getAbsolutePath
+    // two source files + maxFilesPerTrigger=1 => two epochs
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src.getAbsolutePath)
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("id", LongType), StructField("v", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getAbsolutePath)
+    val q = stream.writeStream
+      .format("graft-jsonl")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val names = new File(out).listFiles().map(_.getName).sorted
+    assert(names.count(_.matches("_epoch-\\d+\\.json")) === 2,
+      s"one commit marker per epoch: ${names.mkString(",")}")
+    assert(names.count(_.matches("epoch-\\d+-shard-\\d{5}\\.jsonl")) >= 2)
+    val back = spark.read.json(out + "/*.jsonl")
+    assert(back.count() === 3)
+    assert(back.select(sum(col("id"))).head.getLong(0) === 6L)
+  }
+
+  test("epoch replay overwrites itself: idempotent re-commit, no duplicates") {
+    import graft.sources.GraftJsonlStreamingWriterFactory
+    val root = tmpDir()
+    val out = new File(root, "out"); out.mkdirs()
+    val staging = new File(out, "_staging-q1"); staging.mkdirs()
+    val schema = StructType(Seq(StructField("n", LongType)))
+    val sw = {
+      // drive the StreamingWrite directly — the unit form of the crash
+      // window where the sink committed but the offset log did not
+      val ctor = Class.forName("graft.sources.GraftJsonlStreamingWrite")
+        .getDeclaredConstructors.head
+      ctor.setAccessible(true)
+      ctor.newInstance(out.getAbsolutePath, schema, "q1")
+        .asInstanceOf[org.apache.spark.sql.connector.write.streaming.StreamingWrite]
+    }
+    def runEpoch(): Unit = {
+      val f = GraftJsonlStreamingWriterFactory(staging.getAbsolutePath, schema)
+      val w = f.createWriter(0, 7L, 5L)
+      w.write(InternalRow(42L))
+      val msg = w.commit()
+      sw.commit(5L, Array(msg))
+    }
+    runEpoch()
+    runEpoch() // replay of the SAME epoch
+    val shards = out.listFiles().map(_.getName).filter(_.endsWith(".jsonl"))
+    assert(shards.toSeq === Seq("epoch-5-shard-00000.jsonl"),
+      s"replay must not duplicate: ${shards.mkString(",")}")
+    assert(spark.read.json(out.getAbsolutePath + "/*.jsonl").count() === 1)
+  }
+
   test("non-atomic columns are rejected loudly, not silently mangled") {
     val dir = new File(tmpDir(), "out").getAbsolutePath
     val err = intercept[Exception] {
