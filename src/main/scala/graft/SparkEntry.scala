@@ -1055,6 +1055,13 @@ object SparkEntry {
     // Lorenz-checkpoint revenue concentration: top 1/5/10% customer share.
     "dq28_concentration" -> ((s, dir) =>
       Quality.revenueConcentration(Tables.orders(s, dir))),
+    // Inter-arrival burstiness: log2-second buckets via binary digit count.
+    "e36_interarrival_hist" -> ((s, dir) =>
+      TimeSeries.interarrivalHistogram(Tables.events(s, dir))),
+    // Share-of-parent drill-down tree in floor basis points.
+    "a21_share_tree" -> ((s, dir) =>
+      Aggregates.shareTree(Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5263,5 +5270,51 @@ GROUP BY doc_id ORDER BY doc_id"""
         |   OR rank = greatest(n_customers // 20, 1)
         |   OR rank = greatest(n_customers // 10, 1)
         |ORDER BY top_pct""".stripMargin,
+    "e36_interarrival_hist" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |), g AS (
+        |  SELECT event_type,
+        |    (us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id))
+        |      // 1000000 AS gap_s
+        |  FROM e
+        |), b AS (
+        |  SELECT event_type, gap_s,
+        |    CASE WHEN gap_s <= 0 THEN 0
+        |         ELSE CAST(length(printf('%b', gap_s)) AS BIGINT) END AS bucket
+        |  FROM g WHERE gap_s IS NOT NULL
+        |)
+        |SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+        |  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+        |  CAST(CASE WHEN bucket = 0 THEN 0
+        |       ELSE 1 << (bucket - 1) END AS BIGINT) AS lo_s,
+        |  CAST(CASE WHEN bucket = 0 THEN 0
+        |       ELSE (1 << bucket) - 1 END AS BIGINT) AS hi_s
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a21_share_tree" ->
+      """WITH pn AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS nation_cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT region, nation, nation_cents,
+        |    CAST(SUM(nation_cents) OVER (PARTITION BY region) AS BIGINT)
+        |      AS region_cents,
+        |    CAST(SUM(nation_cents) OVER () AS BIGINT) AS total_cents
+        |  FROM pn
+        |)
+        |SELECT region, nation, nation_cents, region_cents,
+        |  CAST(nation_cents * 10000 // region_cents AS BIGINT)
+        |    AS nation_share_bp,
+        |  CAST(region_cents * 10000 // total_cents AS BIGINT)
+        |    AS region_share_bp
+        |FROM w ORDER BY region, nation""".stripMargin,
   )
 }

@@ -187,6 +187,41 @@ object Aggregates {
         "P_cents" -> "p_cents", "P_n" -> "p_n"))
       .orderBy("o_orderpriority")
 
+  /** TWO-LEVEL SHARE DRILL-DOWN (a21): revenue per (region, nation) with
+    * each nation's share of its region and each region's share of the
+    * world, in floor basis points — the share-of-parent tree every BI
+    * drill-down renders. The fact table collapses to ≤ |nations| rows in
+    * ONE map-side-combined aggregate (dimension keys picked up by two
+    * broadcast joins); the region and grand totals are then windows over
+    * those ~25 aggregated rows — metadata scale, whatever the fact
+    * volume. Shares are ⌊10000·part/total⌋ BIGINT, engine-exact.
+    */
+  def shareTree(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perNation = orders
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("cents")).as("nation_cents"))
+    val wRegion = Window.partitionBy("region")
+    val wAll = Window.partitionBy()
+    perNation
+      .withColumn("region_cents", sum(col("nation_cents")).over(wRegion))
+      .withColumn("total_cents", sum(col("nation_cents")).over(wAll))
+      .select(col("region"), col("nation"), col("nation_cents"),
+        col("region_cents"),
+        expr("nation_cents * 10000 div region_cents").as("nation_share_bp"),
+        expr("region_cents * 10000 div total_cents").as("region_share_bp"))
+      .orderBy("region", "nation")
+  }
+
   /** UNPIVOT / melt (a14) — the inverse of [[pivotSummary]], the other
     * half of the wide↔long reshaping pair: the wide per-priority
     * (qty_a, qty_n, qty_r) frame back to long (priority, returnflag,

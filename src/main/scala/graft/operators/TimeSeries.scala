@@ -450,4 +450,35 @@ object TimeSeries {
       .withColumn("twap_cents", expr("weighted_cents div span_us"))
       .orderBy("event_type")
   }
+
+  /** INTER-ARRIVAL HISTOGRAM per series in log₂-second buckets — the
+    * burstiness fingerprint (Poisson traffic is geometric across these
+    * buckets; humans and retry storms are not). The logarithm is never
+    * evaluated: bucket = the BINARY DIGIT COUNT of the gap in whole
+    * seconds (= ⌊log₂ g⌋ + 1, with sub-second gaps in bucket 0) — an
+    * integer-string length both engines compute exactly, and each
+    * bucket's [lo, hi] second bounds are reconstructed by bit shifts.
+    *
+    * Scale shape: one lag() on the series-key exchange, then one
+    * map-side-combined aggregate; output ∝ series × ~40 buckets.
+    */
+  def interarrivalHistogram(events: DataFrame): DataFrame = {
+    events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap_s",
+        expr("(us - lag(us, 1) OVER (PARTITION BY event_type ORDER BY us, event_id)) div 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .withColumn("bucket",
+        when(col("gap_s") <= 0L, lit(0L))
+          .otherwise(length(bin(col("gap_s"))).cast("long")))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+      .withColumn("lo_s",
+        when(col("bucket") === 0L, 0L).otherwise(expr("shiftleft(1L, CAST(bucket AS INT) - 1)")))
+      .withColumn("hi_s",
+        when(col("bucket") === 0L, 0L).otherwise(expr("shiftleft(1L, CAST(bucket AS INT)) - 1")))
+      .orderBy("event_type", "bucket")
+  }
 }
