@@ -1062,6 +1062,14 @@ object SparkEntry {
     "a21_share_tree" -> ((s, dir) =>
       Aggregates.shareTree(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    // Association rules: confidence-bp + lift-permille per frequent pair.
+    "g10_association_rules" -> ((s, dir) =>
+      GraphOps.associationRules(Tables.lineitem(s, dir))),
+    // Day-of-week profile by pure epoch arithmetic (no locale DOW).
+    "a22_weekday_revenue" -> ((s, dir) =>
+      Aggregates.weekdayRevenue(Tables.orders(s, dir))),
+    // RFM quintile census (ntile over customers with total key order).
+    "a23_rfm_cells" -> ((s, dir) => Aggregates.rfmCells(Tables.orders(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5316,5 +5324,70 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(region_cents * 10000 // total_cents AS BIGINT)
         |    AS region_share_bp
         |FROM w ORDER BY region, nation""".stripMargin,
+    "g10_association_rules" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+        |ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
+        |pr AS (
+        |  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS co
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), d AS (
+        |  SELECT u AS ante, v AS cons, co FROM pr
+        |  UNION ALL SELECT v AS ante, u AS cons, co FROM pr
+        |)
+        |SELECT d.ante, d.cons, d.co, ia.n_item AS n_ante, ib.n_item AS n_cons,
+        |  CAST(d.co * 10000 // ia.n_item AS BIGINT) AS confidence_bp,
+        |  CAST(d.co * n.n_orders * 1000 // (ia.n_item * ib.n_item) AS BIGINT)
+        |    AS lift_permille
+        |FROM d JOIN ic ia ON d.ante = ia.p JOIN ic ib ON d.cons = ib.p
+        |CROSS JOIN n
+        |ORDER BY lift_permille DESC, ante, cons LIMIT 50""".stripMargin,
+    "a22_weekday_revenue" ->
+      """WITH d AS (
+        |  SELECT ((CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 4) % 7
+        |           AS dow,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(dow AS BIGINT) AS dow,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM d GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |         CAST(SUM(n_orders) AS BIGINT) AS total_orders
+        |  FROM g
+        |)
+        |SELECT dow, n_orders, cents,
+        |  CAST(cents * 10000 // total_cents AS BIGINT) AS revenue_share_bp,
+        |  CAST(n_orders * 10000 // total_orders AS BIGINT) AS order_share_bp
+        |FROM g, t ORDER BY dow""".stripMargin,
+    "a23_rfm_cells" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+        |         CAST(COUNT(*) AS BIGINT) AS freq,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS monetary
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY 1
+        |), r AS (SELECT MAX(last_d) AS ref_d FROM pc),
+        |s AS (
+        |  SELECT o_custkey, CAST(ref_d - last_d AS BIGINT) AS recency_days,
+        |         freq, monetary,
+        |    ntile(5) OVER (ORDER BY ref_d - last_d, o_custkey) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        |  FROM pc, r
+        |)
+        |SELECT CAST(r_score AS BIGINT) AS r_score,
+        |       CAST(f_score AS BIGINT) AS f_score,
+        |       CAST(m_score AS BIGINT) AS m_score,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(monetary) AS BIGINT) AS cell_cents,
+        |       CAST(SUM(recency_days) // COUNT(*) AS BIGINT) AS avg_recency_days,
+        |       CAST(SUM(freq) // COUNT(*) AS BIGINT) AS avg_orders
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 }

@@ -222,6 +222,80 @@ object Aggregates {
       .orderBy("region", "nation")
   }
 
+  /** WEEKDAY REVENUE PROFILE (a22): orders and revenue by day-of-week
+    * with floor-bp shares — the seasonality sanity row. Day-of-week is
+    * computed ARITHMETICALLY: (days-since-epoch + 4) mod 7, 0 = Sunday
+    * (1970-01-01 was a Thursday) — never an engine's locale-dependent
+    * day-name/`dayofweek` convention (Spark counts 1 = Sunday, DuckDB
+    * 0 = Sunday; integer arithmetic sidesteps the whole family of
+    * off-by-one bugs). One map-side-combined aggregate to 7 rows.
+    */
+  def weekdayRevenue(orders: DataFrame): DataFrame = {
+    val dowed = orders
+      .filter(col("o_orderdate").isNotNull)
+      .select(
+        expr("(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') + 4) % 7")
+          .cast("long").as("dow"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+    dowed
+      .crossJoin(broadcast(dowed.agg(sum(col("cents")).as("total_cents"),
+        sum(col("n_orders")).as("total_orders"))))
+      .select(col("dow"), col("n_orders"), col("cents"),
+        expr("cents * 10000 div total_cents").as("revenue_share_bp"),
+        expr("n_orders * 10000 div total_orders").as("order_share_bp"))
+      .orderBy("dow")
+  }
+
+  /** RFM SEGMENTATION CELLS (a23): every customer scored 1–5 on Recency
+    * (days since last order), Frequency (order count) and Monetary
+    * (total cents) by `ntile(5)`, then the 125-cell census with each
+    * cell's averages — the classic CRM segmentation, reduced to its
+    * deterministic core: every ntile ORDER BY ends in the customer key,
+    * so tile assignment is a total order and engine-exact (ntile's
+    * bucket-boundary rule — larger buckets first — is shared by Spark
+    * and DuckDB per the SQL standard).
+    *
+    * Scale shape: orders collapse to one row per customer (map-side
+    * combined); the three ntile windows run over CUSTOMERS (global
+    * windows, bounded by customer cardinality — the documented
+    * vocab-coverage justification); the census is a second tiny
+    * aggregate. Recency is measured against the corpus max date, so the
+    * query is reproducible (no wall-clock).
+    */
+  def rfmCells(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = orders
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary"))
+    val scored = perCust
+      .crossJoin(broadcast(perCust.agg(max(col("last_d")).as("ref_d"))))
+      .withColumn("recency_days",
+        datediff(col("ref_d"), col("last_d")).cast("long"))
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days"), col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("monetary").desc, col("o_custkey"))))
+    scored
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).as("cell_cents"),
+        expr("sum(recency_days) div count(1)").as("avg_recency_days"),
+        expr("sum(freq) div count(1)").as("avg_orders"))
+      .select(col("r_score").cast("long"), col("f_score").cast("long"),
+        col("m_score").cast("long"), col("n_customers"), col("cell_cents"),
+        col("avg_recency_days"), col("avg_orders"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** UNPIVOT / melt (a14) — the inverse of [[pivotSummary]], the other
     * half of the wide↔long reshaping pair: the wide per-priority
     * (qty_a, qty_n, qty_r) frame back to long (priority, returnflag,

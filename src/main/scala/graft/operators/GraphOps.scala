@@ -281,6 +281,50 @@ object GraphOps {
       .limit(k)
   }
 
+  /** ASSOCIATION RULES over the co-purchase pairs: for every frequent
+    * ordered pair (a → b), the support count, CONFIDENCE in floor basis
+    * points (co/n_a — "of the orders with a, how many also had b") and
+    * LIFT in floor permille (co·N/(n_a·n_b) — how far above independence
+    * the pair sits; 1000 = independent). The actionable output of
+    * market-basket mining — [[frequentTriples]] finds the sets, this
+    * ranks the implications. All integer cross-multiplication: co ≤ n ≤
+    * N ≤ 10⁵ at sf0.1 ⇒ co·N·1000 ≤ 10¹³ — BIGINT headroom.
+    *
+    * Scale shape: item counts and pair counts are two map-side-combined
+    * aggregates over the same (order, part) projection; item counts
+    * broadcast back twice (dimension-sized). Both rule directions come
+    * from ONE undirected pair count via a 2-struct explode — the pair
+    * join is never run twice. Top-k by (lift DESC, a, b) — total order,
+    * deterministic cut.
+    */
+  def associationRules(lineitem: DataFrame, minSupport: Long = 2L,
+      k: Int = 50): DataFrame = {
+    val op = lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
+    val nOrders = op.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = op.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minSupport)
+    val directed = pairs.select(explode(array(
+        struct(col("u").as("ante"), col("v").as("cons"), col("co")),
+        struct(col("v").as("ante"), col("u").as("cons"), col("co")))).as("r"))
+      .select(col("r.ante"), col("r.cons"), col("r.co"))
+    directed
+      .join(broadcast(itemCounts.select(col("p").as("ante"), col("n_item").as("n_ante"))), "ante")
+      .join(broadcast(itemCounts.select(col("p").as("cons"), col("n_item").as("n_cons"))), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("co"), col("n_ante"), col("n_cons"),
+        expr("co * 10000 div n_ante").as("confidence_bp"),
+        expr("co * n_orders * 1000 div (n_ante * n_cons)").as("lift_permille"))
+      .orderBy(col("lift_permille").desc, col("ante"), col("cons"))
+      .limit(k)
+  }
+
   /** PageRank with a FIXED iteration count, INTEGER-EXACT: scores live in
     * micro-units (init 10⁶ per node) and every step is floor arithmetic —
     * contribution = score ÷ outdegree, update = 150000 + 85·Σin ÷ 100
