@@ -1070,6 +1070,15 @@ object SparkEntry {
       Aggregates.weekdayRevenue(Tables.orders(s, dir))),
     // RFM quintile census (ntile over customers with total key order).
     "a23_rfm_cells" -> ((s, dir) => Aggregates.rfmCells(Tables.orders(s, dir))),
+    // Strict local maxima/minima per series over hourly close bars.
+    "e37_peaks" -> ((s, dir) =>
+      TimeSeries.peakDetection(Tables.events(s, dir))),
+    // Pairwise source vocabulary Jaccard (distributional overlap).
+    "t40_source_overlap" -> ((s, dir) =>
+      TextOps.sourceVocabOverlap(Tables.documents(s, dir))),
+    // Order-size histogram: the profile basket mining is sized from.
+    "a24_basket_hist" -> ((s, dir) =>
+      Aggregates.basketHistogram(Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5389,5 +5398,73 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       CAST(SUM(recency_days) // COUNT(*) AS BIGINT) AS avg_recency_days,
         |       CAST(SUM(freq) // COUNT(*) AS BIGINT) AS avg_orders
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "e37_peaks" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us,
+        |         epoch_us(ts) // 3600000000 AS bar,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), h AS (
+        |  SELECT event_type, bar,
+        |         arg_max(cents, CAST(us AS HUGEINT) * 1000000 + event_id)
+        |           AS close
+        |  FROM e GROUP BY 1, 2
+        |), n AS (
+        |  SELECT event_type, bar, close,
+        |    lag(close) OVER w AS prev, lead(close) OVER w AS next
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY bar)
+        |), f AS (
+        |  SELECT event_type, bar, close,
+        |    CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+        |          AND close > prev AND close > next THEN 1 ELSE 0 END AS is_peak,
+        |    CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+        |          AND close < prev AND close < next THEN 1 ELSE 0 END AS is_trough,
+        |    CASE WHEN prev IS NOT NULL AND next IS NOT NULL THEN 1 ELSE 0 END
+        |      AS decidable
+        |  FROM n
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bars,
+        |  CAST(SUM(decidable) AS BIGINT) AS n_decidable,
+        |  CAST(SUM(is_peak) AS BIGINT) AS n_peaks,
+        |  CAST(SUM(is_trough) AS BIGINT) AS n_troughs,
+        |  CAST(MAX(CASE WHEN is_peak = 1 THEN close END) AS BIGINT)
+        |    AS highest_peak_cents,
+        |  CAST(arg_max(bar, CASE WHEN is_peak = 1
+        |       THEN close * 10000000 + bar END) AS BIGINT) AS highest_peak_bar
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t40_source_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, t AS token FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        |  ) WHERE length(t) > 0
+        |), sz AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM st GROUP BY 1
+        |), i AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.source_a, i.source_b, i.n_common,
+        |       za.n_tokens AS n_a, zb.n_tokens AS n_b,
+        |       CAST(i.n_common * 1000 // (za.n_tokens + zb.n_tokens - i.n_common)
+        |            AS BIGINT) AS jaccard_permille
+        |FROM i JOIN sz za ON i.source_a = za.source
+        |       JOIN sz zb ON i.source_b = zb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    "a24_basket_hist" ->
+      """WITH po AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |  FROM lineitem GROUP BY 1
+        |), h AS (
+        |  SELECT n_lines, n_parts, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM po GROUP BY 1, 2
+        |), t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total_orders FROM h)
+        |SELECT n_lines, n_parts, n_orders,
+        |       CAST(n_orders * 10000 // total_orders AS BIGINT) AS share_bp
+        |FROM h, t ORDER BY n_lines, n_parts""".stripMargin,
   )
 }

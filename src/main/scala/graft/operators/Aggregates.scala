@@ -296,6 +296,29 @@ object Aggregates {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** BASKET-SIZE HISTOGRAM (a24): orders per line count and per distinct
+    * part count, with floor-bp shares — the first profile read before
+    * any market-basket mining (it is where [[GraphOps.frequentTriples]]'
+    * `maxBasket` cap and the skew bounds come from). Two stacked
+    * map-side-combined aggregates: fact → per-order sizes (state ∝
+    * orders), sizes → histogram (state ∝ distinct sizes — metadata
+    * scale). No window, no sort of the fact.
+    */
+  def basketHistogram(lineitem: DataFrame): DataFrame = {
+    val perOrder = lineitem
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    val hist = perOrder
+      .groupBy("n_lines", "n_parts")
+      .agg(count(lit(1)).as("n_orders"))
+    hist
+      .crossJoin(broadcast(hist.agg(sum(col("n_orders")).as("total_orders"))))
+      .select(col("n_lines"), col("n_parts"), col("n_orders"),
+        expr("n_orders * 10000 div total_orders").as("share_bp"))
+      .orderBy("n_lines", "n_parts")
+  }
+
   /** UNPIVOT / melt (a14) — the inverse of [[pivotSummary]], the other
     * half of the wide↔long reshaping pair: the wide per-priority
     * (qty_a, qty_n, qty_r) frame back to long (priority, returnflag,

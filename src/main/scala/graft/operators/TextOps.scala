@@ -770,6 +770,42 @@ object TextOps {
       .orderBy("vocab_size")
   }
 
+  /** SOURCE VOCABULARY OVERLAP: pairwise Jaccard (floor permille) of the
+    * distinct-token sets of each source — the corpus-composition
+    * diagnostic behind mixing decisions ("are these two crawls the same
+    * register, or complementary?"). Document-level duplication across
+    * sources is [[Dedup]]'s d21 matrix; this is the DISTRIBUTIONAL
+    * overlap that persists after all near-dups are gone.
+    *
+    * Scale shape: the corpus collapses to distinct (source, token) rows
+    * in one aggregate (vocabulary-sized, per Heaps' law); the pairwise
+    * intersection is an equi-join THROUGH the token key — work ∝ Σ over
+    * tokens of (sources containing it choose 2), bounded by |vocab| ×
+    * C(|sources|, 2) — and set sizes arrive by broadcast. Never a
+    * doc-level or cartesian pass.
+    */
+  def sourceVocabOverlap(documents: DataFrame): DataFrame = {
+    val st = documents
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_tokens").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_tokens").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("n_common * 1000 div (n_a + n_b - n_common)").as("jaccard_permille"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Boilerplate REMOVAL (the transform [[repeatedNgrams]] only detects):
     * rebuild each document with every token deleted that falls inside any
     * occurrence of a cross-document repeated n-gram — the RefinedWeb-style

@@ -462,6 +462,50 @@ object TimeSeries {
     * Scale shape: one lag() on the series-key exchange, then one
     * map-side-combined aggregate; output ∝ series × ~40 buckets.
     */
+  /** LOCAL-PEAK DETECTION over hourly close bars: a bar is a (strict)
+    * peak when its close exceeds both neighbors — the minimal,
+    * assumption-free event detector under every alerting rule
+    * ("local high", "spike count"). Interior bars only (endpoints have
+    * one neighbor and are not decidable). Integer cents comparisons ⇒
+    * engine-exact; output per series: bars, decidable bars, peak/trough
+    * counts, and the highest peak with its bar (max_by on a (cents, bar)
+    * struct — deterministic because bars are unique per series).
+    *
+    * Scale shape: bar aggregation (map-side combined) + ONE lag/lead
+    * window + one summary aggregate, all on the series-key exchange.
+    */
+  def peakDetection(events: DataFrame, barUs: Long = 3600000000L): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("bar")
+    val bars = events
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr(s"unix_micros(ts) div ${barUs}L").as("bar"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "bar")
+      .agg(max_by(col("cents"), struct(col("us"), col("event_id"))).as("close"))
+    bars
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .withColumn("next", lead(col("close"), 1).over(w))
+      .withColumn("is_peak",
+        (col("prev").isNotNull && col("next").isNotNull &&
+          col("close") > col("prev") && col("close") > col("next")).cast("long"))
+      .withColumn("is_trough",
+        (col("prev").isNotNull && col("next").isNotNull &&
+          col("close") < col("prev") && col("close") < col("next")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_bars"),
+        sum(when(col("prev").isNotNull && col("next").isNotNull, 1L)
+          .otherwise(0L)).as("n_decidable"),
+        sum(col("is_peak")).as("n_peaks"),
+        sum(col("is_trough")).as("n_troughs"),
+        max(when(col("is_peak") === 1L, col("close"))).as("highest_peak_cents"),
+        max_by(col("bar"),
+          when(col("is_peak") === 1L, struct(col("close"), col("bar"))))
+          .as("highest_peak_bar"))
+      .orderBy("event_type")
+  }
+
   def interarrivalHistogram(events: DataFrame): DataFrame = {
     events
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
