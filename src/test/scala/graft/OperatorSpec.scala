@@ -621,4 +621,47 @@ class OperatorSpec extends SparkTestBase {
       ("1970-01-09", 2L, true)),  // {3 (in range), 1}; day-0 users expired
       s"got ${got.toSeq}")
   }
+
+  test("associationRules: hand-computed confidence and lift, both directions emitted") {
+    import graft.operators.GraphOps
+    // orders: {1:(a,b)}, {2:(a,b)}, {3:(a,c)}, {4:(b)} -> N=4
+    // pair (a,b): co=2; n_a=3, n_b=3
+    //   a->b: conf = 2*10000/3 = 6666 bp; lift = 2*4*1000/(3*3) = 888
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L), (4L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphOps.associationRules(li, minSupport = 2L, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6)))).toMap
+    assert(got((10L, 20L)) === ((2L, 6666L, 888L)), "a->b")
+    assert(got((20L, 10L)) === ((2L, 6666L, 888L)), "b->a (same co, symmetric here)")
+    assert(got.size === 2, "only the (a,b) pair clears minSupport")
+  }
+
+  test("weekdayRevenue: epoch arithmetic hits known weekdays") {
+    import graft.operators.Aggregates
+    // 1970-01-01 was a Thursday (dow 4); 1970-01-04 a Sunday (dow 0)
+    val o = Seq(
+      ("1970-01-01", 1.00), ("1970-01-04", 2.00), ("1970-01-08", 4.00))
+      .toDF("o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val got = Aggregates.weekdayRevenue(o).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(4L) === ((2L, 500L)), "both Thursdays aggregate under dow 4")
+    assert(got(0L) === ((1L, 200L)), "Sunday is dow 0")
+    assert(!got.contains(6L))
+  }
+
+  test("rfmCells is invariant to input partitioning (total-order ntile)") {
+    import graft.operators.Aggregates
+    val orders = Tables.orders(spark, sf0001)
+    val a = Aggregates.rfmCells(orders).collect().toSeq
+    val b = Aggregates.rfmCells(orders.repartition(17)).collect().toSeq
+    assert(a === b, "ntile scores must not depend on partitioning")
+    assert(a.map(_.getLong(3)).sum === orders
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .select("o_custkey").distinct().count(),
+      "census covers every customer exactly once")
+  }
 }

@@ -335,6 +335,23 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out("view").isNullAt(5), "zero-volume bar reports null vwap, not dropped")
   }
 
+  test("peakDetection: strict interior maxima only; endpoints undecidable") {
+    val h = 3600000000L
+    // closes per hourly bar: 1, 3, 2, 2, 5  -> one peak (3), no trough
+    // (the 2,2 plateau is not strict; 5 is an endpoint)
+    val df = eventsDf(Seq(
+      ev(0L * h, 1L, "click", 1.00), ev(1L * h, 2L, "click", 3.00),
+      ev(2L * h, 3L, "click", 2.00), ev(3L * h, 4L, "click", 2.00),
+      ev(4L * h, 5L, "click", 5.00)))
+    val r = TimeSeries.peakDetection(df).collect().head
+    assert(r.getLong(1) === 5L, "n_bars")
+    assert(r.getLong(2) === 3L, "interior bars")
+    assert(r.getLong(3) === 1L, "single strict peak")
+    assert(r.getLong(4) === 0L, "plateau is not a strict trough")
+    assert(r.getLong(5) === 300L, "peak close in cents")
+    assert(r.getLong(6) === 1L, "peak bar index")
+  }
+
   test("streaks: longest rising and falling step runs, plateau breaks both") {
     import graft.operators.WindowOps
     val vals = Seq(1.00, 2.00, 3.00, 2.50, 2.40, 2.30, 2.30)
