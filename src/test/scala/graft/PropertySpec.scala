@@ -245,4 +245,62 @@ class PropertySpec extends SparkTestBase {
       assert(row.getInt(1) <= row.getInt(2))
     }
   }
+
+  test("streaks equals a brute-force run scan on random integer walks") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import spark.implicits._
+    def brute(cents: Seq[Long]): (Long, Long) = {
+      def longest(cmp: (Long, Long) => Boolean): Long = {
+        var best = 0L; var cur = 0L
+        cents.zip(cents.drop(1)).foreach { case (p, c) =>
+          if (cmp(c, p)) { cur += 1; best = math.max(best, cur) } else cur = 0L
+        }
+        best
+      }
+      (longest(_ > _), longest(_ < _))
+    }
+    val walk = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 5L))) // tiny range forces plateaus
+    val walks = samples(walk, 60).zipWithIndex
+    val rows = walks.flatMap { case (cents, u) =>
+      cents.zipWithIndex.map { case (c, i) =>
+        ((u * 1000 + i).toLong, i.toLong * 10, u.toLong, "t", c / 100.0 * 100)
+      }
+    }
+    // value = cents directly (x100/100 keeps the round() exact)
+    val df = rows.map { case (id, us, user, t, v) => (id, us, user, t, v) }
+      .toDF("event_id", "usl", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val got = graft.operators.WindowOps.streaks(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    walks.foreach { case (cents, u) =>
+      val (up, dn) = brute(cents.map(c => math.round(c / 100.0 * 100 * 100).toLong))
+      assert(got(u.toLong) === ((up, dn)), s"user $u walk $cents")
+    }
+  }
+
+  test("charClassProfile counts match plain Scala character scans") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaChar, 2 -> Gen.numChar, 2 -> Gen.oneOf(' ', '.', ',', '!'),
+      // BMP-only: Spark length() counts codepoints, Scala String.length
+      // counts UTF-16 units - identical only below the surrogate range
+      1 -> Gen.oneOf('é', 'ß', '中', 'ω'))
+    val docGen = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val docs = samples(docGen, 120).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = graft.operators.TextOps.charClassProfile(
+        docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, t) =>
+      val n = t.length.toLong
+      def pm(c: Long) = c * 1000 / n
+      val r = got(id)
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === pm(t.count(ch => ch >= 'A' && ch <= 'Z')), s"upper in '$t'")
+      assert(r.getLong(3) === pm(t.count(ch => ch >= '0' && ch <= '9')), s"digit in '$t'")
+      assert(r.getLong(4) === pm(t.count(_ == ' ')), s"space in '$t'")
+      assert(r.getLong(6) === pm(t.count(ch => ch < ' ' || ch > '~')), s"nonascii in '$t'")
+    }
+  }
 }
