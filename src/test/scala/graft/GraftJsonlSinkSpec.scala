@@ -153,6 +153,42 @@ class GraftJsonlSinkSpec extends SparkTestBase {
     assert(spark.read.json(out.getAbsolutePath + "/*.jsonl").count() === 1)
   }
 
+  test("retried partition publishes exactly once; a lost executor's orphan never publishes") {
+    // The crash matrix a real cluster produces, driven at the protocol
+    // level (one JVM = one SparkContext, so a true local[2,2] retry
+    // can't run inside the shared-session suite):
+    //  - attempt 1 of partition 0 dies AFTER a partial write (abort)
+    //  - attempt 2 of partition 0 succeeds (its message commits)
+    //  - a lost executor leaves an orphan staging file and NO message
+    val out = new File(tmpDir(), "out"); out.mkdirs()
+    val schema = StructType(Seq(StructField("n", LongType)))
+    val bw = {
+      val ctor = Class.forName("graft.sources.GraftJsonlBatchWrite")
+        .getDeclaredConstructors.head
+      ctor.setAccessible(true)
+      ctor.newInstance(out.getAbsolutePath, schema, "q-retry", Boolean.box(false))
+        .asInstanceOf[org.apache.spark.sql.connector.write.BatchWrite]
+    }
+    val factory = bw.createBatchWriterFactory(null)
+    val attempt1 = factory.createWriter(0, 1L)
+    attempt1.write(InternalRow(111L)) // partial work of the dying attempt
+    attempt1.abort()
+    val attempt2 = factory.createWriter(0, 2L)
+    attempt2.write(InternalRow(1L)); attempt2.write(InternalRow(2L))
+    val msg = attempt2.commit()
+    val orphan = factory.createWriter(1, 9L) // executor lost: no commit, no abort
+    orphan.write(InternalRow(999L))
+    bw.commit(Array(msg))
+
+    val names = out.listFiles().map(_.getName).sorted
+    assert(names.count(_.endsWith(".jsonl")) === 1, names.mkString(","))
+    assert(!names.exists(_.startsWith("_staging")), "orphan staging swept")
+    val back = spark.read.json(out.getAbsolutePath + "/*.jsonl")
+    assert(back.count() === 2, "only the committed attempt's rows")
+    assert(back.select(sum(col("n"))).head.getLong(0) === 3L,
+      "neither the aborted 111 nor the orphan 999 may appear")
+  }
+
   test("non-atomic columns are rejected loudly, not silently mangled") {
     val dir = new File(tmpDir(), "out").getAbsolutePath
     val err = intercept[Exception] {
