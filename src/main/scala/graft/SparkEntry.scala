@@ -1079,6 +1079,15 @@ object SparkEntry {
     // Order-size histogram: the profile basket mining is sized from.
     "a24_basket_hist" -> ((s, dir) =>
       Aggregates.basketHistogram(Tables.lineitem(s, dir))),
+    // Hour-of-day seasonality fingerprint per series (pure µs arithmetic).
+    "e38_diurnal_profile" -> ((s, dir) =>
+      TimeSeries.diurnalProfile(Tables.events(s, dir))),
+    // Lifetime-span histogram in weeks with activity density.
+    "e39_tenure_hist" -> ((s, dir) =>
+      TimeSeries.tenureHistogram(Tables.events(s, dir))),
+    // Cents-remainder distribution — the trailing-digit fraud screen.
+    "dq29_price_endings" -> ((s, dir) =>
+      Quality.priceEndings(Tables.orders(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5466,5 +5475,55 @@ GROUP BY doc_id ORDER BY doc_id"""
         |SELECT n_lines, n_parts, n_orders,
         |       CAST(n_orders * 10000 // total_orders AS BIGINT) AS share_bp
         |FROM h, t ORDER BY n_lines, n_parts""".stripMargin,
+    "e38_diurnal_profile" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), h AS (
+        |  SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |         CAST(SUM(cents) AS BIGINT) AS total_cents
+        |  FROM h GROUP BY 1
+        |)
+        |SELECT h.event_type, h.hour_of_day, h.n_events, h.cents,
+        |  CAST(h.n_events * 10000 // t.total_events AS BIGINT)
+        |    AS event_share_bp,
+        |  CAST(h.cents * 10000 // t.total_cents AS BIGINT) AS value_share_bp
+        |FROM h JOIN t USING (event_type)
+        |ORDER BY event_type, hour_of_day""".stripMargin,
+    "e39_tenure_hist" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |), pu AS (
+        |  SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day,
+        |         CAST(COUNT(DISTINCT day) AS BIGINT) AS n_active_days,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         MAX(day) - MIN(day) + 1 AS span_days
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT CAST((span_days - 1) // 7 AS BIGINT) AS week_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       CAST(SUM(n_active_days) AS BIGINT) AS active_days,
+        |       CAST(SUM(n_active_days) * 1000 // SUM(span_days) AS BIGINT)
+        |         AS density_permille
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq29_price_endings" ->
+      """WITH e AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS ending
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |), c AS (
+        |  SELECT ending, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1
+        |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT ending, n, CAST(n * 10000 // total AS BIGINT) AS share_bp
+        |FROM c, t ORDER BY n DESC, ending LIMIT 10""".stripMargin,
   )
 }

@@ -957,6 +957,27 @@ object Quality {
       .orderBy("top_pct")
   }
 
+  /** PRICE-ENDING AUDIT: the distribution of the cents remainder
+    * (price mod 1.00) — the pricing-psychology / fabrication screen that
+    * complements [[benfordDigits]] (Benford reads the LEADING digit;
+    * endings read the TRAILING ones: human-set prices pile on .99/.00,
+    * machine-generated uniforms don't). Top endings by count with
+    * floor-bp shares; (n DESC, ending) is a total order, so the cut is
+    * deterministic. One map-side-combined aggregate to ≤100 rows.
+    */
+  def priceEndings(orders: DataFrame, k: Int = 10): DataFrame = {
+    val ends = orders
+      .filter(col("o_totalprice").isNotNull)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) % 100").as("ending"))
+      .groupBy("ending").agg(count(lit(1)).as("n"))
+    ends
+      .crossJoin(broadcast(ends.agg(sum(col("n")).as("total"))))
+      .select(col("ending"), col("n"),
+        expr("n * 10000 div total").as("share_bp"))
+      .orderBy(col("n").desc, col("ending"))
+      .limit(k)
+  }
+
   def sequenceGaps(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("event_id")

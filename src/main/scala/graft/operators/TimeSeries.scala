@@ -462,6 +462,62 @@ object TimeSeries {
     * Scale shape: one lag() on the series-key exchange, then one
     * map-side-combined aggregate; output ∝ series × ~40 buckets.
     */
+  /** DIURNAL PROFILE: hour-of-day × series activity (events, value sum,
+    * and the hour's floor-bp share of the series total) — the seasonality
+    * fingerprint behind capacity planning and anomaly baselines ("is 3am
+    * volume normal FOR 3am"). Hour-of-day is pure integer arithmetic on
+    * epoch-µs under the UTC session — (us div 3600000000) mod 24 — no
+    * calendar/timezone library on either engine.
+    *
+    * Scale shape: ONE map-side-combined aggregate to series × 24 rows;
+    * shares from a broadcast of the per-series totals (≤ |series| rows).
+    */
+  def diurnalProfile(events: DataFrame): DataFrame = {
+    val hours = events
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000L) % 24").as("hour_of_day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "hour_of_day")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    val totals = hours.groupBy("event_type")
+      .agg(sum(col("n_events")).as("total_events"), sum(col("cents")).as("total_cents"))
+    hours
+      .join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hour_of_day"), col("n_events"), col("cents"),
+        expr("n_events * 10000 div total_events").as("event_share_bp"),
+        expr("cents * 10000 div total_cents").as("value_share_bp"))
+      .orderBy("event_type", "hour_of_day")
+  }
+
+  /** USER TENURE HISTOGRAM: users bucketed by lifetime span in whole
+    * weeks, with activity density per bucket — the engagement-shape
+    * readout (a spike at week 0 is drive-by traffic; a long tail is a
+    * retained base). Per-user lifetime facts reduce in ONE aggregate
+    * (first/last event day, distinct active days, events); the histogram
+    * is a second metadata-scale aggregate. days = epoch-µs div 86.4e9 —
+    * integer day indexes under the UTC session, engine-exact.
+    */
+  def tenureHistogram(events: DataFrame): DataFrame = {
+    val perUser = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
+      .groupBy("user_id")
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        countDistinct(col("day")).as("n_active_days"),
+        count(lit(1)).as("n_events"))
+      .withColumn("span_days", col("last_day") - col("first_day") + 1L)
+      .withColumn("week_bucket", expr("(span_days - 1) div 7"))
+    perUser
+      .groupBy("week_bucket")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("n_active_days")).as("active_days"),
+        expr("sum(n_active_days) * 1000 div sum(span_days)")
+          .as("density_permille"))
+      .orderBy("week_bucket")
+  }
+
   /** LOCAL-PEAK DETECTION over hourly close bars: a bar is a (strict)
     * peak when its close exceeds both neighbors — the minimal,
     * assumption-free event detector under every alerting rule
