@@ -1088,6 +1088,12 @@ object SparkEntry {
     // Cents-remainder distribution — the trailing-digit fraud screen.
     "dq29_price_endings" -> ((s, dir) =>
       Quality.priceEndings(Tables.orders(s, dir))),
+    // Avg pairwise dot per label from SUMS ONLY (no pair join).
+    "s19_label_cohesion" -> ((s, dir) =>
+      Similarity.labelCohesion(Tables.embeddings(s, dir))),
+    // First-view -> first-purchase latency histogram (log2 buckets).
+    "e40_conversion_lag" -> ((s, dir) =>
+      TimeSeries.conversionLag(Tables.events(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5525,5 +5531,59 @@ GROUP BY doc_id ORDER BY doc_id"""
         |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
         |SELECT ending, n, CAST(n * 10000 // total AS BIGINT) AS share_bp
         |FROM c, t ORDER BY n DESC, ending LIMIT 10""".stripMargin,
+    "s19_label_cohesion" ->
+      """WITH m AS (
+        |  SELECT label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |), d AS (
+        |  SELECT label, unnest(generate_series(1, len(v))) AS i, v FROM m
+        |), s AS (
+        |  SELECT label, i, CAST(SUM(v[i]) AS BIGINT) AS sd FROM d GROUP BY 1, 2
+        |), a AS (
+        |  SELECT label, CAST(SUM(sd * sd) AS BIGINT) AS norm_sum_sq
+        |  FROM s GROUP BY 1
+        |), q AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(list_sum(list_transform(v, x -> x * x))) AS BIGINT)
+        |      AS sum_sq_norms
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT CAST(q.label AS BIGINT) AS label, q.n, q.sum_sq_norms,
+        |  a.norm_sum_sq,
+        |  CAST(a.norm_sum_sq - q.sum_sq_norms AS BIGINT) AS pair_dot_sum,
+        |  CAST(q.n * (q.n - 1) AS BIGINT) AS n_pairs,
+        |  CAST((a.norm_sum_sq - q.sum_sq_norms) // (q.n * (q.n - 1)) AS BIGINT)
+        |    AS avg_pair_dot_milli2
+        |FROM q JOIN a USING (label) WHERE q.n >= 2
+        |ORDER BY label""".stripMargin,
+    "e40_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IN ('view', 'purchase')
+        |), f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN us END) AS first_purchase
+        |  FROM e GROUP BY 1
+        |), l AS (
+        |  SELECT user_id, first_view, first_purchase,
+        |    CASE WHEN first_purchase >= first_view
+        |         THEN (first_purchase - first_view) // 1000000 END AS lag_s
+        |  FROM f WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |), b AS (
+        |  SELECT CASE WHEN first_purchase < first_view THEN -1
+        |         WHEN lag_s <= 0 THEN 0
+        |         ELSE CAST(length(printf('%b', lag_s)) AS BIGINT) END AS bucket,
+        |         lag_s
+        |  FROM l
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users,
+        |       CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+        |       CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -65,6 +65,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** LABEL COHESION WITHOUT PAIRS: the exact average pairwise inner
+    * product within each label via the algebraic identity
+    *
+    *   Σ_{i≠j} ⟨vᵢ, vⱼ⟩  =  ‖Σᵢ vᵢ‖²  −  Σᵢ ‖vᵢ‖²
+    *
+    * — the cluster-quality readout (how tight is each label's embedding
+    * cloud) computed from SUMS ONLY: one scan, one keyed aggregate,
+    * NO pairwise join. This identity is why cohesion is measurable at
+    * 100 TB when the naive all-pairs form (n² per label) is not; the
+    * same algebra powers k-means' within-cluster-variance bookkeeping.
+    *
+    * Exactness: components are floored to integer MILLI-units first, so
+    * both engines square and sum identical integers (milli, not micro:
+    * ‖Σv‖² grows as (n·10³·max|x|)² per dimension — milli keeps sf0.1's
+    * 5000-vector labels ~3 orders inside BIGINT; micro would overflow).
+    * Outputs the exact numerator/denominator pair plus the floor average
+    * pair-dot — division last, and floored identically.
+    */
+  def labelCohesion(embeddings: DataFrame): DataFrame = {
+    val milli = embeddings
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("v"))
+    val perDim = milli
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "c")))
+      .groupBy("label", "dim").agg(sum(col("c")).as("sd"))
+      .groupBy("label").agg(sum(col("sd") * col("sd")).as("norm_sum_sq"))
+    val perVec = milli
+      .select(col("label"),
+        expr("aggregate(v, 0L, (acc, x) -> acc + x * x)").as("sq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq_norms"))
+    perVec
+      .join(perDim, Seq("label"))
+      .filter(col("n") >= 2)
+      .select(col("label").cast("long").as("label"), col("n"),
+        col("sum_sq_norms"), col("norm_sum_sq"),
+        (col("norm_sum_sq") - col("sum_sq_norms")).as("pair_dot_sum"),
+        (col("n") * (col("n") - 1L)).as("n_pairs"),
+        // this numerator can be NEGATIVE (anti-correlated clouds):
+        // verified that Spark's `div` and DuckDB's integer `//` BOTH
+        // truncate toward zero, so the plain quotient is engine-exact
+        expr("(norm_sum_sq - sum_sq_norms) div (n * (n - 1))")
+          .as("avg_pair_dot_milli2"))
+      .orderBy("label")
+  }
+
   /** Exact k-NN JOIN: top-k cosine neighbors for EACH query vector in a
     * (small) query set — the batch form of [[bruteForceTopK]]. The query
     * side is broadcast, so the corpus is scanned once with |Q| fused

@@ -518,6 +518,45 @@ object TimeSeries {
       .orderBy("week_bucket")
   }
 
+  /** CONVERSION-LAG HISTOGRAM: time from a user's FIRST view to their
+    * FIRST purchase, bucketed in log₂ seconds (the digit-count trick of
+    * [[interarrivalHistogram]]) — the funnel-latency distribution that
+    * [[Sessions]]' funnel counts and the last-touch attribution query
+    * don't expose (conversion RATE says nothing about conversion TIME,
+    * and time-to-convert sets attribution windows and remarketing
+    * cadence). Users who purchased before ever viewing are counted
+    * separately (`n_inverted` — bot/backfill signal), not silently
+    * dropped into a negative bucket.
+    *
+    * Scale shape: conditional min aggregates collapse events to one row
+    * per user (map-side combined), then a metadata-scale histogram.
+    */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val firsts = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("us"))).as("first_purchase"))
+      .filter(col("first_view").isNotNull && col("first_purchase").isNotNull)
+      // lag only for the forward direction: a "negative conversion lag"
+      // is a data defect, not a latency — inverted users keep a NULL lag
+      // under their own bucket instead of a misleading negative number
+      .withColumn("lag_s",
+        when(col("first_purchase") >= col("first_view"),
+          expr("(first_purchase - first_view) div 1000000")))
+    firsts
+      .withColumn("bucket",
+        when(col("first_purchase") < col("first_view"), lit(-1L))
+          .otherwise(when(col("lag_s") <= 0L, lit(0L))
+            .otherwise(length(bin(col("lag_s"))).cast("long"))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min(col("lag_s")).as("min_lag_s"), max(col("lag_s")).as("max_lag_s"))
+      .orderBy("bucket")
+  }
+
   /** LOCAL-PEAK DETECTION over hourly close bars: a bar is a (strict)
     * peak when its close exceeds both neighbors — the minimal,
     * assumption-free event detector under every alerting rule
