@@ -6,12 +6,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSourceV2 batch SINK: `df.write.format("graft-jsonl").option("path",
   * dir).save()` — sharded JSONL delivery with a manifest, as a first-class
@@ -53,15 +55,117 @@ class GraftJsonlProvider extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class GraftJsonlTable(writeSchema: StructType)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsRead {
   override def name(): String = "graft-jsonl"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftJsonlWriteBuilder(info)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val path = options.get("path")
+    require(path != null && path.nonEmpty, "graft-jsonl requires option 'path'")
+    require(writeSchema.nonEmpty,
+      "graft-jsonl read requires an explicit .schema(...) — the format does " +
+        "not infer (inference would read data files before checking the manifest)")
+    new GraftJsonlScanBuilder(path, writeSchema)
+  }
+}
+
+/** READ leg of the connector — the consumer side of the manifest
+  * protocol: the scan lists ONLY the shards named in the commit markers
+  * (`_MANIFEST.json` from a batch job, `_epoch-*.json` from a streaming
+  * query), so an uncommitted/partial/orphaned `.jsonl` that a crashed
+  * writer left in the directory is INVISIBLE — the reader enforcing the
+  * marker is what makes the sink's publish atomic end-to-end (the same
+  * contract an object-store table format provides, in miniature). A
+  * directory with data files but no marker fails LOUDLY: silent
+  * empty-scan would hide an aborted job. One InputPartition per shard;
+  * column pruning pushed into the row parser.
+  */
+private[sources] class GraftJsonlScanBuilder(path: String, tableSchema: StructType)
+    extends ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = this
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-jsonl $path"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new File(path)
+    val markers = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == "_MANIFEST.json" || f.getName.startsWith("_epoch-"))
+    require(markers.nonEmpty,
+      s"graft-jsonl: no commit marker (_MANIFEST.json / _epoch-*.json) in $path — " +
+        "the directory holds no committed data (a crashed or aborted write?)")
+    val committed = markers.flatMap { m =>
+      val body = new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
+      """"file":\s*"([^"]+)"""".r.findAllMatchIn(body).map(_.group(1))
+    }.distinct.sorted
+    committed.map(f =>
+      JsonlShardPartition(new File(dir, f).getAbsolutePath): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    JsonlReaderFactory(tableSchema, required)
+}
+
+private[sources] case class JsonlShardPartition(file: String) extends InputPartition
+
+private[sources] case class JsonlReaderFactory(tableSchema: StructType,
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new JsonlShardReader(p.asInstanceOf[JsonlShardPartition].file,
+      tableSchema, required)
+}
+
+private[sources] class JsonlShardReader(file: String, tableSchema: StructType,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
+  private val it = lines.iterator()
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val fields = GraftJsonlSink.parseFlat(it.next())
+    current = InternalRow.fromSeq(required.fields.toSeq.map { f =>
+      fields.get(f.name) match {
+        case None | Some(null) => null
+        case Some(v: String) => f.dataType match {
+          case StringType => UTF8String.fromString(v)
+          case other => throw new IllegalStateException(
+            s"field '${f.name}' is a JSON string but schema says $other")
+        }
+        case Some(v: java.lang.Boolean) => v.booleanValue()
+        case Some(v: java.lang.Long) => f.dataType match {
+          case LongType    => v.longValue()
+          case IntegerType => v.intValue()
+          case DoubleType  => v.doubleValue()
+          case other => throw new IllegalStateException(
+            s"field '${f.name}' is a JSON integer but schema says $other")
+        }
+        case Some(v: java.lang.Double) => f.dataType match {
+          case DoubleType  => v.doubleValue()
+          case LongType    => v.longValue()
+          case IntegerType => v.intValue()
+          case other => throw new IllegalStateException(
+            s"field '${f.name}' is a JSON number but schema says $other")
+        }
+        case Some(other) => throw new IllegalStateException(
+          s"unexpected parsed value $other for '${f.name}'")
+      }
+    })
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
 }
 
 private[sources] class GraftJsonlWriteBuilder(info: LogicalWriteInfo)
@@ -232,7 +336,7 @@ private[sources] class GraftJsonlDataWriter(stagingPath: String,
   override def close(): Unit = ()
 }
 
-private[sources] object GraftJsonlSink {
+private[graft] object GraftJsonlSink {
   def validateSchema(schema: StructType): Unit =
     schema.fields.foreach { f =>
       require(f.dataType match {
@@ -254,6 +358,90 @@ private[sources] object GraftJsonlSink {
       case c             => b.append(c)
     }
     b.toString
+  }
+
+  /** Strict parser for the flat one-line objects THIS sink writes
+    * (string / number / boolean / null values, RFC 8259 escapes). Being
+    * the writer's inverse is the whole spec — anything outside that
+    * shape is a corruption and fails loudly rather than best-effort.
+    * Numbers parse as Double (the reader narrows by schema).
+    */
+  def parseFlat(line: String): Map[String, Any] = {
+    var i = 0
+    val n = line.length
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"graft-jsonl parse: $msg at $i in: $line")
+    def ws(): Unit = while (i < n && line.charAt(i) == ' ') i += 1
+    def expect(c: Char): Unit = {
+      if (i >= n || line.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def string(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (i < n && line.charAt(i) != '"') {
+        line.charAt(i) match {
+          case '\\' =>
+            i += 1
+            if (i >= n) fail("dangling escape")
+            line.charAt(i) match {
+              case '"'  => b.append('"')
+              case '\\' => b.append('\\')
+              case 'n'  => b.append('\n')
+              case 'r'  => b.append('\r')
+              case 't'  => b.append('\t')
+              case 'u' =>
+                if (i + 4 >= n) fail("short \\u escape")
+                b.append(Integer.parseInt(line.substring(i + 1, i + 5), 16).toChar)
+                i += 4
+              case c => fail(s"bad escape \\$c")
+            }
+          case c => b.append(c)
+        }
+        i += 1
+      }
+      expect('"')
+      b.toString
+    }
+    def value(): Any = {
+      ws()
+      if (i >= n) fail("missing value")
+      line.charAt(i) match {
+        case '"' => string()
+        case 't' => if (line.startsWith("true", i)) { i += 4; java.lang.Boolean.TRUE }
+                    else fail("bad literal")
+        case 'f' => if (line.startsWith("false", i)) { i += 5; java.lang.Boolean.FALSE }
+                    else fail("bad literal")
+        case 'n' => if (line.startsWith("null", i)) { i += 4; null }
+                    else fail("bad literal")
+        case _ =>
+          val start = i
+          while (i < n && "+-.eE0123456789".indexOf(line.charAt(i)) >= 0) i += 1
+          if (i == start) fail("bad value")
+          val lit = line.substring(start, i)
+          // integer literals stay Long: routing them through Double would
+          // corrupt ids above 2^53 — a real hazard for 64-bit keys
+          if (lit.exists(c => c == '.' || c == 'e' || c == 'E'))
+            java.lang.Double.valueOf(lit)
+          else java.lang.Long.valueOf(lit)
+      }
+    }
+    ws(); expect('{'); ws()
+    val out = Map.newBuilder[String, Any]
+    if (i < n && line.charAt(i) != '}') {
+      var more = true
+      while (more) {
+        ws()
+        val k = string()
+        ws(); expect(':')
+        out += k -> value()
+        ws()
+        if (i < n && line.charAt(i) == ',') { i += 1; more = true }
+        else more = false
+      }
+    }
+    expect('}')
+    out.result()
   }
 
   def toJson(row: InternalRow, schema: StructType): String = {

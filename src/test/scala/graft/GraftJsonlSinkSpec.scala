@@ -189,6 +189,87 @@ class GraftJsonlSinkSpec extends SparkTestBase {
       "neither the aborted 111 nor the orphan 999 may appear")
   }
 
+  test("read leg: round trip through the SAME format, manifest-only visibility") {
+    val dir = new File(tmpDir(), "out").getAbsolutePath
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("lang")).limit(50)
+    df.write.format("graft-jsonl").option("path", dir).mode("append").save()
+    // a crashed writer's stray data file — present on disk, NOT in the
+    // manifest: the reader must not see it
+    Files.writeString(Paths.get(dir, "shard-99999.jsonl"),
+      """{"doc_id": 424242, "text": "ghost", "lang": "xx"}""" + "\n")
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val back = spark.read.format("graft-jsonl").schema(schema)
+      .option("path", dir).load()
+    assert(back.count() === 50, "uncommitted shard must be invisible")
+    assert(back.filter(col("doc_id") === 424242L).isEmpty)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty,
+      "same-format round trip must be lossless")
+    // column pruning reaches the reader factory's required schema
+    assert(back.select("lang").distinct().count() >= 1)
+  }
+
+  test("read leg: a marker-less directory fails loudly, never empty-scans") {
+    val dir = new File(tmpDir(), "orphan-only"); dir.mkdirs()
+    Files.writeString(Paths.get(dir.getAbsolutePath, "shard-00000.jsonl"),
+      """{"id": 1}""" + "\n")
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val err = intercept[Exception] {
+      spark.read.format("graft-jsonl").schema(schema)
+        .option("path", dir.getAbsolutePath).load().count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(err).exists(m => m != null && m.contains("commit marker")),
+      s"got: ${chain(err).mkString(" | ")}")
+  }
+
+  test("read leg: streaming epochs are readable through their epoch markers") {
+    val root = tmpDir()
+    val src = new File(root, "src"); src.mkdirs()
+    val out = new File(root, "out").getAbsolutePath
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src.getAbsolutePath)
+    Seq((2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src.getAbsolutePath)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(src.getAbsolutePath)
+      .writeStream.format("graft-jsonl").option("path", out)
+      .option("checkpointLocation", new File(root, "ckpt").getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.format("graft-jsonl").schema(schema)
+      .option("path", out).load()
+    assert(back.count() === 2)
+    assert(back.select(sum(col("id"))).head.getLong(0) === 3L)
+  }
+
+  test("parseFlat inverts toJson on hostile content") {
+    import graft.sources.GraftJsonlSink
+    val schema = StructType(Seq(StructField("s", StringType),
+      StructField("n", LongType), StructField("d", DoubleType),
+      StructField("b", BooleanType)))
+    val nasty = "a\"b\\c\nd\tef"
+    val row = InternalRow(UTF8String.fromString(nasty), 42L, 2.5, true)
+    val parsed = GraftJsonlSink.parseFlat(GraftJsonlSink.toJson(row, schema))
+    assert(parsed("s") === nasty)
+    assert(parsed("n") === 42L)
+    assert(parsed("d") === 2.5)
+    assert(parsed("b") === true)
+    // 64-bit ids above 2^53 must NOT round-trip through Double
+    val bigId = (1L << 53) + 1L
+    val big = GraftJsonlSink.parseFlat(
+      GraftJsonlSink.toJson(InternalRow(null, bigId, 0.0, false), schema))
+    assert(big("n") === bigId, "integer literal must stay Long")
+    val withNull = GraftJsonlSink.parseFlat(
+      GraftJsonlSink.toJson(InternalRow(null, 1L, 0.0, false), schema))
+    assert(withNull("s") === null)
+  }
+
   test("non-atomic columns are rejected loudly, not silently mangled") {
     val dir = new File(tmpDir(), "out").getAbsolutePath
     val err = intercept[Exception] {
