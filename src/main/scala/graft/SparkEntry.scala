@@ -1094,6 +1094,11 @@ object SparkEntry {
     // First-view -> first-purchase latency histogram (log2 buckets).
     "e40_conversion_lag" -> ((s, dir) =>
       TimeSeries.conversionLag(Tables.events(s, dir))),
+    // Error-budget burn per day (integer cross-multiplied rates).
+    "dq30_slo_burn" -> ((s, dir) => Quality.sloBurn(Tables.events(s, dir))),
+    // Same-(user, microsecond) pile-ups: the double-fire audit.
+    "dq31_ts_collisions" -> ((s, dir) =>
+      Quality.timestampCollisions(Tables.events(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5585,5 +5590,40 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
         |       CAST(MAX(lag_s) AS BIGINT) AS max_lag_s
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq30_slo_burn" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         epoch_us(ts) // 3600000000 AS hour,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_err
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(n_err) AS BIGINT) AS n_errors,
+        |  CAST(SUM(CASE WHEN n_err * 1000 > 150 * n THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS hours_over_budget,
+        |  CAST(MAX(n_err * 1000 // n) AS BIGINT) AS worst_hour_permille,
+        |  CAST(SUM(n_err) * 1000000 // (SUM(n) * 150) AS BIGINT)
+        |    AS burn_multiple_permille
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq31_ts_collisions" ->
+      """WITH i AS (
+        |  SELECT user_id, epoch_us(ts) AS us, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2 HAVING COUNT(*) > 1
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_colliding_instants,
+        |  CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_events_involved,
+        |  CAST(MAX(n) AS BIGINT) AS worst_pileup,
+        |  CAST(SUM(CASE WHEN n_types = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same_type_instants,
+        |  CAST(SUM(CASE WHEN n_types > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cross_type_instants
+        |FROM i""".stripMargin,
   )
 }

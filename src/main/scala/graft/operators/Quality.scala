@@ -978,6 +978,66 @@ object Quality {
       .limit(k)
   }
 
+  /** SLO ERROR-BUDGET BURN per day: hourly error share vs a fixed
+    * permille budget, rolled up to the SRE dashboard row — hours over
+    * budget, the worst hour, and the day's overall burn MULTIPLE in
+    * floor permille (1000 = burning exactly at budget; 2000 = a 30-day
+    * budget gone in 15). The multi-window burn-rate alert policy is
+    * evaluated from exactly these aggregates. Cross-multiplied integer
+    * comparisons: an hour is over budget iff n_err·1000 > budget‰·n —
+    * no rate is ever materialized as a float.
+    *
+    * Scale shape: events → (day, hour) counts in ONE map-side-combined
+    * aggregate, → day rows in a second; output ∝ days.
+    */
+  def sloBurn(events: DataFrame, budgetPermille: Long = 150L): DataFrame = {
+    val hourly = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"),
+        expr("unix_micros(ts) div 3600000000L").as("hour"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .groupBy("day", "hour")
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("n_err"))
+    hourly
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n")).as("n_events"),
+        sum(col("n_err")).as("n_errors"),
+        sum(when(col("n_err") * 1000L > lit(budgetPermille) * col("n"), 1L)
+          .otherwise(0L)).as("hours_over_budget"),
+        max(expr("n_err * 1000 div n")).as("worst_hour_permille"))
+      .withColumn("burn_multiple_permille",
+        expr(s"n_errors * 1000000 div (n_events * $budgetPermille)"))
+      .orderBy("day")
+  }
+
+  /** EXACT-TIMESTAMP COLLISION audit: events sharing (user, µs) — the
+    * double-fire / replayed-producer signature (distinct from
+    * [[Quality.sequenceGaps]]' missing ids and dq10's disorder: here
+    * rows EXIST twice at one instant). Per series: colliding instants,
+    * involved events, the worst pile-up, and how many collisions are
+    * same-type (true double-fires) vs cross-type (coordinated writes —
+    * often legitimate). Two stacked keyed aggregates, no window.
+    */
+  def timestampCollisions(events: DataFrame): DataFrame = {
+    val perInstant = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .groupBy("user_id", "us")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("n_types"))
+      .filter(col("n") > 1L)
+    perInstant
+      .agg(count(lit(1)).as("n_colliding_instants"),
+        coalesce(sum(col("n")), lit(0L)).as("n_events_involved"),
+        max(col("n")).as("worst_pileup"),
+        sum(when(col("n_types") === 1L, 1L).otherwise(0L))
+          .as("n_same_type_instants"),
+        sum(when(col("n_types") > 1L, 1L).otherwise(0L))
+          .as("n_cross_type_instants"))
+  }
+
   def sequenceGaps(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("event_id")
