@@ -1099,6 +1099,10 @@ object SparkEntry {
     // Same-(user, microsecond) pile-ups: the double-fire audit.
     "dq31_ts_collisions" -> ((s, dir) =>
       Quality.timestampCollisions(Tables.events(s, dir))),
+    // Delete-aware incremental aggregate maintenance: group state
+    // retracts for free, extrema detect when they must rescan.
+    "e41_retractable_agg" -> ((s, dir) =>
+      Quality.retractableAggContract(Tables.events(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5625,5 +5629,59 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CASE WHEN n_types > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_cross_type_instants
         |FROM i""".stripMargin,
+    "e41_retractable_agg" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    strpos('0123456789abcdef',
+        |           substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 AS n1,
+        |    strpos('0123456789abcdef',
+        |           substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1 AS n2
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), b AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS b_cnt,
+        |    CAST(SUM(cents) AS BIGINT) AS b_sum,
+        |    MIN(cents) AS b_min, MAX(cents) AS b_max
+        |  FROM e WHERE n1 < 12 GROUP BY 1
+        |), d AS (
+        |  SELECT event_type,
+        |    CAST(SUM(w) AS BIGINT) AS d_cnt,
+        |    CAST(SUM(w * cents) AS BIGINT) AS d_sum,
+        |    MIN(CASE WHEN w = 1 THEN cents END) AS ins_min,
+        |    MAX(CASE WHEN w = 1 THEN cents END) AS ins_max,
+        |    MIN(CASE WHEN w = -1 THEN cents END) AS del_min,
+        |    MAX(CASE WHEN w = -1 THEN cents END) AS del_max
+        |  FROM (
+        |    SELECT event_type, cents, 1 AS w FROM e WHERE n1 >= 12
+        |    UNION ALL
+        |    SELECT event_type, cents, -1 AS w FROM e WHERE n1 < 12 AND n2 >= 12
+        |  ) GROUP BY 1
+        |), t AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t_cnt,
+        |    CAST(SUM(cents) AS BIGINT) AS t_sum,
+        |    MIN(cents) AS t_min, MAX(cents) AS t_max
+        |  FROM e WHERE (n1 < 12 AND n2 < 12) OR n1 >= 12 GROUP BY 1
+        |)
+        |SELECT event_type,
+        |  CAST(COALESCE(b_cnt, 0) + COALESCE(d_cnt, 0) AS BIGINT) AS cnt,
+        |  CAST(COALESCE(b_sum, 0) + COALESCE(d_sum, 0) AS BIGINT)
+        |    AS total_cents,
+        |  CAST(t_min AS BIGINT) AS min_cents, CAST(t_max AS BIGINT) AS max_cents,
+        |  (del_min IS NOT NULL AND del_min <= b_min) AS rescan_min,
+        |  (del_max IS NOT NULL AND del_max >= b_max) AS rescan_max,
+        |  ((COALESCE(b_cnt, 0) + COALESCE(d_cnt, 0)) = t_cnt
+        |   AND (COALESCE(b_sum, 0) + COALESCE(d_sum, 0)) = t_sum
+        |   AND ((del_min IS NOT NULL AND del_min <= b_min) OR
+        |        (CASE WHEN b_min IS NULL THEN ins_min
+        |              WHEN ins_min IS NULL THEN b_min
+        |              ELSE least(b_min, ins_min) END) = t_min)
+        |   AND ((del_max IS NOT NULL AND del_max >= b_max) OR
+        |        (CASE WHEN b_max IS NULL THEN ins_max
+        |              WHEN ins_max IS NULL THEN b_max
+        |              ELSE greatest(b_max, ins_max) END) = t_max)) AS matches
+        |FROM b
+        |FULL OUTER JOIN d USING (event_type)
+        |FULL OUTER JOIN t USING (event_type)
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -158,6 +158,78 @@ object Quality {
       .agg(count(lit(1)).as("cnt"),
         sum(round(col("value") * 100).cast("long")).as("total"))
 
+  /** RETRACTABLE incremental aggregate maintenance (e41): the
+    * insert-only contract (e4) extended with DELETES — the CDC /
+    * GDPR-erasure reality a maintained aggregate table actually faces.
+    * The algebra this encodes:
+    *
+    *  - count and sum are ABELIAN-GROUP state: a delete is a weight −1
+    *    row, maintenance is pure addition, NO rescan ever;
+    *  - min/max are only SEMIGROUP state: a delete that touches the
+    *    current extremum invalidates it (the evidence below it is gone)
+    *    — the maintained path must DETECT that (`rescan_min`/`rescan_max`
+    *    = the deleted extremum reached the maintained one) and fall back
+    *    to a rescan, and must NOT rescan otherwise. That asymmetry —
+    *    which aggregates retract for free and which need the flag — is
+    *    the design line every incremental view maintainer draws.
+    *
+    * The registered query proves both paths: maintained count/sum and
+    * the no-rescan min/max resolution against the ground-truth recompute
+    * over the survivor set, with `matches` — hash-checked TRUE per group.
+    * Splits are md5-nibble derived (deterministic, partition-invariant):
+    * nibble₁ splits base/inserts, nibble₂ marks deletes inside base.
+    */
+  def retractableAggContract(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{instr, md5, substring}
+    def nib(pos: Int): Column = instr(lit("0123456789abcdef"),
+      substring(md5(col("event_id").cast("string")), pos, 1)) - 1
+    val e = events
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        nib(1).as("n1"), nib(2).as("n2"))
+    val base = e.filter(col("n1") < 12)
+    val inserts = e.filter(col("n1") >= 12)
+    val deletes = base.filter(col("n2") >= 12)
+    val baseAgg = base.groupBy("event_type").agg(
+      count(lit(1)).as("b_cnt"), sum(col("cents")).as("b_sum"),
+      min(col("cents")).as("b_min"), max(col("cents")).as("b_max"))
+    val delta = inserts.select(col("event_type"), col("cents"), lit(1L).as("w"))
+      .unionByName(deletes.select(col("event_type"), col("cents"), lit(-1L).as("w")))
+    val deltaAgg = delta.groupBy("event_type").agg(
+      sum(col("w")).as("d_cnt"),
+      sum(col("w") * col("cents")).as("d_sum"),
+      min(when(col("w") === 1L, col("cents"))).as("ins_min"),
+      max(when(col("w") === 1L, col("cents"))).as("ins_max"),
+      min(when(col("w") === -1L, col("cents"))).as("del_min"),
+      max(when(col("w") === -1L, col("cents"))).as("del_max"))
+    val truth = base.filter(col("n2") < 12).unionByName(inserts)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("t_cnt"), sum(col("cents")).as("t_sum"),
+        min(col("cents")).as("t_min"), max(col("cents")).as("t_max"))
+    baseAgg
+      .join(deltaAgg, Seq("event_type"), "full_outer")
+      .join(truth, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        expr("coalesce(b_cnt, 0) + coalesce(d_cnt, 0)").as("cnt"),
+        expr("coalesce(b_sum, 0) + coalesce(d_sum, 0)").as("total_cents"),
+        col("t_min").as("min_cents"), col("t_max").as("max_cents"),
+        expr("del_min IS NOT NULL AND del_min <= b_min").as("rescan_min"),
+        expr("del_max IS NOT NULL AND del_max >= b_max").as("rescan_max"),
+        expr("""(coalesce(b_cnt, 0) + coalesce(d_cnt, 0)) = t_cnt
+            AND (coalesce(b_sum, 0) + coalesce(d_sum, 0)) = t_sum
+            AND ((del_min IS NOT NULL AND del_min <= b_min) OR
+                 (CASE WHEN b_min IS NULL THEN ins_min
+                       WHEN ins_min IS NULL THEN b_min
+                       ELSE least(b_min, ins_min) END) = t_min)
+            AND ((del_max IS NOT NULL AND del_max >= b_max) OR
+                 (CASE WHEN b_max IS NULL THEN ins_max
+                       WHEN ins_max IS NULL THEN b_max
+                       ELSE greatest(b_max, ins_max) END) = t_max)""")
+          .as("matches"))
+      .orderBy("event_type")
+  }
+
   /** Percentile OUTLIER gate: flag values outside the exact
     * [p(1/64), p(63/64)] band of `l_extendedprice`, reported per return
     * flag — the numeric-sanity cousin of [[expectations]]: instead of a
