@@ -1103,6 +1103,17 @@ object SparkEntry {
     // retracts for free, extrema detect when they must rescan.
     "e41_retractable_agg" -> ((s, dir) =>
       Quality.retractableAggContract(Tables.events(s, dir))),
+    // Sign-bit Hamming pre-rank vs exact dot top-k: recall@k contract
+    // for the 32x-compressed binary retrieval tier.
+    "s20_hamming_prerank" -> ((s, dir) =>
+      SimilarityIndex.hammingPrerank(Tables.embeddings(s, dir))),
+    // Valid-time x transaction-time resolution with retro corrections:
+    // what we knew at D vs what we know now, per priority class.
+    "e42_bitemporal" -> ((s, dir) =>
+      MergeOps.bitemporalAsOf(Tables.orders(s, dir))),
+    // Integer Flesch reading-ease deciles per language.
+    "t41_readability" -> ((s, dir) =>
+      TextOps.readabilityCensus(Tables.documents(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5683,5 +5694,111 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FULL OUTER JOIN d USING (event_type)
         |FULL OUTER JOIN t USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // Semantic twin of the packed-BIGINT xor/bit_count path: Hamming =
+    // #{dims where the sign bits differ}, which is exactly what the two
+    // 32-bit words' popcounted xor computes.
+    "s20_hamming_prerank" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m,
+        |    list_transform(embedding,
+        |      x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS sgn
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |), q AS (
+        |  SELECT vec_id AS q_id, m AS qm, sgn AS qsgn FROM base WHERE vec_id < 8
+        |), pairs AS (
+        |  SELECT q.q_id, b.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      j -> CASE WHEN b.sgn[j] <> q.qsgn[j] THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS ham,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      j -> b.m[j] * q.qm[j])) AS BIGINT) AS dot
+        |  FROM base b, q WHERE b.vec_id <> q.q_id
+        |), pre AS (
+        |  SELECT q_id, vec_id, ham FROM pairs
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY ham ASC, vec_id ASC) <= 50
+        |), ex AS (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY dot DESC, vec_id ASC) AS rd
+        |  FROM pairs
+        |  QUALIFY rd <= 10
+        |)
+        |SELECT ex.q_id,
+        |  CAST(COUNT(CASE WHEN pre.ham IS NOT NULL THEN 1 END) AS BIGINT)
+        |    AS hits,
+        |  bool_or(CASE WHEN ex.rd = 1 THEN pre.ham IS NOT NULL END)
+        |    AS top1_in_prerank,
+        |  CAST(MAX(CASE WHEN ex.rd = 1 THEN ex.vec_id END) AS BIGINT)
+        |    AS exact_top1,
+        |  CAST(MIN(pre.ham) AS BIGINT) AS best_recalled_ham
+        |FROM ex LEFT JOIN pre USING (q_id, vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e42_bitemporal" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS pr,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d0,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    strpos('0123456789abcdef',
+        |      substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS n1,
+        |    strpos('0123456789abcdef',
+        |      substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1 AS n2
+        |  FROM orders
+        |), a AS (
+        |  SELECT k, pr, d0 AS txn, d0 AS vd, cents FROM o
+        |  UNION ALL
+        |  SELECT k, pr, d0 + 10, d0 - 5, cents + 500 FROM o WHERE n1 < 4
+        |  UNION ALL
+        |  SELECT k, pr, d0 + 20, d0, CAST(0 AS BIGINT) FROM o WHERE n2 < 2
+        |), perkey AS (
+        |  SELECT k, pr,
+        |    arg_max(cents, txn)
+        |      FILTER (WHERE txn <= (DATE '1995-06-01' - DATE '1970-01-01')
+        |              AND vd <= (DATE '1995-06-01' - DATE '1970-01-01'))
+        |      AS c_asof,
+        |    COUNT(*) FILTER (
+        |      WHERE txn <= (DATE '1995-06-01' - DATE '1970-01-01')
+        |        AND vd <= (DATE '1995-06-01' - DATE '1970-01-01')) AS n_asof,
+        |    arg_max(cents, txn)
+        |      FILTER (WHERE vd <= (DATE '1995-06-01' - DATE '1970-01-01'))
+        |      AS c_fin,
+        |    COUNT(*) FILTER (
+        |      WHERE vd <= (DATE '1995-06-01' - DATE '1970-01-01')) AS n_fin
+        |  FROM a GROUP BY 1, 2
+        |)
+        |SELECT pr AS o_orderpriority,
+        |  CAST(COUNT(CASE WHEN n_asof > 0 THEN 1 END) AS BIGINT) AS n_known,
+        |  CAST(SUM(CASE WHEN n_asof > 0 THEN c_asof END) AS BIGINT)
+        |    AS cents_known,
+        |  CAST(COUNT(CASE WHEN n_fin > 0 THEN 1 END) AS BIGINT) AS n_final,
+        |  CAST(SUM(CASE WHEN n_fin > 0 THEN c_fin END) AS BIGINT)
+        |    AS cents_final,
+        |  CAST(COUNT(CASE WHEN n_asof > 0 AND n_fin > 0
+        |                  AND c_asof <> c_fin THEN 1 END) AS BIGINT)
+        |    AS n_revised
+        |FROM perkey GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t41_readability" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    greatest(CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+        |      AS BIGINT), 1) AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS snt,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syl
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |), sc AS (
+        |  SELECT lang, w,
+        |    206835 - (1015 * w) // snt - (84600 * syl) // w AS score_milli
+        |  FROM s
+        |)
+        |SELECT lang, CAST(score_milli // 10000 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+        |  CAST(MAX(score_milli) AS BIGINT) AS max_score_milli
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -390,4 +390,60 @@ object MergeOps {
         col("_k.us").as("last_click_us"))
       .orderBy("user_id")
   }
+
+  /** BITEMPORAL AS-OF — the two-axis upgrade of [[pitSnapshot]]: every
+    * assertion carries a TRANSACTION day (when the warehouse learned it)
+    * AND a VALID day (when it became true in the world), and the query
+    * "what did we believe at time T about the state at time V" resolves,
+    * per key, to the latest-transacted assertion with `txn <= T` whose
+    * validity has begun (`vd <= V`). SCD2 alone cannot answer this:
+    * a RETROACTIVE correction (learned late, valid early) silently
+    * rewrites what PIT reads for historical V — bitemporal keeps both
+    * readings reproducible, which is what audit/restatement (and
+    * leakage-free ML feature backfills) require.
+    *
+    * The assertion log derives deterministically from `orders` so the
+    * oracle reconstructs it exactly:
+    *  - every order: original price asserted at `txn = vd = o_orderdate`;
+    *  - md5-nibble₁ < 4: a correction (+500 cents) asserted 10 days
+    *    later but valid from 5 days EARLIER — the retro case;
+    *  - md5-nibble₂ < 2: a void (price → 0) asserted 20 days later.
+    *
+    * Resolution is ONE hash aggregate per key — per-key `txn` values are
+    * distinct by construction, so `max(struct(txn, cents))` under each
+    * scenario's qualifying filter is the bitemporal winner, and BOTH
+    * scenarios (knowledge at D vs final knowledge) resolve in the same
+    * pass: one shuffle of one row per (key, assertion), partial-aggregated
+    * map-side. No windows, no per-scenario re-join — at 100 TB the cost is
+    * the one keyed exchange the semantics require.
+    */
+  def bitemporalAsOf(orders: DataFrame): DataFrame = {
+    val D = java.time.LocalDate.of(1995, 6, 1).toEpochDay // knowledge + valid cut
+    def nib(pos: Int): Column = instr(lit("0123456789abcdef"),
+      substring(md5(col("o_orderkey").cast("string")), pos, 1)) - 1
+    val o = orders.select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("pr"),
+      datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("d0"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      nib(1).as("n1"), nib(2).as("n2"))
+    val assertions = o.select(col("k"), col("pr"), col("d0").as("txn"),
+        col("d0").as("vd"), col("cents"))
+      .unionByName(o.filter(col("n1") < 4).select(col("k"), col("pr"),
+        (col("d0") + 10).as("txn"), (col("d0") - 5).as("vd"),
+        (col("cents") + 500).as("cents")))
+      .unionByName(o.filter(col("n2") < 2).select(col("k"), col("pr"),
+        (col("d0") + 20).as("txn"), col("d0").as("vd"), lit(0L).as("cents")))
+    def winner(cond: Column) =
+      max(when(cond, struct(col("txn"), col("cents"))))
+    val perKey = assertions.groupBy("k", "pr").agg(
+      winner(col("txn") <= D && col("vd") <= D).as("asof"),
+      winner(col("vd") <= D).as("fin"))
+    perKey.groupBy(col("pr").as("o_orderpriority")).agg(
+        count(when(col("asof").isNotNull, 1)).as("n_known"),
+        sum(col("asof.cents")).as("cents_known"),
+        count(when(col("fin").isNotNull, 1)).as("n_final"),
+        sum(col("fin.cents")).as("cents_final"),
+        count(when(col("asof.cents") =!= col("fin.cents"), 1)).as("n_revised"))
+      .orderBy("o_orderpriority")
+  }
 }

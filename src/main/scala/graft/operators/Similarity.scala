@@ -662,4 +662,74 @@ object SimilarityIndex {
     */
   def signatureOf(vec: Array[Float], planes: Int = 16): Int =
     graft.functions.LshSignatureUtil.signatureOf(vec, planes)
+
+  /** BINARY (sign-bit) EMBEDDING PRE-RANK — the 32×-compression retrieval
+    * tier: each 64-dim float vector collapses to its 64 sign bits, packed
+    * into two BIGINT words (32 bits each — DuckDB's BIGINT errors on
+    * overflow rather than wrapping, so the fold never touches bit 63).
+    * Candidate generation is then pure integer work — Hamming distance =
+    * Σ bit_count(xor(word, q_word)) — against a representation 32× smaller
+    * than the float corpus, which is what makes a 100 TB embedding store
+    * scannable from memory; the float vectors are consulted only to
+    * re-rank the C survivors. (Sign-bit Hamming is exactly 1-bit
+    * random-hyperplane SimHash with axis-aligned planes: for unit vectors
+    * E[ham] ∝ angle, so the pre-rank preserves cosine order in
+    * expectation.)
+    *
+    * This query is the CONTRACT for that tier: for each of the first
+    * `nQueries` vectors it computes the Hamming top-`preC` candidate set
+    * AND the exact top-`k` by integer micro-unit dot product (unit-norm
+    * fixture ⇒ dot order = cosine order), and reports recall@k of the
+    * pre-rank — every output is an integer decided by deterministic
+    * (distance, vec_id) tie-breaks, so the gate hash-compares it.
+    *
+    * Plan shape: the query side is `nQueries` rows broadcast against one
+    * corpus scan; both rankings are rank-≤-N windows that the optimizer
+    * executes as WindowGroupLimit (per-partition top-N heaps, no full
+    * sort), and the final recall join touches only nQueries × preC rows.
+    */
+  def hammingPrerank(embeddings: DataFrame, nQueries: Int = 8,
+                     preC: Int = 50, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = 64
+    val base = embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dims)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("m"),
+        expr("aggregate(slice(embedding, 1, 32), 0L, " +
+          "(acc, x) -> acc * 2L + IF(x >= CAST(0 AS FLOAT), 1L, 0L))").as("h1"),
+        expr("aggregate(slice(embedding, 33, 32), 0L, " +
+          "(acc, x) -> acc * 2L + IF(x >= CAST(0 AS FLOAT), 1L, 0L))").as("h2"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("m").as("qm"),
+        col("h1").as("qh1"), col("h2").as("qh2"))
+    val pairs = base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+    val wHam = Window.partitionBy("q_id")
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val wDot = Window.partitionBy("q_id")
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    val pre = pairs
+      .select(col("q_id"), col("vec_id"),
+        (bit_count(col("h1").bitwiseXOR(col("qh1"))) +
+          bit_count(col("h2").bitwiseXOR(col("qh2")))).cast("long").as("ham"))
+      .withColumn("rh", row_number().over(wHam))
+      .filter(col("rh") <= preC)
+    val exact = pairs
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(zip_with(m, qm, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("dot"))
+      .withColumn("rd", row_number().over(wDot))
+      .filter(col("rd") <= k)
+    exact
+      .join(pre, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(when(col("rh").isNotNull, 1)).as("hits"),
+        max(when(col("rd") === 1, col("rh").isNotNull)).as("top1_in_prerank"),
+        max(when(col("rd") === 1, col("vec_id"))).as("exact_top1"),
+        min(when(col("rh").isNotNull, col("ham"))).as("best_recalled_ham"))
+      .select(col("q_id"), col("hits"), col("top1_in_prerank"),
+        col("exact_top1"), col("best_recalled_ham"))
+      .orderBy("q_id")
+  }
 }

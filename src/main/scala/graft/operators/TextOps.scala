@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct,
-  explode, expr, length, lit, lower, regexp_replace, row_number, size, split,
-  sum, when}
+  explode, expr, greatest, length, lit, lower, max, min, regexp_count,
+  regexp_replace, row_number, size, split, sum, when}
 import graft.functions.TextFunctions._
 
 /** Query-shaped text analysis + JSON extraction over `documents`/`events`
@@ -1466,5 +1466,46 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
         expr("n_novel * 1000 div n_bigrams").as("novelty_permille"))
       .orderBy("doc_id")
+  }
+
+  /** READABILITY CENSUS — integer Flesch reading-ease per document, rolled
+    * up into (lang, decile-bucket) cells: the curation signal that
+    * separates "graduate-prose" from "see-spot-run" strata when building a
+    * difficulty-balanced training mix (length and quality filters — t1,
+    * t23, t35 — are blind to sentence/word shape, which is exactly what
+    * Flesch measures).
+    *
+    * All three inputs are regex COUNTS — words = `[A-Za-z]+` runs,
+    * sentences = `[.!?]+` runs (floored at 1), syllables ≈ vowel-group
+    * runs `[aeiouy]+` on the lowercased text, the standard public
+    * heuristic — so both engines count the same integers. The classic
+    * formula 206.835 − 1.015·(words/sent) − 84.6·(syll/words) is scaled to
+    * MILLI-points with division last:
+    * `206835 − (1015·w) div s − (84600·syl) div w`; both quotients are
+    * non-negative so Spark's `div` and DuckDB's `//` agree, and the final
+    * score can legitimately go negative (dense legalese) — the decile
+    * bucket uses `div 10000` whose toward-zero truncation both engines
+    * share (documented, as in e40's log-buckets).
+    *
+    * One scan, all-regex map side, one hash aggregate on (lang, bucket) —
+    * nothing here shuffles document text, only the tiny cell keys.
+    */
+  def readabilityCensus(documents: DataFrame): DataFrame = {
+    val scored = documents
+      .filter(col("text").isNotNull && col("lang").isNotNull)
+      .select(col("lang"),
+        greatest(regexp_count(col("text"), lit("[A-Za-z]+")).cast("long"), lit(1L)).as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L)).as("s"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("syl"))
+      .select(col("lang"), col("w"),
+        (lit(206835L) - expr("(1015 * w) div s") -
+          expr("(84600 * syl) div w")).as("score_milli"))
+    scored
+      .groupBy(col("lang"), expr("score_milli div 10000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        min(col("score_milli")).as("min_score_milli"),
+        max(col("score_milli")).as("max_score_milli"))
+      .orderBy("lang", "bucket")
   }
 }

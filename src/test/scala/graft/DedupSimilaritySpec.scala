@@ -934,4 +934,32 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(cand * 10 < allPairs,
       s"pigeonhole stage generated $cand of $allPairs pairs — not pruning")
   }
+
+  test("hammingPrerank: packed-word popcount equals planted sign flips") {
+    import spark.implicits._
+    // vec 0 = all +0.125 (unit norm for d=64); vec j flips the sign of the
+    // first j dims, so ham(0, j) = j exactly and the micro dot product
+    // (64 - 2j)·125000² decreases in j — both rankings are 1, 2, 3, …
+    val vecs = (0 to 9).map { j =>
+      (j.toLong, Array.tabulate(64)(i => if (i < j) -0.125f else 0.125f))
+    }.toDF("vec_id", "embedding")
+    val out = operators.SimilarityIndex
+      .hammingPrerank(vecs, nQueries = 1, preC = 5, k = 3)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 3L, "all 3 exact neighbors inside the top-5 pre-rank")
+    assert(r.getBoolean(2), "exact top-1 must be recalled")
+    assert(r.getLong(3) === 1L, "exact top-1 is the 1-flip vector")
+    assert(r.getLong(4) === 1L, "best recalled Hamming distance is 1 bit")
+  }
+
+  test("hammingPrerank top-N windows execute as WindowGroupLimit, no full sort") {
+    val plan = operators.SimilarityIndex
+      .hammingPrerank(Tables.embeddings(spark, sf001))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=N filters must push into WindowGroupLimit:\n$plan")
+  }
 }

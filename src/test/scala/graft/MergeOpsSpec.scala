@@ -169,4 +169,48 @@ class MergeOpsSpec extends SparkTestBase {
       "delta decomposition must equal the recompute for every group")
     out.unpersist()
   }
+
+  test("bitemporalAsOf: retro corrections revise the past, late knowledge appears only in the final reading") {
+    import spark.implicits._
+    // md5 nibbles of the key decide its assertion lineage — pick keys by
+    // the same derivation the operator (and oracle) use
+    def nib(k: Long, pos: Int): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(pos - 1, pos), 16)
+    }
+    val plainKey = (1L to 500L).find(k => nib(k, 1) >= 4 && nib(k, 2) >= 2).get
+    val retroKey = (1L to 500L).find(k => nib(k, 1) < 4 && nib(k, 2) >= 2).get
+    val lateKey  = (500L to 1000L).find(k => nib(k, 1) < 4 && nib(k, 2) >= 2).get
+    val voidKey  = (1L to 500L).find(k => nib(k, 2) < 2 && nib(k, 1) >= 4).get
+    val D = java.time.LocalDate.of(1995, 6, 1).toEpochDay
+    def date(d: Long) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))
+    val orders = Seq(
+      // plain: one assertion, inside both horizons
+      (plainKey, "P1", date(D - 100), 100.00),
+      // retro: original on D-3; the +500-cent correction transacts D+7
+      // (after the knowledge cut) but is valid from D-8 -> the two
+      // readings disagree about the SAME valid instant
+      (retroKey, "P2", date(D - 3), 200.00),
+      // late: ordered D+4, so at T=D nothing is known; the correction's
+      // retro validity (D-1) makes it visible to the final reading only
+      (lateKey, "P3", date(D + 4), 300.00),
+      // void: price zeroed 20 days after a D-30 order — latest txn wins
+      // in both readings, nothing revised
+      (voidKey, "P4", date(D - 30), 400.00)
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+    val out = MergeOps.bitemporalAsOf(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("P1").getLong(1) === 1L && out("P1").getLong(5) === 0L)
+    assert(out("P1").getLong(2) === 10000L && out("P1").getLong(4) === 10000L)
+    assert(out("P2").getLong(2) === 20000L, "at T=D we believed the original price")
+    assert(out("P2").getLong(4) === 20500L, "final knowledge applies the retro correction")
+    assert(out("P2").getLong(5) === 1L, "the key counts as revised")
+    assert(out("P3").getLong(1) === 0L, "nothing known about the late order at T=D")
+    assert(out("P3").getLong(3) === 1L && out("P3").getLong(4) === 30500L,
+      "the retro-valid correction surfaces only in the final reading")
+    assert(out("P4").getLong(2) === 0L && out("P4").getLong(4) === 0L
+      && out("P4").getLong(5) === 0L, "void wins both readings, not a revision")
+  }
 }

@@ -664,4 +664,21 @@ class OperatorSpec extends SparkTestBase {
       .select("o_custkey").distinct().count(),
       "census covers every customer exactly once")
   }
+
+  test("readabilityCensus computes the integer Flesch formula exactly") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // "The cat sat. It ran!" -> 5 words, 2 sentence runs, 5 vowel groups:
+    // 206835 - (1015*5) div 2 - (84600*5) div 5 = 206835 - 2537 - 84600
+    val docs = Seq((1L, "The cat sat. It ran!", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.readabilityCensus(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "en")
+    assert(r.getLong(1) === 11L, "decile bucket of 119698 milli-points")
+    assert(r.getLong(2) === 1L)
+    assert(r.getLong(3) === 5L, "word count")
+    assert(r.getLong(4) === 119698L && r.getLong(5) === 119698L)
+  }
 }
