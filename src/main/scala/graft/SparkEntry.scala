@@ -1114,6 +1114,14 @@ object SparkEntry {
     // Integer Flesch reading-ease deciles per language.
     "t41_readability" -> ((s, dir) =>
       TextOps.readabilityCensus(Tables.documents(s, dir))),
+    // Synchronous LPA communities (3 rounds, count-then-min tie-break)
+    // on the support-pruned co-purchase graph.
+    "g11_lpa_communities" -> ((s, dir) =>
+      GraphOps.lpaCommunities(Tables.lineitem(s, dir))),
+    // OPTIMIZE-style bin packing over file statistics: prefix-sum
+    // cuts per partition, pure metadata.
+    "k1_compaction_plan" -> ((s, dir) =>
+      graft.sources.Sinks.compactionPlan(Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5800,5 +5808,56 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
         |  CAST(MAX(score_milli) AS BIGINT) AS max_score_milli
         |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "g11_lpa_communities" -> {
+      // 3 unrolled synchronous rounds; the window argmax (count DESC,
+      // label ASC) is the oracle's formulation of the engine's
+      // partial-aggregable max(struct(count, -label))
+      val rounds = (1 to 3).map { t =>
+        s"""l$t AS MATERIALIZED (
+           |  SELECT node, lbl FROM (
+           |    SELECT e.u AS node, l.lbl, COUNT(*) AS c,
+           |      row_number() OVER (PARTITION BY e.u
+           |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+           |    FROM e JOIN l${t - 1} l ON l.node = e.v
+           |    GROUP BY e.u, l.lbl
+           |  ) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n", ",\n", "\n")
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b
+        |       ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e)""".stripMargin +
+        rounds +
+        """SELECT CAST(lbl AS BIGINT) AS community,
+          |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          |  CAST(MIN(node) AS BIGINT) AS min_node
+          |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "k1_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |         l_suppkey AS file_key, CAST(COUNT(*) AS BIGINT) AS rows
+        |  FROM lineitem
+        |  WHERE l_shipdate IS NOT NULL AND l_suppkey IS NOT NULL
+        |  GROUP BY 1, 2
+        |), b AS (
+        |  SELECT month, file_key, rows,
+        |    COALESCE(SUM(rows) OVER (PARTITION BY month ORDER BY file_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 200
+        |      AS bin
+        |  FROM f
+        |), bins AS (
+        |  SELECT month, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |         CAST(SUM(rows) AS BIGINT) AS bin_rows
+        |  FROM b GROUP BY 1, 2
+        |)
+        |SELECT month, CAST(SUM(n_files) AS BIGINT) AS n_files,
+        |  CAST(SUM(bin_rows) AS BIGINT) AS total_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(MAX(bin_rows) AS BIGINT) AS max_bin_rows,
+        |  CAST(SUM(CASE WHEN bin_rows * 2 < 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_underfilled
+        |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

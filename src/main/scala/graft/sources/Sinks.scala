@@ -394,4 +394,45 @@ object Sinks {
         expr("bit_xor(xxhash64(value))").as("checksum"))
       .orderBy("shard")
   }
+
+  /** COMPACTION PLANNING as a query — the bin assignment step of
+    * OPTIMIZE/small-file compaction, run BEFORE any rewrite I/O: within
+    * each partition (ship month), the per-writer row groups ("files",
+    * here the per-supplier row counts a supplier-sharded ingest
+    * produces) are laid out in a stable key order and cut into target
+    * bins by exclusive-prefix-sum division — `cumsum_before div
+    * capacity` — which is exactly how a sequential coalesce packs
+    * row-runs into target-size output files. The plan is pure metadata:
+    * one sort-window per partition over file STATISTICS (thousands of
+    * rows per partition at 100 TB — never the data), then two keyed
+    * aggregates. The summary per partition is what an OPTIMIZE
+    * scheduler triages on: how many input files, how many output bins,
+    * the worst bin's overshoot (a single file larger than the capacity
+    * must exceed it — bins never split a file), and how many bins land
+    * under half-capacity (the re-fragmentation signal).
+    */
+  def compactionPlan(lineitem: DataFrame, capacity: Long = 200L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val files = lineitem
+      .filter(col("l_shipdate").isNotNull && col("l_suppkey").isNotNull)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_suppkey").as("file_key"))
+      .agg(count(lit(1)).as("rows"))
+    val w = Window.partitionBy("month").orderBy("file_key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = files
+      .withColumn("before", coalesce(sum(col("rows")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before div $capacity"))
+    val bins = binned.groupBy("month", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("bin_rows"))
+    bins.groupBy("month")
+      .agg(sum(col("n_files")).as("n_files"),
+        sum(col("bin_rows")).as("total_rows"),
+        count(lit(1)).as("n_bins"),
+        max(col("bin_rows")).as("max_bin_rows"),
+        sum(when(col("bin_rows") * 2 < capacity, 1L).otherwise(0L))
+          .as("n_underfilled"))
+      .orderBy("month")
+  }
 }

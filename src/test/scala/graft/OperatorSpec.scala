@@ -665,6 +665,40 @@ class OperatorSpec extends SparkTestBase {
       "census covers every customer exactly once")
   }
 
+  test("lpaOnEdges: two triangles across a bridge converge to two communities") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}; synchronous LPA
+    // with (count DESC, label ASC) settles each triangle on its own
+    // label and the bridge does NOT merge them (components would)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val out = GraphOps.lpaOnEdges(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 3L, 1L), (3L, 3L, 4L)),
+      "hand-traced 3-round labels: {1,2,3}->1, {4,5,6}->3")
+  }
+
+  test("compactionPlan: prefix-sum binning, straddling files never split") {
+    import spark.implicits._
+    // one month, three 'files' of 150/100/30 rows, capacity 200:
+    // bins cut at exclusive prefix sums 0/150/250 -> bins 0/0/1
+    val rows =
+      Seq.fill(150)((java.sql.Date.valueOf("1994-03-10"), 1L)) ++
+      Seq.fill(100)((java.sql.Date.valueOf("1994-03-20"), 2L)) ++
+      Seq.fill(30)((java.sql.Date.valueOf("1994-03-25"), 3L))
+    val li = rows.toDF("l_shipdate", "l_suppkey")
+    val out = graft.sources.Sinks.compactionPlan(li, capacity = 200L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "1994-03")
+    assert(r.getLong(1) === 3L && r.getLong(2) === 280L)
+    assert(r.getLong(3) === 2L, "two output bins")
+    assert(r.getLong(4) === 250L,
+      "file 2 starts inside bin 0, so bin 0 legitimately overshoots")
+    assert(r.getLong(5) === 1L, "the 30-row tail bin is under half capacity")
+  }
+
   test("readabilityCensus computes the integer Flesch formula exactly") {
     import spark.implicits._
     import graft.operators.TextOps
