@@ -1122,6 +1122,14 @@ object SparkEntry {
     // cuts per partition, pure metadata.
     "k1_compaction_plan" -> ((s, dir) =>
       graft.sources.Sinks.compactionPlan(Tables.lineitem(s, dir))),
+    // MATCH_RECOGNIZE-lite (PATTERN V C* P) via event-string
+    // projection and non-overlapping greedy regex.
+    "e43_pattern_match" -> ((s, dir) =>
+      Sessions.patternMatch(Tables.events(s, dir))),
+    // Zone-map min/max skipping audit: files skipped, rows scanned
+    // vs rows matching under a quantity predicate.
+    "k2_skipping_stats" -> ((s, dir) =>
+      graft.sources.Sinks.skippingStats(Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5859,5 +5867,42 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CASE WHEN bin_rows * 2 < 200 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_underfilled
         |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e43_pattern_match" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS str
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(str, 'vc*p')) AS BIGINT) AS n_paths,
+        |  CAST(len(regexp_extract_all(str, 'vc+p')) AS BIGINT) AS n_assisted,
+        |  CAST(COALESCE(list_max(list_transform(
+        |    regexp_extract_all(str, 'vc*p'), m -> len(m) - 2)), 0) AS BIGINT)
+        |    AS max_clicks_in_path
+        |FROM s ORDER BY user_id""".stripMargin,
+    "k2_skipping_stats" ->
+      """WITH f AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |    l_suppkey AS file_key, CAST(COUNT(*) AS BIGINT) AS rows,
+        |    CAST(MAX(l_quantity) AS BIGINT) AS max_q,
+        |    CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS matching
+        |  FROM lineitem
+        |  WHERE l_shipdate IS NOT NULL AND l_suppkey IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT month, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN max_q <= 45 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_skipped,
+        |  CAST(SUM(rows) AS BIGINT) AS total_rows,
+        |  CAST(SUM(CASE WHEN max_q > 45 THEN rows ELSE 0 END) AS BIGINT)
+        |    AS rows_scanned,
+        |  CAST(SUM(matching) AS BIGINT) AS rows_matching
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

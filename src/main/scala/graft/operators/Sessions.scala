@@ -467,4 +467,49 @@ object Sessions {
     closed1.unionByName(stateClosed).unionByName(fromBatch2)
       .orderBy("user_id", "session_id")
   }
+
+  /** MATCH_RECOGNIZE-lite: count `view click* purchase` pattern matches
+    * in each user's event sequence — the contiguous-funnel upgrade of
+    * [[funnel]] (which only asks "did the stages happen in order,
+    * anywhere"): here NOTHING may interrupt the path from view to
+    * purchase except clicks, which is Flink/Trino `MATCH_RECOGNIZE
+    * (PATTERN (V C* P))` semantics with skip-past-last-row, a construct
+    * Spark SQL lacks.
+    *
+    * Technique — EVENT-STRING PROJECTION: each user's totally-ordered
+    * event stream (order by (µs, event_id) — dq31 proves same-µs
+    * collisions exist, the id breaks them) projects to one character per
+    * event, and the pattern runs as an anchored-nowhere greedy regex
+    * over that string; non-overlapping leftmost matching IS the
+    * skip-past-last-row semantics, identically in both engines' regex
+    * planes. One keyed aggregate builds the string (state ∝ events per
+    * user — the same per-key bound sessionization already carries), the
+    * regex scans are map-side; nothing shuffles twice.
+    *
+    * Outputs per user: total events, direct + click-assisted (≥1 click)
+    * conversion counts, and the longest click run inside any match —
+    * the path-friction readout. All integers, hash-exact.
+    */
+  def patternMatch(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("ch"))
+    base
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(us, event_id, ch))), x -> x.ch)"))
+          .as("s"))
+      .select(col("user_id"), col("n_events"),
+        regexp_count(col("s"), lit("vc*p")).cast("long").as("n_paths"),
+        regexp_count(col("s"), lit("vc+p")).cast("long").as("n_assisted"),
+        coalesce(
+          array_max(expr(
+            "transform(regexp_extract_all(s, 'vc*p', 0), m -> length(m) - 2)"))
+            .cast("long"),
+          lit(0L)).as("max_clicks_in_path"))
+      .orderBy("user_id")
+  }
 }

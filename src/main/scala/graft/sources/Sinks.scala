@@ -411,6 +411,38 @@ object Sinks {
     * must exceed it — bins never split a file), and how many bins land
     * under half-capacity (the re-fragmentation signal).
     */
+  /** DATA-SKIPPING EFFECTIVENESS audit — zone-map (min/max) statistics
+    * per "file" (the same per-(month, supplier) row groups
+    * [[compactionPlan]] bins), scored against a representative
+    * predicate: how many files can a `l_quantity > 45` scan skip
+    * outright (`max_q <= 45`), how many rows the non-skipped files
+    * force it to READ, and how many rows actually MATCH. The
+    * scanned-vs-matching gap is scan amplification — the number that
+    * justifies clustering/Z-order work (K2's range-clustered layout
+    * exists to shrink it) and the exact mechanism behind parquet
+    * row-group pruning at 100 TB. Metadata-scale throughout: one
+    * aggregate to the file grain (with the per-file flag and counts
+    * combined map-side), one rollup to months.
+    */
+  def skippingStats(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val files = lineitem
+      .filter(col("l_shipdate").isNotNull && col("l_suppkey").isNotNull)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_suppkey").as("file_key"))
+      .agg(count(lit(1)).as("rows"),
+        max(col("l_quantity").cast("long")).as("max_q"),
+        sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("matching"))
+    files.groupBy("month")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("max_q") <= 45, 1L).otherwise(0L)).as("n_skipped"),
+        sum(col("rows")).as("total_rows"),
+        sum(when(col("max_q") > 45, col("rows")).otherwise(0L))
+          .as("rows_scanned"),
+        sum(col("matching")).as("rows_matching"))
+      .orderBy("month")
+  }
+
   def compactionPlan(lineitem: DataFrame, capacity: Long = 200L): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -699,6 +699,25 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getLong(5) === 1L, "the 30-row tail bin is under half capacity")
   }
 
+  test("skippingStats: zone-map pruning counts and scan amplification") {
+    import spark.implicits._
+    // file 1 (supplier 1): q = 50,50,46 — not skippable, all 3 match
+    // file 2 (supplier 2): q = 10,20 — max 20 <= 45, skipped outright
+    val li = Seq(
+      (java.sql.Date.valueOf("1994-03-01"), 1L, 50.0),
+      (java.sql.Date.valueOf("1994-03-02"), 1L, 50.0),
+      (java.sql.Date.valueOf("1994-03-03"), 1L, 46.0),
+      (java.sql.Date.valueOf("1994-03-04"), 2L, 10.0),
+      (java.sql.Date.valueOf("1994-03-05"), 2L, 20.0)
+    ).toDF("l_shipdate", "l_suppkey", "l_quantity")
+    val out = graft.sources.Sinks.skippingStats(li).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "1994-03")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) === ((2L, 1L, 5L, 3L, 3L)))
+  }
+
   test("readabilityCensus computes the integer Flesch formula exactly") {
     import spark.implicits._
     import graft.operators.TextOps

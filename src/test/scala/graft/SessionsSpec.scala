@@ -160,4 +160,31 @@ class SessionsSpec extends SparkTestBase {
     assert(got((1L, 1L)) === 1L, "user 1's session touches the hot hour")
     assert(got((2L, 1L)) === 0L, "user 2's session avoids it entirely")
   }
+
+  test("patternMatch: greedy non-overlapping V C* P, same-µs order by event_id") {
+    // user 1 projects to "vccpvpevcp": matches vccp | vp | vcp → 3 paths,
+    // 2 click-assisted, longest click run 2. Events 5 and 6 share a
+    // timestamp — only the event_id tie-break puts 'v' before 'p' to
+    // form the middle "vp" match.
+    val types = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase",
+      'e' -> "error", 's' -> "signup")
+    val seq1 = "vccpvpevcp".zipWithIndex.map { case (ch, i) =>
+      val us = if (i == 5) 4L else i.toLong // event 5 collides with event 4
+      (i.toLong, Timestamp.from(
+        ts("2024-01-01 00:00:00").toInstant.plusNanos(us * 60000000000L)),
+        1L, types(ch))
+    }
+    // user 2: clicks without a leading view never match
+    val seq2 = "ccpp".zipWithIndex.map { case (ch, i) =>
+      (100L + i, Timestamp.from(
+        ts("2024-01-01 00:00:00").toInstant.plusNanos(i * 60000000000L)),
+        2L, types(ch))
+    }
+    val ev = (seq1 ++ seq2).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessions.patternMatch(ev).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === ((10L, 3L, 2L, 2L)))
+    assert(got(2L) === ((4L, 0L, 0L, 0L)))
+  }
 }
