@@ -1130,6 +1130,13 @@ object SparkEntry {
     // vs rows matching under a quantity predicate.
     "k2_skipping_stats" -> ((s, dir) =>
       graft.sources.Sinks.skippingStats(Tables.lineitem(s, dir))),
+    // Non-associative threshold-reset fold: the voucher/budget-cap
+    // recurrence no window frame can express.
+    "w_reset_running_total" -> ((s, dir) =>
+      TimeSeries.resetRunningTotal(Tables.events(s, dir))),
+    // Closed-form integer business-day SLA lag histogram.
+    "e44_busday_lag" -> ((s, dir) =>
+      TimeSeries.busdayLag(Tables.orders(s, dir), Tables.lineitem(s, dir))),
   )
 
   /** d6 curation-gate oracle — shared by the untyped (d6_curated) and
@@ -5904,5 +5911,59 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    AS rows_scanned,
         |  CAST(SUM(matching) AS BIGINT) AS rows_matching
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Recursive-CTE step-fold (the g1 oracle pattern): all users advance
+    // in lockstep one purchase per round. Deliberately NOT list_reduce —
+    // DuckDB 1.0.0's lambda plane miscomputes it on multi-row vectors
+    // (one of 15 sf0.001 users came back wrong; correct when run alone).
+    "w_reset_running_total" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS i
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type = 'purchase' AND value IS NOT NULL
+        |), n AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |  FROM p GROUP BY 1
+        |), st AS (
+        |  SELECT user_id, CAST(0 AS BIGINT) AS i,
+        |    CAST(0 AS BIGINT) AS resets, CAST(0 AS BIGINT) AS run
+        |  FROM n
+        |  UNION ALL
+        |  SELECT st.user_id, st.i + 1,
+        |    CASE WHEN st.run + p.cents >= 10000
+        |      THEN st.resets + 1 ELSE st.resets END,
+        |    CASE WHEN st.run + p.cents >= 10000
+        |      THEN CAST(0 AS BIGINT) ELSE st.run + p.cents END
+        |  FROM st JOIN p ON p.user_id = st.user_id AND p.i = st.i + 1
+        |)
+        |SELECT user_id, n_purchases,
+        |  resets AS n_vouchers, run AS residual_cents
+        |FROM st JOIN n USING (user_id) WHERE st.i = n.n_purchases
+        |ORDER BY user_id""".stripMargin,
+    "e44_busday_lag" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey,
+        |    CAST(MIN(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS BIGINT)
+        |      AS ship_day
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS order_day,
+        |    ship_day
+        |  FROM orders JOIN fs ON o_orderkey = l_orderkey
+        |), lagged AS (
+        |  SELECT o_orderpriority,
+        |    (5 * (ship_day // 7) + ([0, 1, 2, 2, 2, 3, 4])[(ship_day % 7) + 1])
+        |    - (5 * (order_day // 7) + ([0, 1, 2, 2, 2, 3, 4])[(order_day % 7) + 1])
+        |      AS busdays
+        |  FROM j
+        |)
+        |SELECT o_orderpriority, CAST(busdays AS BIGINT) AS busdays,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

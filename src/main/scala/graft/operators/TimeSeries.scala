@@ -620,4 +620,76 @@ object TimeSeries {
         when(col("bucket") === 0L, 0L).otherwise(expr("shiftleft(1L, CAST(bucket AS INT)) - 1")))
       .orderBy("event_type", "bucket")
   }
+
+  /** THRESHOLD-RESET RUNNING TOTAL — the loyalty-voucher / budget-cap
+    * fold: each user's purchase cents accumulate in order and the
+    * accumulator RESETS to zero the moment it crosses the threshold
+    * (issuing a "voucher"). The reset makes the recurrence
+    * non-associative — `run(i) = 0 if run(i−1)+x(i) ≥ T else
+    * run(i−1)+x(i)` depends on every prior reset decision — so NO
+    * built-in window frame or prefix sum can express it; it is the
+    * canonical example of the fold class `aggregate()` (Spark) /
+    * `list_reduce` (the oracle) exists for.
+    *
+    * Scale shape: one keyed aggregate collects each user's ordered
+    * (µs, event_id, cents) triples — state ∝ purchases per user, the
+    * bound sessionization already carries — and the fold itself is a
+    * map-side scalar loop inside codegen, no second shuffle, no
+    * window sort of the whole fact table. Ordering is total ((µs, id)
+    * — dq31's collision audit is why the id participates), so the
+    * result is engine-exact integers.
+    */
+  def resetRunningTotal(events: DataFrame, thresholdCents: Long = 10000L): DataFrame = {
+    val purchases = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+    purchases
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        expr("transform(array_sort(collect_list(struct(us, event_id, cents))), x -> x.cents)")
+          .as("cs"))
+      .select(col("user_id"), col("n_purchases"),
+        expr(
+          s"""aggregate(cs, named_struct('resets', 0L, 'run', 0L),
+             |  (a, x) -> IF(a.run + x >= $thresholdCents,
+             |    named_struct('resets', a.resets + 1L, 'run', 0L),
+             |    named_struct('resets', a.resets, 'run', a.run + x)))""".stripMargin)
+          .as("st"))
+      .select(col("user_id"), col("n_purchases"),
+        col("st.resets").as("n_vouchers"), col("st.run").as("residual_cents"))
+      .orderBy("user_id")
+  }
+
+  /** BUSINESS-DAY LAG histogram — order date → first ship date measured
+    * in WEEKDAYS, the SLA clock ops teams actually run on (a Friday
+    * order shipping Monday is 1 business day late, not 3). Calendar
+    * arithmetic is closed-form integer: with epoch day 0 a Thursday,
+    * g(x) = 5·(x div 7) + lookup[x mod 7] counts business days in
+    * [0, x), so lag = g(ship) − g(order) — no calendar-spine join, no
+    * UDF, identical lookup array in both engines. One broadcast-safe
+    * min-per-order aggregate on lineitem, one equi-join to orders, one
+    * histogram aggregate.
+    */
+  def busdayLag(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def g(name: String) = expr(
+      s"5 * ($name div 7) + element_at(array(0L, 1L, 2L, 2L, 2L, 3L, 4L), " +
+        s"CAST($name % 7 AS INT) + 1)")
+    val firstShip = lineitem
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(min(datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+        .cast("long")).as("ship_day"))
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("order_day"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        (g("ship_day") - g("order_day")).as("busdays"))
+      .groupBy("o_orderpriority", "busdays")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority", "busdays")
+  }
 }

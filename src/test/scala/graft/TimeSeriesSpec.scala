@@ -364,4 +364,39 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(r.getLong(2) === 2L, "1->2->3 is two rising steps")
     assert(r.getLong(3) === 3L, "3->2.5->2.4->2.3 is three falling steps; plateau ends it")
   }
+
+  test("resetRunningTotal: fold resets at the threshold, boundary inclusive") {
+    val df = eventsDf(Seq(
+      // user 1: 6000+5000 -> reset; 2000+9000 -> reset; 500 residual
+      ev(1L, 1L, "purchase", 60.00), ev(2L, 2L, "purchase", 50.00),
+      ev(3L, 3L, "purchase", 20.00), ev(4L, 4L, "purchase", 90.00),
+      ev(5L, 5L, "purchase", 5.00),
+      // clicks never participate
+      ev(6L, 6L, "click", 999.99),
+      // user 2: EXACTLY the threshold resets (>=, not >)
+      ev(1L, 7L, "purchase", 100.00, 2L)
+    ))
+    val got = TimeSeries.resetRunningTotal(df, thresholdCents = 10000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((5L, 2L, 500L)))
+    assert(got(2L) === ((1L, 1L, 0L)))
+  }
+
+  test("busdayLag: weekend days never count, closed-form g() is exact") {
+    // 2024-01-05 Friday, 2024-01-06 Saturday, 2024-01-08 Monday
+    val orders = Seq(
+      (1L, "A", java.sql.Date.valueOf("2024-01-05")), // Fri -> Mon = 1
+      (2L, "B", java.sql.Date.valueOf("2024-01-06")), // Sat -> Mon = 0
+      (3L, "C", java.sql.Date.valueOf("2024-01-05"))  // Fri -> Fri = 0
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-08")),
+      (2L, java.sql.Date.valueOf("2024-01-08")),
+      (3L, java.sql.Date.valueOf("2024-01-05"))
+    ).toDF("l_orderkey", "l_shipdate")
+    val got = TimeSeries.busdayLag(orders, li).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("A" -> 1L, "B" -> 0L, "C" -> 0L))
+  }
 }
