@@ -704,6 +704,7 @@ object SparkEntry {
     // set forms u2/u3 cannot express (count state ∝ distinct keys).
     "u5_except_all" -> ((s, dir) => SetOps.exceptAllPriorities(Tables.orders(s, dir))),
     "u6_intersect_all" -> ((s, dir) => SetOps.intersectAllPriorities(Tables.orders(s, dir))),
+    "u7_symmetric_diff" -> ((s, dir) => SetOps.symmetricDiffPriorities(Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -1822,6 +1823,22 @@ GROUP BY doc_id ORDER BY doc_id"""
       """SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
         |INTERSECT ALL
         |SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_orderpriority""".stripMargin,
+    // independent formulation: the textbook two-EXCEPT-ALL symmetric
+    // difference, re-aggregated to (key, side, multiplicity) — proves the
+    // engine's one-pass count-difference identity
+    "u7_symmetric_diff" ->
+      """SELECT o_orderpriority, surplus_side, count(*) AS multiplicity FROM (
+        |  SELECT o_orderpriority, '1996' AS surplus_side FROM (
+        |    SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+        |    EXCEPT ALL
+        |    SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997) a
+        |  UNION ALL
+        |  SELECT o_orderpriority, '1997' AS surplus_side FROM (
+        |    SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997
+        |    EXCEPT ALL
+        |    SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996) b) u
+        |GROUP BY o_orderpriority, surplus_side
         |ORDER BY o_orderpriority""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",

@@ -74,6 +74,35 @@ object SetOps {
         .select(col("o_orderpriority")))
       .orderBy("o_orderpriority")
 
+  /** Bag-semantics SYMMETRIC DIFFERENCE — completes the u-family set
+    * algebra (u5/u6 give EXCEPT ALL / INTERSECT ALL): each key survives
+    * with multiplicity |count_a − count_b|, reported with the side
+    * holding the surplus. Computed as ONE scan + ONE keyed aggregate
+    * (a sum(when) per side; shuffle state ∝ distinct keys), where the
+    * textbook a.exceptAll(b) ∪ b.exceptAll(a) form scans and shuffles
+    * the same input twice; the multiplicity ships as a COUNT rather
+    * than replicated rows, so no operator materializes a surplus-sized
+    * array for a hot key. The oracle runs the two-EXCEPT-ALL
+    * formulation and re-aggregates it — an independent derivation, so
+    * the hash gate proves the count-difference identity rather than
+    * the query agreeing with itself.
+    */
+  def symmetricDiffPriorities(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+      .filter(col("yr").isin(1996, 1997))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n_1996"),
+        sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("n_1997"))
+      .filter(col("n_1996") =!= col("n_1997"))
+      .select(
+        col("o_orderpriority"),
+        when(col("n_1996") > col("n_1997"), "1996").otherwise("1997")
+          .as("surplus_side"),
+        abs(col("n_1996") - col("n_1997")).as("multiplicity"))
+      .orderBy("o_orderpriority")
+
   /** O3/O4 analog: deterministic top-k (sort + limit → TakeOrderedAndProject). */
   def topK(orders: DataFrame, k: Int): DataFrame =
     orders

@@ -40,6 +40,22 @@ class OperatorSpec extends SparkTestBase {
     assert(SetOps.intersectKeys(c, o).collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("symmetric diff reports |count_a - count_b| with the surplus side") {
+    // URGENT: 3 in 1996 vs 1 in 1997 → surplus 1996 ×2; LOW: 0 vs 2 →
+    // surplus 1997 ×2; HIGH: 1 vs 1 → equal multiplicity, must vanish
+    val rows = Seq(
+      ("URGENT", "1996-02-01"), ("URGENT", "1996-03-01"), ("URGENT", "1996-04-01"),
+      ("URGENT", "1997-02-01"),
+      ("LOW", "1997-05-01"), ("LOW", "1997-06-01"),
+      ("HIGH", "1996-07-01"), ("HIGH", "1997-07-01"),
+      ("HIGH", "1995-01-01")) // out-of-range year must be ignored
+      .toDF("o_orderpriority", "d")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val out = SetOps.symmetricDiffPriorities(rows).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("LOW", "1997", 2L), ("URGENT", "1996", 2L)))
+  }
+
   test("guarded rename falls back only when date is absent") {
     val noDate = Seq((1L, "t")).toDF("o_orderkey", "o_orderdate")
     assert(ColumnOps.guardedRename(noDate).columns.contains("date"))
