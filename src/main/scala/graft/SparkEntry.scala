@@ -705,6 +705,15 @@ object SparkEntry {
     "u5_except_all" -> ((s, dir) => SetOps.exceptAllPriorities(Tables.orders(s, dir))),
     "u6_intersect_all" -> ((s, dir) => SetOps.intersectAllPriorities(Tables.orders(s, dir))),
     "u7_symmetric_diff" -> ((s, dir) => SetOps.symmetricDiffPriorities(Tables.orders(s, dir))),
+    // Two-sample KS drift per series: unbinned sup-norm ECDF distance
+    // between time halves — the location-shift detector dq26's binned
+    // TVD can miss; one value-keyed aggregate + one distinct-value window.
+    "dq32_ks_drift" -> ((s, dir) => Quality.ksDrift(Tables.events(s, dir))),
+    // Daily-revenue autocorrelation at lags 1..7: exact integer
+    // numerator/denominator pairs (floor-mean centering), calendar-day
+    // lag alignment — the weekly-seasonality diagnostic behind e29.
+    "e45_autocorrelation" -> ((s, dir) =>
+      TimeSeries.autocorrelation(Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -1840,6 +1849,52 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996) b) u
         |GROUP BY o_orderpriority, surplus_side
         |ORDER BY o_orderpriority""".stripMargin,
+    "dq32_ks_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |), m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM e),
+        |v AS (
+        |  SELECT event_type, cents,
+        |    CAST(SUM(CASE WHEN us <= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN us > mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM e CROSS JOIN m GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, cents,
+        |    SUM(c1) OVER (PARTITION BY event_type ORDER BY cents) AS cum1,
+        |    SUM(c2) OVER (PARTITION BY event_type ORDER BY cents) AS cum2,
+        |    SUM(c1) OVER (PARTITION BY event_type) AS n1,
+        |    SUM(c2) OVER (PARTITION BY event_type) AS n2
+        |  FROM v
+        |)
+        |SELECT event_type, CAST(MAX(n1) AS BIGINT) AS n1,
+        |       CAST(MAX(n2) AS BIGINT) AS n2,
+        |       CAST(COUNT(*) AS BIGINT) AS n_values,
+        |       CAST(MAX(abs(CAST(cum1 AS HUGEINT) * n2
+        |                    - CAST(cum2 AS HUGEINT) * n1)) * 1000
+        |            // (CAST(MAX(n1) AS HUGEINT) * MAX(n2)) AS BIGINT)
+        |         AS ks_permille
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e45_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS day,
+        |         CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), m AS (SELECT SUM(x) // COUNT(*) AS mu FROM daily),
+        |dev AS (SELECT day, x - mu AS d FROM daily CROSS JOIN m),
+        |den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev),
+        |k AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag)
+        |SELECT k.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(a.d * b.d) AS BIGINT) AS num,
+        |       CAST(MAX(den.den) AS BIGINT) AS den
+        |FROM dev a JOIN k ON TRUE JOIN dev b ON b.day = a.day + k.lag
+        |CROSS JOIN den
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

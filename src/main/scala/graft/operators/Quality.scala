@@ -1127,4 +1127,55 @@ object Quality {
         max(when(col("gap") > 0L, col("gap"))).as("max_gap"))
       .orderBy("event_type")
   }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV drift per series: the sup-norm
+    * distance between the first-half and second-half value ECDFs —
+    * the UNBINNED complement to [[distributionDrift]]'s binned total
+    * variation. TVD on coarse bins can miss a pure location shift that
+    * never changes bin mass much; KS is exactly the statistic that
+    * catches it, and it needs no bin-width tuning at all.
+    *
+    * Exactness: at each distinct value v, |F₁(v) − F₂(v)| =
+    * |cum₁·n₂ − cum₂·n₁| / (n₁·n₂). The numerator max is integer; the
+    * cross-products are computed in DECIMAL(38,0) (HUGEINT on the
+    * oracle side) so the statistic stays exact to n ≈ 10¹⁸ per half —
+    * far past any fixture. ks_permille = ⌊1000·maxD/(n₁·n₂)⌋, all
+    * quantities non-negative so floor and truncation agree across
+    * engines. The half split point ⌊(min_us+max_us)/2⌋ is derived from
+    * the data and broadcast, identically in both engines.
+    *
+    * Scale shape: one tiny global min/max pass, then ONE map-side-
+    * combining hash aggregate to (series, value) counts — the only
+    * exchange that sees data volume — then one window over DISTINCT
+    * values partitioned by series (state ∝ distinct values, not rows;
+    * the running sums and the per-partition totals ride the same
+    * exchange). Output is one row per series.
+    */
+  def ksDrift(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val perValue = e.crossJoin(broadcast(mid))
+      .groupBy("event_type", "cents")
+      .agg(sum(when(col("us") <= col("mid_us"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("us") > col("mid_us"), 1L).otherwise(0L)).as("c2"))
+    val ordered = Window.partitionBy("event_type").orderBy("cents")
+    val whole = Window.partitionBy("event_type")
+    perValue
+      .withColumn("cum1", sum(col("c1")).over(ordered))
+      .withColumn("cum2", sum(col("c2")).over(ordered))
+      .withColumn("n1", sum(col("c1")).over(whole))
+      .withColumn("n2", sum(col("c2")).over(whole))
+      .groupBy("event_type")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        count(lit(1)).as("n_values"),
+        expr("""CAST(max(abs(CAST(cum1 AS DECIMAL(38,0)) * n2
+               |             - CAST(cum2 AS DECIMAL(38,0)) * n1)) * 1000
+               |     div (CAST(max(n1) AS DECIMAL(38,0)) * max(n2)) AS BIGINT)"""
+          .stripMargin).as("ks_permille"))
+      .orderBy("event_type")
+  }
 }

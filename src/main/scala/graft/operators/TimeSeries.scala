@@ -692,4 +692,54 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority", "busdays")
   }
+
+  /** AUTOCORRELATION sufficient statistics of the daily revenue series
+    * at lags 1..`maxLag` — the diagnostic that decides whether a
+    * forecasting/backtest operator (e29) should model weekly structure
+    * at all, and the standard residual-whiteness check after it runs.
+    *
+    * Exactness: ACF's mean-centering is rational (μ = S/n), so instead
+    * of floats the operator centers on the FLOOR mean μ̂ = S div n
+    * (identical integer in both engines, S ≥ 0) and reports the exact
+    * integer numerator Σ d_t·d_{t+k} and denominator Σ d_t² — the
+    * reader's ratio is the (μ̂-centered) ACF. No division ever happens,
+    * so there is no floor-vs-truncate cross-engine hazard on the
+    * possibly-NEGATIVE numerators. Daily sums are whole dollars: at
+    * sf0.1 deviations are ~10⁶–10⁷, so Σd² ≈ 10¹⁶ sits comfortably in
+    * BIGINT (the cents rendering would graze the 2⁶³ bound at sf10 —
+    * documented trade, dollars keep the statistic BIGINT-exact to
+    * ~sf10³).
+    *
+    * Lag pairing is BY CALENDAR DAY (b.day = a.day + k), not by row
+    * offset, so a missing day drops its pairs identically in both
+    * engines instead of silently shifting the alignment; n_pairs makes
+    * the coverage visible.
+    *
+    * Scale shape: the only data-volume exchange is the map-side-
+    * combining daily aggregate (output ∝ days). Everything after —
+    * the 1-row mean, the day-keyed self-join, the per-lag sums — is
+    * metadata-scale (days × maxLag rows), and the join is broadcast.
+    */
+  def autocorrelation(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+    val mu = daily.agg(expr("sum(x) div count(1)").as("mu"))
+    val dev = daily.crossJoin(broadcast(mu))
+      .select(col("day"), (col("x") - col("mu")).as("d"))
+    val den = dev.agg(sum(col("d") * col("d")).as("den"))
+    val future = dev.select(col("day").as("f_day"), col("d").as("f_d"))
+    dev
+      .select(explode(expr(s"sequence(1L, ${maxLag}L)")).as("lag"),
+        col("day"), col("d"))
+      .join(broadcast(future), col("f_day") === col("day") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d") * col("f_d")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"), col("num"), col("den"))
+      .orderBy("lag")
+  }
 }

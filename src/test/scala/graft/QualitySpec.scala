@@ -422,4 +422,28 @@ class QualitySpec extends SparkTestBase {
     assert(got("a").getLong(3) === 2L, "two occupied bins")
     assert(got("b").getLong(4) === 1000L)
   }
+
+  test("ksDrift: 0 for identical halves, 1000 for disjoint, 500 for a half-mass shift") {
+    def ev(id: Long, us: Long, typ: String, v: Double) = (id, us, typ, v)
+    // global mid = (0 + 100) div 2 = 50: us <= 50 is half 1
+    val df = Seq(
+      // a: both halves are {10, 60} -> ECDFs identical -> KS 0
+      ev(1L, 0L, "a", 10.0), ev(2L, 10L, "a", 60.0),
+      ev(3L, 60L, "a", 10.0), ev(4L, 100L, "a", 60.0),
+      // b: half 1 all below half 2 -> sup gap 1 -> 1000 permille
+      ev(5L, 0L, "b", 10.0), ev(6L, 100L, "b", 200.0),
+      // c: {1,2} vs {2,3} -> max |F1-F2| at v=1: |1/2 - 0/2| = 0.5
+      ev(7L, 0L, "c", 1.0), ev(8L, 10L, "c", 2.0),
+      ev(9L, 60L, "c", 2.0), ev(10L, 100L, "c", 3.0))
+      .toDF("event_id", "usl", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val got = Quality.ksDrift(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(4) === 0L)
+    assert((got("a").getLong(1), got("a").getLong(2), got("a").getLong(3)) ===
+      ((2L, 2L, 2L)), "n1/n2 halves of 2, two distinct values")
+    assert(got("b").getLong(4) === 1000L)
+    assert(got("c").getLong(4) === 500L)
+    assert(got("c").getLong(3) === 3L, "three distinct values in the pool")
+  }
 }

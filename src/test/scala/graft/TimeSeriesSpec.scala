@@ -399,4 +399,36 @@ class TimeSeriesSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === Map("A" -> 1L, "B" -> 0L, "C" -> 0L))
   }
+
+  test("autocorrelation: exact num/den on an alternating series, same-day orders pre-summed") {
+    // days 0..3 with daily dollars 10,20,10,20 (day 0 arrives as 4+6):
+    // mu = 60 div 4 = 15, d = (-5, 5, -5, 5), den = 100
+    val orders = Seq(
+      (1L, java.sql.Date.valueOf("1970-01-01"), 4.0),
+      (2L, java.sql.Date.valueOf("1970-01-01"), 6.0),
+      (3L, java.sql.Date.valueOf("1970-01-02"), 20.0),
+      (4L, java.sql.Date.valueOf("1970-01-03"), 10.0),
+      (5L, java.sql.Date.valueOf("1970-01-04"), 20.0)
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = TimeSeries.autocorrelation(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, -75L, 100L)), "lag 1: three pairs of -25")
+    assert(got(2L) === ((2L, 50L, 100L)), "lag 2: two pairs of +25")
+    assert(got(3L) === ((1L, -25L, 100L)))
+    assert(!got.contains(4L), "no day pairs 4 apart -> lag absent, not zero")
+  }
+
+  test("autocorrelation: lag pairing is by calendar day, floor mean is exact") {
+    // days 0, 1, 3 (day 2 missing): mu = 40 div 3 = 13, d = (-3, 7, -3)
+    val orders = Seq(
+      (1L, java.sql.Date.valueOf("1970-01-01"), 10.0),
+      (2L, java.sql.Date.valueOf("1970-01-02"), 20.0),
+      (3L, java.sql.Date.valueOf("1970-01-04"), 10.0)
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = TimeSeries.autocorrelation(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((1L, -21L, 67L)), "only (day0, day1) is 1 apart")
+    assert(got(2L) === ((1L, -21L, 67L)), "(day1, day3) pairs at lag 2, not lag 1")
+    assert(got(3L) === ((1L, 9L, 67L)))
+  }
 }
