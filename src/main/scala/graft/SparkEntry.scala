@@ -714,6 +714,17 @@ object SparkEntry {
     // lag alignment — the weekly-seasonality diagnostic behind e29.
     "e45_autocorrelation" -> ((s, dir) =>
       TimeSeries.autocorrelation(Tables.orders(s, dir))),
+    // Gain/lift deciles per source: ntile(10) over the total (score,
+    // doc_id) order — the top-p% capture/lift table behind dq18's AUC.
+    "dq33_lift_deciles" -> ((s, dir) =>
+      Evaluation.liftDeciles(Tables.documents(s, dir))),
+    // DataFrameStatFunctions.crosstab surface on a 3-value column.
+    "a25_crosstab" -> ((s, dir) =>
+      Aggregates.crosstabPriorityStatus(Tables.orders(s, dir))),
+    // MMR diversity rerank (λ=1/2) of the top-32 inner-product hits:
+    // greedy argmax fold on exact micro-unit dots, tie-break vec_id.
+    "s21_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -1895,6 +1906,77 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM dev a JOIN k ON TRUE JOIN dev b ON b.day = a.day + k.lag
         |CROSS JOIN den
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq33_lift_deciles" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+        |    ntile(10) OVER (PARTITION BY source
+        |                    ORDER BY n_chars DESC, doc_id) AS decile
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, CAST(decile AS BIGINT) AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(is_pos) AS BIGINT) AS n_pos
+        |  FROM d GROUP BY 1, 2
+        |), c AS (
+        |  SELECT source, decile, n_rows, n_pos,
+        |    SUM(n_rows) OVER (PARTITION BY source ORDER BY decile) AS cum_rows,
+        |    SUM(n_pos) OVER (PARTITION BY source ORDER BY decile) AS cum_pos,
+        |    SUM(n_rows) OVER (PARTITION BY source) AS tot_rows,
+        |    SUM(n_pos) OVER (PARTITION BY source) AS tot_pos
+        |  FROM g
+        |)
+        |SELECT source, decile, n_rows, n_pos,
+        |  CAST(cum_pos * 1000 // nullif(tot_pos, 0) AS BIGINT)
+        |    AS capture_permille,
+        |  CAST(cum_pos * tot_rows * 1000 // nullif(cum_rows * tot_pos, 0)
+        |       AS BIGINT) AS lift_permille
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    "a25_crosstab" ->
+      """SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s21_mmr_rerank" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS uq
+        |  FROM embeddings WHERE vec_id = 0
+        |), cand AS (
+        |  SELECT vec_id, u,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      j -> u[j] * uq[j])) AS rel
+        |  FROM (SELECT vec_id, list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS u
+        |        FROM embeddings WHERE vec_id <> 0) c CROSS JOIN q
+        |  ORDER BY rel DESC, vec_id LIMIT 32
+        |), pd AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      j -> a.u[j] * b.u[j])) AS dot
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        |), sel AS (
+        |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+        |         CAST(0 AS BIGINT) AS pen, [vec_id] AS sel_ids
+        |  FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT s.rank + 1, n.vec_id, n.rel, n.pen,
+        |         list_append(s.sel_ids, n.vec_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT x.vec_id, x.rel, x.pen
+        |    FROM (SELECT cc.vec_id, cc.rel,
+        |            (SELECT MAX(dot) FROM pd
+        |             WHERE pd.va = cc.vec_id
+        |               AND list_contains(s.sel_ids, pd.vb)) AS pen
+        |          FROM cand cc
+        |          WHERE NOT list_contains(s.sel_ids, cc.vec_id)) x
+        |    ORDER BY x.rel - x.pen DESC, x.vec_id LIMIT 1) n
+        |  WHERE s.rank < 10
+        |)
+        |SELECT rank, vec_id, rel AS rel_dot, pen AS pen_dot,
+        |       rel - pen AS mmr2
+        |FROM sel ORDER BY rank""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

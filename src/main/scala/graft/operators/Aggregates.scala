@@ -722,4 +722,19 @@ object Aggregates {
       .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
         .cast("long")).as("revenue_cents"),
         count(lit(1)).as("n_lines"))
+
+  /** CONTINGENCY TABLE via `DataFrameStatFunctions.crosstab` — the
+    * pandas-`crosstab` API surface a notebook user reaches for first
+    * when eyeballing two categoricals. Spark's implementation pivots on
+    * the DRIVER-collected distinct values of the second column, so the
+    * operator's contract is "column 2 is low-cardinality" — here
+    * o_orderstatus (3 values); the fact table itself is reduced by one
+    * map-side-combining (priority, status) count aggregate before the
+    * tiny pivot. High-cardinality cross-tabs belong in a9_pivot's
+    * groupBy-pivot form instead (bounded, spill-safe) — this entry pins
+    * the stat-function surface itself.
+    */
+  def crosstabPriorityStatus(orders: DataFrame): DataFrame =
+    orders.stat.crosstab("o_orderpriority", "o_orderstatus")
+      .orderBy("o_orderpriority_o_orderstatus")
 }

@@ -249,4 +249,47 @@ object Evaluation {
           .as("recall_permille"))
       .orderBy("query_id")
   }
+
+  /** GAIN/LIFT DECILE table per source — the campaign-targeting view of
+    * the same score/label pair aucStats ranks ([[aucStats]] answers "is
+    * the score any good overall"; this answers "if I can only act on the
+    * top 10/20/...% of rows, what fraction of the positives do I
+    * capture, and how much better than random is that" — the chart a
+    * marketing or data-filtering decision is actually made from).
+    *
+    * Determinism: the decile assignment rides ntile(10) over the TOTAL
+    * order (score DESC, doc_id) — both engines fill remainder rows into
+    * the leading buckets under the same rule, so membership is exact.
+    * capture = ⌊1000·cum_pos/tot_pos⌋ and lift =
+    * ⌊1000·cum_pos·tot_rows/(cum_rows·tot_pos)⌋ — all non-negative
+    * BIGINTs, so floor and truncate agree across engines; a source with
+    * zero positives gets NULL (nullif), not a fake 0.
+    *
+    * Scale shape: ONE exchange on source — the ntile window, the
+    * (source, decile) aggregate (clustering satisfied by the source
+    * partitioning), the cumulative window, and the per-source totals all
+    * ride it. Output ∝ sources × 10.
+    */
+  def liftDeciles(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    val rank = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+    val cum = Window.partitionBy("source").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("source")
+    documents
+      .select(col("source"), col("doc_id"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
+      .withColumn("decile", ntile(buckets).over(rank).cast("long"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_rows"), sum(col("is_pos")).as("n_pos"))
+      .withColumn("cum_rows", sum(col("n_rows")).over(cum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .withColumn("tot_rows", sum(col("n_rows")).over(tot))
+      .withColumn("tot_pos", sum(col("n_pos")).over(tot))
+      .select(col("source"), col("decile"), col("n_rows"), col("n_pos"),
+        expr("cum_pos * 1000L div nullif(tot_pos, 0L)").as("capture_permille"),
+        expr("cum_pos * tot_rows * 1000L div nullif(cum_rows * tot_pos, 0L)")
+          .as("lift_permille"))
+      .orderBy("source", "decile")
+  }
 }

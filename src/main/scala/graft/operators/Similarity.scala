@@ -609,6 +609,79 @@ object Similarity {
         expr("s div n").as("mean_micro"),
         (expr("q div n") - expr("(s div n) * (s div n)")).as("var_micro2"))
       .orderBy("dim")
+
+  /** MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein, SIGIR'98)
+    * — the diversity-aware selection pass a RAG/retrieval pipeline runs
+    * AFTER top-k: greedily pick the candidate maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s), so near-duplicate hits
+    * don't crowd the context window. λ = 1/2, so 2·MMR = rel − penalty —
+    * the fold stays in integers and the reported `mmr2` IS the doubled
+    * objective at selection time.
+    *
+    * Exactness: similarities are raw inner products over the shared
+    * micro-unit floor rendering ([[microUnits]]) — exact BIGINTs both
+    * engines can reproduce, no norms, no sqrt. The greedy argmax
+    * tie-breaks on vec_id, making every selection step a total order.
+    *
+    * Scale shape: the corpus-sized work is exactly [[mipsTopK]]'s — one
+    * broadcast-query scan with a codegen'd integer dot, top-N via
+    * TakeOrderedAndProject. The O(k·N) greedy interaction then runs on
+    * the N collected candidate structs INSIDE one `aggregate()` fold
+    * (one row, map-side, n ≈ 32 — metadata-scale by construction; the
+    * selection step is inherently sequential, so the right distributed
+    * answer is "make the sequential part tiny", not a k-round shuffle).
+    */
+  def mmrRerank(embeddings: DataFrame, queryVecId: Long = 0L,
+      nCandidates: Int = 32, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(microUnits.as("uq"))
+    val cands = embeddings
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), microUnits.as("u"))
+      .join(broadcast(q))
+      .withColumn("rel",
+        expr("aggregate(zip_with(u, uq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(nCandidates)
+    // (rel − pen) DESC, vec_id ASC — the greedy argmax as a comparator.
+    // pen is NULL until the first similarity is observed (step 1 ranks by
+    // rel alone): a 0 start would CLAMP negative dots — greatest(0, dot)
+    // — and MMR's penalty is the true max similarity, sign included.
+    val cmp = """(l, r) -> CASE
+      WHEN l.rel - coalesce(l.pen, 0L) > r.rel - coalesce(r.pen, 0L) THEN -1
+      WHEN l.rel - coalesce(l.pen, 0L) < r.rel - coalesce(r.pen, 0L) THEN 1
+      WHEN l.vec_id < r.vec_id THEN -1 ELSE 1 END"""
+    val sorted = s"array_sort(st.rem, $cmp)"
+    val fold = s"""aggregate(
+      sequence(1L, ${k}L),
+      named_struct(
+        'sel', CAST(array() AS
+          array<struct<rank: bigint, vec_id: bigint, rel: bigint, pen: bigint>>),
+        'rem', cands),
+      (st, i) -> IF(size(st.rem) = 0, st, named_struct(
+        'sel', array_append(st.sel, named_struct(
+          'rank', i,
+          'vec_id', element_at($sorted, 1).vec_id,
+          'rel', element_at($sorted, 1).rel,
+          'pen', coalesce(element_at($sorted, 1).pen, 0L))),
+        'rem', transform(slice($sorted, 2, size(st.rem)), c -> named_struct(
+          'vec_id', c.vec_id, 'rel', c.rel,
+          'pen', greatest(c.pen,
+            aggregate(zip_with(c.u, element_at($sorted, 1).u, (x, y) -> x * y),
+              0L, (a, x) -> a + x)),
+          'u', c.u)))),
+      st -> st.sel)"""
+    cands
+      .agg(expr(
+        """collect_list(named_struct('vec_id', vec_id, 'rel', rel,
+          |  'pen', CAST(NULL AS BIGINT), 'u', u))""".stripMargin)
+        .as("cands"))
+      .select(explode(expr(fold)).as("pick"))
+      .select(col("pick.rank").as("rank"), col("pick.vec_id").as("vec_id"),
+        col("pick.rel").as("rel_dot"), col("pick.pen").as("pen_dot"),
+        (col("pick.rel") - col("pick.pen")).as("mmr2"))
+      .orderBy("rank")
+  }
 }
 
 /** Random-hyperplane LSH index over an embedding column.

@@ -280,6 +280,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got.head.getDouble(1) === 2.0, "dot of unit vector with its 2x copy")
   }
 
+  test("mmrRerank: diversity beats relevance at step 2, penalties carry sign") {
+    import spark.implicits._
+    // dyadic floats -> exact micro-units. q = (1, 0); A is the top hit;
+    // B is A's near-duplicate (higher rel than C); C points away from A.
+    val frame = Seq(
+      (0L, Seq(1.0f, 0.0f)),        // query
+      (1L, Seq(0.875f, -0.375f)),   // A: rel 8.75e11
+      (2L, Seq(0.8125f, -0.375f)),  // B: rel 8.125e11, dot(B,A) 8.515625e11
+      (3L, Seq(0.6875f, 0.625f))    // C: rel 6.875e11, dot(C,A) 3.671875e11
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(frame).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+    assert(got.length === 3, "fold stops when candidates run out, k=10 notwithstanding")
+    assert(got(0) === (1L -> ((1L, 875000000000L, 0L, 875000000000L))))
+    // step 2: B's MMR 8.125e11 - 8.515625e11 < C's 6.875e11 - 3.671875e11
+    assert(got(1) === (2L -> ((3L, 687500000000L, 367187500000L, 320312500000L))))
+    // step 3: B's penalty is max(dot(B,A), dot(B,C)) = dot(B,A); mmr2 NEGATIVE
+    assert(got(2) === (3L -> ((2L, 812500000000L, 851562500000L, -39062500000L))))
+  }
+
   test("integer centroids are partition-invariant and match a driver-side model") {
     val emb = Tables.embeddings(spark, sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Evaluation, JoinOps, MergeOps, Quality,
-  Sessions, Similarity, TextOps, TimeSeries}
+import graft.operators.{Aggregates, Dedup, Evaluation, JoinOps, MergeOps,
+  Quality, Sessions, Similarity, TextOps, TimeSeries}
 
 /** Hand-computed referees for the evaluation tier (exact AUC, chi-squared
   * association) plus the golden-record survivorship merge and the
@@ -168,6 +168,43 @@ class EvaluationSpec extends SparkTestBase {
     val r = TextOps.lexicalDiversity(docs).head()
     assert(r.getString(0) == "s" && r.getLong(1) == 4L && r.getLong(2) == 3L)
     assert(r.getLong(3) == 2L && r.getLong(4) == 750L && r.getLong(5) == 666L)
+  }
+
+  test("liftDeciles: top-decile lift, capture saturates to 1000, no-positive source nulls") {
+    // source s: 20 docs scored 20..1, the 5 positives hold the 5 best scores
+    val s = (1 to 20).map(i =>
+      (i.toLong, "s", 21 - i, if (i <= 5) "en" else "fr"))
+    // source t: 3 docs, zero positives -> ntile puts one per leading decile
+    val t = (21 to 23).map(i => (i.toLong, "t", 30 - i, "fr"))
+    val docs = (s ++ t).toDF("doc_id", "source", "n_chars", "lang")
+    val got = Evaluation.liftDeciles(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val d1 = got(("s", 1L)) // docs 1,2: both positive
+    assert((d1.getLong(2), d1.getLong(3)) === ((2L, 2L)))
+    assert(d1.getLong(4) === 400L, "capture 2/5")
+    assert(d1.getLong(5) === 4000L, "4x the 25% base rate")
+    val d3 = got(("s", 3L)) // cum 6 rows, 5 positives: capture complete
+    assert(d3.getLong(4) === 1000L)
+    assert(d3.getLong(5) === (5L * 20L * 1000L) / (6L * 5L))
+    val d10 = got(("s", 10L))
+    assert((d10.getLong(4), d10.getLong(5)) === ((1000L, 1000L)))
+    assert(got.keys.count(_._1 == "t") === 3, "3 rows -> deciles 1..3 only")
+    assert(got(("t", 1L)).isNullAt(4) && got(("t", 1L)).isNullAt(5),
+      "zero positives -> NULL permilles, not fake zeros")
+  }
+
+  test("crosstabPriorityStatus: cell counts and the crosstab column contract") {
+    val orders = Seq(
+      (1L, "1-URGENT", "F"), (2L, "1-URGENT", "F"), (3L, "1-URGENT", "O"),
+      (4L, "2-HIGH", "P"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val got = Aggregates.crosstabPriorityStatus(orders)
+    assert(got.columns.toSet === Set("o_orderpriority_o_orderstatus", "F", "O", "P"))
+    val rows = got.collect().map(r => r.getString(0) ->
+      ((r.getLong(got.columns.indexOf("F")), r.getLong(got.columns.indexOf("O")),
+        r.getLong(got.columns.indexOf("P"))))).toMap
+    assert(rows("1-URGENT") === ((2L, 1L, 0L)))
+    assert(rows("2-HIGH") === ((0L, 0L, 1L)))
   }
 
   test("incrementalSessionize == one-shot sessionize at every cut position") {
