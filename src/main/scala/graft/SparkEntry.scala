@@ -725,6 +725,18 @@ object SparkEntry {
     // greedy argmax fold on exact micro-unit dots, tie-break vec_id.
     "s21_mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(Tables.embeddings(s, dir))),
+    // Null-safe full-outer cohort join: NULL is a matchable key (the
+    // unattributed bucket), pre-aggregated per side so the null key
+    // carries one row, not a skew block.
+    "j36_nullsafe_join" -> ((s, dir) =>
+      JoinOps.nullSafeCohortJoin(Tables.events(s, dir))),
+    // Month-over-month / year-over-year revenue deltas, calendar-key
+    // aligned (mk−1 / mk−12 joins), truncating div verified both engines.
+    "e46_period_over_period" -> ((s, dir) =>
+      TimeSeries.periodOverPeriod(Tables.orders(s, dir))),
+    // count_if / bool_and / bool_or / struct-determinized argmax battery.
+    "a26_bool_aggregates" -> ((s, dir) =>
+      Aggregates.boolAggBattery(Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -1977,6 +1989,53 @@ GROUP BY doc_id ORDER BY doc_id"""
         |SELECT rank, vec_id, rel AS rel_dot, pen AS pen_dot,
         |       rel - pen AS mmr2
         |FROM sel ORDER BY rank""".stripMargin,
+    "j36_nullsafe_join" ->
+      """WITH p AS (
+        |  SELECT nullif(user_id % 10, 7) AS cohort,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1
+        |), c AS (
+        |  SELECT nullif(user_id % 10, 7) AS cohort,
+        |    CAST(COUNT(*) AS BIGINT) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |)
+        |SELECT COALESCE(p.cohort, c.cohort) AS cohort,
+        |       purchase_cents, n_clicks
+        |FROM p FULL JOIN c ON p.cohort IS NOT DISTINCT FROM c.cohort
+        |ORDER BY cohort NULLS FIRST""".stripMargin,
+    "e46_period_over_period" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |           AS mk,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT m.mk // 12 AS yr, m.mk % 12 + 1 AS mo, m.cents,
+        |       p.cents AS prev_cents, y.cents AS yoy_cents,
+        |       CAST((m.cents - p.cents) * 1000 // p.cents AS BIGINT)
+        |         AS mom_permille,
+        |       CAST((m.cents - y.cents) * 1000 // y.cents AS BIGINT)
+        |         AS yoy_permille
+        |FROM monthly m
+        |LEFT JOIN monthly p ON p.mk = m.mk - 1
+        |LEFT JOIN monthly y ON y.mk = m.mk - 12
+        |ORDER BY 1, 2""".stripMargin,
+    "a26_bool_aggregates" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS BIGINT)
+        |    AS n_big,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  (max({'cents': CAST(round(o_totalprice * 100) AS BIGINT),
+        |        'k': o_orderkey})).k AS max_price_key,
+        |  (min({'cents': CAST(round(o_totalprice * 100) AS BIGINT),
+        |        'k': o_orderkey})).k AS min_price_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

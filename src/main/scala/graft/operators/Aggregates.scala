@@ -737,4 +737,26 @@ object Aggregates {
   def crosstabPriorityStatus(orders: DataFrame): DataFrame =
     orders.stat.crosstab("o_orderpriority", "o_orderstatus")
       .orderBy("o_orderpriority_o_orderstatus")
+
+  /** BOOLEAN/CONDITIONAL aggregate battery: `count_if`, `bool_and`,
+    * `bool_or`, and DETERMINIZED argmax/argmin — the everyday SQL:2023
+    * aggregate surface. Plain `max_by`/`arg_max` are nondeterministic
+    * under ties; here the argmax rides `max` over a (cents, key) STRUCT
+    * — lexicographic struct comparison is the tie-break, identical in
+    * both engines, so the answer is exact even when two orders share a
+    * price. All five are map-side-combining hash aggregates in one
+    * pass; state ∝ groups.
+    */
+  def boolAggBattery(orders: DataFrame): DataFrame =
+    orders
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("count_if(o_totalprice > 200000.0)").as("n_big"),
+        expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+        expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+        max(struct(round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey").as("k"))).getField("k").as("max_price_key"),
+        min(struct(round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderkey").as("k"))).getField("k").as("min_price_key"))
+      .orderBy("o_orderpriority")
 }

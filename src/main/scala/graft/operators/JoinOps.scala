@@ -865,4 +865,37 @@ object JoinOps {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy("s_suppkey")
   }
+
+  /** NULL-SAFE full-outer join (`<=>` / IS NOT DISTINCT FROM): the join
+    * form where NULL is a MATCHABLE key value — here the "unattributed"
+    * cohort (`nullif(user_id % 10, 7)` models the tracking-consent /
+    * missing-attribution bucket every marketing rollup has). A plain
+    * equi full-outer leaves TWO dangling null-key rows (NULL never
+    * equals NULL); the null-safe join pairs them into one reconciled
+    * row — the difference the spec pins by row count.
+    *
+    * Scale note: null-safe equality hashes NULL like any other key, so
+    * the whole unattributed population lands on ONE reducer — the
+    * canonical skew key when attribution coverage is low. The safe
+    * pattern (used here) is to pre-aggregate both sides to cohort grain
+    * BEFORE the join, so the null bucket carries one row per side no
+    * matter how many raw events are unattributed; joining raw facts
+    * null-safely is the anti-pattern.
+    */
+  def nullSafeCohortJoin(events: DataFrame): DataFrame = {
+    def cohort = expr("nullif(user_id % 10, 7)")
+    val purchases = events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(cohort.as("cohort"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .groupBy(cohort.as("c_cohort"))
+      .agg(count(lit(1)).as("n_clicks"))
+    purchases
+      .join(clicks, purchases("cohort") <=> clicks("c_cohort"), "full_outer")
+      .select(coalesce(col("cohort"), col("c_cohort")).as("cohort"),
+        col("purchase_cents"), col("n_clicks"))
+      .orderBy(asc_nulls_first("cohort"))
+  }
 }

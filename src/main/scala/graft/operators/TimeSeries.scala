@@ -742,4 +742,37 @@ object TimeSeries {
       .select(col("lag"), col("n_pairs"), col("num"), col("den"))
       .orderBy("lag")
   }
+
+  /** PERIOD-OVER-PERIOD deltas — month-over-month and year-over-year
+    * revenue change in floor permille, the first page of every BI
+    * report. Alignment is BY CALENDAR KEY (month index = 12·year +
+    * month − 1), joined at mk−1 and mk−12 — NOT a row-offset lag(), so
+    * a month with zero orders yields NULL deltas on both engines
+    * instead of silently comparing against the wrong month.
+    *
+    * Deltas can be NEGATIVE: Spark's `div` and DuckDB's `//` both
+    * truncate toward zero (verified for [[Similarity.labelCohesion]]),
+    * so the quotient is engine-exact without a pmod dance.
+    *
+    * Scale shape: the fact table collapses in one map-side-combining
+    * monthly aggregate (output ∝ months); both alignment joins are
+    * broadcast self-joins on that metadata-scale frame.
+    */
+  def periodOverPeriod(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("mk"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val prev = monthly.select((col("mk") + 1L).as("mk"), col("cents").as("prev_cents"))
+    val yoy = monthly.select((col("mk") + 12L).as("mk"), col("cents").as("yoy_cents"))
+    monthly
+      .join(broadcast(prev), Seq("mk"), "left")
+      .join(broadcast(yoy), Seq("mk"), "left")
+      .select(expr("mk div 12").as("yr"), (col("mk") % 12 + 1L).as("mo"),
+        col("cents"), col("prev_cents"), col("yoy_cents"),
+        expr("(cents - prev_cents) * 1000 div prev_cents").as("mom_permille"),
+        expr("(cents - yoy_cents) * 1000 div yoy_cents").as("yoy_permille"))
+      .orderBy("yr", "mo")
+  }
 }

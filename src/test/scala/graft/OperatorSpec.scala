@@ -750,4 +750,74 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getLong(3) === 5L, "word count")
     assert(r.getLong(4) === 119698L && r.getLong(5) === 119698L)
   }
+
+  test("nullSafeCohortJoin: the NULL cohort reconciles into ONE row, unlike plain equality") {
+    import spark.implicits._
+    // user 17 -> cohort NULL (nullif(17 % 10, 7)); users 1, 11 -> cohort 1
+    val events = Seq(
+      (1L, 17L, "purchase", 2.5), (2L, 17L, "click", 0.0),
+      (3L, 1L, "purchase", 1.0), (4L, 11L, "click", 0.0),
+      (5L, 22L, "click", 0.0)) // cohort 2: click-only leg
+      .toDF("event_id", "user_id", "event_type", "value")
+    val got = JoinOps.nullSafeCohortJoin(events).collect()
+    assert(got.length === 3, "NULL pairs up: one row, not two dangling legs")
+    val nullRow = got.head // asc_nulls_first
+    assert(nullRow.isNullAt(0) && nullRow.getLong(1) === 250L && nullRow.getLong(2) === 1L,
+      "unattributed purchases AND clicks land on the same reconciled row")
+    val byCohort = got.tail.map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(byCohort(1L) === ((Some(100L), Some(1L))))
+    assert(byCohort(2L) === ((None, Some(1L))), "click-only cohort keeps a null purchase leg")
+    // referee: the SAME plan with plain equality leaves two dangling null rows
+    val plain = events.filter(col("event_type") === "purchase")
+      .groupBy(expr("nullif(user_id % 10, 7)").as("cohort"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("purchase_cents"))
+      .join(events.filter(col("event_type") === "click")
+          .groupBy(expr("nullif(user_id % 10, 7)").as("c_cohort"))
+          .agg(count(lit(1)).as("n_clicks")),
+        col("cohort") === col("c_cohort"), "full_outer")
+    assert(plain.filter(col("cohort").isNull || col("c_cohort").isNull).count() === 3,
+      "plain equality: null purchase leg + null click leg + cohort-2 dangle")
+  }
+
+  test("periodOverPeriod: calendar-key alignment skips gap months, negative deltas truncate") {
+    import spark.implicits._
+    def o(k: Long, d: String, p: Double) = (k, java.sql.Date.valueOf(d), p)
+    val orders = Seq(
+      o(1L, "2024-01-15", 100.0), o(2L, "2024-02-10", 40.0),
+      // March missing entirely; April present
+      o(3L, "2024-04-01", 90.0),
+      o(4L, "2025-02-20", 50.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = TimeSeries.periodOverPeriod(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val feb24 = got((2024L, 2L))
+    assert(feb24.getLong(5) === -600L, "(4000-10000)*1000 div 10000 truncates to -600")
+    assert(feb24.isNullAt(6), "no 2023 data -> NULL YoY")
+    val apr24 = got((2024L, 4L))
+    assert(apr24.isNullAt(3) && apr24.isNullAt(5),
+      "March gap -> April has NO MoM baseline, never February's")
+    val feb25 = got((2025L, 2L))
+    assert(feb25.getLong(6) === 250L, "(5000-4000)*1000 div 4000 vs LAST YEAR'S February")
+    assert(feb25.isNullAt(5), "January 2025 absent -> NULL MoM")
+  }
+
+  test("boolAggBattery: struct comparison breaks argmax ties by key") {
+    import spark.implicits._
+    val orders = Seq(
+      (5L, "A", "F", 300000.0), (2L, "A", "O", 300000.0), // price tie
+      (9L, "A", "O", 10.0),
+      (1L, "B", "P", 5000.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val got = Aggregates.boolAggBattery(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) === 2L, "two orders over 200k")
+    assert(!a.getBoolean(2), "the 10.0 order breaks bool_and")
+    assert(!a.getBoolean(3))
+    assert(a.getLong(4) === 5L, "tie at 300k: HIGHER key wins under struct max")
+    assert(a.getLong(5) === 9L)
+    val b = got("B")
+    assert(b.getBoolean(2) && b.getBoolean(3))
+    assert(b.getLong(4) === 1L && b.getLong(5) === 1L)
+  }
 }
