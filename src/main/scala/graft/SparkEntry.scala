@@ -737,6 +737,14 @@ object SparkEntry {
     // count_if / bool_and / bool_or / struct-determinized argmax battery.
     "a26_bool_aggregates" -> ((s, dir) =>
       Aggregates.boolAggBattery(Tables.orders(s, dir))),
+    // Per-column Gini impurity + inverse-Simpson effective categories:
+    // the rational (log-free) concentration screen behind dq1's profile.
+    "dq34_gini_impurity" -> ((s, dir) =>
+      Quality.giniImpurity(Tables.events(s, dir))),
+    // Intra-list diversity: MMR's pick set vs plain top-k, exact
+    // pair-dot sums — the contract that the rerank diversified.
+    "s22_mmr_diversity" -> ((s, dir) =>
+      Similarity.mmrDiversityContract(Tables.embeddings(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -1989,6 +1997,57 @@ GROUP BY doc_id ORDER BY doc_id"""
         |SELECT rank, vec_id, rel AS rel_dot, pen AS pen_dot,
         |       rel - pen AS mmr2
         |FROM sel ORDER BY rank""".stripMargin,
+    "s22_mmr_diversity" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS uq
+        |  FROM embeddings WHERE vec_id = 0
+        |), cand AS (
+        |  SELECT vec_id, u,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      j -> u[j] * uq[j])) AS rel
+        |  FROM (SELECT vec_id, list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS u
+        |        FROM embeddings WHERE vec_id <> 0) c CROSS JOIN q
+        |  ORDER BY rel DESC, vec_id LIMIT 32
+        |), pd AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      j -> a.u[j] * b.u[j])) AS dot
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        |), sel AS (
+        |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+        |         CAST(0 AS BIGINT) AS pen, [vec_id] AS sel_ids
+        |  FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT s.rank + 1, n.vec_id, n.rel, n.pen,
+        |         list_append(s.sel_ids, n.vec_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT x.vec_id, x.rel, x.pen
+        |    FROM (SELECT cc.vec_id, cc.rel,
+        |            (SELECT MAX(dot) FROM pd
+        |             WHERE pd.va = cc.vec_id
+        |               AND list_contains(s.sel_ids, pd.vb)) AS pen
+        |          FROM cand cc
+        |          WHERE NOT list_contains(s.sel_ids, cc.vec_id)) x
+        |    ORDER BY x.rel - x.pen DESC, x.vec_id LIMIT 1) n
+        |  WHERE s.rank < 10
+        |), topk AS (
+        |  SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT 10
+        |), tp AS (
+        |  SELECT CAST(SUM(pd.dot) AS BIGINT) AS topk_pair_dot_sum
+        |  FROM pd JOIN topk a ON pd.va = a.vec_id
+        |          JOIN topk b ON pd.vb = b.vec_id
+        |  WHERE pd.va < pd.vb
+        |), mp AS (
+        |  SELECT CAST(SUM(pd.dot) AS BIGINT) AS mmr_pair_dot_sum
+        |  FROM pd JOIN sel a ON pd.va = a.vec_id
+        |          JOIN sel b ON pd.vb = b.vec_id
+        |  WHERE pd.va < pd.vb
+        |)
+        |SELECT topk_pair_dot_sum, mmr_pair_dot_sum,
+        |       mmr_pair_dot_sum < topk_pair_dot_sum AS mmr_more_diverse
+        |FROM tp CROSS JOIN mp""".stripMargin,
     "j36_nullsafe_join" ->
       """WITH p AS (
         |  SELECT nullif(user_id % 10, 7) AS cohort,
@@ -2036,6 +2095,31 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  (min({'cents': CAST(round(o_totalprice * 100) AS BIGINT),
         |        'k': o_orderkey})).k AS min_price_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq34_gini_impurity" ->
+      """WITH u AS (
+        |  SELECT 'event_type' AS col_name, CAST(event_type AS VARCHAR) AS v
+        |  FROM events WHERE event_type IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE user_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'value_cents',
+        |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM u GROUP BY 1, 2
+        |)
+        |SELECT col_name, CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(1000 * (CAST(SUM(c) AS HUGEINT) * SUM(c)
+        |               - SUM(CAST(c AS HUGEINT) * c))
+        |       // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT)
+        |    AS gini_permille,
+        |  CAST((CAST(SUM(c) AS HUGEINT) * SUM(c))
+        |       // SUM(CAST(c AS HUGEINT) * c) AS BIGINT)
+        |    AS effective_categories
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -1178,4 +1178,46 @@ object Quality {
           .stripMargin).as("ks_permille"))
       .orderBy("event_type")
   }
+
+  /** COLUMN-CONCENTRATION profile: Gini impurity and the effective
+    * number of categories (inverse Simpson index) per column — the
+    * "is this column a real dimension or a near-constant" screen that
+    * [[profile]]'s distinct COUNT alone can't answer (a column with
+    * 10⁶ distincts where one value holds 99% of rows profiles as
+    * high-cardinality but carries almost no splitting power).
+    *
+    * Both statistics are RATIONAL in the value counts — unlike Shannon
+    * entropy, which would drag floats and cross-engine log() into the
+    * hash gate:
+    *   gini_permille        = ⌊1000·(n² − Σc²) / n²⌋
+    *   effective_categories = ⌊n² / Σc²⌋   (= n_distinct iff uniform)
+    * Cross-products ride DECIMAL(38,0)/HUGEINT, exact to n ≈ 10¹⁸.
+    *
+    * Scale shape: one `inline` unpivot (k columns → k rows carrying two
+    * fields), then the only data-volume exchange is the map-side-
+    * combining (col_name, value) count; the per-column reduction is
+    * state ∝ distinct values. Same skeleton as [[profile]].
+    */
+  def giniImpurity(events: DataFrame): DataFrame = {
+    val entries = Seq(
+      ("event_type", col("event_type").cast("string")),
+      ("user_id", col("user_id").cast("string")),
+      ("value_cents", round(col("value") * 100).cast("long").cast("string")))
+      .map { case (n, c) => struct(lit(n).as("col_name"), c.as("v")) }
+    events
+      .select(inline(array(entries: _*)))
+      .filter(col("v").isNotNull)
+      .groupBy("col_name", "v")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("col_name")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sumsq"))
+      .select(col("col_name"), col("n"), col("n_distinct"),
+        expr("""CAST(1000 * (CAST(n AS DECIMAL(38,0)) * n - sumsq)
+               |     div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""
+          .stripMargin).as("gini_permille"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * n) div sumsq AS BIGINT)")
+          .as("effective_categories"))
+      .orderBy("col_name")
+  }
 }

@@ -682,6 +682,50 @@ object Similarity {
         (col("pick.rel") - col("pick.pen")).as("mmr2"))
       .orderBy("rank")
   }
+
+  /** INTRA-LIST DIVERSITY contract for [[mmrRerank]] — the evaluation
+    * that proves the rerank did its job: the summed pairwise inner
+    * product of MMR's k picks vs the plain relevance top-k's, same
+    * micro-unit integers, same k(k−1)/2 pair count (so the raw sums ARE
+    * comparable without division). `mmr_more_diverse` = the MMR set's
+    * pair-dot sum is strictly lower — the claim a retrieval team would
+    * check before shipping the λ knob.
+    *
+    * Scale shape: everything after the (already metadata-scale) top-N
+    * candidate cut is k² arithmetic on broadcast frames; the corpus is
+    * scanned once per selection path, both with the mipsTopK plan.
+    */
+  def mmrDiversityContract(embeddings: DataFrame, queryVecId: Long = 0L,
+      nCandidates: Int = 32, k: Int = 10): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), microUnits.as("u"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(microUnits.as("uq"))
+    val topk = vecs
+      .filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(q))
+      .withColumn("rel",
+        expr("aggregate(zip_with(u, uq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(k)
+      .select("vec_id")
+    val mmr = mmrRerank(embeddings, queryVecId, nCandidates, k)
+      .select("vec_id")
+    def pairDotSum(ids: DataFrame, alias: String) = {
+      val withVec = ids.join(broadcast(vecs), Seq("vec_id"))
+      withVec.as("a")
+        .join(broadcast(withVec.as("b")),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(expr(
+          "aggregate(zip_with(a.u, b.u, (x, y) -> x * y), 0L, (s, x) -> s + x)")
+          .as("d"))
+        .agg(sum(col("d")).as(alias))
+    }
+    pairDotSum(topk, "topk_pair_dot_sum")
+      .crossJoin(broadcast(pairDotSum(mmr, "mmr_pair_dot_sum")))
+      .select(col("topk_pair_dot_sum"), col("mmr_pair_dot_sum"),
+        (col("mmr_pair_dot_sum") < col("topk_pair_dot_sum"))
+          .as("mmr_more_diverse"))
+  }
 }
 
 /** Random-hyperplane LSH index over an embedding column.

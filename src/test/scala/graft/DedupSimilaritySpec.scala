@@ -301,6 +301,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got(2) === (3L -> ((2L, 812500000000L, 851562500000L, -39062500000L))))
   }
 
+  test("mmrDiversityContract: k=2 on the planted frame — {A,C} beats {A,B}") {
+    import spark.implicits._
+    val frame = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.875f, -0.375f)),   // A
+      (2L, Seq(0.8125f, -0.375f)),  // B: relevance runner-up, near-dup of A
+      (3L, Seq(0.6875f, 0.625f))    // C: MMR's pick at step 2
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.mmrDiversityContract(frame, 0L, 32, 2).head()
+    assert(r.getLong(0) === 851562500000L, "top-2 = {A,B}: dot(A,B)")
+    assert(r.getLong(1) === 367187500000L, "mmr-2 = {A,C}: dot(A,C)")
+    assert(r.getBoolean(2))
+  }
+
   test("integer centroids are partition-invariant and match a driver-side model") {
     val emb = Tables.embeddings(spark, sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =

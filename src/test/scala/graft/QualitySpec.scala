@@ -446,4 +446,20 @@ class QualitySpec extends SparkTestBase {
     assert(got("c").getLong(4) === 500L)
     assert(got("c").getLong(3) === 3L, "three distinct values in the pool")
   }
+
+  test("giniImpurity: uniform column hits (k-1)/k, constant column is pure") {
+    val df = Seq(
+      (1L, "a", 1L, 5.0), (2L, "a", 2L, 5.0),
+      (3L, "a", 3L, 5.0), (4L, "b", 4L, 5.0))
+      .toDF("event_id", "event_type", "user_id", "value")
+    val got = Quality.giniImpurity(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // counts (3,1): gini = 1000*(16-10)/16 = 375; enc = 16 div 10 = 1
+    assert(got("event_type") === ((4L, 2L, 375L, 1L)))
+    // uniform over 4: gini = 750 = (k-1)/k, enc = exactly k
+    assert(got("user_id") === ((4L, 4L, 750L, 4L)))
+    // constant: impurity 0, one effective category
+    assert(got("value_cents") === ((4L, 1L, 0L, 1L)))
+  }
 }
