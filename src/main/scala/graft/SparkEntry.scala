@@ -745,6 +745,17 @@ object SparkEntry {
     // pair-dot sums — the contract that the rerank diversified.
     "s22_mmr_diversity" -> ((s, dir) =>
       Similarity.mmrDiversityContract(Tables.embeddings(s, dir))),
+    // Winsorized per-priority stats: exact discrete p05/p95 clamp via
+    // count-based order statistics — no per-row sort, bounds broadcast.
+    "dq35_winsorized_stats" -> ((s, dir) =>
+      Quality.winsorizedStats(Tables.orders(s, dir))),
+    // Power-of-two EWMA of daily revenue: exact BIGINT fraction,
+    // calendar-day alignment, gap days renormalize via wt_den.
+    "e47_ewma" -> ((s, dir) => TimeSeries.ewma(Tables.orders(s, dir))),
+    // Sorted-neighborhood blocking (SNM): block-ranked key sort, w=4
+    // neighbor equi-join, levenshtein-verified pairs — linear candidates.
+    "d25_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhood(Tables.documents(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -2120,6 +2131,77 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       // SUM(CAST(c AS HUGEINT) * c) AS BIGINT)
         |    AS effective_categories
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq35_winsorized_stats" ->
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS pri,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |), counts AS (
+        |  SELECT pri, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM vals GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT pri, cents,
+        |         SUM(cnt) OVER (PARTITION BY pri ORDER BY cents) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY pri) AS n
+        |  FROM counts
+        |), b AS (
+        |  SELECT pri, MAX(n) AS n,
+        |    MIN(CASE WHEN cum >= (n - 1) * 5 // 100 + 1 THEN cents END)
+        |      AS lo_cents,
+        |    MIN(CASE WHEN cum >= (n - 1) * 95 // 100 + 1 THEN cents END)
+        |      AS hi_cents
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT v.pri AS o_orderpriority,
+        |  CAST(MAX(b.n) AS BIGINT) AS n_orders,
+        |  CAST(MAX(b.lo_cents) AS BIGINT) AS lo_cents,
+        |  CAST(MAX(b.hi_cents) AS BIGINT) AS hi_cents,
+        |  CAST(SUM(GREATEST(LEAST(v.cents, b.hi_cents), b.lo_cents))
+        |       AS BIGINT) AS wins_sum_cents,
+        |  CAST(SUM(CASE WHEN v.cents < b.lo_cents THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clamped_low,
+        |  CAST(SUM(CASE WHEN v.cents > b.hi_cents THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_clamped_high,
+        |  CAST(SUM(GREATEST(LEAST(v.cents, b.hi_cents), b.lo_cents))
+        |       // MAX(b.n) AS BIGINT) AS wins_mean_cents
+        |FROM vals v JOIN b ON v.pri = b.pri
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e47_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS day,
+        |         CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), k AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS i)
+        |SELECT a.day, a.x, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(b.x * (CAST(1 AS BIGINT) << CAST(9 - k.i AS INT)))
+        |       AS BIGINT) AS ewma_num,
+        |  CAST(SUM(CAST(1 AS BIGINT) << CAST(9 - k.i AS INT)) AS BIGINT)
+        |    AS wt_den
+        |FROM daily a JOIN k ON TRUE JOIN daily b ON b.day = a.day - k.i
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "d25_sorted_neighborhood" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang,
+        |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+        |      AS k
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, k, substring(k, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY lang, substring(k, 1, 1)
+        |                       ORDER BY k, doc_id) AS rn
+        |  FROM keyed
+        |)
+        |SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+        |  GREATEST(a.doc_id, b.doc_id) AS doc_b,
+        |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+        |FROM r a JOIN r b
+        |  ON b.lang = a.lang AND b.blk = a.blk
+        | AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
+        |WHERE levenshtein(a.k, b.k) <= 8
+        |ORDER BY 1, 2""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

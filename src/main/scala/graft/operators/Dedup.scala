@@ -964,4 +964,60 @@ object Dedup {
       .filter(col("n_dup_pairs") > 0)
       .orderBy("source_a", "source_b")
   }
+
+  /** SORTED-NEIGHBORHOOD candidate pairs (Hernández & Stolfo 1995) —
+    * the last classic blocking family the repo lacked, next to banded
+    * LSH ([[minhashPairs]]), pigeonhole segments ([[editDistanceJoin]])
+    * and positional prefix filtering ([[prefixFilterJoin]]): sort every
+    * record by a normalized key, slide a fixed window of `window` rows,
+    * and verify only in-window neighbors. Linear candidate volume
+    * (≤ w·n pairs) regardless of how the keys cluster — the property
+    * that makes SNM the standard choice when LSH's collision bound is
+    * itself the risk (many records sharing one band bucket).
+    *
+    * Sort key: the first `keyLen` chars of the lower-cased,
+    * non-alphanumeric-stripped text — near-identical records (typo
+    * variants, re-encodings) land adjacent; verification is one
+    * codegen'd `levenshtein` on the keys (≤ `maxDist`), both sides of
+    * which DuckDB computes identically (semantics pinned green by d20).
+    *
+    * Scale shape: the sort is NEVER global — rows are range-blocked by
+    * (lang, first key char) and ranked WITHIN blocks, so the windowed
+    * state per reducer is one block, and blocks parallelize (~36 per
+    * lang here; at 100 TB widen the block prefix to 2-3 chars — same
+    * plan, more blocks). Known SNM trade, stated: pairs straddling a
+    * block boundary are missed, bounded by w pairs per boundary — the
+    * multi-pass remedy (a second pass on a rotated key) composes by
+    * union. The neighbor match is an EQUI-join on (block, rank+i),
+    * i ∈ 1..w — a hash shuffle of the rank frame against itself, no
+    * range scan, no cartesian.
+    */
+  def sortedNeighborhood(documents: DataFrame, window: Int = 4,
+      keyLen: Int = 24, maxDist: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    require(window >= 1, s"sortedNeighborhood: window=$window must be >= 1")
+    val keyed = documents.select(col("doc_id"), col("lang"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, keyLen)
+        .as("k"))
+    val ranked = keyed
+      .withColumn("blk", substring(col("k"), 1, 1))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("lang", "blk").orderBy("k", "doc_id")))
+    val probes = ranked
+      .select(col("lang"), col("blk"), col("doc_id").as("id_a"),
+        col("k").as("k_a"),
+        explode(expr(s"sequence(1, $window)")).as("i"),
+        col("rn"))
+      .select(col("lang"), col("blk"), col("id_a"), col("k_a"),
+        (col("rn") + col("i")).as("rn"))
+    probes
+      .join(ranked.select(col("lang"), col("blk"), col("rn"),
+          col("doc_id").as("id_b"), col("k").as("k_b")),
+        Seq("lang", "blk", "rn"))
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -1220,4 +1220,64 @@ object Quality {
           .as("effective_categories"))
       .orderBy("col_name")
   }
+
+  /** WINSORIZED per-group statistics — order amounts clamped at the
+    * group's exact discrete p05/p95 before averaging, the robust-mean
+    * companion to [[outlierGate]]'s reject view (gate DROPS the tails;
+    * winsorization KEEPS the rows and bounds their leverage — the
+    * standard treatment before a mean enters a dashboard or a model
+    * feature).
+    *
+    * Exactness: the bound is the DISCRETE order statistic — smallest
+    * value v with #(x ≤ v) ≥ k, k = (n−1)·p div 100 + 1 (1-based) —
+    * computed identically in both engines from integer cents; no
+    * interpolating `percentile` call (Spark interpolates, DuckDB's
+    * quantile_cont differs — the discrete definition sidesteps the
+    * whole float hazard). The winsorized mean is reported as a floor
+    * quotient of non-negative cents.
+    *
+    * Scale shape: NO per-row sort anywhere. The heavy input collapses
+    * in a map-side-combining (group, cents) count; the cumulative
+    * window then runs over DISTINCT values only (state ∝ price points,
+    * not rows), and the clamp pass joins the 5-row bounds frame back
+    * broadcast. This is the same two-level refinement contract as
+    * [[outlierGate]] — at 100 TB the distinct-value frame is the only
+    * windowed state and it is bounded by the price domain.
+    */
+  def winsorizedStats(orders: DataFrame, loPct: Int = 5,
+      hiPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = orders
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val counts = vals.groupBy("o_orderpriority", "cents")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("o_orderpriority").orderBy("cents")))
+      .withColumn("n",
+        sum("cnt").over(Window.partitionBy("o_orderpriority")))
+    val bounds = cum
+      .groupBy("o_orderpriority")
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= expr(s"(n - 1) * $loPct div 100 + 1"),
+          col("cents"))).as("lo_cents"),
+        min(when(col("cum") >= expr(s"(n - 1) * $hiPct div 100 + 1"),
+          col("cents"))).as("hi_cents"))
+    vals
+      .join(broadcast(bounds), Seq("o_orderpriority"))
+      .groupBy("o_orderpriority")
+      .agg(max("n").as("n_orders"),
+        max("lo_cents").as("lo_cents"),
+        max("hi_cents").as("hi_cents"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+          .as("wins_sum_cents"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L))
+          .as("n_clamped_low"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L))
+          .as("n_clamped_high"))
+      .withColumn("wins_mean_cents", expr("wins_sum_cents div n_orders"))
+      .orderBy("o_orderpriority")
+  }
 }

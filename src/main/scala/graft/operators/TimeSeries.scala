@@ -775,4 +775,48 @@ object TimeSeries {
         expr("(cents - yoy_cents) * 1000 div yoy_cents").as("yoy_permille"))
       .orderBy("yr", "mo")
   }
+
+  /** EWMA of the daily revenue series with POWER-OF-TWO weights — the
+    * smoothing view the α-recursive EWMA cannot offer exactly: a float
+    * recursion diverges bit-wise across engines, but the truncated form
+    * with α = 1/2 over a `horizon`-day window has weights 2^(H−1−i)
+    * that are exact BIGINTs, so the whole statistic sits under the hash
+    * gate. Reported as an exact fraction: `ewma_num` over `wt_den`
+    * (the sum of the weights ACTUALLY PRESENT — a gap day drops its
+    * term from both, so coverage holes renormalize instead of silently
+    * dragging the average toward zero; `n_terms` makes them visible).
+    *
+    * Alignment is BY CALENDAR DAY (contributor day = anchor − i), the
+    * same contract as [[autocorrelation]] — never a row offset.
+    *
+    * Magnitude: daily whole-dollar revenue ~10⁷ at sf0.1; the largest
+    * weighted term is x·2^(H−1) ≈ 5·10⁹ and the sum of ≤ H terms stays
+    * ~10¹⁰ — BIGINT-safe beyond sf1000.
+    *
+    * Scale shape: the fact table collapses in one map-side-combining
+    * daily aggregate (output ∝ days); the H-way fan-out and the
+    * alignment join both run on that metadata-scale frame, with the
+    * contributor side broadcast.
+    */
+  def ewma(orders: DataFrame, horizon: Int = 10): DataFrame = {
+    require(horizon >= 1 && horizon <= 62,
+      s"ewma: horizon=$horizon must fit power-of-two BIGINT weights")
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+    val hist = daily.select(col("day").as("h_day"), col("x").as("h_x"))
+    daily
+      .select(col("day"), col("x"),
+        explode(expr(s"sequence(0L, ${horizon - 1}L)")).as("i"))
+      .join(broadcast(hist), col("h_day") === col("day") - col("i"))
+      .groupBy("day", "x")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr(s"h_x * shiftleft(1L, cast(${horizon - 1} - i as int))"))
+          .as("ewma_num"),
+        sum(expr(s"shiftleft(1L, cast(${horizon - 1} - i as int))"))
+          .as("wt_den"))
+      .orderBy("day")
+  }
 }

@@ -997,4 +997,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=N filters must push into WindowGroupLimit:\n$plan")
   }
+
+  test("sortedNeighborhood: adjacent near-keys pair, block boundary is the documented miss") {
+    val df = Seq(
+      (1L, "en", "Alpha Document One shared prefix"),
+      (2L, "en", "alpha document one! shared prefix"), // normalizes adjacent to 1
+      (3L, "en", "zzz a totally different text body"),
+      (10L, "en", "aaaa boundary case text"),
+      (11L, "en", "baaa boundary case text") // dist 1 but block 'b' ≠ 'a'
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.sortedNeighborhood(df, window = 2, keyLen = 24, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.contains((1L, 2L, 0L)),
+      "punctuation/case variants share the normalized key → dist 0")
+    assert(!out.exists(p => p._1 == 10L && p._2 == 11L),
+      "cross-block pair is missed by construction (single-pass SNM trade)")
+    assert(out.forall(_._3 <= 8L), "every emitted pair respects maxDist")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L),
+      "the far key verifies over maxDist and is filtered")
+  }
 }

@@ -462,4 +462,22 @@ class QualitySpec extends SparkTestBase {
     // constant: impurity 0, one effective category
     assert(got("value_cents") === ((4L, 1L, 0L, 1L)))
   }
+
+  test("winsorizedStats: discrete p05/p95 clamp, counts, floor mean") {
+    // n=20 values 1.00..20.00 in one group: k_lo = 19*5 div 100 + 1 = 1
+    // (lo = min, nothing clamps low), k_hi = 19*95 div 100 + 1 = 19
+    // (hi = 19.00, exactly one value above clamps down to 1900 cents).
+    val df = (1 to 20).map(i => ("GRP", i.toDouble))
+      .toDF("o_orderpriority", "o_totalprice")
+    val out = Quality.winsorizedStats(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 20L, "n_orders")
+    assert(r.getLong(2) === 100L, "lo_cents = discrete p05 = min here")
+    assert(r.getLong(3) === 1900L, "hi_cents = 19th order statistic")
+    assert(r.getLong(4) === (1 to 19).map(_ * 100L).sum + 1900L, "wins sum")
+    assert(r.getLong(5) === 0L, "n_clamped_low")
+    assert(r.getLong(6) === 1L, "n_clamped_high")
+    assert(r.getLong(7) === r.getLong(4) / 20L, "floor mean")
+  }
 }

@@ -431,4 +431,20 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got(2L) === ((1L, -21L, 67L)), "(day1, day3) pairs at lag 2, not lag 1")
     assert(got(3L) === ((1L, 9L, 67L)))
   }
+
+  test("ewma: power-of-two weights, calendar gaps renormalize wt_den") {
+    // days 0, 1, 3 (gap at day 2), horizon 3 → weights 4, 2, 1 by age.
+    val df = Seq(("1970-01-01", 100.0), ("1970-01-02", 200.0),
+        ("1970-01-04", 400.0))
+      .toDF("d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val got = TimeSeries.ewma(df, horizon = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(0L) === ((1L, 400L, 4L)), "day 0: itself only, w=4")
+    assert(got(1L) === ((2L, 2 * 400L + 100L * 2L, 6L)),
+      "day 1: w4*200 + w2*100, den 6")
+    assert(got(3L) === ((2L, 4 * 400L + 1 * 200L, 5L)),
+      "day 3: gap day 2 drops its term from num AND den")
+  }
 }
