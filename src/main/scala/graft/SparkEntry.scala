@@ -756,6 +756,19 @@ object SparkEntry {
     // neighbor equi-join, levenshtein-verified pairs — linear candidates.
     "d25_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhood(Tables.documents(s, dir))),
+    // Kaplan-Meier survival table: exact (n_risk, d_events) sufficient
+    // statistics per event time; windows over distinct tenure days only.
+    "e48_kaplan_meier" -> ((s, dir) =>
+      TimeSeries.kaplanMeier(Tables.orders(s, dir))),
+    // Walk-forward CV folds with embargo: integer day-span boundaries,
+    // realized train/test counts from the daily-count frame.
+    "d26_temporal_split" -> ((s, dir) =>
+      TrainingPipeline.temporalSplit(Tables.orders(s, dir))),
+    // m-estimate target encoding of customer nation: floor-quotient
+    // shrinkage toward the global mean, mergeable (n, Σ) emitted.
+    "d27_target_encoding" -> ((s, dir) =>
+      TrainingPipeline.targetEncoding(Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -2202,6 +2215,72 @@ GROUP BY doc_id ORDER BY doc_id"""
         | AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
         |WHERE levenshtein(a.k, b.k) <= 8
         |ORDER BY 1, 2""".stripMargin,
+    "e48_kaplan_meier" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+        |         MAX(CAST(o_orderdate AS DATE)) AS last_d
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+        |), h AS (
+        |  SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders
+        |), obs AS (
+        |  SELECT CAST(last_d - first_d AS BIGINT) AS t,
+        |         CASE WHEN max_d - last_d > 365 THEN 1 ELSE 0 END AS churned
+        |  FROM pc CROSS JOIN h
+        |), byt AS (
+        |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+        |         CAST(SUM(churned) AS BIGINT) AS d_events
+        |  FROM obs GROUP BY 1
+        |)
+        |SELECT t,
+        |  CAST(SUM(n_at_t) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_risk,
+        |  d_events, n_at_t - d_events AS n_censored_at_t
+        |FROM byt QUALIFY d_events > 0 ORDER BY t""".stripMargin,
+    "d26_temporal_split" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+        |), s AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+        |spec AS (
+        |  SELECT CAST(unnest(range(1, 5)) AS BIGINT) AS fold, d0, d1,
+        |         (d1 - d0 + 1) // 5 AS width
+        |  FROM s
+        |), f AS (
+        |  SELECT fold, d0 + fold * width AS train_end_day,
+        |         d0 + fold * width + 7 AS test_start_day,
+        |         d0 + (fold + 1) * width AS test_end_day
+        |  FROM spec
+        |)
+        |SELECT fold, train_end_day, test_start_day, test_end_day,
+        |  CAST(SUM(CASE WHEN day < train_end_day THEN c ELSE 0 END)
+        |       AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN day >= test_start_day AND day < test_end_day
+        |                THEN c ELSE 0 END) AS BIGINT) AS n_test
+        |FROM d CROSS JOIN f
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    "d27_target_encoding" ->
+      """WITH f AS (
+        |  SELECT n.n_name, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE o.o_totalprice IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(SUM(cents) AS BIGINT) AS gsum,
+        |         CAST(COUNT(*) AS BIGINT) AS gn
+        |  FROM f
+        |)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_c,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_c,
+        |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS raw_mean_cents,
+        |  CAST((SUM(cents) + 20 * (MAX(gsum) // MAX(gn)))
+        |       // (COUNT(*) + 20) AS BIGINT) AS enc_cents,
+        |  CAST(MAX(gsum) // MAX(gn) AS BIGINT) AS global_mean_cents
+        |FROM f CROSS JOIN g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

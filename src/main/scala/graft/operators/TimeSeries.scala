@@ -819,4 +819,49 @@ object TimeSeries {
           .as("wt_den"))
       .orderBy("day")
   }
+
+  /** KAPLAN-MEIER survival table over customer lifetimes — the
+    * SUFFICIENT STATISTICS (n_risk, d_events per event time), not the
+    * telescoping survival product: the product's numerators/denominators
+    * grow past any fixed-width integer and its float form diverges
+    * bit-wise across engines, while Ŝ(t) = Π (1 − d/n) reconstructs
+    * exactly from these columns — the same report-the-exact-fraction
+    * contract as [[autocorrelation]] and [[ewma]].
+    *
+    * Observation scheme: a customer's observed time is their tenure
+    * (last order − first order, days). Customers whose last order is
+    * more than `churnDays` before the corpus horizon (global max order
+    * date) are CHURNED (event observed at their tenure); the rest are
+    * right-CENSORED at theirs — they were still active when the data
+    * ends. n_risk(t) counts everyone with observed time ≥ t; only
+    * event times (d_events > 0) emit a row, per the KM estimator.
+    *
+    * Scale shape: the fact table collapses in one map-side-combining
+    * per-customer min/max (output ∝ customers), then a per-tenure-value
+    * count (output ∝ distinct tenure days, bounded by the calendar).
+    * The reverse-cumulative n_risk window runs over THAT metadata-scale
+    * frame — the unpartitioned window is ∝ calendar days, never rows.
+    */
+  def kaplanMeier(orders: DataFrame, churnDays: Int = 365): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy("o_custkey")
+      .agg(min(col("o_orderdate")).as("first_d"),
+        max(col("o_orderdate")).as("last_d"))
+    val horizon = orders.agg(max(col("o_orderdate")).as("max_d"))
+    val byT = perCust.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+        (datediff(col("max_d"), col("last_d")) > churnDays).cast("long")
+          .as("churned"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_at_t"), sum("churned").as("d_events"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT
+      .withColumn("n_risk", sum("n_at_t").over(w))
+      .filter(col("d_events") > 0)
+      .select(col("t"), col("n_risk"), col("d_events"),
+        (col("n_at_t") - col("d_events")).as("n_censored_at_t"))
+      .orderBy("t")
+  }
 }

@@ -161,4 +161,91 @@ object TrainingPipeline {
       .select("doc_id", "source", "n_tokens")
     keptWhole.unionAll(boundary).orderBy("doc_id")
   }
+
+  /** WALK-FORWARD temporal split with an EMBARGO gap — the
+    * cross-validation scheme for time-dependent training data, where a
+    * random split ([[groupAwareSplit]]'s hash buckets) silently leaks
+    * the future into the train side. Fold i trains on everything before
+    * boundary i and tests on a later window that starts `embargoDays`
+    * AFTER the boundary — the gap absorbs label lookahead (a target
+    * computed over a trailing window straddles a gapless boundary).
+    *
+    * Fold boundaries are pure integer arithmetic on the day span
+    * (width = span div folds), so both engines derive identical
+    * boundaries with no quantile call. The output is the fold spec
+    * (boundary days) PLUS the realized train/test row counts — the
+    * artifact a training run logs next to its metrics.
+    *
+    * Scale shape: the fact table collapses in one map-side-combining
+    * daily count (output ∝ days); the fold fan-out and the conditional
+    * counts run on that metadata-scale frame against the broadcast
+    * (folds−1)-row spec. No per-row fold assignment ever materializes.
+    */
+  def temporalSplit(orders: DataFrame, folds: Int = 5,
+      embargoDays: Int = 7): DataFrame = {
+    require(folds >= 2, s"temporalSplit: folds=$folds must be >= 2")
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val spec = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr(s"sequence(1L, ${folds - 1}L)")).as("fold"),
+        col("d0"), col("d1"))
+      .withColumn("width", expr(s"(d1 - d0 + 1) div $folds"))
+      .select(col("fold"),
+        (col("d0") + col("fold") * col("width")).as("train_end_day"),
+        (col("d0") + col("fold") * col("width") + embargoDays)
+          .as("test_start_day"),
+        (col("d0") + (col("fold") + 1) * col("width")).as("test_end_day"))
+    daily.crossJoin(broadcast(spec))
+      .groupBy("fold", "train_end_day", "test_start_day", "test_end_day")
+      .agg(
+        sum(when(col("day") < col("train_end_day"), col("c")).otherwise(0L))
+          .as("n_train"),
+        sum(when(col("day") >= col("test_start_day") &&
+            col("day") < col("test_end_day"), col("c")).otherwise(0L))
+          .as("n_test"))
+      .orderBy("fold")
+  }
+
+  /** Smoothed TARGET ENCODING (m-estimate) of a high-ish-cardinality
+    * category — the feature-engineering standard for feeding categoricals
+    * to models that want numbers: the category's mean target shrunk
+    * toward the global mean by `m` pseudo-observations,
+    * enc = (Σ_c + m·μ̂_g) / (n_c + m), so rare categories don't memorize
+    * their few labels. Exactness: μ̂_g is the FLOOR global mean in cents
+    * (identical BIGINT both engines), the encoding a floor quotient of
+    * non-negative BIGINTs — no float ever enters.
+    *
+    * Emitting the sufficient statistics (n_c, Σ_c) alongside the encoding
+    * makes the frame MERGEABLE: tomorrow's batch adds its (n, Σ) and
+    * re-derives the encoding without re-reading history — the same
+    * insert-path contract as [[graft.operators.Dedup]]'s signature merge.
+    *
+    * Scale shape: the fact→dimension chain shuffles on the join key once
+    * (customer is NOT broadcast — it scales with the fact table; nation
+    * is); the encode aggregate is map-side-combining with state ∝
+    * categories, and the 1-row global frame joins back broadcast.
+    */
+  def targetEncoding(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, m: Int = 20): DataFrame = {
+    val fact = orders
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), Seq("o_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), Seq("c_nationkey"))
+    val global = fact.agg(sum("cents").as("gsum"), count(lit(1)).as("gn"))
+    fact.groupBy("n_name")
+      .agg(count(lit(1)).as("n_c"), sum("cents").as("sum_c"))
+      .crossJoin(broadcast(global))
+      .select(col("n_name"), col("n_c"), col("sum_c"),
+        expr("sum_c div n_c").as("raw_mean_cents"),
+        expr(s"(sum_c + $m * (gsum div gn)) div (n_c + $m)").as("enc_cents"),
+        expr("gsum div gn").as("global_mean_cents"))
+      .orderBy("n_name")
+  }
 }

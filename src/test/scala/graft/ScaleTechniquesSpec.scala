@@ -344,4 +344,40 @@ class ScaleTechniquesSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got === Map(1L -> 2L, 6L -> 0L, 7L -> 1L))
   }
+
+  test("temporalSplit: integer boundaries, embargo excluded from test counts") {
+    import graft.operators.TrainingPipeline
+    import org.apache.spark.sql.functions.{col, date_add, lit}
+    // 100 days, one order per day: width = 20, embargo 7 → each fold
+    // trains on fold*20 rows and tests on the 13 post-embargo days.
+    val df = (0 until 100).map(i => Tuple1(i)).toSeq.toDF("i")
+      .select(date_add(lit("1970-01-01").cast("date"), col("i"))
+        .as("o_orderdate"))
+    val got = TrainingPipeline.temporalSplit(df, folds = 5, embargoDays = 7)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) === ((20L, 27L, 40L, 20L, 13L)))
+    assert(got(2L) === ((40L, 47L, 60L, 40L, 13L)))
+    assert(got(4L) === ((80L, 87L, 100L, 80L, 13L)))
+  }
+
+  test("targetEncoding: m-estimate shrinks rare categories toward the global mean") {
+    import graft.operators.TrainingPipeline
+    val orders = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0))
+      .toDF("o_custkey", "o_totalprice")
+    val customer = Seq((1L, 101L), (2L, 102L)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((101L, "ALPHA"), (102L, "BETA"))
+      .toDF("n_nationkey", "n_name")
+    val got = TrainingPipeline
+      .targetEncoding(orders, customer, nation, m = 20)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // global mean = 6000 cents div 3 = 2000
+    assert(got("ALPHA") === ((2L, 3000L, 1500L, (3000L + 20 * 2000L) / 22L, 2000L)))
+    assert(got("BETA") === ((1L, 3000L, 3000L, (3000L + 20 * 2000L) / 21L, 2000L)))
+  }
 }

@@ -447,4 +447,25 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got(3L) === ((2L, 4 * 400L + 1 * 200L, 5L)),
       "day 3: gap day 2 drops its term from num AND den")
   }
+
+  test("kaplanMeier: risk set counts all observed times >= t, censored rows never emit") {
+    // Horizon = day 400 (customer E). Tenures: A=10 churned (390 > 365
+    // since last), B=380 censored (20 days), C=0 censored, D=0 churned,
+    // E=0 censored.
+    val df = Seq(
+      ("A", "1970-01-01"), ("A", "1970-01-11"),
+      ("B", "1970-01-01"), ("B", "1971-01-16"),
+      ("C", "1971-01-31"),
+      ("D", "1970-01-01"),
+      ("E", "1971-02-05"))
+      .toDF("o_custkey", "d")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val got = TimeSeries.kaplanMeier(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      0L -> ((5L, 1L, 2L)), // all 5 at risk; D churns; C,E censored here
+      10L -> ((2L, 1L, 0L)) // A and B still at risk; A churns
+    ), "censored-only times (t=380) emit no row")
+  }
 }
