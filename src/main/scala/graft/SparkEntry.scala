@@ -769,6 +769,14 @@ object SparkEntry {
     "d27_target_encoding" -> ((s, dir) =>
       TrainingPipeline.targetEncoding(Tables.orders(s, dir),
         Tables.customer(s, dir), Tables.nation(s, dir))),
+    // Blocking-scheme evaluation: SNM candidates vs normalized-text
+    // ground truth — pairs completeness + reduction ratio, exact permille.
+    "d28_blocking_eval" -> ((s, dir) =>
+      Dedup.blockingEval(Tables.documents(s, dir))),
+    // Exact-rational linear interpolation of gap days in daily revenue:
+    // two IGNORE-NULLS window passes over the calendar spine.
+    "e49_linear_interp" -> ((s, dir) =>
+      TimeSeries.linearInterp(Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -2197,13 +2205,13 @@ GROUP BY doc_id ORDER BY doc_id"""
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "d25_sorted_neighborhood" ->
       """WITH keyed AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id,
         |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
         |      AS k
         |  FROM documents
         |), r AS (
-        |  SELECT doc_id, lang, k, substring(k, 1, 1) AS blk,
-        |    row_number() OVER (PARTITION BY lang, substring(k, 1, 1)
+        |  SELECT doc_id, k, substring(k, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substring(k, 1, 1)
         |                       ORDER BY k, doc_id) AS rn
         |  FROM keyed
         |)
@@ -2211,7 +2219,7 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  GREATEST(a.doc_id, b.doc_id) AS doc_b,
         |  CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
         |FROM r a JOIN r b
-        |  ON b.lang = a.lang AND b.blk = a.blk
+        |  ON b.blk = a.blk
         | AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
         |WHERE levenshtein(a.k, b.k) <= 8
         |ORDER BY 1, 2""".stripMargin,
@@ -2281,6 +2289,76 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(MAX(gsum) // MAX(gn) AS BIGINT) AS global_mean_cents
         |FROM f CROSS JOIN g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d28_blocking_eval" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt,
+        |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+        |      AS k
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, k, substring(k, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substring(k, 1, 1)
+        |                       ORDER BY k, doc_id) AS rn
+        |  FROM keyed
+        |), cand AS (
+        |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+        |         GREATEST(a.doc_id, b.doc_id) AS doc_b
+        |  FROM r a JOIN r b
+        |    ON b.blk = a.blk
+        |   AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
+        |), tp AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM keyed x JOIN keyed y
+        |    ON x.nt = y.nt AND x.doc_id < y.doc_id
+        |), c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM tp),
+        |cap AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_captured
+        |  FROM tp JOIN cand USING (doc_a, doc_b)
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM documents)
+        |SELECT n_records,
+        |  n_records * (n_records - 1) // 2 AS n_total_pairs,
+        |  n_candidates, n_true_pairs, n_captured,
+        |  n_captured * 1000 // NULLIF(n_true_pairs, 0)
+        |    AS completeness_permille,
+        |  (n_records * (n_records - 1) // 2 - n_candidates) * 1000
+        |    // NULLIF(n_records * (n_records - 1) // 2, 0)
+        |    AS reduction_permille
+        |FROM n CROSS JOIN c CROSS JOIN t CROSS JOIN cap""".stripMargin,
+    "e49_linear_interp" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS day,
+        |         CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), spine AS (
+        |  SELECT CAST(unnest(range(MIN(day), MAX(day) + 1)) AS BIGINT) AS day
+        |  FROM daily
+        |), j AS (
+        |  SELECT s.day, d.x,
+        |    LAST_VALUE(CASE WHEN d.x IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER (ORDER BY s.day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+        |    LAST_VALUE(d.x IGNORE NULLS)
+        |      OVER (ORDER BY s.day
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS x_p,
+        |    FIRST_VALUE(CASE WHEN d.x IS NOT NULL THEN s.day END IGNORE NULLS)
+        |      OVER (ORDER BY s.day
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS q,
+        |    FIRST_VALUE(d.x IGNORE NULLS)
+        |      OVER (ORDER BY s.day
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS x_q
+        |  FROM spine s LEFT JOIN daily d USING (day)
+        |)
+        |SELECT day, p, q,
+        |  CAST(x_p * (q - day) + x_q * (day - p) AS BIGINT) AS interp_num,
+        |  CAST(q - p AS BIGINT) AS gap_den
+        |FROM j
+        |WHERE x IS NULL AND p IS NOT NULL AND q IS NOT NULL
+        |ORDER BY day""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -982,10 +982,15 @@ object Dedup {
     * which DuckDB computes identically (semantics pinned green by d20).
     *
     * Scale shape: the sort is NEVER global — rows are range-blocked by
-    * (lang, first key char) and ranked WITHIN blocks, so the windowed
-    * state per reducer is one block, and blocks parallelize (~36 per
-    * lang here; at 100 TB widen the block prefix to 2-3 chars — same
-    * plan, more blocks). Known SNM trade, stated: pairs straddling a
+    * the first key char and ranked WITHIN blocks, so the windowed
+    * state per reducer is one block, and blocks parallelize (~36 here;
+    * at 100 TB widen the block prefix to 2-3 chars — same plan, more
+    * blocks). Deliberately NOT blocked by the `lang` label: the fixture
+    * plants content duplicates under DIFFERENT language labels, and the
+    * normalized key already is the language treatment — gating on a
+    * classifier output would structurally miss exactly the dups that
+    * matter (measured by [[blockingEval]]: 125‰ → 1000‰ completeness).
+    * Known SNM trade, stated: pairs straddling a
     * block boundary are missed, bounded by w pairs per boundary — the
     * multi-pass remedy (a second pass on a rotated key) composes by
     * union. The neighbor match is an EQUI-join on (block, rank+i),
@@ -996,28 +1001,92 @@ object Dedup {
       keyLen: Int = 24, maxDist: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.{Window => W}
     require(window >= 1, s"sortedNeighborhood: window=$window must be >= 1")
-    val keyed = documents.select(col("doc_id"), col("lang"),
+    val keyed = documents.select(col("doc_id"),
       substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, keyLen)
         .as("k"))
     val ranked = keyed
       .withColumn("blk", substring(col("k"), 1, 1))
       .withColumn("rn", row_number().over(
-        W.partitionBy("lang", "blk").orderBy("k", "doc_id")))
+        W.partitionBy("blk").orderBy("k", "doc_id")))
     val probes = ranked
-      .select(col("lang"), col("blk"), col("doc_id").as("id_a"),
+      .select(col("blk"), col("doc_id").as("id_a"),
         col("k").as("k_a"),
         explode(expr(s"sequence(1, $window)")).as("i"),
         col("rn"))
-      .select(col("lang"), col("blk"), col("id_a"), col("k_a"),
+      .select(col("blk"), col("id_a"), col("k_a"),
         (col("rn") + col("i")).as("rn"))
     probes
-      .join(ranked.select(col("lang"), col("blk"), col("rn"),
+      .join(ranked.select(col("blk"), col("rn"),
           col("doc_id").as("id_b"), col("k").as("k_b")),
-        Seq("lang", "blk", "rn"))
+        Seq("blk", "rn"))
       .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** BLOCKING-SCHEME EVALUATION — the two numbers every entity-resolution
+    * paper reports before trusting a blocker: PAIRS COMPLETENESS (what
+    * fraction of true duplicate pairs the candidate set captures) and
+    * REDUCTION RATIO (what fraction of the n·(n−1)/2 all-pairs space it
+    * avoids). Evaluated here for [[sortedNeighborhood]]'s PRE-verification
+    * candidates against a normalized-text ground truth (identical
+    * lower-cased alphanumeric content — the typo-free dup definition the
+    * SNM key itself normalizes toward).
+    *
+    * Both metrics are exact floor permille of BIGINT counts. n_total_pairs
+    * is n·(n−1) div 2 of the record count — BIGINT-safe to ~4·10⁹ records;
+    * past that the all-pairs denominator (and only it) needs DECIMAL,
+    * noted rather than paid now.
+    *
+    * Scale shape: candidates come from the linear SNM construction
+    * (≤ w·n, never materializing all-pairs); true pairs come from a
+    * self-join WITHIN exact-dup groups only (work ∝ Σ group², the same
+    * contract as the dup-cluster operators); capture is one equi-join of
+    * those two pair sets. Everything reduces to a 1-row frame of counts.
+    */
+  def blockingEval(documents: DataFrame, window: Int = 4,
+      keyLen: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val keyed = documents.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("nt"))
+      .withColumn("k", substring(col("nt"), 1, keyLen))
+    val ranked = keyed
+      .withColumn("blk", substring(col("k"), 1, 1))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("blk").orderBy("k", "doc_id")))
+    val cand = ranked
+      .select(col("blk"), col("doc_id").as("id_a"),
+        explode(expr(s"sequence(1, $window)")).as("i"), col("rn"))
+      .select(col("blk"), col("id_a"),
+        (col("rn") + col("i")).as("rn"))
+      .join(ranked.select(col("blk"), col("rn"),
+        col("doc_id").as("id_b")), Seq("blk", "rn"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+    // true pairs: self-join restricted to exact-dup groups (cnt > 1)
+    val grouped = keyed.groupBy("nt").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val members = keyed.join(grouped.select("nt"), Seq("nt"))
+      .select(col("nt"), col("doc_id"))
+    val truePairs = members.as("x").join(members.as("y"),
+        col("x.nt") === col("y.nt") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val nRecords = documents.agg(count(lit(1)).as("n_records"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true_pairs"))
+    val nCapt = truePairs.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_captured"))
+    nRecords.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTrue))
+      .crossJoin(broadcast(nCapt))
+      .withColumn("n_total_pairs",
+        expr("n_records * (n_records - 1) div 2"))
+      .select(col("n_records"), col("n_total_pairs"), col("n_candidates"),
+        col("n_true_pairs"), col("n_captured"),
+        expr("n_captured * 1000 div nullif(n_true_pairs, 0)")
+          .as("completeness_permille"),
+        expr("(n_total_pairs - n_candidates) * 1000 div nullif(n_total_pairs, 0)")
+          .as("reduction_permille"))
   }
 }

@@ -864,4 +864,55 @@ object TimeSeries {
         (col("n_at_t") - col("d_events")).as("n_censored_at_t"))
       .orderBy("t")
   }
+
+  /** LINEAR INTERPOLATION of missing days in the daily revenue series,
+    * as an EXACT RATIONAL — the two-sided complement to the forward
+    * fill of [[graft.operators.WindowOps.gapFill]]: a gap day d between
+    * surviving neighbors (p, x_p) and (q, x_q) gets
+    * x̂(d) = (x_p·(q−d) + x_q·(d−p)) / (q−p), reported as the BIGINT
+    * numerator `interp_num` over denominator `gap_den` — floats never
+    * enter, so the estimate hash-matches across engines (the same
+    * fraction contract as [[autocorrelation]]). Only FILLED days emit;
+    * the bracketing day indexes make the gap length auditable.
+    *
+    * Neighbor discovery is two IGNORE-NULLS window passes over the
+    * calendar spine (last non-gap before, first non-gap after), which
+    * both engines define identically. Leading/trailing gaps have no
+    * bracket and are (correctly) absent — extrapolation is a modeling
+    * decision, not a fill.
+    *
+    * Scale shape: the fact table collapses in one map-side-combining
+    * daily aggregate; the spine, the two windows, and the output are
+    * all ∝ calendar days — the unpartitioned windows run at metadata
+    * scale, never over raw rows (at 100 TB you'd partition the spine
+    * by series key; the single-series form here is the degenerate
+    * window the calendar bounds).
+    */
+  def linearInterp(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+    val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("day"))
+    val wB = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wF = Window.orderBy("day")
+      .rowsBetween(1, Window.unboundedFollowing)
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), col("x"),
+        last(when(col("x").isNotNull, col("day")), ignoreNulls = true)
+          .over(wB).as("p"),
+        last(col("x"), ignoreNulls = true).over(wB).as("x_p"),
+        first(when(col("x").isNotNull, col("day")), ignoreNulls = true)
+          .over(wF).as("q"),
+        first(col("x"), ignoreNulls = true).over(wF).as("x_q"))
+      .filter(col("x").isNull && col("p").isNotNull && col("q").isNotNull)
+      .select(col("day"), col("p"), col("q"),
+        (col("x_p") * (col("q") - col("day")) +
+          col("x_q") * (col("day") - col("p"))).as("interp_num"),
+        (col("q") - col("p")).as("gap_den"))
+      .orderBy("day")
+  }
 }

@@ -1016,4 +1016,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L),
       "the far key verifies over maxDist and is filtered")
   }
+
+  test("blockingEval: exact completeness and reduction permille on one block") {
+    // 4 docs sharing block 'a', docs 1+2 identical normalized text:
+    // candidates = C(4,2) = 6 (all rank gaps <= window), true = 1,
+    // captured = 1 → completeness 1000; total pairs = 6 → reduction 0.
+    val df = Seq(
+      (1L, "en", "alpha text one"),
+      (2L, "zh", "ALPHA text ONE!"), // same content, different lang label
+      (3L, "en", "alpha text two"),
+      (4L, "en", "also in block a")
+    ).toDF("doc_id", "lang", "text")
+    val r = Dedup.blockingEval(df, window = 4).collect().head
+    assert(r.getLong(0) === 4L, "n_records")
+    assert(r.getLong(1) === 6L, "n_total_pairs")
+    assert(r.getLong(2) === 6L, "n_candidates")
+    assert(r.getLong(3) === 1L, "n_true_pairs (cross-lang content dup)")
+    assert(r.getLong(4) === 1L, "n_captured — lang label must not block")
+    assert(r.getLong(5) === 1000L, "completeness_permille")
+    assert(r.getLong(6) === 0L, "reduction_permille (window covers all)")
+  }
 }

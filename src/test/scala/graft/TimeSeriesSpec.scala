@@ -468,4 +468,20 @@ class TimeSeriesSpec extends SparkTestBase {
       10L -> ((2L, 1L, 0L)) // A and B still at risk; A churns
     ), "censored-only times (t=380) emit no row")
   }
+
+  test("linearInterp: exact rational fill between brackets, edges never emit") {
+    // days 0 (100$) and 3 (400$): gap days 1 and 2 interpolate at
+    // thirds; no row for the present days and nothing beyond the span.
+    val df = Seq(("1970-01-01", 100.0), ("1970-01-04", 400.0))
+      .toDF("d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val got = TimeSeries.linearInterp(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      1L -> ((0L, 3L, 100L * 2 + 400L * 1, 3L)), // 600/3 = 200
+      2L -> ((0L, 3L, 100L * 1 + 400L * 2, 3L))  // 900/3 = 300
+    ))
+  }
 }
