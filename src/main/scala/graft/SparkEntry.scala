@@ -777,6 +777,18 @@ object SparkEntry {
     // two IGNORE-NULLS window passes over the calendar spine.
     "e49_linear_interp" -> ((s, dir) =>
       TimeSeries.linearInterp(Tables.orders(s, dir))),
+    // Bitwise aggregate battery: bit_and/or/xor + popcount per group —
+    // order-independent, map-side-combining.
+    "p15_bitwise_battery" -> ((s, dir) =>
+      ColumnOps.bitwiseBattery(Tables.orders(s, dir))),
+    // ER classify step: integer Fellegi-Sunter-style field-agreement
+    // scores over rarest-token-blocked name pairs.
+    "j37_er_scoring" -> ((s, dir) =>
+      EntityResolution.erMatchScores(Tables.part(s, dir))),
+    // Time-decay multi-touch attribution: floor shares + residual to the
+    // most recent touch — credits reconcile to purchase value exactly.
+    "e50_decay_attribution" -> ((s, dir) =>
+      Sessions.decayAttribution(Tables.events(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -2359,6 +2371,88 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM j
         |WHERE x IS NULL AND p IS NOT NULL AND q IS NOT NULL
         |ORDER BY day""".stripMargin,
+    "p15_bitwise_battery" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(bit_and(o_orderkey) AS BIGINT) AS band,
+        |  CAST(bit_or(o_orderkey) AS BIGINT) AS bor,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor,
+        |  CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS sum_popcount,
+        |  CAST(MAX(bit_count(o_orderkey)) AS BIGINT) AS max_popcount
+        |FROM orders WHERE o_orderkey IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j37_er_scoring" ->
+      """WITH reps AS (
+        |  SELECT p_name AS name,
+        |    (min({'pk': p_partkey, 'brand': p_brand, 'typ': p_type,
+        |          'size': p_size})).pk AS pk,
+        |    (min({'pk': p_partkey, 'brand': p_brand, 'typ': p_type,
+        |          'size': p_size})).brand AS brand,
+        |    (min({'pk': p_partkey, 'brand': p_brand, 'typ': p_type,
+        |          'size': p_size})).typ AS typ,
+        |    (min({'pk': p_partkey, 'brand': p_brand, 'typ': p_type,
+        |          'size': p_size})).size AS size
+        |  FROM part WHERE p_name IS NOT NULL GROUP BY 1
+        |), tok AS (
+        |  SELECT name, unnest(string_split(name, ' ')) AS token FROM reps
+        |), dfreq AS (
+        |  SELECT token, COUNT(*) AS df FROM tok GROUP BY 1
+        |), blocked AS (
+        |  SELECT t.name,
+        |    (min({'df': d.df, 'token': t.token})).token AS block_key
+        |  FROM tok t JOIN dfreq d USING (token)
+        |  GROUP BY 1
+        |), br AS (
+        |  SELECT b.name, b.block_key, r.pk, r.brand, r.typ, r.size
+        |  FROM blocked b JOIN reps r USING (name)
+        |), pairs AS (
+        |  SELECT a.pk AS pk_a, b.pk AS pk_b,
+        |    CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |    (CASE WHEN a.brand = b.brand THEN 30 ELSE 0 END
+        |     + CASE WHEN a.typ = b.typ THEN 25 ELSE 0 END
+        |     + CASE WHEN abs(a.size - b.size) <= 1 THEN 15 ELSE 0 END
+        |     + (6 - levenshtein(a.name, b.name)) * 10) AS score
+        |  FROM br a JOIN br b
+        |    ON a.block_key = b.block_key AND a.name < b.name
+        |   AND levenshtein(a.name, b.name) <= 6
+        |)
+        |SELECT pk_a, pk_b, dist, CAST(score AS BIGINT) AS score,
+        |  CAST(CASE WHEN score >= 70 THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        |FROM pairs WHERE score >= 40
+        |ORDER BY 1, 2""".stripMargin,
+    "e50_decay_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS pus,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type = 'purchase' AND value IS NOT NULL
+        |), t AS (
+        |  SELECT user_id, event_id AS t_id, epoch_us(ts) AS tus,
+        |         event_type AS t_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('click', 'view')
+        |), j AS (
+        |  SELECT p.p_id, p.v, t.t_id, t.tus, t.t_type,
+        |    (CAST(1 AS BIGINT)
+        |     << CAST(2 - (p.pus - t.tus) // 86400000000 AS INT)) AS w
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.tus < p.pus AND p.pus - t.tus < 3 * 86400000000
+        |), c AS (
+        |  SELECT t_type,
+        |    v * w // SUM(w) OVER (PARTITION BY p_id)
+        |      + CASE WHEN row_number() OVER (PARTITION BY p_id
+        |                                     ORDER BY tus DESC, t_id DESC) = 1
+        |             THEN v - SUM(v * w // wtot) OVER (PARTITION BY p_id)
+        |             ELSE 0 END AS credit
+        |  FROM (SELECT *, SUM(w) OVER (PARTITION BY p_id) AS wtot FROM j)
+        |), u AS (
+        |  SELECT 'unattributed' AS t_type, v AS credit
+        |  FROM p WHERE p_id NOT IN (SELECT p_id FROM j)
+        |), allc AS (SELECT * FROM c UNION ALL SELECT * FROM u)
+        |SELECT t_type, CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  CAST(SUM(credit) AS BIGINT) AS credited_cents
+        |FROM allc GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -196,4 +196,25 @@ object ColumnOps {
             (t, i) => length(t).cast("long") * i),
           lit(0L), (acc, x) => acc + x).as("pos_weighted_chars"))
       .orderBy("doc_id")
+
+  /** BITWISE battery — the aggregate bit algebra (`bit_and`/`bit_or`/
+    * `bit_xor`) plus per-value popcount, grouped per priority class.
+    * These are the primitives behind bitmap-style presence masks,
+    * xor-fold checksums ([[graft.sources.Sinks]]'s manifest uses the
+    * same fold), and feature-flag columns; the battery pins their
+    * cross-engine semantics on BIGINT keys (all three aggregates are
+    * order-independent, so no determinism hazard under partitioning).
+    * All map-side-combining hash aggregates, state ∝ groups.
+    */
+  def bitwiseBattery(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderkey").isNotNull)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(o_orderkey)").as("band"),
+        expr("bit_or(o_orderkey)").as("bor"),
+        expr("bit_xor(o_orderkey)").as("bxor"),
+        sum(bit_count(col("o_orderkey")).cast("long")).as("sum_popcount"),
+        max(bit_count(col("o_orderkey")).cast("long")).as("max_popcount"))
+      .orderBy("o_orderpriority")
 }

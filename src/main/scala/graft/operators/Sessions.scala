@@ -512,4 +512,63 @@ object Sessions {
           lit(0L)).as("max_clicks_in_path"))
       .orderBy("user_id")
   }
+
+  /** TIME-DECAY multi-touch attribution — the fractional-credit
+    * counterpart to [[lastTouchAttribution]]'s winner-take-all: every
+    * click/view in the `lookbackDays` window before a purchase earns a
+    * share of its value, halving per day of age (weight 2^(L−1−age)).
+    *
+    * Exactness: per-conversion credit v·wᵢ/W is irrational territory in
+    * floats, so each touch takes the FLOOR share v·wᵢ div W and the
+    * rounding residual v − Σ floors goes to the MOST RECENT touch
+    * (deterministic (tus, event_id) order) — credits sum to the
+    * purchase value EXACTLY, per conversion, by construction. Purchases
+    * with no in-window touch emit under 'unattributed', so the output
+    * totals the full purchase volume — the reconciliation a revenue
+    * dashboard demands.
+    *
+    * Scale shape: the purchase×touch pairing is a per-user equi-join
+    * whose fan-out the lookback window bounds (≤ touches-per-user-per-
+    * L-days per purchase); both credit windows partition by purchase id
+    * — state ∝ touches of ONE conversion. At 100 TB you'd bucket both
+    * sides by (user, day) to co-locate; the join key and windows are
+    * already the right ones.
+    */
+  def decayAttribution(events: DataFrame, lookbackDays: Int = 3): DataFrame = {
+    val dayUs = 86400000000L
+    val purchases = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("pus"),
+        round(col("value") * 100).cast("long").as("v"))
+    val touches = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type").as("t_type"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("tus") < col("pus") &&
+        col("pus") - col("tus") < lookbackDays * dayUs)
+      .withColumn("w", expr(
+        s"shiftleft(1L, ${lookbackDays - 1} - cast((pus - tus) div $dayUs as int))"))
+    val wSum = Window.partitionBy("p_id")
+    val wTop = Window.partitionBy("p_id")
+      .orderBy(col("tus").desc, col("t_id").desc)
+    val credited = joined
+      .withColumn("wtot", sum("w").over(wSum))
+      .withColumn("base", expr("v * w div wtot"))
+      .withColumn("assigned", sum("base").over(wSum))
+      .withColumn("rn", row_number().over(wTop))
+      .select(col("t_type"),
+        (col("base") + when(col("rn") === 1, col("v") - col("assigned"))
+          .otherwise(0L)).as("credit"))
+    val unattributed = purchases
+      .join(joined.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .select(lit("unattributed").as("t_type"), col("v").as("credit"))
+    credited.unionAll(unattributed)
+      .groupBy("t_type")
+      .agg(count(lit(1)).as("n_credits"), sum("credit").as("credited_cents"))
+      .orderBy("t_type")
+  }
 }

@@ -820,4 +820,36 @@ class OperatorSpec extends SparkTestBase {
     assert(b.getBoolean(2) && b.getBoolean(3))
     assert(b.getLong(4) === 1L && b.getLong(5) === 1L)
   }
+
+  test("bitwiseBattery: and/or/xor fold and popcounts on a crafted group") {
+    val df = Seq(("G", 1L), ("G", 2L), ("G", 3L))
+      .toDF("o_orderpriority", "o_orderkey")
+    val r = ColumnOps.bitwiseBattery(df).collect().head
+    assert(r.getLong(1) === 3L, "n")
+    assert(r.getLong(2) === 0L, "bit_and(1,2,3)")
+    assert(r.getLong(3) === 3L, "bit_or(1,2,3)")
+    assert(r.getLong(4) === 0L, "bit_xor(1,2,3) = 1^2^3")
+    assert(r.getLong(5) === 4L, "popcounts 1+1+2")
+    assert(r.getLong(6) === 2L, "max popcount from 3 = 0b11")
+  }
+
+  test("erMatchScores: field agreement separates matches from name-only neighbors") {
+    // rose/rosy have df 3 each, so the SHARED first token (df 2) is every
+    // name's rarest → three 2-name blocks, three dist-1 pairs.
+    val df = Seq(
+      (1L, "quartz rose", "B1", "T1", 10),
+      (2L, "quartz rosy", "B1", "T1", 10), // all fields agree → match
+      (3L, "mint rose", "B2", "T2", 20),
+      (4L, "mint rosy", "B3", "T3", 40),   // name-only → score 50, no match
+      (5L, "navy rose", "B4", "T4", 50),
+      (6L, "navy rosy", "B5", "T5", 60)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    val got = EntityResolution.erMatchScores(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      (1L, 2L) -> ((30L + 25L + 15L + 50L, 1L)),
+      (3L, 4L) -> ((50L, 0L)),
+      (5L, 6L) -> ((50L, 0L))))
+  }
 }

@@ -187,4 +187,27 @@ class SessionsSpec extends SparkTestBase {
     assert(got(1L) === ((10L, 3L, 2L, 2L)))
     assert(got(2L) === ((4L, 0L, 0L, 0L)))
   }
+
+  test("decayAttribution: floor shares, residual to most recent, full reconciliation") {
+    val d = 86400000000L
+    // user 1: purchase 10.00$ at t=2d; touches at ages 0/1/2 days
+    // (weights 4/2/1, W=7) and one outside the 3-day lookback.
+    // user 2: purchase 5.00$ with no touches → unattributed.
+    val ev = Seq(
+      (1L, 2 * d, 1L, "purchase", 10.0),
+      (2L, 2 * d - 3600000000L, 1L, "click", 0.0), // age 0 → w 4
+      (3L, 2 * d - d - 1L, 1L, "view", 0.0),       // age 1 → w 2
+      (4L, -d / 2, 1L, "click", 0.0),              // age 2 → w 1
+      (5L, -2 * d, 1L, "view", 0.0),               // outside lookback
+      (6L, 9 * d, 2L, "purchase", 5.0))
+    val df = ev.toDF("event_id", "usl", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val got = Sessions.decayAttribution(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // bases: 1000*4 div 7 = 571, 1000*2 div 7 = 285, 1000*1 div 7 = 142
+    // assigned 998 → residual 2 to the age-0 click (most recent)
+    assert(got("click") === ((2L, 573L + 142L)))
+    assert(got("view") === ((1L, 285L)))
+    assert(got("unattributed") === ((1L, 500L)))
+  }
 }
