@@ -789,6 +789,19 @@ object SparkEntry {
     // most recent touch — credits reconcile to purchase value exactly.
     "e50_decay_attribution" -> ((s, dir) =>
       Sessions.decayAttribution(Tables.events(s, dir))),
+    // Referential sampling audit: md5-nibble customer slice, lineitems
+    // follow their order via semi-join; orphan count 0 by construction.
+    "d29_referential_sample" -> ((s, dir) =>
+      TrainingPipeline.referentialSample(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // Multi-pass SNM: forward + reversed-key passes with per-pass
+    // provenance flags — the recall remedy for single-pass blind spots.
+    "d30_snm_multipass" -> ((s, dir) =>
+      Dedup.snmMultipass(Tables.documents(s, dir))),
+    // try_* error-safety battery: null-on-failure semantics under ANSI
+    // mode, identical poisoned rows in both engines.
+    "p16_try_battery" -> ((s, dir) =>
+      ColumnOps.tryBattery(Tables.orders(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -2453,6 +2466,89 @@ GROUP BY doc_id ORDER BY doc_id"""
         |SELECT t_type, CAST(COUNT(*) AS BIGINT) AS n_credits,
         |  CAST(SUM(credit) AS BIGINT) AS credited_cents
         |FROM allc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d29_referential_sample" ->
+      """WITH ko AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE strpos('0123456789abcdef',
+        |          substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1 < 4
+        |), kl AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM ko)
+        |), oc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders),
+        |okc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_kept FROM ko),
+        |lc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem),
+        |lkc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lines_kept FROM kl),
+        |orp AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_lines
+        |  FROM kl WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ko)
+        |)
+        |SELECT n_orders, n_orders_kept,
+        |  n_orders_kept * 1000 // NULLIF(n_orders, 0) AS orders_permille,
+        |  n_lines, n_lines_kept,
+        |  n_lines_kept * 1000 // NULLIF(n_lines, 0) AS lines_permille,
+        |  n_orphan_lines
+        |FROM oc CROSS JOIN okc CROSS JOIN lc CROSS JOIN lkc
+        |CROSS JOIN orp""".stripMargin,
+    "d30_snm_multipass" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+        |  FROM documents
+        |), fk AS (
+        |  SELECT doc_id, substring(nt, 1, 24) AS k FROM keyed
+        |), fr AS (
+        |  SELECT doc_id, k, substring(k, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substring(k, 1, 1)
+        |                       ORDER BY k, doc_id) AS rn
+        |  FROM fk
+        |), fp AS (
+        |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+        |         GREATEST(a.doc_id, b.doc_id) AS doc_b
+        |  FROM fr a JOIN fr b
+        |    ON b.blk = a.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
+        |  WHERE levenshtein(a.k, b.k) <= 8
+        |), rk AS (
+        |  SELECT doc_id, substring(reverse(nt), 1, 24) AS k FROM keyed
+        |), rr AS (
+        |  SELECT doc_id, k, substring(k, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substring(k, 1, 1)
+        |                       ORDER BY k, doc_id) AS rn
+        |  FROM rk
+        |), rp AS (
+        |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+        |         GREATEST(a.doc_id, b.doc_id) AS doc_b
+        |  FROM rr a JOIN rr b
+        |    ON b.blk = a.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
+        |  WHERE levenshtein(a.k, b.k) <= 8
+        |), u AS (
+        |  SELECT doc_a, doc_b, 1 AS f, 0 AS r FROM fp
+        |  UNION ALL
+        |  SELECT doc_a, doc_b, 0 AS f, 1 AS r FROM rp
+        |)
+        |SELECT doc_a, doc_b, CAST(MAX(f) AS BIGINT) AS in_fwd,
+        |  CAST(MAX(r) AS BIGINT) AS in_rev
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "p16_try_battery" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority,
+        |    TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+        |    TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+        |             ELSE CAST(o_orderdate AS VARCHAR) END AS DATE)
+        |      AS maybe_date,
+        |    FLOOR(CAST(round(o_totalprice * 100) AS BIGINT)
+        |          / NULLIF(o_orderkey % 3, 0)) AS div_floor
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND o_orderdate IS NOT NULL
+        |)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(prio_digit) AS BIGINT) AS sum_digit,
+        |  CAST(SUM(CASE WHEN maybe_date IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_bad_dates,
+        |  CAST(SUM(CASE WHEN div_floor IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_div_null,
+        |  CAST(SUM(CAST(div_floor AS BIGINT)) AS BIGINT) AS sum_div_floor
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -217,4 +217,41 @@ object ColumnOps {
         sum(bit_count(col("o_orderkey")).cast("long")).as("sum_popcount"),
         max(bit_count(col("o_orderkey")).cast("long")).as("max_popcount"))
       .orderBy("o_orderpriority")
+
+  /** `try_*` ERROR-SAFETY battery — pins the null-on-failure semantics
+    * this codebase depends on under ANSI mode, where the unguarded
+    * forms THROW (division by zero killed an early draft of the
+    * blocking-eval metrics; this battery is the regression net for the
+    * whole family):
+    *
+    *  - `try_cast(malformed AS INT/DATE)` → NULL, never an error — the
+    *    quarantine primitive of every ingest path ([[graft.sources
+    *    .Ingest]] isolates bad records with exactly this shape);
+    *  - `try_divide` → NULL on zero divisor; its DOUBLE result is cast
+    *    through `floor` while the numerators sit well inside 2⁵³, so
+    *    the value is engine-exact despite the float intermediate.
+    *
+    * Synthetic malformation is keyed on o_orderkey residues, so both
+    * engines poison the identical rows. One map-side-combining
+    * aggregate, state ∝ priority classes.
+    */
+  def tryBattery(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull &&
+        col("o_orderdate").isNotNull)
+      .select(col("o_orderpriority"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+          .as("prio_digit"),
+        expr("""try_cast(CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+               |         ELSE cast(o_orderdate AS STRING) END AS DATE)"""
+          .stripMargin).as("maybe_date"),
+        expr("""floor(try_divide(cast(round(o_totalprice * 100) AS BIGINT),
+               |      o_orderkey % 3))""".stripMargin).as("div_floor"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("prio_digit").cast("long")).as("sum_digit"),
+        sum(col("maybe_date").isNull.cast("long")).as("n_bad_dates"),
+        sum(col("div_floor").isNull.cast("long")).as("n_div_null"),
+        sum(col("div_floor").cast("long")).as("sum_div_floor"))
+      .orderBy("o_orderpriority")
 }

@@ -1089,4 +1089,62 @@ object Dedup {
         expr("(n_total_pairs - n_candidates) * 1000 div nullif(n_total_pairs, 0)")
           .as("reduction_permille"))
   }
+
+  /** One SNM pass over a (doc_id, k) keyed frame: verified neighbor
+    * pairs (levenshtein(k) ≤ maxDist) within the window, as unordered
+    * (doc_a, doc_b). Same construction as [[sortedNeighborhood]].
+    */
+  private def snmPassPairs(keyed: DataFrame, window: Int,
+      maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ranked = keyed
+      .withColumn("blk", substring(col("k"), 1, 1))
+      .withColumn("rn", row_number().over(
+        W.partitionBy("blk").orderBy("k", "doc_id")))
+    ranked
+      .select(col("blk"), col("doc_id").as("id_a"), col("k").as("k_a"),
+        explode(expr(s"sequence(1, $window)")).as("i"), col("rn"))
+      .select(col("blk"), col("id_a"), col("k_a"),
+        (col("rn") + col("i")).as("rn"))
+      .join(ranked.select(col("blk"), col("rn"),
+        col("doc_id").as("id_b"), col("k").as("k_b")), Seq("blk", "rn"))
+      .filter(levenshtein(col("k_a"), col("k_b")) <= maxDist)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+  }
+
+  /** MULTI-PASS sorted neighborhood — the standard remedy for
+    * single-pass SNM's two blind spots, delivered rather than only
+    * documented on [[sortedNeighborhood]]: a SECOND pass sorts on the
+    * REVERSED normalized text, so (a) an edit inside the leading
+    * `keyLen` chars (which scatters pass 1's sort order) leaves the
+    * reversed key intact, and (b) pairs split across a pass-1 block
+    * boundary get a second, independently-blocked chance. The union is
+    * keyed per pair with per-pass provenance flags (`in_fwd`,
+    * `in_rev`), so recall attribution — which pass earned which pair —
+    * is part of the output, not folklore.
+    *
+    * Scale shape: exactly two independent [[sortedNeighborhood]]
+    * constructions (linear candidates each) plus one hash aggregate on
+    * the pair key to merge flags. Passes share nothing at runtime and
+    * parallelize; k passes cost k× one pass, the textbook SNM trade.
+    */
+  def snmMultipass(documents: DataFrame, window: Int = 4,
+      keyLen: Int = 24, maxDist: Int = 8): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("nt"))
+    val fwd = snmPassPairs(
+      base.select(col("doc_id"), substring(col("nt"), 1, keyLen).as("k")),
+      window, maxDist)
+    val rev = snmPassPairs(
+      base.select(col("doc_id"),
+        substring(reverse(col("nt")), 1, keyLen).as("k")),
+      window, maxDist)
+    fwd.select(col("doc_a"), col("doc_b"), lit(1L).as("f"), lit(0L).as("r"))
+      .unionAll(rev.select(col("doc_a"), col("doc_b"),
+        lit(0L).as("f"), lit(1L).as("r")))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("f").as("in_fwd"), max("r").as("in_rev"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

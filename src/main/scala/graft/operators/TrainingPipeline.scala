@@ -248,4 +248,51 @@ object TrainingPipeline {
         expr("gsum div gn").as("global_mean_cents"))
       .orderBy("n_name")
   }
+
+  /** REFERENTIAL-INTEGRITY-PRESERVING sampling — cut a consistent slice
+    * across fact tables by hashing the ROOT entity (customer), not the
+    * rows: a customer is in or out wholesale, so every kept order keeps
+    * ALL its lineitems and the slice is a valid mini-warehouse (the way
+    * dev/test fixtures and staged backfills must be cut; row-level
+    * sampling breaks every join). The decision is the engine-standard
+    * md5-nibble rule ([[graft.operators.TextOps.hexNibble]]) — content-
+    * addressed, so tomorrow's re-run keeps the same slice.
+    *
+    * The output is the audit row a sampling job logs: kept counts per
+    * table, the realized rates (floor permille), and `n_orphan_lines` —
+    * kept lineitems whose order is NOT kept, 0 BY CONSTRUCTION (the
+    * lineitem filter is a semi-join on kept orders), emitted so the
+    * integrity property is asserted by the hash gate, not assumed.
+    *
+    * Scale shape: one codegen'd filter on orders, one semi-join
+    * (shuffle on orderkey — at 100 TB both sides bucket by orderkey and
+    * it goes exchange-free), one anti-join that aggregates to the
+    * 0-count. No sort, no window.
+    */
+  def referentialSample(orders: DataFrame, lineitem: DataFrame,
+      sixteenths: Int = 4): DataFrame = {
+    val keep = TextOps.hexNibble("o_custkey") < sixteenths
+    val keptOrders = orders.filter(keep)
+      .select(col("o_orderkey"))
+    val keptLines = lineitem
+      .join(keptOrders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+    val orphans = keptLines
+      .join(keptOrders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_lines"))
+    val oc = orders.agg(count(lit(1)).as("n_orders"))
+    val okc = keptOrders.agg(count(lit(1)).as("n_orders_kept"))
+    val lc = lineitem.agg(count(lit(1)).as("n_lines"))
+    val lkc = keptLines.agg(count(lit(1)).as("n_lines_kept"))
+    oc.crossJoin(broadcast(okc)).crossJoin(broadcast(lc))
+      .crossJoin(broadcast(lkc)).crossJoin(broadcast(orphans))
+      .select(col("n_orders"), col("n_orders_kept"),
+        expr("n_orders_kept * 1000 div nullif(n_orders, 0)")
+          .as("orders_permille"),
+        col("n_lines"), col("n_lines_kept"),
+        expr("n_lines_kept * 1000 div nullif(n_lines, 0)")
+          .as("lines_permille"),
+        col("n_orphan_lines"))
+  }
 }

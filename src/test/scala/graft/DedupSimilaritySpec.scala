@@ -1036,4 +1036,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r.getLong(5) === 1000L, "completeness_permille")
     assert(r.getLong(6) === 0L, "reduction_permille (window covers all)")
   }
+
+  test("snmMultipass: reversed pass recovers leading-edit pairs the forward pass scatters") {
+    // 1↔2: leading edit (x→y) puts them in different forward blocks, but
+    // the text tail (>24 chars) is identical → reversed keys equal.
+    // 3↔4: identical text → caught by BOTH passes.
+    val df = Seq(
+      (1L, "en", "xalpha beta gamma delta epsilon zeta"),
+      (2L, "en", "yalpha beta gamma delta epsilon zeta"),
+      (3L, "en", "same document body here okay"),
+      (4L, "en", "same document body here okay"),
+      (5L, "en", "zzz unrelated content entirely different")
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.snmMultipass(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got((1L, 2L)) === ((0L, 1L)), "leading edit: reverse-pass only")
+    assert(got((3L, 4L)) === ((1L, 1L)), "exact dup: both passes")
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }

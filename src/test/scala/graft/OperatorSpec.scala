@@ -852,4 +852,17 @@ class OperatorSpec extends SparkTestBase {
       (3L, 4L) -> ((50L, 0L)),
       (5L, 6L) -> ((50L, 0L))))
   }
+
+  test("tryBattery: null-on-failure for cast/divide, poisoned rows keyed identically") {
+    val df = (1L to 5L).map(k => (k, "1-URGENT", 3.0, "1995-06-15"))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val r = ColumnOps.tryBattery(df).collect().head
+    assert(r.getLong(1) === 5L, "n")
+    assert(r.getLong(2) === 5L, "sum of prio digit 1 over 5 rows")
+    assert(r.getLong(3) === 1L, "key 5 poisons exactly one date")
+    assert(r.getLong(4) === 1L, "key 3 divides by zero → one NULL")
+    assert(r.getLong(5) === 300L + 150L + 300L + 150L,
+      "floor(300/(k%3)) over surviving keys 1,2,4,5")
+  }
 }

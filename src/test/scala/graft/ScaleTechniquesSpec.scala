@@ -380,4 +380,19 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(got("ALPHA") === ((2L, 3000L, 1500L, (3000L + 20 * 2000L) / 22L, 2000L)))
     assert(got("BETA") === ((1L, 3000L, 3000L, (3000L + 20 * 2000L) / 21L, 2000L)))
   }
+
+  test("referentialSample: lineitems follow their order wholesale, zero orphans") {
+    import graft.operators.TrainingPipeline
+    val orders = (1L to 20L).map(k => (k, k)).toSeq
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = (1L to 20L).flatMap(k => Seq((k, 1L), (k, 2L))).toSeq
+      .toDF("l_orderkey", "l_linenumber")
+    val r = TrainingPipeline.referentialSample(orders, lineitem).collect().head
+    assert(r.getLong(0) === 20L, "n_orders")
+    assert(r.getLong(3) === 40L, "n_lines")
+    assert(r.getLong(4) === 2 * r.getLong(1),
+      "every kept order keeps BOTH its lineitems")
+    assert(r.getLong(6) === 0L, "n_orphan_lines is structurally zero")
+    assert(r.getLong(2) === r.getLong(1) * 1000L / 20L, "orders permille")
+  }
 }
