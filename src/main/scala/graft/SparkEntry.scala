@@ -802,6 +802,19 @@ object SparkEntry {
     // mode, identical poisoned rows in both engines.
     "p16_try_battery" -> ((s, dir) =>
       ColumnOps.tryBattery(Tables.orders(s, dir))),
+    // Balanced range-partition planning from the day histogram: quantile
+    // strips by integer prefix sums, fill factor vs ideal per partition.
+    "k3_range_planner" -> ((s, dir) =>
+      graft.sources.Sinks.rangePlanner(Tables.orders(s, dir))),
+    // Weekday-adjusted volume anomalies: median-of-4 same-weekday
+    // baseline kept as an integer sum, exact permille deviation.
+    "dq36_volume_anomaly" -> ((s, dir) =>
+      Quality.volumeAnomalies(Tables.events(s, dir))),
+    // Target encoding computed through a two-batch stats merge; the
+    // oracle is the FULL-batch SQL, so hash equality proves the merge.
+    "d31_encoding_merge" -> ((s, dir) =>
+      TrainingPipeline.targetEncodingMerged(Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -2549,6 +2562,67 @@ GROUP BY doc_id ORDER BY doc_id"""
         |       AS BIGINT) AS n_div_null,
         |  CAST(SUM(CAST(div_floor AS BIGINT)) AS BIGINT) AS sum_div_floor
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k3_range_planner" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+        |), x AS (
+        |  SELECT day, c,
+        |    SUM(c) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS total
+        |  FROM daily
+        |)
+        |SELECT (cum - 1) * 8 // total AS part,
+        |  MIN(day) AS day_lo, MAX(day) AS day_hi,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(SUM(c) * 8 * 1000 // MAX(total) AS BIGINT) AS fill_permille
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dq36_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT a.day, a.c, COUNT(*) AS n_refs,
+        |         list_sort(list(b.c)) AS arr
+        |  FROM daily a
+        |  JOIN (SELECT CAST(unnest(ARRAY[7, 14, 21, 28]) AS BIGINT) AS off)
+        |    ON TRUE
+        |  JOIN daily b ON b.day = a.day - off
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT day, c, arr[2] + arr[3] AS med2
+        |  FROM r WHERE n_refs = 4
+        |)
+        |SELECT day, c, med2,
+        |  c * 2000 // NULLIF(med2, 0) AS dev_permille,
+        |  CAST(CASE WHEN c * 2000 // NULLIF(med2, 0) > 1500
+        |             OR c * 2000 // NULLIF(med2, 0) < 500
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM m ORDER BY day""".stripMargin,
+    "d31_encoding_merge" ->
+      """WITH f AS (
+        |  SELECT n.n_name, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE o.o_totalprice IS NOT NULL
+        |), g AS (
+        |  SELECT CAST(SUM(cents) AS BIGINT) AS gsum,
+        |         CAST(COUNT(*) AS BIGINT) AS gn
+        |  FROM f
+        |)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_c,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_c,
+        |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS raw_mean_cents,
+        |  CAST((SUM(cents) + 20 * (MAX(gsum) // MAX(gn)))
+        |       // (COUNT(*) + 20) AS BIGINT) AS enc_cents,
+        |  CAST(MAX(gsum) // MAX(gn) AS BIGINT) AS global_mean_cents
+        |FROM f CROSS JOIN g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

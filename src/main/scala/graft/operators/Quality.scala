@@ -1280,4 +1280,49 @@ object Quality {
       .withColumn("wins_mean_cents", expr("wins_sum_cents div n_orders"))
       .orderBy("o_orderpriority")
   }
+
+  /** WEEKDAY-ADJUSTED volume anomalies — flag days whose event count
+    * breaks from their OWN weekday's recent norm, because raw daily
+    * volume has a weekly rhythm that a flat baseline ([[rateAnomalies]]
+    * territory) would misread as 7 anomalies a week. Baseline for day d
+    * is the MEDIAN of the counts at d−7, d−14, d−21, d−28 (same
+    * weekday, trailing four weeks — robust: one bad reference week
+    * cannot poison it, unlike a mean).
+    *
+    * Exactness: the median of four is the mean of the two middle order
+    * statistics — kept as their SUM `med2` (an integer), so the
+    * deviation is the exact floor permille 2000·c div med2 and no
+    * half-value float ever appears. Only days with ALL four references
+    * emit (a partial-history baseline is a different, weaker claim).
+    *
+    * Scale shape: one map-side-combining daily count, then a 4-way
+    * explode of day offsets equi-joined back to the broadcast daily
+    * frame — work ∝ days × 4, metadata scale. The 4-element sort is
+    * `array_sort` over a collected list, never a window over rows.
+    */
+  def volumeAnomalies(events: DataFrame,
+      thresholdPermille: Long = 1500L): DataFrame = {
+    val daily = events
+      .filter(col("ts").isNotNull)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val refs = daily
+      .select(col("day"), col("c"),
+        explode(expr("array(7L, 14L, 21L, 28L)")).as("off"))
+      .join(broadcast(daily.select(col("day").as("r_day"),
+        col("c").as("r_c"))), col("r_day") === col("day") - col("off"))
+      .groupBy("day", "c")
+      .agg(count(lit(1)).as("n_refs"),
+        array_sort(collect_list(col("r_c"))).as("arr"))
+      .filter(col("n_refs") === 4)
+      .select(col("day"), col("c"),
+        (element_at(col("arr"), 2) + element_at(col("arr"), 3)).as("med2"))
+    refs
+      .select(col("day"), col("c"), col("med2"),
+        expr("c * 2000 div nullif(med2, 0)").as("dev_permille"))
+      .withColumn("is_anomaly",
+        (col("dev_permille") > thresholdPermille ||
+          col("dev_permille") < lit(2000L) - thresholdPermille).cast("long"))
+      .orderBy("day")
+  }
 }

@@ -249,6 +249,45 @@ object TrainingPipeline {
       .orderBy("n_name")
   }
 
+  /** INSERT-PATH MERGE of [[targetEncoding]]'s sufficient statistics —
+    * the claim that frame makes ("mergeable: tomorrow's batch adds its
+    * (n, Σ) without re-reading history") EXECUTED and verified by the
+    * hash gate itself: this operator computes the encoding through TWO
+    * disjoint batches (orderkey parity split) whose per-category and
+    * global statistics are merged by addition, then re-derives the
+    * encoding from the merged stats — while the REGISTERED ORACLE is
+    * the single-pass full-batch SQL. Hash equality is therefore the
+    * merge-correctness proof, not an internal self-comparison.
+    *
+    * Scale shape: same as [[targetEncoding]] twice over disjoint
+    * partitions (in production the second "batch" is the day's delta —
+    * cost ∝ delta); the merge is a hash aggregate over category keys.
+    */
+  def targetEncodingMerged(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, m: Int = 20): DataFrame = {
+    val fact = orders
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), Seq("o_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), Seq("c_nationkey"))
+    def stats(f: DataFrame): DataFrame = f.groupBy("n_name")
+      .agg(count(lit(1)).as("n_c"), sum("cents").as("sum_c"))
+    val merged = stats(fact.filter(col("o_orderkey") % 2 === 0))
+      .unionAll(stats(fact.filter(col("o_orderkey") % 2 =!= 0)))
+      .groupBy("n_name")
+      .agg(sum("n_c").as("n_c"), sum("sum_c").as("sum_c"))
+    val global = merged.agg(sum("sum_c").as("gsum"), sum("n_c").as("gn"))
+    merged.crossJoin(broadcast(global))
+      .select(col("n_name"), col("n_c"), col("sum_c"),
+        expr("sum_c div n_c").as("raw_mean_cents"),
+        expr(s"(sum_c + $m * (gsum div gn)) div (n_c + $m)").as("enc_cents"),
+        expr("gsum div gn").as("global_mean_cents"))
+      .orderBy("n_name")
+  }
+
   /** REFERENTIAL-INTEGRITY-PRESERVING sampling — cut a consistent slice
     * across fact tables by hashing the ROOT entity (customer), not the
     * rows: a customer is in or out wholesale, so every kept order keeps

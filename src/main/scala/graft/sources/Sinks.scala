@@ -467,4 +467,46 @@ object Sinks {
           .as("n_underfilled"))
       .orderBy("month")
   }
+
+  /** BALANCED RANGE-PARTITION PLANNING from the value histogram — the
+    * offline form of what `repartitionByRange` samples at runtime:
+    * given per-day row counts, assign each day to partition
+    * p = (cum − 1)·k div total (its last row's position in the global
+    * order, floored into k equal quantile strips), and report each
+    * partition's realized day range, row count, and fill factor
+    * against the ideal total/k. The artifact a table-layout job stores
+    * next to the written clustering — and the skew diagnosis BEFORE a
+    * shuffle, not after it OOMs: a day bigger than total/k shows up as
+    * fill_permille ≫ 1000 on its partition (atomic keys can't split —
+    * that's the signal to widen the key or salt).
+    *
+    * Exactness: pure integer prefix sums and floor quotients. Scale
+    * shape: the fact table collapses in one map-side-combining daily
+    * count; the cumulative window runs over DISTINCT days (the same
+    * metadata-scale contract as [[compactionPlan]]'s prefix-sum bins).
+    */
+  def rangePlanner(orders: DataFrame, parts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(parts >= 1, s"rangePlanner: parts=$parts must be >= 1")
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("total", sum("c").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("part", expr(s"(cum - 1) * $parts div total"))
+      .groupBy("part")
+      .agg(min("day").as("day_lo"), max("day").as("day_hi"),
+        sum("c").as("n_rows"), max("total").as("total"))
+      .select(col("part"), col("day_lo"), col("day_hi"), col("n_rows"),
+        expr(s"n_rows * $parts * 1000 div total").as("fill_permille"))
+      .orderBy("part")
+  }
 }

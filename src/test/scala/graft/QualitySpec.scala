@@ -480,4 +480,23 @@ class QualitySpec extends SparkTestBase {
     assert(r.getLong(6) === 1L, "n_clamped_high")
     assert(r.getLong(7) === r.getLong(4) / 20L, "floor mean")
   }
+
+  test("volumeAnomalies: same-weekday median baseline, only full-history days emit") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val d = 86400000000L
+    // 2 events on days 0,7,14,21,28 and 6 events on day 35:
+    // day 28 → refs (2,2,2,2), dev 1000‰, normal; day 35 → refs
+    // (2,2,2,2), dev 3000‰, anomaly. Earlier days lack full history.
+    val rows = Seq(0, 7, 14, 21, 28).flatMap(k =>
+      Seq(k * d + 1, k * d + 2)) ++ (1 to 6).map(i => 35 * d + i)
+    val df = rows.toDF("usl")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val got = Quality.volumeAnomalies(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      28L -> ((2L, 4L, 1000L, 0L)),
+      35L -> ((6L, 4L, 3000L, 1L))))
+  }
 }

@@ -395,4 +395,38 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(r.getLong(6) === 0L, "n_orphan_lines is structurally zero")
     assert(r.getLong(2) === r.getLong(1) * 1000L / 20L, "orders permille")
   }
+
+  test("rangePlanner: uniform history splits evenly, an atomic hot key overfills its strip") {
+    val mk = (counts: Seq[Int]) => counts.zipWithIndex.flatMap { case (n, d) =>
+      Seq.fill(n)(d)
+    }.toDF("i").select(
+      org.apache.spark.sql.functions.date_add(
+        org.apache.spark.sql.functions.lit("1970-01-01").cast("date"),
+        org.apache.spark.sql.functions.col("i")).as("o_orderdate"))
+    val uniform = graft.sources.Sinks.rangePlanner(mk(Seq.fill(8)(1)), parts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(uniform === Map(0L -> ((2L, 1000L)), 1L -> ((2L, 1000L)),
+      2L -> ((2L, 1000L)), 3L -> ((2L, 1000L))))
+    // day 0 carries 12 of 21 rows: its strip lands at fill 2000‰ and
+    // strip 0 goes unemitted — the can't-split-an-atomic-key signal.
+    val skew = graft.sources.Sinks.rangePlanner(mk(12 +: Seq.fill(9)(1)),
+        parts = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(skew === Map(1L -> ((14L, 2000L)), 2L -> ((7L, 1000L))))
+  }
+
+  test("targetEncodingMerged equals the single-pass encoding on a literal frame") {
+    import graft.operators.TrainingPipeline
+    val orders = Seq((1L, 10L, 10.0), (1L, 11L, 20.0), (2L, 12L, 30.0))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val customer = Seq((1L, 101L), (2L, 102L)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((101L, "ALPHA"), (102L, "BETA"))
+      .toDF("n_nationkey", "n_name")
+    val direct = TrainingPipeline
+      .targetEncoding(orders.drop("o_orderkey"), customer, nation).collect()
+    val merged = TrainingPipeline
+      .targetEncodingMerged(orders, customer, nation).collect()
+    assert(merged.toSeq === direct.toSeq,
+      "two-batch stats merge re-derives the identical encoding frame")
+  }
 }
