@@ -815,6 +815,14 @@ object SparkEntry {
     "d31_encoding_merge" -> ((s, dir) =>
       TrainingPipeline.targetEncodingMerged(Tables.orders(s, dir),
         Tables.customer(s, dir), Tables.nation(s, dir))),
+    // LTV triangle: cumulative cohort revenue by weeks-since-acquisition
+    // — exact cents, cumulative window over the cohort×age grid only.
+    "e51_ltv_triangle" -> ((s, dir) =>
+      TimeSeries.ltvTriangle(Tables.orders(s, dir))),
+    // Degree assortativity sufficient stats (Newman's r numerators):
+    // exact integers over the support-pruned co-purchase edges.
+    "g12_assortativity" -> ((s, dir) =>
+      GraphOps.assortativityStats(Tables.lineitem(s, dir))),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -2623,6 +2631,61 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(MAX(gsum) // MAX(gn) AS BIGINT) AS global_mean_cents
         |FROM f CROSS JOIN g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e51_ltv_triangle" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |), f AS (SELECT o_custkey, MIN(day) AS d0 FROM o GROUP BY 1),
+        |sz AS (
+        |  SELECT d0 // 7 AS cohort_wk, CAST(COUNT(*) AS BIGINT)
+        |    AS cohort_size
+        |  FROM f GROUP BY 1
+        |), cells AS (
+        |  SELECT f.d0 // 7 AS cohort_wk, (o.day - f.d0) // 7 AS weeks_since,
+        |    CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+        |    CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN f USING (o_custkey)
+        |  WHERE (o.day - f.d0) // 7 < 12
+        |  GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT cohort_wk, weeks_since, n_active, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_wk
+        |      ORDER BY weeks_since
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_rev_cents
+        |  FROM cells
+        |)
+        |SELECT c2.cohort_wk, weeks_since, n_active, rev_cents,
+        |  cum_rev_cents, cohort_size,
+        |  cum_rev_cents // cohort_size AS ltv_cents
+        |FROM c2 JOIN sz ON c2.cohort_wk = sz.cohort_wk
+        |ORDER BY 1, 2""".stripMargin,
+    "g12_assortativity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e0 AS (
+        |  SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2
+        |), eu AS (SELECT u, v FROM e0 WHERE c >= 2),
+        |d AS (
+        |  SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS x FROM eu UNION ALL SELECT v AS x FROM eu)
+        |  GROUP BY x
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |  CAST(SUM(du.deg + dv.deg) AS BIGINT) AS s1,
+        |  CAST(SUM(CAST(du.deg AS HUGEINT) * du.deg
+        |           + CAST(dv.deg AS HUGEINT) * dv.deg) AS BIGINT) AS s2,
+        |  CAST(SUM(CAST(du.deg AS HUGEINT) * dv.deg) AS BIGINT) AS s3
+        |FROM eu
+        |JOIN d du ON du.node = eu.u
+        |JOIN d dv ON dv.node = eu.v""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -622,4 +622,40 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
       .orderBy("community")
   }
+
+  /** DEGREE ASSORTATIVITY sufficient statistics — do high-degree nodes
+    * link to other hubs (assortative, r > 0) or to the periphery
+    * (disassortative, r < 0)? The one-number topology diagnostic that
+    * decides whether hub-targeted sampling or salting is worth it.
+    * Newman's r is a Pearson correlation over edge endpoint degrees;
+    * its float form never hash-matches, so the operator reports the
+    * EXACT integer sufficient statistics over the m undirected edges —
+    * m, S1 = Σ(dᵤ+dᵥ), S2 = Σ(dᵤ²+dᵥ²), S3 = Σ dᵤ·dᵥ — from which
+    * r = (S3/m − (S1/2m)²) / (S2/2m − (S1/2m)²) reconstructs ([[
+    * TimeSeries.autocorrelation]]'s report-the-fraction contract).
+    * BIGINT headroom: degrees ≤ 10⁵ and edges ≤ 10⁹ keep S2 ≤ 10¹⁹…
+    * just past 2⁶³ at the extreme — S2/S3 ride as DECIMAL(38,0) and
+    * cast down, so the fixture values are BIGINT while the shape
+    * survives graphs that would overflow.
+    *
+    * Scale shape: one edge build ([[coPurchaseEdges]]), one degree
+    * aggregate (∝ nodes), two hash joins of edges against the degree
+    * frame, one global reduce. No window, no sort.
+    */
+  def assortativityStats(lineitem: DataFrame,
+      minSupport: Long = 2L): DataFrame = {
+    val e = coPurchaseEdges(lineitem, minSupport)
+    val deg = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    e
+      .join(deg.select(col("node").as("src"), col("d").as("du")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dv")), Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("du") + col("dv")).as("s1"),
+        sum((col("du").cast("decimal(38,0)") * col("du") +
+          col("dv").cast("decimal(38,0)") * col("dv"))).as("s2d"),
+        sum(col("du").cast("decimal(38,0)") * col("dv")).as("s3d"))
+      .select(col("n_edges"), col("s1"),
+        col("s2d").cast("long").as("s2"), col("s3d").cast("long").as("s3"))
+  }
 }

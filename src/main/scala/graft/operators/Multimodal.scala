@@ -149,16 +149,37 @@ object Multimodal {
     * (a header sniff, like ImageIO's), or when the claimed encoding is
     * not integer PCM the JDK can widen to signed 16-bit.
     */
-  def audioDecode(payload: Array[Byte]): Option[Array[Float]] = {
+  def audioDecode(payload: Array[Byte]): Option[Array[Float]] =
+    audioPcm(payload).map { samples =>
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < samples.length) {
+        // |s| / 32768 ∈ [0,1); *16 picks the bin; Short.MinValue's abs
+        // overflows to itself negative, so clamp through math.min on Int
+        val mag = math.min(math.abs(samples(i).toInt), 32767)
+        hist((mag * 16) / 32768) += 1f
+        i += 1
+      }
+      var b = 0
+      while (b < 16) { hist(b) /= samples.length.toFloat; b += 1 }
+      hist
+    }
+
+  /** Real audio decode to NORMALIZED PCM — whatever width/endianness/
+    * signedness the container declares is converted to signed 16-bit
+    * little-endian (channels kept interleaved), so every consumer
+    * ([[audioDecode]]'s histogram, [[audioEnergyWindows]]'s energy loop)
+    * reads exactly one sample format. None on anything the JDK's codecs
+    * don't claim or that truncates mid-body — per-item isolation, never
+    * a task failure.
+    */
+  def audioPcm(payload: Array[Byte]): Option[Array[Short]] = {
     if (payload == null || payload.length == 0) return None
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val in =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => return None }
     try {
-      // normalize whatever PCM width/endianness/signedness the container
-      // declares to one shape (signed 16-bit little-endian, channels kept)
-      // so the histogram loop below has exactly one sample format to read
       val src = in.getFormat
       if (src.getSampleRate <= 0 || src.getChannels <= 0) return None
       val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
@@ -169,25 +190,17 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => return None }
       val bytes =
         try pcm.readAllBytes()
-        // claimed-but-truncated body mid-decode: per-item fallback, not a
-        // job-killing task failure — same isolation rule as imageDecode
         catch { case scala.util.control.NonFatal(_) => return None }
         finally pcm.close()
       val nSamples = bytes.length / 2
       if (nSamples == 0) return None
-      val hist = new Array[Float](16)
+      val out = new Array[Short](nSamples)
       var i = 0
       while (i + 1 < bytes.length) {
-        val s = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
-        // |s| / 32768 ∈ [0,1); *16 picks the bin; Short.MinValue's abs
-        // overflows to itself negative, so clamp through math.min on Int
-        val mag = math.min(math.abs(s.toInt), 32767)
-        hist((mag * 16) / 32768) += 1f
+        out(i / 2) = ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
         i += 2
       }
-      var b = 0
-      while (b < 16) { hist(b) /= nSamples.toFloat; b += 1 }
-      Some(hist)
+      Some(out)
     } finally in.close()
   }
 
@@ -264,6 +277,46 @@ object Multimodal {
             val f = frames.length
             (0 until n).map(i => (i.toLong * f / n).toInt).distinct
               .map(idx => Row(r.getLong(0), idx, f, frames(idx).toIndexedSeq))
+          case None => Nil
+        }
+      }
+    }(encoder)
+  }
+
+  /** WINDOWED AUDIO ENERGY over real decoded PCM — the first feature a
+    * speech/music pipeline computes (VAD gating, silence trimming, clip
+    * detection all read it): the stream is cut into fixed
+    * `windowSamples`-sample windows and each emits its INTEGER
+    * sum-of-squares energy (16-bit samples: ≤ 2³⁰ per sample, 2⁴⁰ per
+    * 1k-window — exact in a Long, no float RMS drift across engines or
+    * JITs). One row per (media, window): the time-series shape
+    * downstream sessionization/thresholding operators consume.
+    * Per-partition batch loop like [[extractFeatures]]; rows ∝ decoded
+    * windows; payloads the JDK's audio codecs don't claim emit nothing.
+    */
+  def audioEnergyWindows(media: DataFrame,
+      windowSamples: Int = 1024): DataFrame = {
+    require(windowSamples >= 1, "windowSamples must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("window_idx", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("energy", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        audioPcm(r.getAs[Array[Byte]](1)) match {
+          case Some(samples) =>
+            samples.grouped(windowSamples).zipWithIndex.map {
+              case (win, idx) =>
+                var e = 0L
+                var i = 0
+                while (i < win.length) {
+                  e += win(i).toLong * win(i); i += 1
+                }
+                Row(r.getLong(0), idx, win.length, e)
+            }.toSeq
           case None => Nil
         }
       }

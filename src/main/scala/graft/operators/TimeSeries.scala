@@ -915,4 +915,54 @@ object TimeSeries {
         (col("q") - col("p")).as("gap_den"))
       .orderBy("day")
   }
+
+  /** LTV TRIANGLE — cumulative revenue per acquisition cohort by weeks
+    * since acquisition, the standard lifetime-value report (each cohort
+    * is one row-series; reading down a column compares cohorts at equal
+    * age; the right edge is ragged because young cohorts haven't lived
+    * that long — hence "triangle"). Complements the COUNT-based
+    * retention triangle (e13) with the REVENUE dimension.
+    *
+    * Cohort = floor-week of the customer's first order; age = floor-
+    * weeks between order and that first order, capped at `maxWeeks`
+    * (the report's width — orders past the cap are excluded, as in the
+    * BI artifact this reproduces). All arithmetic is integer day/week
+    * math and exact cents; `ltv_cents` is the floor per-customer
+    * cumulative value.
+    *
+    * Scale shape: one map-side-combining first-order aggregate
+    * (∝ customers), one shuffle join back on the customer key, one
+    * (cohort, age) aggregate — then the cumulative window runs over the
+    * cohort×age grid (metadata scale). n_active is a per-cell distinct,
+    * state ∝ cohort customers.
+    */
+  def ltvTriangle(orders: DataFrame, maxWeeks: Int = 12): DataFrame = {
+    val o = orders
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min("day").as("d0"))
+    val sized = first.groupBy(expr("d0 div 7").as("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = o.join(first, Seq("o_custkey"))
+      .select(expr("d0 div 7").as("cohort_wk"),
+        expr("(day - d0) div 7").as("weeks_since"),
+        col("o_custkey"), col("cents"))
+      .filter(col("weeks_since") < maxWeeks)
+      .groupBy("cohort_wk", "weeks_since")
+      .agg(countDistinct("o_custkey").as("n_active"),
+        sum("cents").as("rev_cents"))
+    val w = Window.partitionBy("cohort_wk").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_rev_cents", sum("rev_cents").over(w))
+      .join(broadcast(sized), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("weeks_since"), col("n_active"),
+        col("rev_cents"), col("cum_rev_cents"), col("cohort_size"),
+        expr("cum_rev_cents div cohort_size").as("ltv_cents"))
+      .orderBy("cohort_wk", "weeks_since")
+  }
 }

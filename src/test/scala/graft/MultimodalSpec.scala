@@ -223,4 +223,20 @@ class MultimodalSpec extends SparkTestBase {
       s"missed ${want.diff(got).take(5)}, extra ${got.diff(want).take(5)}")
     assert(want.nonEmpty, "fixture must contain at least one close pair")
   }
+
+  test("audioEnergyWindows: exact integer sum-of-squares per fixed window") {
+    import spark.implicits._
+    // 1024 samples at ±1000 then 512 at 0: window 0 full-energy,
+    // window 1 silent and SHORT (ragged tail keeps its true length).
+    val samples = Array.fill[Short](1024)(1000) ++ Array.fill[Short](512)(0)
+    val df = Seq((7L, wav(samples)), (8L, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.audioEnergyWindows(df, windowSamples = 1024)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      (7L, 0) -> ((1024, 1024L * 1000L * 1000L)),
+      (7L, 1) -> ((512, 0L))),
+      "undecodable payload 8 emits nothing; energies are exact")
+  }
 }

@@ -865,4 +865,17 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getLong(5) === 300L + 150L + 300L + 150L,
       "floor(300/(k%3)) over surviving keys 1,2,4,5")
   }
+
+  test("assortativityStats: exact sufficient statistics on a 2-edge path") {
+    import graft.operators.GraphOps
+    // support-2 edges 1–2 and 2–3: degrees 1, 2, 1
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (3L, 3L), (4L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = GraphOps.assortativityStats(li).collect().head
+    assert(r.getLong(0) === 2L, "n_edges")
+    assert(r.getLong(1) === 6L, "S1 = (1+2)+(2+1)")
+    assert(r.getLong(2) === 10L, "S2 = (1+4)+(4+1)")
+    assert(r.getLong(3) === 4L, "S3 = 1*2 + 2*1")
+  }
 }

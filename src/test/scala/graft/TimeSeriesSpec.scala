@@ -484,4 +484,21 @@ class TimeSeriesSpec extends SparkTestBase {
       2L -> ((0L, 3L, 100L * 1 + 400L * 2, 3L))  // 900/3 = 300
     ))
   }
+
+  test("ltvTriangle: cohort age is relative to FIRST order, cumulative per cohort") {
+    // cust A first orders week 0 (10$), buys again week 1 (20$);
+    // cust B joins the same cohort week 0 (40$) and goes quiet.
+    val df = Seq(
+      ("A", "1970-01-01", 10.0), ("A", "1970-01-09", 20.0),
+      ("B", "1970-01-02", 40.0))
+      .toDF("o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val got = TimeSeries.ltvTriangle(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got === Map(
+      (0L, 0L) -> ((2L, 5000L, 5000L, 2L, 2500L)),
+      (0L, 1L) -> ((1L, 2000L, 7000L, 2L, 3500L))))
+  }
 }
