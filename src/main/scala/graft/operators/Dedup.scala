@@ -863,8 +863,9 @@ object Dedup {
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .filter(col("dist") <= k)
+      .withColumn("dist",
+        levenshtein(col("s_a"), col("s_b"), k).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .orderBy("doc_a", "doc_b")
   }
@@ -1019,8 +1020,9 @@ object Dedup {
       .join(ranked.select(col("blk"), col("rn"),
           col("doc_id").as("id_b"), col("k").as("k_b")),
         Seq("blk", "rn"))
-      .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("k_a"), col("k_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
       .orderBy("doc_a", "doc_b")
@@ -1108,7 +1110,7 @@ object Dedup {
         (col("rn") + col("i")).as("rn"))
       .join(ranked.select(col("blk"), col("rn"),
         col("doc_id").as("id_b"), col("k").as("k_b")), Seq("blk", "rn"))
-      .filter(levenshtein(col("k_a"), col("k_b")) <= maxDist)
+      .filter(levenshtein(col("k_a"), col("k_b"), maxDist) >= 0)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"))
   }

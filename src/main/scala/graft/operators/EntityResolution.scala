@@ -66,9 +66,10 @@ object EntityResolution {
     blocked.as("a").join(blocked.as("b"),
         col("a.block_key") === col("b.block_key") &&
           col("a.name") < col("b.name") &&
-          levenshtein(col("a.name"), col("b.name")) <= maxDistance)
+          levenshtein(col("a.name"), col("b.name"), maxDistance) >= 0)
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"),
+        levenshtein(col("a.name"), col("b.name"), maxDistance)
+          .cast("long").as("dist"),
         col("a.n_records").as("n_a"), col("b.n_records").as("n_b"))
       .orderBy("name_a", "name_b")
   }
@@ -112,9 +113,10 @@ object EntityResolution {
     val pairs = blocked.as("a").join(blocked.as("b"),
         col("a.block_key") === col("b.block_key") &&
           col("a.name") < col("b.name") &&
-          levenshtein(col("a.name"), col("b.name")) <= maxDistance)
+          levenshtein(col("a.name"), col("b.name"), maxDistance) >= 0)
       .select(col("a.pk").as("pk_a"), col("b.pk").as("pk_b"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"),
+        levenshtein(col("a.name"), col("b.name"), maxDistance)
+          .cast("long").as("dist"),
         (when(col("a.brand") === col("b.brand"), 30L).otherwise(0L) +
           when(col("a.typ") === col("b.typ"), 25L).otherwise(0L) +
           when(abs(col("a.size") - col("b.size")) <= 1, 15L).otherwise(0L))
