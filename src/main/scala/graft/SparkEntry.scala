@@ -823,6 +823,40 @@ object SparkEntry {
     // exact integers over the support-pruned co-purchase edges.
     "g12_assortativity" -> ((s, dir) =>
       GraphOps.assortativityStats(Tables.lineitem(s, dir))),
+    // Bag-semantics Jaccard over SNM pairs: Σmin/Σmax on token multisets
+    // via the Σmax = sa + sb − Σmin identity — inner joins only.
+    "d32_bag_jaccard" -> ((s, dir) =>
+      Dedup.bagJaccardPairs(Tables.documents(s, dir))),
+    // Cumulative adoption via first-seen linearization — never a running
+    // COUNT(DISTINCT) (quadratic state at scale).
+    "e52_adoption_curve" -> ((s, dir) =>
+      Sessions.adoptionCurve(Tables.events(s, dir))),
+    // NOT IN vs NOT EXISTS null-semantics pin: a NULL in the subquery
+    // list empties NOT IN (three-valued logic) but not NOT EXISTS —
+    // evaluated by Spark's OWN subquery planner via the SQL front door,
+    // so a planner regression (not just an operator bug) flips the row.
+    "j38_subquery_null_battery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_nullv")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_nullv")
+      s.sql("""SELECT
+              |  (SELECT COUNT(*) FROM customer_nullv WHERE c_custkey IN
+              |    (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+              |            ELSE o_custkey END FROM orders_nullv
+              |     WHERE o_totalprice > 200000)) AS n_in,
+              |  (SELECT COUNT(*) FROM customer_nullv WHERE c_custkey NOT IN
+              |    (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+              |            ELSE o_custkey END FROM orders_nullv
+              |     WHERE o_totalprice > 200000)) AS n_not_in,
+              |  (SELECT COUNT(*) FROM customer_nullv c WHERE NOT EXISTS
+              |    (SELECT 1 FROM orders_nullv o
+              |     WHERE o.o_custkey = c.c_custkey
+              |       AND o.o_totalprice > 200000)) AS n_not_exists,
+              |  (SELECT COUNT(*) FROM customer_nullv WHERE c_custkey NOT IN
+              |    (SELECT o_custkey FROM orders_nullv
+              |     WHERE o_custkey IS NOT NULL
+              |       AND o_totalprice > 200000)) AS n_not_in_nullfree
+              |""".stripMargin)
+    }),
     "o_topk" -> ((s, dir) => SetOps.topK(Tables.orders(s, dir), 10)),
     // OHLC resampling: hourly open/high/low/close/volume bars per event
     // type — min_by/max_by on a (us, event_id) struct, ONE hash aggregate
@@ -2686,6 +2720,82 @@ GROUP BY doc_id ORDER BY doc_id"""
         |FROM eu
         |JOIN d du ON du.node = eu.u
         |JOIN d dv ON dv.node = eu.v""".stripMargin,
+    "d32_bag_jaccard" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+        |      AS k
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, k, substring(k, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substring(k, 1, 1)
+        |                       ORDER BY k, doc_id) AS rn
+        |  FROM keyed
+        |), pairs AS (
+        |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+        |    GREATEST(a.doc_id, b.doc_id) AS doc_b
+        |  FROM r a JOIN r b
+        |    ON b.blk = a.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
+        |  WHERE levenshtein(a.k, b.k) <= 8
+        |), tc AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS sz FROM tc GROUP BY 1
+        |), im AS (
+        |  SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+        |  FROM pairs p
+        |  JOIN tc a ON a.doc_id = p.doc_a
+        |  JOIN tc b ON b.doc_id = p.doc_b AND b.tok = a.tok
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |  COALESCE(im.m, 0) AS jac_num,
+        |  sa.sz + sb.sz - COALESCE(im.m, 0) AS jac_den
+        |FROM pairs p
+        |LEFT JOIN im ON im.doc_a = p.doc_a AND im.doc_b = p.doc_b
+        |JOIN sz sa ON sa.doc_id = p.doc_a
+        |JOIN sz sb ON sb.doc_id = p.doc_b
+        |ORDER BY 1, 2""".stripMargin,
+    "e52_adoption_curve" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), npd AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+        |  FROM (SELECT user_id, MIN(day) AS day FROM base GROUP BY 1)
+        |  GROUP BY 1
+        |), epd AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT e.day, e.n_events,
+        |  COALESCE(n.n_new_users, 0) AS n_new_users,
+        |  CAST(SUM(COALESCE(n.n_new_users, 0)) OVER (ORDER BY e.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM epd e LEFT JOIN npd n ON n.day = e.day
+        |ORDER BY e.day""".stripMargin,
+    "j38_subquery_null_battery" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey IN
+        |    (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |            ELSE o_custkey END FROM orders
+        |     WHERE o_totalprice > 200000)) AS n_in,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |            ELSE o_custkey END FROM orders
+        |     WHERE o_totalprice > 200000)) AS n_not_in,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o
+        |     WHERE o.o_custkey = c.c_custkey
+        |       AND o.o_totalprice > 200000)) AS n_not_exists,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey NOT IN
+        |    (SELECT o_custkey FROM orders
+        |     WHERE o_custkey IS NOT NULL
+        |       AND o_totalprice > 200000)) AS n_not_in_nullfree""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

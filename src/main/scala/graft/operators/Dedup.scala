@@ -1149,4 +1149,51 @@ object Dedup {
       .agg(max("f").as("in_fwd"), max("r").as("in_rev"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** BAG-semantics (weighted) Jaccard over [[sortedNeighborhood]]'s
+    * verified pairs — J_bag = Σₜ min(cₐ,c_b) / Σₜ max(cₐ,c_b) on token
+    * MULTISETS, the similarity the set-Jaccard family (d18/d19) is
+    * blind to: a document that repeats one phrase 50 times has the same
+    * token SET as one mentioning it once, but very different bags —
+    * exactly the boilerplate/spam axis a training-corpus dedup cares
+    * about. Reported as the exact integer fraction (num, den) — the
+    * report-the-fraction contract again.
+    *
+    * Identity that keeps this cheap: Σmax = sizeₐ + size_b − Σmin, so
+    * only the INTERSECTION minimum needs the token-level equi-join (an
+    * inner join on shared tokens — work ∝ shared-token occurrences of
+    * candidate pairs); bag sizes come from a per-doc aggregate. Pairs
+    * sharing no token keep num = 0 via the left join.
+    *
+    * Scale shape: candidates are SNM-linear; token counts are one
+    * map-side-combining (doc, token) aggregate; everything joins on
+    * fine-grained keys. No cartesian, no window over rows.
+    */
+  def bagJaccardPairs(documents: DataFrame, window: Int = 4,
+      keyLen: Int = 24, maxDist: Int = 8): DataFrame = {
+    val pairs = sortedNeighborhood(documents, window, keyLen, maxDist)
+      .select("doc_a", "doc_b")
+    val counts = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val sizes = counts.groupBy("doc_id").agg(sum("c").as("sz"))
+    val interMin = pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("tok"),
+        col("c").as("ca")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("tok"),
+        col("c").as("cb")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("inter_min"))
+    pairs
+      .join(interMin, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter_min"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("inter_min").as("jac_num"),
+        (col("sa") + col("sb") - col("inter_min")).as("jac_den"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

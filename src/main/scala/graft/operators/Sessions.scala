@@ -571,4 +571,33 @@ object Sessions {
       .agg(count(lit(1)).as("n_credits"), sum("credit").as("credited_cents"))
       .orderBy("t_type")
   }
+
+  /** ADOPTION CURVE — daily activity with the cumulative distinct-user
+    * count, computed the only way that scales: a user contributes to the
+    * cumulative line exactly once, on their FIRST-SEEN day, so the curve
+    * is a running SUM of first-seen counts over the day grid. The naive
+    * form (`COUNT(DISTINCT user) OVER (ORDER BY day)`) re-scans every
+    * prior day's users per output row — quadratic state and the classic
+    * dashboard query that dies at scale; first-seen linearizes it.
+    *
+    * Scale shape: one map-side-combining per-user MIN (∝ users), one
+    * per-day count (∝ days), one per-day event count, and a cumulative
+    * window over the day grid only. All exact integers.
+    */
+  def adoptionCurve(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000")
+        .as("day"))
+    val newPerDay = base.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new_users"))
+    val evPerDay = base.groupBy("day").agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    evPerDay
+      .join(newPerDay, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new_users"))
+      .withColumn("cum_users", sum("n_new_users").over(w))
+      .orderBy("day")
+  }
 }

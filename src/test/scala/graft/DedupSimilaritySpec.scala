@@ -1055,4 +1055,17 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got((3L, 4L)) === ((1L, 1L)), "exact dup: both passes")
     assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("bagJaccardPairs: multiset min/max over token counts, exact fraction") {
+    // bags: {aa:1, bb:2, cc:1} vs {aa:1, bb:1, cc:1} → Σmin 3, Σmax 4.
+    val df = Seq(
+      (1L, "en", "aa bb bb cc"),
+      (2L, "en", "aa bb cc")
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.bagJaccardPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map((1L, 2L) -> ((3L, 4L))),
+      "set Jaccard would say 3/3 — the bag sees the repetition")
+  }
 }

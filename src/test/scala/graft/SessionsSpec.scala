@@ -210,4 +210,20 @@ class SessionsSpec extends SparkTestBase {
     assert(got("view") === ((1L, 285L)))
     assert(got("unattributed") === ((1L, 500L)))
   }
+
+  test("adoptionCurve: users count once on their first-seen day") {
+    val d = 86400000000L
+    val ev = Seq(
+      (1L, 10L, 1L, "click", 0.0),         // A first seen day 0
+      (2L, d + 10L, 1L, "view", 0.0),      // A again day 1 — not new
+      (3L, d + 20L, 2L, "click", 0.0))     // B first seen day 1
+    val df = ev.toDF("event_id", "usl", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val got = Sessions.adoptionCurve(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      0L -> ((1L, 1L, 1L)),
+      1L -> ((2L, 1L, 2L))))
+  }
 }
