@@ -827,6 +827,18 @@ object SparkEntry {
     // via the Σmax = sa + sb − Σmin identity — inner joins only.
     "d32_bag_jaccard" -> ((s, dir) =>
       Dedup.bagJaccardPairs(Tables.documents(s, dir))),
+    // √-temperature language mix: exact floor-sqrt weights, budget
+    // apportioned by largest remainder — sums to budget exactly.
+    "d33_temperature_mix" -> ((s, dir) =>
+      TrainingPipeline.temperatureMix(Tables.documents(s, dir))),
+    // Deferred revenue recognition: each day's bookings spread over 30
+    // days with floor + last-day residual — zero reconciliation drift.
+    "e53_rev_recognition" -> ((s, dir) =>
+      TimeSeries.revenueRecognition(Tables.orders(s, dir))),
+    // Biggest movers: part revenue rank deltas between two years —
+    // integer ranks survive the hash gate where revenue ratios wouldn't.
+    "a27_rank_movers" -> ((s, dir) =>
+      Aggregates.rankMovers(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     // Cumulative adoption via first-seen linearization — never a running
     // COUNT(DISTINCT) (quadratic state at scale).
     "e52_adoption_curve" -> ((s, dir) =>
@@ -2796,6 +2808,65 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    (SELECT o_custkey FROM orders
         |     WHERE o_custkey IS NOT NULL
         |       AND o_totalprice > 200000)) AS n_not_in_nullfree""".stripMargin,
+    "d33_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(FLOOR(sqrt(COUNT(*))) AS BIGINT) AS w
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        |), x AS (
+        |  SELECT lang, n_docs, w,
+        |    CAST(SUM(w) OVER () AS BIGINT) AS wsum
+        |  FROM c
+        |), y AS (
+        |  SELECT lang, n_docs, w,
+        |    w * 10000 // wsum AS base,
+        |    w * 10000 % wsum AS rem,
+        |    10000 - CAST(SUM(w * 10000 // wsum) OVER () AS BIGINT) AS short,
+        |    row_number() OVER (ORDER BY w * 10000 % wsum DESC, lang) AS rk
+        |  FROM x
+        |)
+        |SELECT lang, n_docs, w,
+        |  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+        |    AS allocation
+        |FROM y ORDER BY lang""".stripMargin,
+    "e53_rev_recognition" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS day,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), k AS (SELECT CAST(unnest(range(0, 30)) AS BIGINT) AS i)
+        |SELECT d.day + k.i AS rec_day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_source_days,
+        |  CAST(SUM(CASE WHEN k.i < 29 THEN d.v // 30
+        |                ELSE d.v - 29 * (d.v // 30) END) AS BIGINT)
+        |    AS recognized_cents
+        |FROM daily d JOIN k ON TRUE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a27_rank_movers" ->
+      """WITH rev AS (
+        |  SELECT year(CAST(o.o_orderdate AS DATE)) AS yr, l.l_partkey,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |             AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE year(CAST(o.o_orderdate AS DATE)) IN (1997, 1998)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT yr, l_partkey, cents,
+        |    CAST(row_number() OVER (PARTITION BY yr
+        |      ORDER BY cents DESC, l_partkey) AS BIGINT) AS rk
+        |  FROM rev
+        |)
+        |SELECT a.l_partkey, a.rk AS rk_a, b.rk AS rk_b,
+        |  a.rk - b.rk AS rank_delta,
+        |  a.cents AS cents_a, b.cents AS cents_b
+        |FROM r a JOIN r b ON a.l_partkey = b.l_partkey
+        |WHERE a.yr = 1997 AND b.yr = 1998
+        |ORDER BY abs(a.rk - b.rk) DESC, a.l_partkey
+        |LIMIT 50""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -759,4 +759,44 @@ object Aggregates {
         min(struct(round(col("o_totalprice") * 100).cast("long").as("cents"),
           col("o_orderkey").as("k"))).getField("k").as("min_price_key"))
       .orderBy("o_orderpriority")
+
+  /** RANK MOVERS — the "biggest movers" BI page: each part's revenue
+    * rank in year A vs year B and the rank delta, top `k` by absolute
+    * movement. Ranks use `row_number` with the (revenue DESC, partkey)
+    * total order, so ties are deterministic and the ranks — unlike the
+    * revenue doubles they order — are engine-exact integers; the delta
+    * survives the hash gate where a revenue ratio wouldn't. Only parts
+    * trading in BOTH years emit (a rank against absence is not a move).
+    *
+    * Scale shape: the fact join collapses in one (year, part) map-side-
+    * combining aggregate; the two rank windows partition by year over
+    * the PART DOMAIN (not rows), and the movers join is an equi-join of
+    * those two domain-sized frames. The final top-k is a sort of the
+    * joined domain frame with pushed-down limit.
+    */
+  def rankMovers(lineitem: DataFrame, orders: DataFrame,
+      yearA: Int = 1997, yearB: Int = 1998, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("o_orderdate")).isin(yearA, yearB))
+      .groupBy(year(col("o_orderdate")).as("yr"), col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("yr")
+      .orderBy(col("cents").desc, col("l_partkey"))
+    val ranked = rev.withColumn("rk", row_number().over(w).cast("long"))
+    val a = ranked.filter(col("yr") === yearA)
+      .select(col("l_partkey"), col("rk").as("rk_a"),
+        col("cents").as("cents_a"))
+    val b = ranked.filter(col("yr") === yearB)
+      .select(col("l_partkey"), col("rk").as("rk_b"),
+        col("cents").as("cents_b"))
+    a.join(b, Seq("l_partkey"))
+      .select(col("l_partkey"), col("rk_a"), col("rk_b"),
+        (col("rk_a") - col("rk_b")).as("rank_delta"),
+        col("cents_a"), col("cents_b"))
+      .orderBy(abs(col("rank_delta")).desc, col("l_partkey"))
+      .limit(k)
+  }
 }

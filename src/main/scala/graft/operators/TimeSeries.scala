@@ -965,4 +965,40 @@ object TimeSeries {
         expr("cum_rev_cents div cohort_size").as("ltv_cents"))
       .orderBy("cohort_wk", "weeks_since")
   }
+
+  /** DEFERRED REVENUE RECOGNITION — each day's booked revenue is
+    * recognized evenly over the following `spreadDays` days, the
+    * finance-warehouse schedule behind subscription/contract
+    * accounting. Exactness is a reconciliation property, not a
+    * nicety: each source day contributes ⌊v/N⌋ to its first N−1
+    * recognition days and v − (N−1)·⌊v/N⌋ to the last one, so every
+    * booked cent is recognized EXACTLY once (the same floor-plus-
+    * residual discipline as [[graft.operators.Sessions
+    * .decayAttribution]]) — an auditor can sum the output against the
+    * bookings and get zero drift.
+    *
+    * Scale shape: bookings collapse in one map-side-combining daily
+    * aggregate; the spread is a `spreadDays`-way fan-out of THAT
+    * metadata-scale frame joined to nothing — work ∝ days × N, never
+    * rows × N.
+    */
+  def revenueRecognition(orders: DataFrame, spreadDays: Int = 30): DataFrame = {
+    require(spreadDays >= 1, s"revenueRecognition: spreadDays=$spreadDays")
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+    daily
+      .select(col("day"), col("v"),
+        explode(expr(s"sequence(0L, ${spreadDays - 1}L)")).as("i"))
+      .select((col("day") + col("i")).as("rec_day"),
+        when(col("i") < spreadDays - 1, expr(s"v div $spreadDays"))
+          .otherwise(expr(s"v - ${spreadDays - 1} * (v div $spreadDays)"))
+          .as("cents"))
+      .groupBy("rec_day")
+      .agg(count(lit(1)).as("n_source_days"),
+        sum("cents").as("recognized_cents"))
+      .orderBy("rec_day")
+  }
 }

@@ -288,6 +288,45 @@ object TrainingPipeline {
       .orderBy("n_name")
   }
 
+  /** TEMPERATURE-SMOOTHED language mix (α = 1/2) — the multilingual
+    * corpus rebalancer: sampling languages proportional to n^α with
+    * α < 1 lifts low-resource languages without drowning the head (the
+    * exponent-smoothing scheme multilingual-pretraining recipes use).
+    * α = 1/2 is the one temperature with an EXACT integer rendering:
+    * weight = ⌊√n⌋ (floor-sqrt of a count ≤ 2⁵² is exact in IEEE
+    * double on both engines, documented bound), and the budget is
+    * apportioned by floor shares with the LARGEST-REMAINDER rule —
+    * ranked by (remainder DESC, lang) so allocations sum to the budget
+    * EXACTLY and deterministically (the same reconcile-to-total
+    * discipline as [[graft.operators.Sessions.decayAttribution]]).
+    *
+    * Scale shape: the corpus collapses in one map-side-combining
+    * per-language count; everything after runs on the language-domain
+    * frame (metadata scale). The allocation column is the sampling
+    * SPEC — the downstream sampler pairs it with the md5-nibble rule.
+    */
+  def temperatureMix(documents: DataFrame, budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("wsum", sum("w").over(tot))
+      .withColumn("base", expr(s"w * $budget div wsum"))
+      .withColumn("rem", expr(s"w * $budget % wsum"))
+      .withColumn("short", expr(s"$budget - sum(base) over ()"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+    ranked
+      .select(col("lang"), col("n_docs"), col("w"),
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("allocation"))
+      .orderBy("lang")
+  }
+
   /** REFERENTIAL-INTEGRITY-PRESERVING sampling — cut a consistent slice
     * across fact tables by hashing the ROOT entity (customer), not the
     * rows: a customer is in or out wholesale, so every kept order keeps

@@ -878,4 +878,21 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getLong(2) === 10L, "S2 = (1+4)+(4+1)")
     assert(r.getLong(3) === 4L, "S3 = 1*2 + 2*1")
   }
+
+  test("rankMovers: year-over-year rank deltas, only both-year parts emit") {
+    val orders = Seq((1L, "1997-05-01"), (2L, "1998-05-01"))
+      .toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val li = Seq(
+      (1L, 10L, 100.0, 0.0), (1L, 20L, 50.0, 0.0), // 1997: p10 #1, p20 #2
+      (2L, 10L, 40.0, 0.0), (2L, 20L, 90.0, 0.0),  // 1998: p20 #1, p10 #2
+      (1L, 30L, 10.0, 0.0))                        // p30: 1997 only → absent
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    val got = Aggregates.rankMovers(li, orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      10L -> ((1L, 2L, -1L)),
+      20L -> ((2L, 1L, 1L))))
+  }
 }

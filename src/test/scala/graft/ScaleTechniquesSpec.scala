@@ -429,4 +429,18 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(merged.toSeq === direct.toSeq,
       "two-batch stats merge re-derives the identical encoding frame")
   }
+
+  test("temperatureMix: floor-sqrt weights, largest remainder reconciles to budget") {
+    import graft.operators.TrainingPipeline
+    // counts 9/4/1 → weights 3/2/1 (wsum 6); floor shares 5000/3333/1666
+    // leave 1 short; largest remainder (cc, rem 4) takes it.
+    val docs = (Seq.fill(9)("aa") ++ Seq.fill(4)("bb") ++ Seq("cc"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "lang")
+    val got = TrainingPipeline.temperatureMix(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map("aa" -> ((3L, 5000L)), "bb" -> ((2L, 3333L)),
+      "cc" -> ((1L, 1667L))))
+    assert(got.values.map(_._2).sum === 10000L, "allocations sum to budget")
+  }
 }

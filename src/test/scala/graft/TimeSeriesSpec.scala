@@ -501,4 +501,18 @@ class TimeSeriesSpec extends SparkTestBase {
       (0L, 0L) -> ((2L, 5000L, 5000L, 2L, 2500L)),
       (0L, 1L) -> ((1L, 2000L, 7000L, 2L, 3500L))))
   }
+
+  test("revenueRecognition: floor shares with last-day residual, zero drift") {
+    // day 0 books 305c over 3 days → 101, 101, 103; day 1 books 300c
+    // → 100 to days 1-3. Every cent recognized exactly once.
+    val df = Seq(("1970-01-01", 3.05), ("1970-01-02", 3.00))
+      .toDF("d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val got = TimeSeries.revenueRecognition(df, spreadDays = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      0L -> ((1L, 101L)), 1L -> ((2L, 201L)),
+      2L -> ((2L, 203L)), 3L -> ((1L, 100L))))
+    assert(got.values.map(_._2).sum === 605L, "reconciles to bookings")
+  }
 }
