@@ -839,6 +839,14 @@ object SparkEntry {
     // integer ranks survive the hash gate where revenue ratios wouldn't.
     "a27_rank_movers" -> ((s, dir) =>
       Aggregates.rankMovers(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    // ER pipeline closure: connected components over SNM verified pairs
+    // — block → verify → cluster, min-doc labels.
+    "d34_snm_clusters" -> ((s, dir) =>
+      Dedup.snmClusters(Tables.documents(s, dir))),
+    // Incremental CC by contraction over a parity edge split; the oracle
+    // is the FULL recompute — hash equality proves the maintenance path.
+    "g13_cc_incremental" -> ((s, dir) =>
+      GraphOps.coPurchaseComponentsIncremental(Tables.lineitem(s, dir))),
     // Cumulative adoption via first-seen linearization — never a running
     // COUNT(DISTINCT) (quadratic state at scale).
     "e52_adoption_curve" -> ((s, dir) =>
@@ -2867,6 +2875,47 @@ GROUP BY doc_id ORDER BY doc_id"""
         |WHERE a.yr = 1997 AND b.yr = 1998
         |ORDER BY abs(a.rk - b.rk) DESC, a.l_partkey
         |LIMIT 50""".stripMargin,
+    "d34_snm_clusters" ->
+      """WITH RECURSIVE keyed AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+        |      AS k
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, k, substring(k, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substring(k, 1, 1)
+        |                       ORDER BY k, doc_id) AS rn
+        |  FROM keyed
+        |), p AS (
+        |  SELECT LEAST(a.doc_id, b.doc_id) AS u,
+        |    GREATEST(a.doc_id, b.doc_id) AS v
+        |  FROM r a JOIN r b
+        |    ON b.blk = a.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
+        |  WHERE levenshtein(a.k, b.k) <= 8
+        |), e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |cc AS (
+        |  SELECT u AS node, u AS lbl FROM e
+        |  UNION
+        |  SELECT e.v, cc.lbl FROM cc JOIN e ON cc.node = e.u WHERE cc.lbl < e.v
+        |)
+        |SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY node
+        |ORDER BY doc_id""".stripMargin,
+    "g13_cc_incremental" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), e0 AS (
+        |  SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2
+        |), eu AS (SELECT u, v FROM e0 WHERE c >= 2),
+        |e AS (SELECT u, v FROM eu UNION ALL SELECT v, u FROM eu),
+        |cc AS (
+        |  SELECT u AS node, u AS lbl FROM e
+        |  UNION
+        |  SELECT e.v, cc.lbl FROM cc JOIN e ON cc.node = e.u WHERE cc.lbl < e.v
+        |)
+        |SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
+        |ORDER BY node""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -1196,4 +1196,26 @@ object Dedup {
         (col("sa") + col("sb") - col("inter_min")).as("jac_den"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** FUZZY-DUP CLUSTERS over the SNM relation — the transitive closure
+    * of [[sortedNeighborhood]]'s verified pairs via
+    * [[connectedComponents]], closing the classic ER pipeline
+    * (block → verify → CLUSTER) the same way [[dupClusters]] closes the
+    * LSH pipeline: A≈B and B≈C is ONE merge group even when A,C never
+    * paired directly (SNM makes this common — they may sit just over a
+    * window apart). Labels are component-minimum doc_ids; only docs
+    * appearing in some pair emit (the cluster frame joins back to the
+    * corpus by absence = singleton, no fan-out).
+    *
+    * Scale shape: SNM-linear edges into the O(log² n)-round star
+    * algorithm — the same 100 TB contract as every other CC consumer.
+    */
+  def snmClusters(documents: DataFrame, window: Int = 4,
+      keyLen: Int = 24, maxDist: Int = 8): DataFrame = {
+    val edges = sortedNeighborhood(documents, window, keyLen, maxDist)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
 }

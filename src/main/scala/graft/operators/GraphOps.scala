@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{array, broadcast, col, count, explode,
-  expr, lit, max, min, row_number, struct, sum, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, count,
+  explode, expr, lit, max, min, row_number, struct, sum, when}
 
 /** Iterative graph ranking over edge tables (the crawl-frontier /
   * entity-importance tier of a training-data pipeline: PageRank over the
@@ -112,6 +112,55 @@ object GraphOps {
     */
   def coPurchaseComponents(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
     Dedup.connectedComponents(coPurchaseEdges(lineitem, minSupport)).orderBy("node")
+  }
+
+  /** INCREMENTAL connected components by GRAPH CONTRACTION — the
+    * maintenance path a 100 TB graph needs when edges arrive in
+    * batches: never re-run CC over all history; run it over yesterday's
+    * COMPONENT GRAPH (one node per component) plus today's delta edges
+    * relabeled through yesterday's labels, then compose the two label
+    * maps. Cost ∝ components + delta, not ∝ total edges.
+    *
+    * Correctness is a label-preservation argument: labels are component
+    * MINIMA, contraction replaces each old component by its minimum,
+    * and the minimum of a union of groups is the minimum of their
+    * minima — so the composed labeling is IDENTICAL to the full
+    * recompute. The registered oracle is exactly that full recompute
+    * (g3's recursive-CTE SQL shape), so hash equality is the proof —
+    * the same oracle-is-the-other-path trick as the encoding-merge
+    * contract.
+    *
+    * Here the "batches" are a deterministic parity split of the edge
+    * set ((src+dst) % 2), so both engines see the same graph while the
+    * Spark side exercises the real two-phase machinery.
+    */
+  def coPurchaseComponentsIncremental(lineitem: DataFrame,
+      minSupport: Long = 2L): DataFrame = {
+    val e = coPurchaseEdges(lineitem, minSupport)
+    val e1 = e.filter((col("src") + col("dst")) % 2 === 0)
+    val e2 = e.filter((col("src") + col("dst")) % 2 =!= 0)
+    val c1 = Dedup.connectedComponents(e1)
+    val e2r = e2
+      .join(c1.select(col("node").as("src"), col("component").as("csrc")),
+        Seq("src"), "left")
+      .join(c1.select(col("node").as("dst"), col("component").as("cdst")),
+        Seq("dst"), "left")
+      .select(coalesce(col("csrc"), col("src")).as("src"),
+        coalesce(col("cdst"), col("dst")).as("dst"))
+    // self-edges keep delta-untouched old components alive in round 2
+    val selfE = c1.select(col("component").as("src"),
+      col("component").as("dst")).distinct()
+    val c2 = Dedup.connectedComponents(e2r.unionAll(selfE))
+    val final1 = c1
+      .join(c2.select(col("node").as("component"),
+        col("component").as("final")), Seq("component"))
+      .select(col("node"), col("final").as("component"))
+    val nodes2only = e2
+      .select(explode(array(col("src"), col("dst"))).as("node")).distinct()
+      .join(c1.select("node"), Seq("node"), "left_anti")
+    val final2 = nodes2only.join(c2, Seq("node"))
+      .select(col("node"), col("component"))
+    final1.unionAll(final2).orderBy("node")
   }
 
   /** Support-pruned co-purchase edge list (src < dst): parts co-occurring

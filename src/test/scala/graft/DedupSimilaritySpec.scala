@@ -1068,4 +1068,19 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got === Map((1L, 2L) -> ((3L, 4L))),
       "set Jaccard would say 3/3 — the bag sees the repetition")
   }
+
+  test("snmClusters: transitive closure merges chain pairs into one cluster") {
+    // window 1 pairs only neighbors: (1,2) and (2,3) — never (1,3).
+    // The cluster closes the chain; doc 9 stays out.
+    val df = Seq(
+      (1L, "en", "aaa shared prefix body one"),
+      (2L, "en", "aaa shared prefix body two"),
+      (3L, "en", "aaa shared prefix body twoX"),
+      (9L, "en", "zzz completely different body")
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.snmClusters(df, window = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "chain A-B, B-C closes into one min-labeled cluster; 9 absent")
+  }
 }

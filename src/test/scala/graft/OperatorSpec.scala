@@ -895,4 +895,19 @@ class OperatorSpec extends SparkTestBase {
       10L -> ((1L, 2L, -1L)),
       20L -> ((2L, 1L, 1L))))
   }
+
+  test("coPurchaseComponentsIncremental equals the full recompute across a split merge") {
+    import graft.operators.GraphOps
+    // support-2 edges (2,4) [even sum → batch 1] and (4,5) [odd → batch 2]:
+    // the component only forms when phase 2 merges across the split.
+    val li = Seq((1L, 2L), (1L, 4L), (2L, 2L), (2L, 4L),
+      (3L, 4L), (3L, 5L), (4L, 4L), (4L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val full = GraphOps.coPurchaseComponents(li).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = GraphOps.coPurchaseComponentsIncremental(li).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === Map(2L -> 2L, 4L -> 2L, 5L -> 2L))
+    assert(inc === full, "contraction path must reproduce the recompute")
+  }
 }
