@@ -847,6 +847,15 @@ object SparkEntry {
     // is the FULL recompute — hash equality proves the maintenance path.
     "g13_cc_incremental" -> ((s, dir) =>
       GraphOps.coPurchaseComponentsIncremental(Tables.lineitem(s, dir))),
+    // Daily P50/P90/P99 of event value: discrete order statistics from
+    // the count-based cumulative pass — distinct-value state per day.
+    "e54_daily_percentiles" -> ((s, dir) =>
+      TimeSeries.dailyPercentiles(Tables.events(s, dir))),
+    // Open-order backlog: ±1 delta stream (placement / day after last
+    // ship) with a running sum over the day grid — never per-day scans.
+    "e55_open_orders" -> ((s, dir) =>
+      TimeSeries.openOrderBacklog(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     // Cumulative adoption via first-seen linearization — never a running
     // COUNT(DISTINCT) (quadratic state at scale).
     "e52_adoption_curve" -> ((s, dir) =>
@@ -2916,6 +2925,54 @@ GROUP BY doc_id ORDER BY doc_id"""
         |)
         |SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
         |ORDER BY node""".stripMargin,
+    "e54_daily_percentiles" ->
+      """WITH counts AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT day, cents,
+        |    SUM(cnt) OVER (PARTITION BY day ORDER BY cents) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY day) AS n
+        |  FROM counts
+        |)
+        |SELECT day, CAST(MAX(n) AS BIGINT) AS n_events,
+        |  CAST(MIN(CASE WHEN cum >= (n - 1) * 50 // 100 + 1 THEN cents END)
+        |       AS BIGINT) AS p50_cents,
+        |  CAST(MIN(CASE WHEN cum >= (n - 1) * 90 // 100 + 1 THEN cents END)
+        |       AS BIGINT) AS p90_cents,
+        |  CAST(MIN(CASE WHEN cum >= (n - 1) * 99 // 100 + 1 THEN cents END)
+        |       AS BIGINT) AS p99_cents
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e55_open_orders" ->
+      """WITH shipped AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    MAX(CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+        |      AS last_ship
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
+        |), spans AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS opened,
+        |    s.last_ship
+        |  FROM orders o JOIN shipped s USING (o_orderkey)
+        |  WHERE o.o_orderdate IS NOT NULL
+        |), deltas AS (
+        |  SELECT day, CAST(SUM(od) AS BIGINT) AS n_opened,
+        |         CAST(SUM(cd) AS BIGINT) AS n_closed
+        |  FROM (
+        |    SELECT opened AS day, 1 AS od, 0 AS cd FROM spans
+        |    UNION ALL
+        |    SELECT last_ship + 1 AS day, 0 AS od, 1 AS cd FROM spans
+        |  ) GROUP BY 1
+        |)
+        |SELECT day, n_opened, n_closed,
+        |  CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS open_backlog
+        |FROM deltas ORDER BY day""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

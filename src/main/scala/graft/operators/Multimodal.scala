@@ -101,6 +101,69 @@ object Multimodal {
     hist
   }
 
+  /** REAL image RESIZE to a `grid`×`grid` integer grayscale patch —
+    * the normalize-before-embedding step every vision pipeline runs
+    * (CLIP-style encoders eat fixed-size patches, perceptual hashes eat
+    * 8×8 grids): each output cell is the EXACT integer mean (floor) of
+    * the Rec.601 luminances of its source-pixel block, computed by area
+    * averaging over the decoded pixels — deterministic integers, unlike
+    * `Image.getScaledInstance`'s unspecified filtering. Cell boundaries
+    * are ⌊dim·i/grid⌋, so any source size maps losslessly. None for
+    * payloads no reader claims.
+    */
+  def imageResizeGrid(payload: Array[Byte], grid: Int = 8): Option[Array[Int]] = {
+    if (payload == null || payload.length == 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < grid || img.getHeight < grid) return None
+    val w = img.getWidth; val h = img.getHeight
+    def bx(i: Int) = w.toLong * i / grid
+    def by(i: Int) = h.toLong * i / grid
+    val out = new Array[Int](grid * grid)
+    var gy = 0
+    while (gy < grid) {
+      var gx = 0
+      while (gx < grid) {
+        var sum = 0L; var n = 0L
+        var y = by(gy).toInt
+        while (y < by(gy + 1)) {
+          var x = bx(gx).toInt
+          while (x < bx(gx + 1)) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * grid + gx) = (sum / n).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(out)
+  }
+
+  /** One row per successfully-decoded image: the [[imageResizeGrid]]
+    * patch as an integer array — the Spark-side plumbing (schema, batch
+    * shape, per-partition decoder loop) for the resize stage.
+    */
+  def resizePatches(media: DataFrame, grid: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("patch",
+        ArrayType(org.apache.spark.sql.types.IntegerType), nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.flatMap { r =>
+        imageResizeGrid(r.getAs[Array[Byte]](1), grid)
+          .map(p => Row(r.getLong(0), p.toIndexedSeq))
+      }
+    }(encoder)
+  }
+
   /** REAL multi-frame decode for ANIMATED payloads via the JDK's
     * sequence-capable `ImageIO` readers (animated GIF — the one
     * video-like container the JDK decodes natively; compressed video

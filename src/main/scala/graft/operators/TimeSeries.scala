@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1000,5 +1000,76 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_source_days"),
         sum("cents").as("recognized_cents"))
       .orderBy("rec_day")
+  }
+
+  /** DAILY PERCENTILE SERIES — exact discrete P50/P90/P99 of the event
+    * value per day, the ops-dashboard latency/size panel. Same
+    * count-based order-statistic scheme as
+    * [[graft.operators.Quality.winsorizedStats]] (smallest v with
+    * #(x ≤ v) ≥ k, k = (n−1)·p div 100 + 1): NO per-row sort — the raw
+    * stream collapses in a map-side-combining (day, cents) count, the
+    * cumulative window runs over DISTINCT values within a day, and the
+    * three ranks read off the same cumulative pass. Interpolating
+    * `percentile` calls never appear (their float results don't
+    * hash-match across engines).
+    */
+  def dailyPercentiles(events: DataFrame): DataFrame = {
+    val counts = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("day").orderBy("cents")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("day")))
+    cum.groupBy("day")
+      .agg(max("n").as("n_events"),
+        min(when(col("cum") >= expr("(n - 1) * 50 div 100 + 1"),
+          col("cents"))).as("p50_cents"),
+        min(when(col("cum") >= expr("(n - 1) * 90 div 100 + 1"),
+          col("cents"))).as("p90_cents"),
+        min(when(col("cum") >= expr("(n - 1) * 99 div 100 + 1"),
+          col("cents"))).as("p99_cents"))
+      .orderBy("day")
+  }
+
+  /** OPEN-ORDER BACKLOG over time, event-sourced — how many orders are
+    * in flight each day (placed but not yet fully shipped), computed
+    * the only way that scales: each order contributes a +1 DELTA on its
+    * placement day and a −1 on the day AFTER its last line ships; the
+    * backlog is the running sum of the daily delta stream. The naive
+    * per-day recount ("count orders with a ≤ d < b for every d") scans
+    * the fact table once per output day — quadratic at scale; the delta
+    * stream visits each order exactly twice.
+    *
+    * Scale shape: one per-order max-shipdate aggregate (map-side
+    * combining), a 2-row-per-order delta projection collapsed into a
+    * per-day sum, and the cumulative window over the day grid only.
+    */
+  def openOrderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val dayOf = (c: Column) =>
+      datediff(c, lit("1970-01-01").cast("date")).cast("long")
+    val shipped = lineitem
+      .filter(col("l_shipdate").isNotNull)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(dayOf(col("l_shipdate"))).as("last_ship"))
+    val spans = orders
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), dayOf(col("o_orderdate")).as("opened"))
+      .join(shipped, Seq("o_orderkey"))
+    val deltas = spans
+      .select(col("opened").as("day"), lit(1L).as("opened_d"),
+        lit(0L).as("closed_d"))
+      .unionAll(spans.select((col("last_ship") + 1).as("day"),
+        lit(0L).as("opened_d"), lit(1L).as("closed_d")))
+      .groupBy("day")
+      .agg(sum("opened_d").as("n_opened"), sum("closed_d").as("n_closed"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("open_backlog",
+        sum(col("n_opened") - col("n_closed")).over(w))
+      .orderBy("day")
   }
 }

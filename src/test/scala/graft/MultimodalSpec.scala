@@ -239,4 +239,22 @@ class MultimodalSpec extends SparkTestBase {
       (7L, 1) -> ((512, 0L))),
       "undecodable payload 8 emits nothing; energies are exact")
   }
+
+  test("resizePatches: area-averaged 8x8 grid from a REAL decoded image") {
+    import spark.implicits._
+    // 16x16, left half black, right half white: grid cells are pure
+    // 0 / 255 (each 2x2 source block is uniform).
+    val half = png(16, 16)((x, _) => if (x < 8) 0x000000 else 0xFFFFFF)
+    val df = Seq((1L, half), (2L, Array[Byte](9, 9, 9)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.resizePatches(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.keySet === Set(1L), "non-image emits nothing")
+    val patch = got(1L)
+    assert(patch.length === 64)
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val want = if (gx < 4) 0 else 255
+      assert(patch(gy * 8 + gx) === want, s"cell ($gx,$gy)")
+    }
+  }
 }

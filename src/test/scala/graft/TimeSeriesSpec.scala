@@ -515,4 +515,31 @@ class TimeSeriesSpec extends SparkTestBase {
       2L -> ((2L, 203L)), 3L -> ((1L, 100L))))
     assert(got.values.map(_._2).sum === 605L, "reconciles to bookings")
   }
+
+  test("dailyPercentiles: discrete order statistics per day, no interpolation") {
+    // one day, cents 1..100: k_p = 99p div 100 + 1 → P50=50, P90=90, P99=99
+    val df = (1 to 100).map(i => (i.toLong, i.toLong * 1000L, i / 100.0))
+      .toDF("event_id", "usl", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val r = TimeSeries.dailyPercentiles(df).collect().head
+    assert(r.getLong(1) === 100L)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((50L, 90L, 99L)))
+  }
+
+  test("openOrderBacklog: delta stream opens on placement, closes after last ship") {
+    val orders = Seq((1L, "1970-01-01"), (2L, "1970-01-02"))
+      .toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val li = Seq((1L, "1970-01-02"), (1L, "1970-01-03"), (2L, "1970-01-02"))
+      .toDF("l_orderkey", "sd")
+      .withColumn("l_shipdate", col("sd").cast("date"))
+    val got = TimeSeries.openOrderBacklog(orders, li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      0L -> ((1L, 0L, 1L)), // order 1 opens
+      1L -> ((1L, 0L, 2L)), // order 2 opens
+      2L -> ((0L, 1L, 1L)), // order 2 closed (last ship day 1)
+      3L -> ((0L, 1L, 0L)))) // order 1 closed (last ship day 2)
+  }
 }
