@@ -856,6 +856,14 @@ object SparkEntry {
     "e55_open_orders" -> ((s, dir) =>
       TimeSeries.openOrderBacklog(Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    // Top-N customers per priority + an OTHER residual row — group
+    // totals preserved, ranks deterministic.
+    "a28_topn_other" -> ((s, dir) =>
+      Aggregates.topNWithOther(Tables.orders(s, dir))),
+    // Near-dup split-leakage audit: SNM clusters straddling the md5
+    // train/eval boundary — the contamination number a corpus publishes.
+    "d35_split_leakage" -> ((s, dir) =>
+      Dedup.splitLeakage(Tables.documents(s, dir))),
     // Cumulative adoption via first-seen linearization — never a running
     // COUNT(DISTINCT) (quadratic state at scale).
     "e52_adoption_curve" -> ((s, dir) =>
@@ -2973,6 +2981,71 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS open_backlog
         |FROM deltas ORDER BY day""".stripMargin,
+    "a28_topn_other" ->
+      """WITH rev AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cents DESC, o_custkey) AS BIGINT) AS rk
+        |  FROM rev
+        |)
+        |SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS entity,
+        |       cents, n_orders, rk
+        |FROM r WHERE rk <= 3
+        |UNION ALL
+        |SELECT o_orderpriority, 'OTHER' AS entity,
+        |       CAST(SUM(cents) AS BIGINT), CAST(SUM(n_orders) AS BIGINT),
+        |       4 AS rk
+        |FROM r WHERE rk > 3 GROUP BY 1
+        |ORDER BY 1, 5""".stripMargin,
+    "d35_split_leakage" ->
+      """WITH RECURSIVE keyed AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+        |      AS k
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, k, substring(k, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substring(k, 1, 1)
+        |                       ORDER BY k, doc_id) AS rn
+        |  FROM keyed
+        |), p AS (
+        |  SELECT LEAST(a.doc_id, b.doc_id) AS u,
+        |    GREATEST(a.doc_id, b.doc_id) AS v
+        |  FROM r a JOIN r b
+        |    ON b.blk = a.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 4
+        |  WHERE levenshtein(a.k, b.k) <= 8
+        |), e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |cc AS (
+        |  SELECT u AS node, u AS lbl FROM e
+        |  UNION
+        |  SELECT e.v, cc.lbl FROM cc JOIN e ON cc.node = e.u WHERE cc.lbl < e.v
+        |), cl AS (
+        |  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY node
+        |), sided AS (
+        |  SELECT cluster_id,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 8
+        |         THEN 1 ELSE 0 END AS is_train
+        |  FROM cl
+        |), pc AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(is_train) AS BIGINT) AS n_train
+        |  FROM sided GROUP BY 1
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_clustered_docs,
+        |  CAST(SUM(CASE WHEN n_train > 0 AND n_train < n_docs
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_clusters,
+        |  CAST(SUM(CASE WHEN n_train > 0 AND n_train < n_docs
+        |                THEN n_docs ELSE 0 END) AS BIGINT) AS n_leaky_docs
+        |FROM pc""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -799,4 +799,39 @@ object Aggregates {
       .orderBy(abs(col("rank_delta")).desc, col("l_partkey"))
       .limit(k)
   }
+
+  /** TOP-N + OTHER — the dashboard rollup every pie chart needs: the
+    * `n` biggest customers per priority as named rows plus ONE residual
+    * "OTHER" row absorbing the tail, so the group total is preserved
+    * (a bare top-n silently drops the tail and the percentages lie).
+    * Ranks are `row_number` over (revenue DESC, custkey) — ties
+    * deterministic; OTHER carries rank n+1 so the output sorts into
+    * display order with no special-casing.
+    *
+    * Scale shape: the fact table collapses in one (priority, customer)
+    * map-side-combining aggregate; the rank window runs over that
+    * aggregated CUSTOMER DOMAIN per priority (never raw rows); the tail
+    * re-aggregates to 1 row per group.
+    */
+  def topNWithOther(orders: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = orders
+      .filter(col("o_totalprice").isNotNull && col("o_custkey").isNotNull)
+      .groupBy("o_orderpriority", "o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val ranked = rev.withColumn("rk", row_number().over(
+      Window.partitionBy("o_orderpriority")
+        .orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+    val top = ranked.filter(col("rk") <= n)
+      .select(col("o_orderpriority"),
+        col("o_custkey").cast("string").as("entity"),
+        col("cents"), col("n_orders"), col("rk"))
+    val other = ranked.filter(col("rk") > n)
+      .groupBy("o_orderpriority")
+      .agg(sum("cents").as("cents"), sum("n_orders").as("n_orders"))
+      .select(col("o_orderpriority"), lit("OTHER").as("entity"),
+        col("cents"), col("n_orders"), lit(n + 1L).as("rk"))
+    top.unionAll(other).orderBy("o_orderpriority", "rk")
+  }
 }

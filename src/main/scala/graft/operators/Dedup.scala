@@ -1218,4 +1218,36 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** TRAIN/EVAL SPLIT LEAKAGE audit over NEAR-dup clusters — the
+    * contamination check a benchmark-quality corpus split must pass:
+    * a hash split that is perfectly disjoint on doc_ids still leaks if
+    * two NEAR-duplicates of the same content land on opposite sides
+    * (the eval side then scores memorization, not generalization).
+    * [[graft.operators.TextOps.groupSplit]] guards EXACT-dup groups by
+    * construction; this audits the stronger near-dup relation
+    * ([[snmClusters]]' transitive closure) against the standard
+    * md5-nibble split and reports the damage: clusters straddling the
+    * boundary and the documents inside them. Zero is the publishable
+    * state; anything else is the relabel-or-drop work list.
+    *
+    * Scale shape: clusters come from the SNM-linear + star-CC path;
+    * the audit itself is two hash aggregates over the cluster frame.
+    */
+  def splitLeakage(documents: DataFrame, sixteenths: Int = 8,
+      window: Int = 4, keyLen: Int = 24, maxDist: Int = 8): DataFrame = {
+    val clusters = snmClusters(documents, window, keyLen, maxDist)
+    val sided = clusters.withColumn("is_train",
+      (TextOps.hexNibble("doc_id") < sixteenths).cast("long"))
+    val perCluster = sided.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), sum("is_train").as("n_train"))
+      .withColumn("leaky",
+        (col("n_train") > 0 && col("n_train") < col("n_docs")).cast("long"))
+    perCluster.agg(
+      count(lit(1)).as("n_clusters"),
+      sum("n_docs").as("n_clustered_docs"),
+      sum("leaky").as("n_leaky_clusters"),
+      sum(when(col("leaky") === 1L, col("n_docs")).otherwise(0L))
+        .as("n_leaky_docs"))
+  }
 }

@@ -1083,4 +1083,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
       "chain A-B, B-C closes into one min-labeled cluster; 9 absent")
   }
+
+  test("splitLeakage: a cluster straddling the md5 boundary is counted, a one-sided one is not") {
+    // md5 first nibbles: doc 1→'c'(12), 2→'c'(12) — both EVAL at
+    // sixteenths=8; doc 6→'1'(1) TRAIN, doc 7→'8'(8) EVAL → leaky.
+    val df = Seq(
+      (1L, "en", "alpha beta gamma delta common body"),
+      (2L, "en", "alpha beta gamma delta common body"),
+      (6L, "en", "zeta eta theta iota another body"),
+      (7L, "en", "zeta eta theta iota another body")
+    ).toDF("doc_id", "lang", "text")
+    val r = Dedup.splitLeakage(df).collect().head
+    assert(r.getLong(0) === 2L, "n_clusters")
+    assert(r.getLong(1) === 4L, "n_clustered_docs")
+    assert(r.getLong(2) === 1L, "only the 6-7 cluster straddles")
+    assert(r.getLong(3) === 2L, "its two docs are the leak")
+  }
 }

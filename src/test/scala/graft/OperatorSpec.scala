@@ -910,4 +910,15 @@ class OperatorSpec extends SparkTestBase {
     assert(inc === Map(2L -> 2L, 4L -> 2L, 5L -> 2L))
     assert(inc === full, "contraction path must reproduce the recompute")
   }
+
+  test("topNWithOther: tail collapses to one residual row, totals preserved") {
+    val df = (1 to 5).map(c => ("P", c.toLong, (60 - c * 10).toDouble))
+      .toDF("o_orderpriority", "o_custkey", "o_totalprice")
+    val rows = Aggregates.topNWithOther(df, n = 3).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(rows.toMap === Map(
+      "1" -> ((5000L, 1L, 1L)), "2" -> ((4000L, 1L, 2L)),
+      "3" -> ((3000L, 1L, 3L)), "OTHER" -> ((3000L, 2L, 4L))))
+    assert(rows.map(_._2._1).sum === 15000L, "group total preserved")
+  }
 }
