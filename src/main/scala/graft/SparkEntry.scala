@@ -864,6 +864,18 @@ object SparkEntry {
     // train/eval boundary — the contamination number a corpus publishes.
     "d35_split_leakage" -> ((s, dir) =>
       Dedup.splitLeakage(Tables.documents(s, dir))),
+    // Normalization funnel: distinct docs at raw / casefold / ws-collapse
+    // / alnum equality — each delta is that step's newly-merged dup mass.
+    "d36_normalization_funnel" -> ((s, dir) =>
+      Dedup.normalizationFunnel(Tables.documents(s, dir))),
+    // 4-4-5 fiscal periods from pure integer week arithmetic — the
+    // retail calendar without a calendar library.
+    "e56_fiscal_calendar" -> ((s, dir) =>
+      TimeSeries.fiscalCalendar(Tables.orders(s, dir))),
+    // Heaps-law vocab growth: token → first-doc MIN, checkpoint binning,
+    // cumulative over bins — never k distinct-count corpus scans.
+    "t42_vocab_growth" -> ((s, dir) =>
+      TextOps.vocabGrowth(Tables.documents(s, dir))),
     // Cumulative adoption via first-seen linearization — never a running
     // COUNT(DISTINCT) (quadratic state at scale).
     "e52_adoption_curve" -> ((s, dir) =>
@@ -3046,6 +3058,61 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CASE WHEN n_train > 0 AND n_train < n_docs
         |                THEN n_docs ELSE 0 END) AS BIGINT) AS n_leaky_docs
         |FROM pc""".stripMargin,
+    "d36_normalization_funnel" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw,
+        |  CAST(COUNT(DISTINCT lower(text)) AS BIGINT) AS n_casefold,
+        |  CAST(COUNT(DISTINCT regexp_replace(trim(lower(text)),
+        |       '\s+', ' ', 'g')) AS BIGINT) AS n_wscollapse,
+        |  CAST(COUNT(DISTINCT regexp_replace(lower(text),
+        |       '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum
+        |FROM documents""".stripMargin,
+    "e56_fiscal_calendar" ->
+      """WITH b AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+        |      // 7 AS wk
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND CAST(o_orderdate AS DATE) >= DATE '1992-01-01'
+        |), p AS (
+        |  SELECT cents, wk // 52 AS fiscal_year,
+        |    (wk % 52) // 13 * 3
+        |      + CASE WHEN (wk % 52) % 13 < 4 THEN 1
+        |             WHEN (wk % 52) % 13 < 8 THEN 2 ELSE 3 END
+        |      AS fiscal_period
+        |  FROM b
+        |)
+        |SELECT fiscal_year, fiscal_period,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t42_vocab_growth" ->
+      """WITH fd AS (
+        |  SELECT toks[i] || ' ' || toks[i + 1] AS tok,
+        |         MIN(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents),
+        |       UNNEST(range(1, len(toks))) AS t(i)
+        |  GROUP BY 1
+        |), b AS (
+        |  SELECT CASE WHEN first_doc <= 50 THEN 50
+        |              WHEN first_doc <= 100 THEN 100
+        |              WHEN first_doc <= 200 THEN 200
+        |              WHEN first_doc <= 500 THEN 500
+        |              WHEN first_doc <= 1000 THEN 1000
+        |              WHEN first_doc <= 2000 THEN 2000
+        |              WHEN first_doc <= 5000 THEN 5000
+        |         END AS checkpoint
+        |  FROM fd
+        |)
+        |SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+        |  CAST(COUNT(*) AS BIGINT) AS n_new_tokens,
+        |  CAST(SUM(COUNT(*)) OVER (ORDER BY checkpoint
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_size
+        |FROM b WHERE checkpoint IS NOT NULL
+        |GROUP BY checkpoint ORDER BY checkpoint""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

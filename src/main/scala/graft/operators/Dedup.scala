@@ -1250,4 +1250,29 @@ object Dedup {
       sum(when(col("leaky") === 1L, col("n_docs")).otherwise(0L))
         .as("n_leaky_docs"))
   }
+
+  /** NORMALIZATION FUNNEL — how many "distinct" documents survive each
+    * successively more aggressive equality definition: raw bytes →
+    * case-folded → whitespace-collapsed → alphanumeric-only. The
+    * decide-how-hard-to-dedup diagnostic: each step's delta is exactly
+    * the duplicate mass that step's normalization would newly merge, so
+    * the funnel tells you whether case folding is enough or the corpus
+    * needs the full alnum squeeze (and [[sortedNeighborhood]] beyond
+    * that). Monotone by construction — a non-monotone funnel is a
+    * normalization bug, which makes this a self-checking artifact.
+    *
+    * Scale shape: four distinct-counts over one pass of the corpus
+    * (each a map-side-combining aggregate); no joins, no windows.
+    */
+  def normalizationFunnel(documents: DataFrame): DataFrame =
+    documents
+      .select(col("text"),
+        lower(col("text")).as("folded"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("squeezed"),
+        regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("alnum"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_raw"),
+        countDistinct(col("folded")).as("n_casefold"),
+        countDistinct(col("squeezed")).as("n_wscollapse"),
+        countDistinct(col("alnum")).as("n_alnum"))
 }

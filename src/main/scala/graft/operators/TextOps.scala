@@ -1508,4 +1508,47 @@ object TextOps {
         max(col("score_milli")).as("max_score_milli"))
       .orderBy("lang", "bucket")
   }
+
+  /** VOCABULARY GROWTH CURVE — distinct word-BIGRAM count after the
+    * first 50/100/200/… documents (by doc_id order), the empirical
+    * Heaps-law points that size a tokenizer's vocab budget and forecast
+    * how much new text still buys new vocabulary. Bigrams, not unigrams:
+    * the unigram vocabulary of a bounded-domain corpus saturates in the
+    * first checkpoint (31 tokens here — a 1-row "curve"), while the
+    * combinatorial unit keeps growing and actually exercises the law.
+    * Computed the scale-right way: each bigram reduces to its FIRST
+    * document (one map-side-combining MIN — the same first-seen
+    * linearization as the adoption curve), gets binned to the smallest
+    * checkpoint covering it, and the curve is a cumulative sum over the
+    * ≤ |checkpoints| bins. Never one distinct-count per checkpoint
+    * (k corpus scans). Checkpoints with no first-seen bigram emit
+    * nothing (their curve value is the previous row's — a reader's
+    * interpolation, not a stored zero).
+    */
+  def vocabGrowth(documents: DataFrame,
+      checkpoints: Seq[Long] = Seq(50L, 100L, 200L, 500L, 1000L, 2000L,
+        5000L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(checkpoints == checkpoints.sorted && checkpoints.nonEmpty,
+      "checkpoints must be ascending")
+    val firstDoc = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 1, 0)),
+          |          i -> concat(toks[i - 1], ' ', toks[i]))""".stripMargin))
+        .as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    val bin = checkpoints.foldRight(lit(null).cast("long")) { (cp, acc) =>
+      when(col("first_doc") <= cp, lit(cp)).otherwise(acc)
+    }
+    val w = Window.orderBy("checkpoint")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    firstDoc
+      .select(bin.as("checkpoint"))
+      .filter(col("checkpoint").isNotNull)
+      .groupBy("checkpoint")
+      .agg(count(lit(1)).as("n_new_tokens"))
+      .withColumn("vocab_size", sum("n_new_tokens").over(w))
+      .orderBy("checkpoint")
+  }
 }

@@ -1072,4 +1072,39 @@ object TimeSeries {
         sum(col("n_opened") - col("n_closed")).over(w))
       .orderBy("day")
   }
+
+  /** 4-4-5 FISCAL CALENDAR aggregation — revenue rolled up to the
+    * retail-standard fiscal periods (13-week quarters split 4+4+5
+    * weeks), which exist precisely because calendar months have unequal
+    * numbers of weekends and wreck comparability. The mapping is PURE
+    * INTEGER arithmetic from a fiscal epoch: week = days-since-epoch
+    * div 7, fiscal year = week div 52, quarter = (week mod 52) div 13,
+    * period-in-quarter from the 4/4/5 week split — identical in both
+    * engines with no calendar library. (Real 4-4-5 calendars insert a
+    * 53rd week every 5-6 years; the fixed-52 form here drifts ~1 day/yr
+    * against the solar calendar — documented trade, irrelevant to the
+    * aggregation shape.)
+    *
+    * Scale shape: one map-side-combining aggregate on derived integer
+    * keys; the fiscal math is codegen'd column arithmetic on the scan.
+    */
+  def fiscalCalendar(orders: DataFrame,
+      epoch: String = "1992-01-01"): DataFrame = {
+    orders
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull &&
+        col("o_orderdate") >= lit(epoch).cast("date"))
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        expr(s"""cast(datediff(o_orderdate, date'$epoch') as bigint)
+                | div 7""".stripMargin).as("wk"))
+      .select(col("cents"),
+        expr("wk div 52").as("fiscal_year"),
+        expr("(wk % 52) div 13").as("fq"),
+        expr("(wk % 52) % 13").as("wq"))
+      .select(col("cents"), col("fiscal_year"),
+        (col("fq") * 3 + when(col("wq") < 4, 1L)
+          .when(col("wq") < 8, 2L).otherwise(3L)).as("fiscal_period"))
+      .groupBy("fiscal_year", "fiscal_period")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+      .orderBy("fiscal_year", "fiscal_period")
+  }
 }

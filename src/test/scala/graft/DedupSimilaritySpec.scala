@@ -1099,4 +1099,15 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r.getLong(2) === 1L, "only the 6-7 cluster straddles")
     assert(r.getLong(3) === 2L, "its two docs are the leak")
   }
+
+  test("normalizationFunnel: each tier merges exactly its own duplicate mass") {
+    val df = Seq((1L, "A  b"), (2L, "a b"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val r = Dedup.normalizationFunnel(df).collect().head
+    assert(r.getLong(0) === 3L, "n_docs")
+    assert(r.getLong(1) === 3L, "raw: all distinct")
+    assert(r.getLong(2) === 3L, "casefold alone merges nothing here")
+    assert(r.getLong(3) === 2L, "ws-collapse merges 'A  b' with 'a b'")
+    assert(r.getLong(4) === 1L, "alnum merges everything")
+  }
 }

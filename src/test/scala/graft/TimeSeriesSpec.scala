@@ -542,4 +542,31 @@ class TimeSeriesSpec extends SparkTestBase {
       2L -> ((0L, 1L, 1L)), // order 2 closed (last ship day 1)
       3L -> ((0L, 1L, 0L)))) // order 1 closed (last ship day 2)
   }
+
+  test("fiscalCalendar: 4-4-5 period boundaries from pure week arithmetic") {
+    val days = Seq(0, 27, 28, 56, 91, 364) // wk 0, 3, 4, 8, 13, 52
+    val df = days.map(d => (d, 1.0)).toDF("i", "o_totalprice")
+      .withColumn("o_orderdate",
+        date_add(lit("1992-01-01").cast("date"), col("i")))
+    val got = TimeSeries.fiscalCalendar(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 1L) -> 2L, // weeks 0 and 3 land in period 1
+      (0L, 2L) -> 1L, // week 4 opens period 2
+      (0L, 3L) -> 1L, // week 8 opens period 3 (the 5-week month)
+      (0L, 4L) -> 1L, // week 13 opens Q2
+      (1L, 1L) -> 1L)) // week 52 rolls the fiscal year
+  }
+
+  test("vocabGrowth: bigrams bin to their first-seen checkpoint, curve accumulates") {
+    val df = Seq(
+      (10L, "x y z"),  // bigrams "x y", "y z" → checkpoint 50
+      (60L, "x y w"),  // "x y" seen; "y w" new → checkpoint 100
+      (300L, "q r"))   // "q r" new → checkpoint 500
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      50L -> ((2L, 2L)), 100L -> ((1L, 3L)), 500L -> ((1L, 4L))))
+  }
 }
