@@ -876,6 +876,19 @@ object SparkEntry {
     // cumulative over bins — never k distinct-count corpus scans.
     "t42_vocab_growth" -> ((s, dir) =>
       TextOps.vocabGrowth(Tables.documents(s, dir))),
+    // Weekly growth ledger: new / retained / resurrected / churned via
+    // first-seen MIN + week-shifted joins — work ∝ distinct user-weeks.
+    "e57_growth_accounting" -> ((s, dir) =>
+      Sessions.growthAccounting(Tables.events(s, dir))),
+    // Price-volume-mix bridge per brand with an explicit residual —
+    // Δ = vol + price + residual holds to the cent by construction.
+    "a29_price_volume_mix" -> ((s, dir) =>
+      Aggregates.priceVolumeMix(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.part(s, dir))),
+    // Retrieval margin census: exact integer-dot gap between ranks 1-2
+    // per query — the trust-or-rerank ambiguity metric.
+    "s23_margin_stats" -> ((s, dir) =>
+      SimilarityIndex.marginStats(Tables.embeddings(s, dir))),
     // Cumulative adoption via first-seen linearization — never a running
     // COUNT(DISTINCT) (quadratic state at scale).
     "e52_adoption_curve" -> ((s, dir) =>
@@ -3113,6 +3126,88 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    AS vocab_size
         |FROM b WHERE checkpoint IS NOT NULL
         |GROUP BY checkpoint ORDER BY checkpoint""".stripMargin,
+    "e57_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), f AS (SELECT user_id, MIN(wk) AS first_wk FROM uw GROUP BY 1),
+        |cls AS (
+        |  SELECT uw.wk,
+        |    CASE WHEN uw.wk = f.first_wk THEN 'new'
+        |         WHEN p.user_id IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS cls
+        |  FROM uw
+        |  JOIN f USING (user_id)
+        |  LEFT JOIN uw p ON p.user_id = uw.user_id AND p.wk = uw.wk - 1
+        |), act AS (
+        |  SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_resurrected
+        |  FROM cls GROUP BY 1
+        |), ch AS (
+        |  SELECT a.wk + 1 AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM uw a
+        |  LEFT JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+        |  WHERE b.user_id IS NULL
+        |  GROUP BY 1
+        |)
+        |SELECT act.wk, n_active, n_new, n_retained, n_resurrected,
+        |  COALESCE(ch.n_churned, 0) AS n_churned
+        |FROM act LEFT JOIN ch ON ch.wk = act.wk
+        |ORDER BY act.wk""".stripMargin,
+    "a29_price_volume_mix" ->
+      """WITH base AS (
+        |  SELECT year(CAST(o.o_orderdate AS DATE)) AS yr, p.p_brand,
+        |    CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |             AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE year(CAST(o.o_orderdate AS DATE)) IN (1997, 1998)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.p_brand, a.qty AS q0, b.qty AS q1,
+        |  a.cents AS c0, b.cents AS c1,
+        |  (b.qty - a.qty) * (a.cents // a.qty) AS vol_eff,
+        |  b.qty * (b.cents // b.qty - a.cents // a.qty) AS price_eff,
+        |  b.cents - a.cents
+        |    - (b.qty - a.qty) * (a.cents // a.qty)
+        |    - b.qty * (b.cents // b.qty - a.cents // a.qty) AS residual
+        |FROM base a JOIN base b ON a.p_brand = b.p_brand
+        |WHERE a.yr = 1997 AND b.yr = 1998
+        |ORDER BY a.p_brand""".stripMargin,
+    "s23_margin_stats" ->
+      """WITH u AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS u
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, u AS uq FROM u
+        |  WHERE vec_id IN (0, 1, 2, 3, 4)
+        |), s AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_sum(list_transform(generate_series(1, len(c.u)),
+        |      j -> c.u[j] * q.uq[j])) AS dot
+        |  FROM u c CROSS JOIN q WHERE c.vec_id <> q.query_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dot DESC, vec_id) AS rk
+        |  FROM s
+        |)
+        |SELECT query_id,
+        |  MAX(CASE WHEN rk = 1 THEN vec_id END) AS top1_id,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN dot END) AS BIGINT) AS top1_dot,
+        |  MAX(CASE WHEN rk = 2 THEN vec_id END) AS top2_id,
+        |  CAST(MAX(CASE WHEN rk = 2 THEN dot END) AS BIGINT) AS top2_dot,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN dot END)
+        |       - MAX(CASE WHEN rk = 2 THEN dot END) AS BIGINT) AS margin
+        |FROM r WHERE rk <= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -834,4 +834,42 @@ object Aggregates {
         col("cents"), col("n_orders"), lit(n + 1L).as("rk"))
     top.unionAll(other).orderBy("o_orderpriority", "rk")
   }
+
+  /** PRICE-VOLUME-MIX decomposition — the "why did revenue change"
+    * bridge between two years, per brand: Δrevenue split into a VOLUME
+    * effect ((q₁−q₀)·p₀), a PRICE effect (q₁·(p₁−p₀)) and an explicit
+    * RESIDUAL, where p is the floor unit price (cents div qty) of each
+    * year. The floor makes the decomposition integer-exact but not
+    * perfectly additive — so the residual column CARRIES the crumbs and
+    * the identity Δ = vol + price + residual holds to the cent BY
+    * CONSTRUCTION (the honest form of a bridge that normally hides its
+    * rounding in the mix bucket).
+    *
+    * Scale shape: the fact join collapses in one (year, brand)
+    * map-side-combining aggregate (brand domain ≈ 25 rows); the bridge
+    * is an equi-join of two domain-sized frames. Parts dim broadcast.
+    */
+  def priceVolumeMix(lineitem: DataFrame, orders: DataFrame,
+      part: DataFrame, yearA: Int = 1997, yearB: Int = 1998): DataFrame = {
+    val base = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))), Seq("l_partkey"))
+      .filter(year(col("o_orderdate")).isin(yearA, yearB))
+      .groupBy(year(col("o_orderdate")).as("yr"), col("p_brand"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("qty"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("cents"))
+    val a = base.filter(col("yr") === yearA)
+      .select(col("p_brand"), col("qty").as("q0"), col("cents").as("c0"))
+    val b = base.filter(col("yr") === yearB)
+      .select(col("p_brand"), col("qty").as("q1"), col("cents").as("c1"))
+    a.join(b, Seq("p_brand"))
+      .select(col("p_brand"), col("q0"), col("q1"), col("c0"), col("c1"),
+        expr("(q1 - q0) * (c0 div q0)").as("vol_eff"),
+        expr("q1 * (c1 div q1 - c0 div q0)").as("price_eff"))
+      .withColumn("residual",
+        col("c1") - col("c0") - col("vol_eff") - col("price_eff"))
+      .orderBy("p_brand")
+  }
 }

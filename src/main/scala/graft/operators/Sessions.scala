@@ -600,4 +600,51 @@ object Sessions {
       .withColumn("cum_users", sum("n_new_users").over(w))
       .orderBy("day")
   }
+
+  /** GROWTH ACCOUNTING — the weekly active-user ledger every growth
+    * team runs: actives decomposed into NEW (first week ever), RETAINED
+    * (also active the week before), RESURRECTED (active before, but not
+    * last week), plus CHURNED-AWAY (active last week, absent this one),
+    * so n_active(w) = n_active(w−1) + new + resurrected − churned holds
+    * exactly. Classification never scans history per row: one distinct
+    * (user, week) frame, one per-user MIN (first week), and one
+    * self-join against the week-shifted frame decide all three classes;
+    * churn is a shifted anti-join. Work ∝ distinct user-weeks — the
+    * same first-seen/shift discipline as [[adoptionCurve]].
+    *
+    * Weeks with zero actives don't emit (nothing to decompose); churn
+    * INTO such a week is attributed when activity resumes — documented
+    * ledger semantics, identical in both engines.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val wkUs = 7L * 86400000000L
+    val uw = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $wkUs").as("wk"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
+    val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
+      lit(1L).as("had_prev"))
+    val classified = uw
+      .join(first, Seq("user_id"))
+      .join(prev, Seq("user_id", "wk"), "left")
+      .select(col("wk"),
+        when(col("wk") === col("first_wk"), lit("new"))
+          .when(col("had_prev").isNotNull, lit("retained"))
+          .otherwise(lit("resurrected")).as("cls"))
+    val active = classified.groupBy("wk")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = uw.select(col("user_id"), (col("wk") + 1).as("wk"))
+      .join(uw, Seq("user_id", "wk"), "left_anti")
+      .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+    active
+      .join(churn, Seq("wk"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .orderBy("wk")
+  }
 }

@@ -849,4 +849,43 @@ object SimilarityIndex {
         col("exact_top1"), col("best_recalled_ham"))
       .orderBy("q_id")
   }
+
+  /** RETRIEVAL MARGIN census — per query, the gap between the best and
+    * second-best inner product (exact integer micro-unit dots, the
+    * centroid tier's convention): the ambiguity metric that decides
+    * whether a nearest-neighbor answer can be trusted standalone or
+    * needs a reranker (margin → 0 means ranks 1 and 2 are
+    * interchangeable under any perturbation). Integer dots make the
+    * margin engine-exact — a float-cosine margin this small is exactly
+    * where float orderings diverge.
+    *
+    * Scale shape: anchors broadcast, one corpus scan, and the rank ≤ 2
+    * window filter plans as WindowGroupLimit (each map task forwards at
+    * most 2 rows per query into the shuffle) — the [[hardNegatives]]
+    * contract at k=2.
+    */
+  def marginStats(embeddings: DataFrame,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), Similarity.microUnits.as("uq"))
+    val scored = embeddings
+      .select(col("vec_id"), Similarity.microUnits.as("u"))
+      .join(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(zip_with(u, uq, (a, b) -> a * b), 0L," +
+          " (acc, x) -> acc + x)").as("dot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("query_id")
+      .agg(max(when(col("rk") === 1, col("vec_id"))).as("top1_id"),
+        max(when(col("rk") === 1, col("dot"))).as("top1_dot"),
+        max(when(col("rk") === 2, col("vec_id"))).as("top2_id"),
+        max(when(col("rk") === 2, col("dot"))).as("top2_dot"))
+      .withColumn("margin", col("top1_dot") - col("top2_dot"))
+      .orderBy("query_id")
+  }
 }

@@ -1110,4 +1110,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r.getLong(3) === 2L, "ws-collapse merges 'A  b' with 'a b'")
     assert(r.getLong(4) === 1L, "alnum merges everything")
   }
+
+  test("marginStats: exact integer-dot gap between ranks 1 and 2") {
+    import graft.operators.SimilarityIndex
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),  // query
+      (10L, Array(0.9f, 0.0f)), // rank 1: dot 9e11 micro²
+      (11L, Array(0.5f, 0.0f)), // rank 2: dot 5e11
+      (12L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityIndex.marginStats(df, queryIds = Seq(0L))
+      .collect().head
+    assert((r.getLong(1), r.getLong(3)) === ((10L, 11L)))
+    // 0.9f widens to 0.89999997…, so its floor micro-unit is 899999 —
+    // the floor convention is part of the contract, pinned here
+    assert(r.getLong(2) === 899999L * 1000000L, "top1 exact micro² dot")
+    assert(r.getLong(5) === (899999L - 500000L) * 1000000L, "exact margin")
+  }
 }

@@ -921,4 +921,21 @@ class OperatorSpec extends SparkTestBase {
       "3" -> ((3000L, 1L, 3L)), "OTHER" -> ((3000L, 2L, 4L))))
     assert(rows.map(_._2._1).sum === 15000L, "group total preserved")
   }
+
+  test("priceVolumeMix: bridge reconciles to the cent with explicit residual") {
+    val orders = Seq((1L, "1997-06-01"), (2L, "1998-06-01"))
+      .toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    // brand X: q 10→20, revenue 10.00→30.00: p0f=100, p1f=150
+    val li = Seq((1L, 7L, 10.0, 10.0, 0.0), (2L, 7L, 20.0, 30.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val part = Seq((7L, "X")).toDF("p_partkey", "p_brand")
+    val r = Aggregates.priceVolumeMix(li, orders, part).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((10L, 20L, 1000L, 3000L)))
+    assert(r.getLong(5) === 1000L, "volume effect (20-10)*100")
+    assert(r.getLong(6) === 1000L, "price effect 20*(150-100)")
+    assert(r.getLong(7) === 0L, "residual closes the bridge exactly")
+  }
 }

@@ -226,4 +226,26 @@ class SessionsSpec extends SparkTestBase {
       0L -> ((1L, 1L, 1L)),
       1L -> ((2L, 1L, 2L))))
   }
+
+  test("growthAccounting: new/retained/resurrected/churned ledger balances") {
+    val w = 7L * 86400000000L
+    // A: wk 0,1,2. B: wk 0, gone wk 1, back wk 2. C: wk 1 only.
+    val ev = Seq((1L, 0L * w, 1L), (2L, 1L * w, 1L), (3L, 2L * w, 1L),
+      (4L, 0L * w + 5L, 2L), (5L, 2L * w + 5L, 2L),
+      (6L, 1L * w + 9L, 3L))
+      .map { case (id, us, u) => (id, us, u, "click", 0.0) }
+    val df = ev.toDF("event_id", "usl", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val got = Sessions.growthAccounting(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === Map(
+      0L -> ((2L, 2L, 0L, 0L, 0L)),
+      1L -> ((2L, 1L, 1L, 0L, 1L)), // B churns into wk 1
+      2L -> ((2L, 0L, 1L, 1L, 1L)))) // B resurrects; C churns
+    // ledger identity: active(w) = active(w-1) + new + res - churned
+    assert(got(1L)._1 === got(0L)._1 + got(1L)._2 + got(1L)._4 - got(1L)._5)
+    assert(got(2L)._1 === got(1L)._1 + got(2L)._2 + got(2L)._4 - got(2L)._5)
+  }
 }
