@@ -889,6 +889,14 @@ object SparkEntry {
     // per query — the trust-or-rerank ambiguity metric.
     "s23_margin_stats" -> ((s, dir) =>
       SimilarityIndex.marginStats(Tables.embeddings(s, dir))),
+    // ABC Pareto classes: integer cumulative-share boundaries (≤800‰ A,
+    // ≤950‰ B) with deterministic ranking ties.
+    "a30_abc_classes" -> ((s, dir) =>
+      Aggregates.abcClasses(Tables.lineitem(s, dir))),
+    // Weekday ANOVA sufficient stats: floor-mean SSB/SST exact BIGINTs —
+    // η² permille says whether weekday structure is worth modeling.
+    "e58_weekday_anova" -> ((s, dir) =>
+      TimeSeries.weekdayAnova(Tables.orders(s, dir))),
     // Cumulative adoption via first-seen linearization — never a running
     // COUNT(DISTINCT) (quadratic state at scale).
     "e52_adoption_curve" -> ((s, dir) =>
@@ -3208,6 +3216,61 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(MAX(CASE WHEN rk = 1 THEN dot END)
         |       - MAX(CASE WHEN rk = 2 THEN dot END) AS BIGINT) AS margin
         |FROM r WHERE rk <= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a30_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |             AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY 1
+        |), c AS (
+        |  SELECT cents,
+        |    SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cents) OVER () AS total
+        |  FROM rev
+        |), k AS (
+        |  SELECT CASE WHEN cum * 1000 // total <= 800 THEN 'A'
+        |              WHEN cum * 1000 // total <= 950 THEN 'B'
+        |              ELSE 'C' END AS cls, cents
+        |  FROM c
+        |), g AS (
+        |  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |    CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM k GROUP BY 1
+        |)
+        |SELECT cls, n_parts, rev_cents,
+        |  CAST(rev_cents * 1000 // (SUM(rev_cents) OVER ()) AS BIGINT)
+        |    AS share_permille
+        |FROM g ORDER BY cls""".stripMargin,
+    "e58_weekday_anova" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |           AS day,
+        |         CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), d2 AS (SELECT day % 7 AS dow, x FROM daily),
+        |g AS (
+        |  SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d2
+        |), gr AS (
+        |  SELECT dow, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu_g,
+        |         CAST(COUNT(*) AS BIGINT) AS n_g
+        |  FROM d2 GROUP BY 1
+        |), sst AS (
+        |  SELECT CAST(SUM((x - mu) * (x - mu)) AS BIGINT) AS sst,
+        |         MAX(n) AS n_days
+        |  FROM d2 CROSS JOIN g
+        |), ssb AS (
+        |  SELECT CAST(SUM(n_g * (mu_g - mu) * (mu_g - mu)) AS BIGINT) AS ssb
+        |  FROM gr CROSS JOIN g
+        |)
+        |SELECT n_days, ssb, sst,
+        |  ssb * 1000 // NULLIF(sst, 0) AS eta2_permille
+        |FROM sst CROSS JOIN ssb""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

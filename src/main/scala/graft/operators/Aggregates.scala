@@ -872,4 +872,43 @@ object Aggregates {
         col("c1") - col("c0") - col("vol_eff") - col("price_eff"))
       .orderBy("p_brand")
   }
+
+  /** ABC (Pareto) CLASSIFICATION — inventory's 80/15/5 rule: parts
+    * ranked by revenue, class A = the head covering the first 80% of
+    * cumulative revenue, B through 95%, C the tail. The class boundary
+    * is an integer comparison on the EXACT cumulative share (cum·1000
+    * div total ≤ threshold), with ranking ties broken by partkey, so
+    * membership is deterministic in both engines — the float
+    * running-percentage form flips boundary parts between runs.
+    *
+    * Scale shape: the fact table collapses in one per-part aggregate;
+    * the cumulative window runs over the ranked PART DOMAIN (at true
+    * scale, pre-aggregate to the class-relevant head — the A/B boundary
+    * lives in the first few percent of parts); the class rollup is 3
+    * rows.
+    */
+  def abcClasses(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = lineitem
+      .filter(col("l_extendedprice").isNotNull)
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rev
+      .withColumn("cum", sum("cents").over(w))
+      .withColumn("total", sum("cents").over(tot))
+      .withColumn("cls",
+        when(expr("cum * 1000 div total") <= 800, "A")
+          .when(expr("cum * 1000 div total") <= 950, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("rev_cents"))
+      .withColumn("share_permille",
+        expr("rev_cents * 1000 div sum(rev_cents) over ()"))
+      .orderBy("cls")
+  }
 }

@@ -1107,4 +1107,42 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
       .orderBy("fiscal_year", "fiscal_period")
   }
+
+  /** WEEKDAY ANOVA sufficient statistics — how much of daily revenue
+    * variance the day-of-week explains: the between-group and total
+    * sums of squares whose ratio is η² (the strength-of-seasonality
+    * readout behind e29's backtest and e38's diurnal profile; η² → 0
+    * says don't bother modeling weekday structure). Exactness: the
+    * grand mean is the FLOOR mean μ̂ = S div n (the
+    * [[autocorrelation]] convention) and group means are likewise
+    * floored, so SST = Σ(x−μ̂)² and SSB = Σ n_g·(μ̂_g−μ̂)² are exact
+    * BIGINTs of a DEFINED statistic (floor-mean ANOVA) — the float
+    * form would diverge bit-wise. The η̂² permille quotient comes
+    * floored; the exact fraction rides alongside.
+    *
+    * Scale shape: one map-side-combining daily aggregate, one 7-row
+    * group frame, two broadcast joins — nothing larger than the day
+    * grid is ever windowed or shuffled.
+    */
+  def weekdayAnova(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("x"))
+      .withColumn("dow", expr("day % 7"))
+    val grand = daily.agg(expr("sum(x) div count(1)").as("mu"),
+      count(lit(1)).as("n"))
+    val groups = daily.groupBy("dow")
+      .agg(expr("sum(x) div count(1)").as("mu_g"), count(lit(1)).as("n_g"))
+    val sst = daily.crossJoin(broadcast(grand))
+      .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("sst"),
+        max("n").as("n_days"))
+    val ssb = groups.crossJoin(broadcast(grand))
+      .agg(sum(col("n_g") * (col("mu_g") - col("mu"))
+        * (col("mu_g") - col("mu"))).as("ssb"))
+    sst.crossJoin(broadcast(ssb))
+      .select(col("n_days"), col("ssb"), col("sst"),
+        expr("ssb * 1000 div nullif(sst, 0)").as("eta2_permille"))
+  }
 }

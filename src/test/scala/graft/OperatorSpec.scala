@@ -938,4 +938,18 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getLong(6) === 1000L, "price effect 20*(150-100)")
     assert(r.getLong(7) === 0L, "residual closes the bridge exactly")
   }
+
+  test("abcClasses: integer cumulative-share boundaries classify the Pareto head") {
+    // revenues 80/15/4/1: cum shares 800, 950, 990, 1000 permille
+    val li = Seq((1L, 80.0), (2L, 15.0), (3L, 4.0), (4L, 1.0))
+      .map { case (p, v) => (p, v, 0.0) }
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val got = Aggregates.abcClasses(li).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "A" -> ((1L, 8000L, 800L)),
+      "B" -> ((1L, 1500L, 150L)),
+      "C" -> ((2L, 500L, 50L))))
+  }
 }

@@ -569,4 +569,20 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got === Map(
       50L -> ((2L, 2L)), 100L -> ((1L, 3L)), 500L -> ((1L, 4L))))
   }
+
+  test("weekdayAnova: floor-mean SSB/SST, perfect weekday structure scores 1000") {
+    // 14 days: every dow-0 day books 70$, the rest 0 → group means
+    // explain ALL variance under the floor-mean definition.
+    val df = (0 until 14)
+      .map(d => (d, if (d % 7 == 0) 70.0 else 0.0))
+      .toDF("i", "o_totalprice")
+      .withColumn("o_orderdate",
+        date_add(lit("1970-01-01").cast("date"), col("i")))
+    val r = TimeSeries.weekdayAnova(df).collect().head
+    assert(r.getLong(0) === 14L, "n_days")
+    // grand floor mean 10: SST = 2*60² + 12*10² = 8400 = SSB
+    assert(r.getLong(1) === 8400L, "ssb")
+    assert(r.getLong(2) === 8400L, "sst")
+    assert(r.getLong(3) === 1000L, "eta2 permille")
+  }
 }
