@@ -136,7 +136,9 @@ object GraphOps {
     */
   def coPurchaseComponentsIncremental(lineitem: DataFrame,
       minSupport: Long = 2L): DataFrame = {
-    val e = coPurchaseEdges(lineitem, minSupport)
+    // the edge build (distinct + self-join) feeds FIVE consumers across
+    // the two phases — materialize it once or each one re-runs it
+    val e = coPurchaseEdges(lineitem, minSupport).localCheckpoint(true)
     val e1 = e.filter((col("src") + col("dst")) % 2 === 0)
     val e2 = e.filter((col("src") + col("dst")) % 2 =!= 0)
     val c1 = Dedup.connectedComponents(e1)
