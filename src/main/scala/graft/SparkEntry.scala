@@ -897,6 +897,14 @@ object SparkEntry {
     // η² permille says whether weekday structure is worth modeling.
     "e58_weekday_anova" -> ((s, dir) =>
       TimeSeries.weekdayAnova(Tables.orders(s, dir))),
+    // DAU/WAU stickiness: Σ daily actives ×1000 div (7×weekly actives) —
+    // two distinct frames, work ∝ distinct user-days.
+    "e59_stickiness" -> ((s, dir) =>
+      Sessions.stickiness(Tables.events(s, dir))),
+    // Order-size mix vs GLOBAL discrete terciles — fixed band edges
+    // reveal drift that per-year terciles would hide by construction.
+    "a31_order_size_mix" -> ((s, dir) =>
+      Aggregates.orderSizeMix(Tables.orders(s, dir))),
     // Cumulative adoption via first-seen linearization — never a running
     // COUNT(DISTINCT) (quadratic state at scale).
     "e52_adoption_curve" -> ((s, dir) =>
@@ -3271,6 +3279,52 @@ GROUP BY doc_id ORDER BY doc_id"""
         |SELECT n_days, ssb, sst,
         |  ssb * 1000 // NULLIF(sst, 0) AS eta2_permille
         |FROM sst CROSS JOIN ssb""".stripMargin,
+    "e59_stickiness" ->
+      """WITH base AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), ds AS (
+        |  SELECT day // 7 AS wk, CAST(COUNT(*) AS BIGINT) AS dau_sum
+        |  FROM base GROUP BY 1
+        |), w AS (
+        |  SELECT wk, CAST(COUNT(*) AS BIGINT) AS wau
+        |  FROM (SELECT DISTINCT user_id, day // 7 AS wk FROM base)
+        |  GROUP BY 1
+        |)
+        |SELECT ds.wk, dau_sum, wau,
+        |  dau_sum * 1000 // (7 * wau) AS stickiness_permille
+        |FROM ds JOIN w ON ds.wk = w.wk
+        |ORDER BY ds.wk""".stripMargin,
+    "a31_order_size_mix" ->
+      """WITH vals AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |), cum AS (
+        |  SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS cum,
+        |         SUM(cnt) OVER () AS n
+        |  FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM vals GROUP BY 1)
+        |), b AS (
+        |  SELECT
+        |    MIN(CASE WHEN cum >= (n - 1) * 33 // 100 + 1 THEN cents END)
+        |      AS p33,
+        |    MIN(CASE WHEN cum >= (n - 1) * 67 // 100 + 1 THEN cents END)
+        |      AS p67
+        |  FROM cum
+        |), g AS (
+        |  SELECT yr,
+        |    CASE WHEN cents <= p33 THEN 'small'
+        |         WHEN cents <= p67 THEN 'mid' ELSE 'large' END AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM vals CROSS JOIN b
+        |  GROUP BY 1, 2
+        |)
+        |SELECT yr, band, n_orders,
+        |  CAST(n_orders * 1000 // (SUM(n_orders) OVER (PARTITION BY yr))
+        |       AS BIGINT) AS share_permille
+        |FROM g ORDER BY yr, band""".stripMargin,
     "o_topk" ->
       "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     // LLM tier (d3/d4/d5/s2 are hash-seeded — not SQL-expressible, rows-only;

@@ -911,4 +911,47 @@ object Aggregates {
         expr("rev_cents * 1000 div sum(rev_cents) over ()"))
       .orderBy("cls")
   }
+
+  /** ORDER-SIZE MIX by GLOBAL quantile bands — small/mid/large order
+    * shares per year, where the band edges are the corpus-wide discrete
+    * terciles (p33/p67 order statistics in cents, the
+    * count-based-cumulative scheme of
+    * [[graft.operators.Quality.winsorizedStats]] — no interpolating
+    * percentile, no per-row sort). GLOBAL bands are the point: per-year
+    * terciles would by construction show a flat 333/333/333 mix — only
+    * fixed edges reveal whether the business is drifting toward bigger
+    * orders.
+    *
+    * Scale shape: one (cents → count) map-side-combining aggregate for
+    * the edges (distinct-value cumulative window), one broadcast of the
+    * 1-row bounds frame, one (year, band) aggregate.
+    */
+  def orderSizeMix(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = orders
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cum = vals.groupBy("cents").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val bounds = cum.agg(
+      min(when(col("cum") >= expr("(n - 1) * 33 div 100 + 1"),
+        col("cents"))).as("p33"),
+      min(when(col("cum") >= expr("(n - 1) * 67 div 100 + 1"),
+        col("cents"))).as("p67"))
+    vals.crossJoin(broadcast(bounds))
+      .select(col("yr"),
+        when(col("cents") <= col("p33"), "small")
+          .when(col("cents") <= col("p67"), "mid")
+          .otherwise("large").as("band"))
+      .groupBy("yr", "band")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("share_permille", expr(
+        "n_orders * 1000 div sum(n_orders) over (partition by yr)"))
+      .orderBy("yr", "band")
+  }
 }

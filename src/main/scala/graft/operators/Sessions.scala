@@ -647,4 +647,35 @@ object Sessions {
       .na.fill(0L, Seq("n_churned"))
       .orderBy("wk")
   }
+
+  /** STICKINESS (DAU/WAU) — the engagement ratio product teams track
+    * weekly: average daily actives over weekly actives, floor permille
+    * (1000 = every weekly user shows up every day; 143 ≈ once a week).
+    * Rendered exactly: Σ_day DAU(d) · 1000 div (7 · WAU(w)) — the sum
+    * of daily actives is the integral the "average DAU" hides, and the
+    * fixed 7 keeps partial trailing weeks honest (a 3-day week reads
+    * low rather than inflated).
+    *
+    * Scale shape: two distinct frames off one pass — (user, day) and
+    * (user, week) — each a map-side-combining distinct, then per-day /
+    * per-week counts and one week-keyed join. Work ∝ distinct
+    * user-days; no window over raw events.
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dauSum = base
+      .groupBy(expr("day div 7").as("wk"))
+      .agg(count(lit(1)).as("dau_sum"))
+    val wau = base.select(col("user_id"), expr("day div 7").as("wk"))
+      .distinct()
+      .groupBy("wk").agg(count(lit(1)).as("wau"))
+    dauSum.join(wau, Seq("wk"))
+      .select(col("wk"), col("dau_sum"), col("wau"),
+        expr("dau_sum * 1000 div (7 * wau)").as("stickiness_permille"))
+      .orderBy("wk")
+  }
 }

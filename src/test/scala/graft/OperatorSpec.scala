@@ -952,4 +952,21 @@ class OperatorSpec extends SparkTestBase {
       "B" -> ((1L, 1500L, 150L)),
       "C" -> ((2L, 500L, 50L))))
   }
+
+  test("orderSizeMix: GLOBAL tercile edges expose per-year drift") {
+    // 1997: cents 100,200,300; 1998: 300,300,300. Global terciles over
+    // {100,200,300,300,300,300}: p33 = 2nd value (200), p67 = 4th (300).
+    val df = Seq(("1997-01-01", 1.0), ("1997-02-01", 2.0),
+        ("1997-03-01", 3.0), ("1998-01-01", 3.0), ("1998-02-01", 3.0),
+        ("1998-03-01", 3.0))
+      .toDF("d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("date"))
+    val got = Aggregates.orderSizeMix(df).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      (1997L, "small") -> ((2L, 666L)), // 100 and 200 ≤ p33=200
+      (1997L, "mid") -> ((1L, 333L)),   // 300 ≤ p67=300
+      (1998L, "mid") -> ((3L, 1000L)))) // the drift: all mid, none small
+  }
 }

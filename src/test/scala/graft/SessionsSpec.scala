@@ -248,4 +248,17 @@ class SessionsSpec extends SparkTestBase {
     assert(got(1L)._1 === got(0L)._1 + got(1L)._2 + got(1L)._4 - got(1L)._5)
     assert(got(2L)._1 === got(1L)._1 + got(2L)._2 + got(2L)._4 - got(2L)._5)
   }
+
+  test("stickiness: sum of daily actives over 7x weekly actives, floor permille") {
+    val d = 86400000000L
+    // week 0: user 1 active 7/7 days, user 2 active 1 day →
+    // dau_sum 8, wau 2 → 8000 div 14 = 571
+    val ev = (0 until 7).map(i => (i.toLong, i * d + 1, 1L)) :+
+      ((10L, 3 * d + 1, 2L))
+    val df = ev.map { case (id, us, u) => (id, us, u, "click", 0.0) }
+      .toDF("event_id", "usl", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    val r = Sessions.stickiness(df).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((8L, 2L, 571L)))
+  }
 }
