@@ -209,7 +209,9 @@ object SparkEntry {
     "d2_dup_stats" -> ((s, dir) => Dedup.dupStats(Tables.documents(s, dir))),
     // materializeCandidates: the candidate subtree feeds both the semi-join
     // pruning and the pair join — materializing halves the dominant stage.
-    "d3_minhash_pairs" -> ((s, dir) => Dedup.nearDupPairs(Tables.documents(s, dir), threshold = 0.5, materializeCandidates = true)),
+    // (The threshold-0.5 hash-seeded variant retired in r9: rows-only at
+    // the driver gate; DedupSimilaritySpec still exercises the operator,
+    // and d22_minhash_oracle is its hash-green md5-derandomized twin.)
     // Oracle-proven fuzzy dedup: at threshold 0.9 the 8×4 banding recall is
     // 1-(1-0.9^4)^8 ≈ 0.9998, so LSH output equals DuckDB's exact all-pairs
     // 3-gram Jaccard — promoting the flagship LLM operator from rows-only
@@ -221,12 +223,9 @@ object SparkEntry {
     // maxHamming = 3 → 16-bit chunks, 65k bucket values per chunk: bucket
     // occupancy stays sublinear in corpus size (maxHamming = 8 would leave
     // ~7-bit chunks whose buckets grow linearly — quadratic verify at 100×).
-    "d4_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
-    // Wide radius (8) via two-chunk combination banding — C(k,2) bands of
-    // double-width keys keep bucket occupancy subquadratic at 100× corpus
-    // size, with the same exact-recall pigeonhole guarantee. Rows-only
-    // (hash-seeded); equality with single-chunk banding is test-asserted.
-    "d4b_simhash_wide" -> ((s, dir) => Dedup.simhashPairsCombination(Tables.documents(s, dir), maxHamming = 8)),
+    // (Hash-seeded simhashPairs/simhashPairsCombination registry entries
+    // retired in r9 — rows-only at the gate; DedupSimilaritySpec keeps the
+    // operators pinned and d23_simhash_oracle/d4c are the hash-green twins.)
     // SimHash banding completeness/soundness vs brute force, driver-
     // witnessed as booleans (DuckDB can't compute SimHash; d5b pattern).
     "d4c_simhash_contract" -> ((s, dir) => Dedup.simhashContract(Tables.documents(s, dir), maxHamming = 3)),
@@ -243,15 +242,10 @@ object SparkEntry {
       Dedup.incrementalNearDups(Dedup.bandIndex(corpus), corpus, incoming, 0.9,
         materializeCandidates = true)
     }),
-    "d5_corpus_signatures" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, concat_ws}
-      // signature serialized '|'-joined (lossless for i64s) so the output
-      // is scalar-typed end-to-end; hash-seeded values → rows-only check.
-      Dedup.corpusSignatures(Tables.documents(s, dir))
-        .withColumn("corpus_signature",
-          concat_ws("|", col("corpus_signature").cast("array<string>")))
-    }),
-    // The corpus-signature VALUES are hash-seeded (rows-only, d5), but the
+    // (Hash-seeded corpusSignatures registry entry retired in r9 —
+    // rows-only at the gate; d5b is its hash-green md5-derandomized twin
+    // and DedupSimilaritySpec keeps the operator pinned.)
+    // The corpus-signature VALUES are hash-seeded (rows-only legacy), but the
     // custom Aggregator's merge correctness is driver-witnessable as a
     // CONTRACT (a6 pattern): the signature must be partitioning-invariant
     // — computing it over a 7-way hash repartition must merge partial
@@ -486,13 +480,11 @@ object SparkEntry {
     // terms BEFORE the adjacency equi-join — index-sized work, not corpus.
     "t13_phrase_search" -> ((s, dir) => TextOps.phraseSearch(Tables.documents(s, dir), "order", "fast")),
     "s1_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 0L, 20)),
-    // Rows-only by design: LSH bucket membership is hash-seeded. A
-    // d3b-style high-threshold oracle proof is IMPOSSIBLE on this fixture
-    // — the max pairwise cosine is ~0.51 (no planted near-dup pairs), and
-    // at thresholds that low, hyperplane banding with recall ≈ 1 needs so
-    // many tables it degenerates to all-pairs. The exact-equivalence
-    // evidence lives in s3_knn_join (oracle-proven) and the recall tests.
-    "s2_ann_pairs" -> ((s, dir) => Similarity.nearNeighborPairs(Tables.embeddings(s, dir), minScore = 0.35, planes = 6)),
+    // (Hash-seeded nearNeighborPairs registry entry retired in r9 — LSH
+    // bucket membership is hash-seeded so it could only ever be rows-only
+    // at the gate. The operator stays spec-pinned; s17_ann_oracle is the
+    // hash-green LCG-derandomized ANN twin and s3_knn_join the exact
+    // oracle-proven equivalence evidence.)
     // Exact-integer per-label centroids via a mergeable Aggregator (one
     // (dim+1)-long state per group-partition, no dim-fold explode shuffle).
     "s4_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
@@ -1836,9 +1828,9 @@ GROUP BY doc_id ORDER BY doc_id"""
         |             AS BIGINT)) AS cents
         |  FROM lineitem GROUP BY 1
         |)
-        |SELECT s_suppkey, s_nationkey, cents,
-        |       cents * 10000 // SUM(cents) OVER (PARTITION BY s_nationkey)
-        |         AS share_bp
+        |SELECT s_suppkey, s_nationkey, CAST(cents AS BIGINT) AS cents,
+        |       CAST(cents * 10000 // SUM(cents) OVER (PARTITION BY s_nationkey)
+        |            AS BIGINT) AS share_bp
         |FROM supplier JOIN r ON s_suppkey = l_suppkey
         |ORDER BY s_suppkey""".stripMargin,
     "w_rolling_distinct" ->
@@ -2184,8 +2176,9 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    ORDER BY x.rel - x.pen DESC, x.vec_id LIMIT 1) n
         |  WHERE s.rank < 10
         |)
-        |SELECT rank, vec_id, rel AS rel_dot, pen AS pen_dot,
-        |       rel - pen AS mmr2
+        |SELECT rank, vec_id, CAST(rel AS BIGINT) AS rel_dot,
+        |       CAST(pen AS BIGINT) AS pen_dot,
+        |       CAST(rel - pen AS BIGINT) AS mmr2
         |FROM sel ORDER BY rank""".stripMargin,
     "s22_mmr_diversity" ->
       """WITH RECURSIVE q AS (
@@ -2695,7 +2688,7 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    SUM(c) OVER () AS total
         |  FROM daily
         |)
-        |SELECT (cum - 1) * 8 // total AS part,
+        |SELECT CAST((cum - 1) * 8 // total AS BIGINT) AS part,
         |  MIN(day) AS day_lo, MAX(day) AS day_hi,
         |  CAST(SUM(c) AS BIGINT) AS n_rows,
         |  CAST(SUM(c) * 8 * 1000 // MAX(total) AS BIGINT) AS fill_permille
@@ -5973,8 +5966,8 @@ GROUP BY doc_id ORDER BY doc_id"""
         |  FROM bl GROUP BY 1
         |)
         |SELECT 'Brand#4' AS brand, COUNT(*) AS n_lines,
-        |       SUM(bl.price_cents) AS total_cents,
-        |       SUM(bl.price_cents) // 7 AS avg_weekly_cents
+        |       CAST(SUM(bl.price_cents) AS BIGINT) AS total_cents,
+        |       CAST(SUM(bl.price_cents) // 7 AS BIGINT) AS avg_weekly_cents
         |FROM bl JOIN pp ON bl.l_partkey = pp.agg_partkey
         |WHERE bl.qty * pp.cnt * 5 < pp.sum_qty""".stripMargin,
     // The classic correlated EXISTS / NOT-EXISTS form — deliberately NOT
@@ -6010,7 +6003,8 @@ GROUP BY doc_id ORDER BY doc_id"""
         |    AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'
         |  GROUP BY 1
         |)
-        |SELECT s.s_suppkey, s.s_name, r.revenue_cents
+        |SELECT s.s_suppkey, s.s_name,
+        |       CAST(r.revenue_cents AS BIGINT) AS revenue_cents
         |FROM revenue r
         |JOIN supplier s ON s.s_suppkey = r.l_suppkey
         |WHERE r.revenue_cents = (SELECT MAX(revenue_cents) FROM revenue)

@@ -6,7 +6,12 @@ import java.nio.file.{Files, Paths}
   * `runMain graft.VerifyOne <sfDir> <outDir> <name> [<name>...]` — writes
   * each named query's result parquet plus an oracle_sql.json restricted to
   * those names, for `tools/qcheck`-style spot comparison while iterating.
-  * The full-registry gate remains [[Verify]].
+  *
+  * With NO names it becomes the oracle-lint dump: writes the FULL
+  * oracle_sql.json plus spark_schema.json (every registered query's
+  * ANALYZED schema — no execution, so the whole registry dumps in
+  * seconds) for `tools/oraclelint.py` to diff against DuckDB's result
+  * types. The full-registry gate remains [[Verify]].
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
@@ -31,9 +36,23 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
+    val lintAll = names.isEmpty
+    val keep: String => Boolean =
+      if (lintAll) _ => true else names.contains(_)
+    val json = SparkEntry.oracleSql.view.filterKeys(keep)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (lintAll) {
+      // Analyzed (not executed) schemas: name -> {col -> simpleString}.
+      val schemas = SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          val fields = fn(spark, sfDir).schema.fields
+            .map(f => s"${q(f.name)}: ${q(f.dataType.simpleString)}")
+            .mkString("{", ",", "}")
+          s"${q(name)}: $fields"
+      }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/spark_schema.json"), schemas)
+    }
     spark.stop()
   }
 }

@@ -535,6 +535,10 @@ object Sessions {
     * already the right ones.
     */
   def decayAttribution(events: DataFrame, lookbackDays: Int = 3): DataFrame = {
+    // shiftleft(1L, lookbackDays - 1 - age) silently overflows the Long
+    // shift past 62 — same bound ewma enforces on its horizon.
+    require(lookbackDays >= 1 && lookbackDays <= 62,
+      s"lookbackDays must be in [1, 62], got $lookbackDays")
     val dayUs = 86400000000L
     val purchases = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&

@@ -1533,9 +1533,14 @@ object TextOps {
       "checkpoints must be ascending")
     val firstDoc = documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // Guarded: sequence(1, 0) DESCENDS in Spark ([1, 0] — reading
+      // toks[-1]/toks[1], an INVALID_ARRAY_INDEX crash under ANSI mode
+      // for 0/1-token docs), so short docs get an explicit empty array.
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(toks) - 1, 0)),
-          |          i -> concat(toks[i - 1], ' ', toks[i]))""".stripMargin))
+        """CASE WHEN size(toks) >= 2
+          |     THEN transform(sequence(1, size(toks) - 1),
+          |                    i -> concat(toks[i - 1], ' ', toks[i]))
+          |     ELSE array() END""".stripMargin))
         .as("tok"))
       .groupBy("tok").agg(min("doc_id").as("first_doc"))
     val bin = checkpoints.foldRight(lit(null).cast("long")) { (cp, acc) =>

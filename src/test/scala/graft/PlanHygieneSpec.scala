@@ -12,16 +12,16 @@ package graft
   */
 class PlanHygieneSpec extends SparkTestBase {
 
-  test("oracle registry matches the query registry; rows-only set is pinned") {
-    val rowsOnly = Set("d3_minhash_pairs", "d4_simhash_pairs",
-      "d4b_simhash_wide", "d5_corpus_signatures", "s2_ann_pairs")
+  test("oracle registry matches the query registry; every query is oracled") {
+    // r9: the last 5 rows-only entries were retired (each has a hash-green
+    // derandomized twin), so the gate is 100% oracle-checked — any new
+    // un-oracled registry entry is now a test failure, not a weaker check.
     val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracles.isEmpty,
       s"oracle SQL with no matching query (typo?): $orphanOracles")
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unchecked === rowsOnly,
-      s"queries without oracle SQL beyond the documented rows-only set: " +
-        s"${unchecked -- rowsOnly}")
+    assert(unchecked.isEmpty,
+      s"queries without oracle SQL: $unchecked")
   }
 
   test("every registered query plans on sf0.001 with no cartesian product") {

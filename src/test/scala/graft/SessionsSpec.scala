@@ -211,6 +211,18 @@ class SessionsSpec extends SparkTestBase {
     assert(got("unattributed") === ((1L, 500L)))
   }
 
+  test("decayAttribution: lookbackDays beyond the Long-shift bound is rejected") {
+    val df = Seq((1L, 0L, 1L, "purchase", 1.0))
+      .toDF("event_id", "usl", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("usl"))).drop("usl")
+    intercept[IllegalArgumentException] {
+      Sessions.decayAttribution(df, lookbackDays = 63)
+    }
+    intercept[IllegalArgumentException] {
+      Sessions.decayAttribution(df, lookbackDays = 0)
+    }
+  }
+
   test("adoptionCurve: users count once on their first-seen day") {
     val d = 86400000000L
     val ev = Seq(

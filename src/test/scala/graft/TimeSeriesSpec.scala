@@ -570,6 +570,20 @@ class TimeSeriesSpec extends SparkTestBase {
       50L -> ((2L, 2L)), 100L -> ((1L, 3L)), 500L -> ((1L, 4L))))
   }
 
+  test("vocabGrowth: 0/1-token docs contribute no bigrams and do not crash") {
+    // Regression: sequence(1, 0) DESCENDS in Spark, so an unguarded
+    // bigram transform read toks[-1]/toks[1] — an ANSI-mode
+    // INVALID_ARRAY_INDEX crash on short docs.
+    val df = Seq(
+      (10L, "solo"),     // 1 token: no bigram
+      (20L, ""),         // 0 tokens: no bigram
+      (30L, "a b"))      // 1 bigram → checkpoint 50
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(50L -> ((1L, 1L))))
+  }
+
   test("weekdayAnova: floor-mean SSB/SST, perfect weekday structure scores 1000") {
     // 14 days: every dow-0 day books 70$, the rest 0 → group means
     // explain ALL variance under the floor-mean definition.
