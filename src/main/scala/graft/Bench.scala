@@ -11,11 +11,23 @@ import java.nio.file.{Files, Paths}
   * all columns of projection-only queries and time a bare scan+count
   * instead of the expressions under test.
   *
+  * Noise robustness: the bench box is routinely contended (rounds 6-8
+  * each showed 10-20x inflated tail readings that clean re-measures
+  * disowned), so any query whose first pass exceeds RETIME_SEC gets ONE
+  * re-run and reports min(pass1, pass2) — an external CPU spike can
+  * inflate a reading but nothing can deflate one, so min is the
+  * defensible estimator. `value` (the headline total) stays the
+  * SINGLE-pass sum for round-over-round comparability; only the
+  * per-query map is best-of-2.
+  *
   * Failures are NOT swallowed into timings: a failed query records its
   * exception class in `errors` and bumps `n_errors`, so a broken query can
-  * never lower total time unnoticed.
+  * never lower total time unnoticed. Errors are never retried — a flaky
+  * failure must stay visible.
   */
 object Bench {
+  private val RetimeSec = 1.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,16 +41,28 @@ object Bench {
     // Warm the session (context init, codegen compiler, shuffle system)
     // so fixed JVM startup cost isn't attributed to the first query.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (t, err) = time(name, fn); (name, fn, t, err)
+    }
+    val singlePassTotal = firstPass.map(_._3).sum
+    val results = firstPass.map { case (name, fn, t1, err) =>
+      if (err.isEmpty && t1 > RetimeSec) {
+        val (t2, err2) = time(name, fn)
+        if (err2.isEmpty) (name, math.min(t1, t2), err) else (name, t1, err)
+      } else (name, t1, err)
     }
     val sfName = Paths.get(sfDir).getFileName.toString
-    println(formatLine(results, sfName, budget = 1900))
-    Files.writeString(Paths.get("bench_result.json"), fullLine(results, sfName) + "\n")
+    println(formatLine(results, sfName, budget = 1900, Some(singlePassTotal)))
+    Files.writeString(Paths.get("bench_result.json"),
+      fullLine(results, sfName, Some(singlePassTotal)) + "\n")
     spark.stop()
   }
 
@@ -48,8 +72,9 @@ object Bench {
   /** The full-fidelity line for bench_result.json: centisecond timings for
     * every query plus the complete per-query error map.
     */
-  private[graft] def fullLine(results: Seq[(String, Double, Option[String])], sfName: String): String =
-    line(results, sfName, "%.2f", results.size, results.size)
+  private[graft] def fullLine(results: Seq[(String, Double, Option[String])],
+      sfName: String, total: Option[Double] = None): String =
+    line(results, sfName, "%.2f", results.size, results.size, total)
 
   /** The stdout line. The consumer captures only the LAST ~2000 bytes of
     * stdout and JSON-parses them: a line longer than the window gets its head
@@ -64,20 +89,23 @@ object Bench {
     * Truncation is always explicit via "q_omitted" / "n_errors".
     */
   private[graft] def formatLine(
-      results: Seq[(String, Double, Option[String])], sfName: String, budget: Int): String = {
+      results: Seq[(String, Double, Option[String])], sfName: String, budget: Int,
+      total: Option[Double] = None): String = {
     val nErr = results.count(_._3.isDefined)
     val candidates =
-      Iterator(line(results, sfName, "%.2f", results.size, nErr),
-               line(results, sfName, "%.1f", results.size, nErr),
-               line(results, sfName, "%.1f", results.size, 5)) ++
+      Iterator(line(results, sfName, "%.2f", results.size, nErr, total),
+               line(results, sfName, "%.1f", results.size, nErr, total),
+               line(results, sfName, "%.1f", results.size, 5, total)) ++
         Iterator.iterate(results.size - 5)(_ - 5).takeWhile(_ >= 10)
-          .map(line(results, sfName, "%.1f", _, 5)) ++
-        Iterator(line(results, sfName, "%.1f", 10, 0))
-    candidates.find(_.length <= budget).getOrElse(line(results, sfName, "%.1f", 10, 0))
+          .map(line(results, sfName, "%.1f", _, 5, total)) ++
+        Iterator(line(results, sfName, "%.1f", 10, 0, total))
+    candidates.find(_.length <= budget)
+      .getOrElse(line(results, sfName, "%.1f", 10, 0, total))
   }
 
   private def line(results: Seq[(String, Double, Option[String])], sfName: String,
-                   prec: String, keep: Int, errKeep: Int): String = {
+                   prec: String, keep: Int, errKeep: Int,
+                   totalOverride: Option[Double] = None): String = {
     val nErr = results.count(_._3.isDefined)
     val errs =
       if (nErr == 0) ""
@@ -87,7 +115,7 @@ object Bench {
       else
         results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }.take(errKeep)
           .mkString(""""error_sample":[""", ",", "],")
-    val total = results.map(_._2).sum
+    val total = totalOverride.getOrElse(results.map(_._2).sum)
     val bySlow = results.sortBy(-_._2).take(keep).sortBy(_._1)
     val qs = bySlow.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, prec) }
       .mkString("{", ",", "}")

@@ -54,6 +54,20 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"n_errors\":0"))
   }
 
+  test("headline total is the single-pass sum even when per-query is best-of-2") {
+    // Best-of-2 retiming shrinks per-query values; the driver-facing
+    // "value" must stay the single-pass sum for round comparability.
+    val results = synthetic(nOk = 5, nErr = 0) // best-of sum = 0.37*15 = 5.55
+    val single = 9.99
+    val line = Bench.formatLine(results, "sf0.1", budget = 1900, Some(single))
+    assert(line.contains("\"value\":9.99"), line)
+    val full = Bench.fullLine(results, "sf0.1", Some(single))
+    assert(full.contains("\"value\":9.99"), full)
+    // Without an override the sum of the per-query values is used.
+    assert(Bench.formatLine(results, "sf0.1", budget = 1900)
+      .contains("\"value\":5.55"))
+  }
+
   test("full line retains every query and every error detail") {
     val results = synthetic(nOk = 119, nErr = 23)
     val full = Bench.fullLine(results, "sf0.1")
