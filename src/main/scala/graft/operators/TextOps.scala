@@ -437,8 +437,11 @@ object TextOps {
       concat_ws, explode, min, struct}
     val segs = documents
       .select(c("doc_id"), tokens(c("text")).as("toks"))
+      // greatest(.., 0): with 0 tokens and segTokens = 1 the unguarded
+      // bound is (0-1) div 1 = -1 and sequence(0, -1) DESCENDS — the
+      // i = -1 element would hit slice(toks, 0, ..), an ANSI-mode error.
       .select(c("doc_id"), explode(expr(
-        s"""transform(sequence(0, CAST((size(toks) - 1) div $segTokens AS INT)),
+        s"""transform(sequence(0, CAST(greatest(size(toks) - 1, 0) div $segTokens AS INT)),
            |  i -> struct(i AS pos,
            |              concat_ws(' ', slice(toks, i * $segTokens + 1, $segTokens)) AS seg))
            |""".stripMargin)).as("s"))

@@ -172,6 +172,19 @@ class TimeSeriesSpec extends SparkTestBase {
       "every B here is a later copy; empty doc reconstructs to empty string")
   }
 
+  test("segmentDedup: segTokens = 1 with degenerate docs does not crash") {
+    // Defensive guard: a 0-size token array with segTokens = 1 would make
+    // the segment-count bound (size - 1) div 1 = -1, and sequence(0, -1)
+    // DESCENDS into slice(toks, 0, ..) — an ANSI-mode error. tokens()
+    // itself never yields size 0 (split("", " ") = [""]), so the guard
+    // keeps the invariant local rather than fixing a reachable crash.
+    val docs = Seq((1L, ""), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextOps.segmentDedup(docs, segTokens = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(2L) === "x y")
+    assert(out.contains(1L))
+  }
+
   test("skyline2d bucket pre-prune discards the bulk before the global window") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 2000).map(i =>
