@@ -633,6 +633,10 @@ object Similarity {
     */
   def mmrRerank(embeddings: DataFrame, queryVecId: Long = 0L,
       nCandidates: Int = 32, k: Int = 10): DataFrame = {
+    // sequence(1, 0) DESCENDS in Spark — k = 0 would run the greedy fold
+    // for steps {1, 0} and emit rows instead of none.
+    require(k >= 1 && nCandidates >= k,
+      s"mmrRerank: need 1 <= k <= nCandidates, got k=$k nCandidates=$nCandidates")
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(microUnits.as("uq"))
     val cands = embeddings

@@ -721,6 +721,9 @@ object TimeSeries {
     * metadata-scale (days × maxLag rows), and the join is broadcast.
     */
   def autocorrelation(orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    // sequence(1, 0) DESCENDS in Spark — maxLag = 0 would silently emit a
+    // bogus lag-0 row (trivially rho = 1) instead of an empty result.
+    require(maxLag >= 1, s"autocorrelation: maxLag=$maxLag must be >= 1")
     val daily = orders
       .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
       .groupBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))

@@ -301,6 +301,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got(2) === (3L -> ((2L, 812500000000L, 851562500000L, -39062500000L))))
   }
 
+  test("mmrRerank: k = 0 and k > nCandidates are rejected (sequence(1, 0) descends)") {
+    import spark.implicits._
+    val frame = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.875f, -0.375f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(frame, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(frame, nCandidates = 4, k = 5)
+    }
+  }
+
   test("mmrDiversityContract: k=2 on the planted frame — {A,C} beats {A,B}") {
     import spark.implicits._
     val frame = Seq(

@@ -445,6 +445,14 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got(3L) === ((1L, 9L, 67L)))
   }
 
+  test("autocorrelation: maxLag = 0 is rejected (sequence(1, 0) descends)") {
+    val orders = Seq((1L, java.sql.Date.valueOf("1970-01-01"), 10.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    intercept[IllegalArgumentException] {
+      TimeSeries.autocorrelation(orders, maxLag = 0)
+    }
+  }
+
   test("ewma: power-of-two weights, calendar gaps renormalize wt_den") {
     // days 0, 1, 3 (gap at day 2), horizon 3 → weights 4, 2, 1 by age.
     val df = Seq(("1970-01-01", 100.0), ("1970-01-02", 200.0),
