@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * structure scrambled). region/nation are fixed enums and copy as-is.
   */
 object ScaleGen {
-  private val Off = 10000000L // exceeds every sf<=1 key space
+  // Exceeds every sf<=1 NATURAL key space AND every key an operator
+  // synthesizes from one: scd2Demo manufactures insert keys at
+  // c_custkey + 1e7, so a 1e7 shard offset made replica 0's synthetic
+  // inserts collide with replica 1's natural customers — scd2Merge's
+  // key-unique-batch require caught it at sf1. Synthesized keys stay
+  // below 2e7, so 1e8 keeps every shard's full key band disjoint.
+  private val Off = 100000000L
 
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1); val k = args(2).toInt

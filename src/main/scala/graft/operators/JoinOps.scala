@@ -255,6 +255,12 @@ object JoinOps {
     * (it grows with the fact tables), so it carries no hint: Catalyst/AQE
     * broadcast it while its measured size is under threshold and fall back
     * to shuffle join beyond — the safe behavior at 100 TB.
+    *
+    * Money is summed in integer CENTS (per-row round, then exact BIGINT
+    * sum, then one double division) — `round(sum(double), 2)` passed the
+    * gate through sf0.1 but a 10x group crossed a half-cent boundary at
+    * sf1 (engines sum doubles in different orders; Spark's own partial-agg
+    * order isn't even deterministic). Same discipline as [[marketShare]].
     */
   def starJoin(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       nation: DataFrame, region: DataFrame): DataFrame =
@@ -265,8 +271,9 @@ object JoinOps {
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        (sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          / lit(100.0)).as("revenue"))
       .orderBy("r_name")
 
   /** TPC-H Q5-shaped SIX-table join — the one join graph the star join

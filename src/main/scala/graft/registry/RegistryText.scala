@@ -78,9 +78,19 @@ GROUP BY doc_id ORDER BY doc_id"""
     // top-count / duplicated instances, computed shuffle-free per row.
     "t14_repetition" -> ((s, dir) => TextOps.repetitionStats(Tables.documents(s, dir))),
     // Misra-Gries frequent items: constant-memory top terms per language
-    // (exact at capacity 64 > fixture vocab -> oracle-proven; the sketch
-    // bound contract is unit-tested).
-    "t15_heavy_hitters" -> ((s, dir) => TextOps.heavyHitterTerms(Tables.documents(s, dir))),
+    // (exact at capacity > vocab -> oracle-proven; the sketch bound
+    // contract is unit-tested). Capacity is CORPUS-PROPORTIONAL
+    // (64 per 5000 docs, floored at 64): ScaleGen's per-replica token
+    // suffixes multiply the vocabulary with the shard count, and the 10x
+    // wide gate caught the fixed capacity 64 undercounting at sf1 exactly
+    // as MG's epsilon bound predicts. Driver scales (<= 5000 docs) keep
+    // capacity 64, bit-identical.
+    "t15_heavy_hitters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      TextOps.heavyHitterTerms(docs,
+        capacity = math.max(64L, 64L * n / 5000L).toInt)
+    }),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     // Label-vs-prediction agreement audit over the lang-ID heuristic.
