@@ -27,12 +27,20 @@ object Aggregates {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("total_registros"),
+        // quantities are integer-valued doubles -> their FP sum is exact
+        // at any order; prices/discounts are 2dp/4dp -> summed in exact
+        // integer cents/decimils (j6's half-cent-boundary class: these
+        // groups sum millions of rows at scale). min/max are exact picks.
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        round(avg("l_extendedprice"), 2).as("avg_price"),
+        (sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          / lit(100.0)).as("revenue"),
+        round(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          / lit(100.0) / count(lit(1)), 2).as("avg_price"),
         round(min("l_extendedprice"), 2).as("min_price"),
         round(max("l_extendedprice"), 2).as("max_price"),
-        round(avg("l_discount"), 4).as("avg_disc"))
+        round(sum(expr("CAST(round(l_discount * 10000) AS BIGINT)"))
+          / lit(10000.0) / count(lit(1)), 4).as("avg_disc"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** A2 analog: single-key stats group-by (`b3_transform.py:336-344`). */

@@ -27,14 +27,20 @@ object JoinOps {
       .select(col("n_nationkey"), col("n_name"), col("r_name"))
       .orderBy("n_nationkey")
 
-  /** Shuffle (sort-merge) fact⋈fact join + aggregate: lineitem⋈orders. */
+  /** Shuffle (sort-merge) fact⋈fact join + aggregate: lineitem⋈orders.
+    * Money in integer cents (see [[starJoin]]): with only 5 priority
+    * groups, each group sums MILLIONS of doubles at scale — the
+    * round-a-double-sum form is exactly the half-cent-boundary class the
+    * 10x gate caught on j6.
+    */
   def factJoin(lineitem: DataFrame, orders: DataFrame): DataFrame =
     lineitem
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "inner")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        (sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          / lit(100.0)).as("revenue"))
       .orderBy("o_orderpriority")
 
   /** Left outer join keeping unmatched left rows: customer⋈orders counts. */
@@ -244,8 +250,12 @@ object JoinOps {
       .join(customer.filter(col("c_mktsegment") === segment),
         orders("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      // integer cents (see starJoin) — revenue is also the top-k SORT key,
+      // so an FP-sum wobble here would reorder the result, not just
+      // misprint a cent
+      .agg((sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          / lit(100.0)).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(k)
 

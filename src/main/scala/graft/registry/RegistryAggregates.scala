@@ -121,11 +121,14 @@ private[graft] object RegistryAggregates {
     "a1_multikey_summary" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_registros,
         | ROUND(SUM(l_quantity), 2) AS sum_qty,
-        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        | ROUND(AVG(l_extendedprice), 2) AS avg_price,
+        | CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) / 100.0 AS revenue,
+        | ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |       / 100.0 / COUNT(*), 2) AS avg_price,
         | ROUND(MIN(l_extendedprice), 2) AS min_price,
         | ROUND(MAX(l_extendedprice), 2) AS max_price,
-        | ROUND(AVG(l_discount), 4) AS avg_disc
+        | ROUND(CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+        |       / 10000.0 / COUNT(*), 4) AS avg_disc
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "a2_single_key_stats" ->

@@ -257,7 +257,8 @@ private[graft] object RegistryJoins {
       "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
     "j2_fact_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
-        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "j3_left_outer" ->
@@ -338,7 +339,8 @@ private[graft] object RegistryJoins {
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "j8_top_revenue" ->
       """SELECT o_orderkey, o_orderpriority,
-        | ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
