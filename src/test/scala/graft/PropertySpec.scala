@@ -18,6 +18,35 @@ class PropertySpec extends SparkTestBase {
   private val price = Gen.choose(1.0, 1000.0)
     .map(v => math.rint(v * 100) / 100)
 
+  test("integer-cents money aggregation is partition-invariant and matches exact HALF_UP cents") {
+    // The guarantee the r9 cents conversions (j2/j6/j8/a1) provide and
+    // round(sum(double), 2) does not: the aggregate is a LONG sum of
+    // per-row cents, so its value is independent of row order and
+    // partition count, and equals a driver-side BigDecimal reference
+    // computed with Spark's own Round semantics for doubles
+    // (BigDecimal.valueOf(d).setScale(0, HALF_UP)).
+    import org.apache.spark.sql.functions.{expr, lit, sum => fsum}
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(4000)((
+      (rnd.nextInt(9999999) + 1) / 100.0,   // 2dp price in [0.01, 99999.99]
+      rnd.nextInt(1001) / 10000.0))          // 4dp discount in [0, 0.1000]
+    val expected = rows.map { case (p, d) =>
+      java.math.BigDecimal.valueOf(p * (1 - d) * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }.sum
+    val df = rows.toDF("l_extendedprice", "l_discount")
+    val centsSum = expr(
+      "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    for (parts <- Seq(1, 7, 32)) {
+      val got = df.repartition(parts)
+        .agg((fsum(centsSum) / lit(100.0)).as("revenue"))
+        .head().getDouble(0)
+      assert(got === expected / 100.0,
+        s"cents revenue diverged at $parts partitions")
+    }
+  }
+
   test("fused repetition kernel equals a naive gram-histogram model on random docs") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.unsafe.types.UTF8String
