@@ -90,9 +90,12 @@ private[graft] object RegistrySimGraph {
     "s12_pq_contract" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val n = emb.filter(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
+      // ceiling guards the Long->Int narrowing at extreme corpus sizes:
+      // a million-candidate exact rerank is the practical serving limit,
+      // and a silent toInt wraparound would be a NEGATIVE shortlist.
       IvfIndex.pqContract(emb, queryIds = 0L until 16L,
         m = 16, kSub = 16, k = 10, threshold = 0.5,
-        shortlist = math.max(100L, n / 50).toInt)
+        shortlist = math.min(1000000L, math.max(100L, n / 50)).toInt)
     }),
     // Dimension-truncated candidate scan + full-precision rerank
     // (Matryoshka-style serving; recall 0.86/0.70 measured at sf0.01/0.1).
@@ -102,7 +105,7 @@ private[graft] object RegistrySimGraph {
       val n = emb.filter(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
       IvfIndex.truncatedRecallContract(emb,
         queryIds = 0L until 16L, keepDims = 32, k = 10,
-        shortlist = math.max(100L, n / 50).toInt)
+        shortlist = math.min(1000000L, math.max(100L, n / 50)).toInt)
     }),
     // MMR diversity rerank (λ=1/2) of the top-32 inner-product hits:
     // greedy argmax fold on exact micro-unit dots, tie-break vec_id.

@@ -88,8 +88,11 @@ GROUP BY doc_id ORDER BY doc_id"""
     "t15_heavy_hitters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val n = docs.count()
+      // capped at 2^20 counters: past that MG is honestly approximate
+      // (its whole point at web scale) and a silent toInt wraparound
+      // would be a negative capacity.
       TextOps.heavyHitterTerms(docs,
-        capacity = math.max(64L, 64L * n / 5000L).toInt)
+        capacity = math.min(1L << 20, math.max(64L, 64L * n / 5000L)).toInt)
     }),
     "t1_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.documents(s, dir))),
     "t2_lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
