@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
+  /** round-half-away-from-zero of `s / n` in pure integer arithmetic
+    * (`s` a scaled-integer sum, `n` a count). Overflow-free form
+    * (`q + [2·(s mod n) ≥ n]`, on |s|): never materializes `2·s`, so it
+    * survives sums near Long range where the naive `(2s+n) div 2n` form
+    * wraps. Scale-K display averages divide the result by K once at the
+    * end — the scale-2 `round(double)` form this replaces diverges
+    * cross-engine at .xx5 boundaries (Spark rounds the shortest decimal
+    * repr HALF_UP, DuckDB rounds the binary value).
+    */
+  private def avgScaled(s: Column, n: Column): Column = {
+    val a = abs(s)
+    val q = call_function("div", a, n) // integral divide, never a double
+    val roundUp = when((a % n) * lit(2L) >= n, lit(1L)).otherwise(lit(0L))
+    (signum(s).cast("long") * (q + roundUp)).cast("long")
+  }
+
   /** A1 analog: multi-key group-by with the reference's 7-agg shape
     * (count/sum/avg/min/max + two rounded averages) on lineitem.
     */
@@ -30,28 +46,41 @@ object Aggregates {
         // quantities are integer-valued doubles -> their FP sum is exact
         // at any order; prices/discounts are 2dp/4dp -> summed in exact
         // integer cents/decimils (j6's half-cent-boundary class: these
-        // groups sum millions of rows at scale). min/max are exact picks.
+        // groups sum millions of rows at scale). min/max are exact picks
+        // in integer cents (a scale-2 round(min(double)) re-rounds a
+        // binary double — integer-side is boundary-proof).
         round(sum("l_quantity"), 2).as("sum_qty"),
         (sum(expr(
           "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
           / lit(100.0)).as("revenue"),
-        round(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-          / lit(100.0) / count(lit(1)), 2).as("avg_price"),
-        round(min("l_extendedprice"), 2).as("min_price"),
-        round(max("l_extendedprice"), 2).as("max_price"),
-        round(sum(expr("CAST(round(l_discount * 10000) AS BIGINT)"))
-          / lit(10000.0) / count(lit(1)), 4).as("avg_disc"))
+        (avgScaled(sum(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT)")), count(lit(1)))
+          / lit(100.0)).as("avg_price"),
+        (min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          / lit(100.0)).as("min_price"),
+        (max(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          / lit(100.0)).as("max_price"),
+        (avgScaled(sum(expr(
+          "CAST(round(l_discount * 10000) AS BIGINT)")), count(lit(1)))
+          / lit(10000.0)).as("avg_disc"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** A2 analog: single-key stats group-by (`b3_transform.py:336-344`). */
+  /** A2 analog: single-key stats group-by (`b3_transform.py:336-344`).
+    * acctbal can be negative, so the exact average uses the
+    * sign-aware [[avgScaled]] (round half AWAY FROM ZERO, matching both
+    * engines' ROUND convention).
+    */
   def singleKeyStats(customer: DataFrame): DataFrame =
     customer
       .groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("total_registros"),
-        round(avg("c_acctbal"), 2).as("media_acctbal"),
-        round(min("c_acctbal"), 2).as("menor_acctbal"),
-        round(max("c_acctbal"), 2).as("maior_acctbal"))
+        (avgScaled(sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")),
+          count(lit(1))) / lit(100.0)).as("media_acctbal"),
+        (min(expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+          / lit(100.0)).as("menor_acctbal"),
+        (max(expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+          / lit(100.0)).as("maior_acctbal"))
       .orderBy("c_mktsegment")
 
   /** A3: count action as a 1-row relation (`b3_transform.py:242` etc.). */
@@ -258,19 +287,24 @@ object Aggregates {
 
   /** RFM SEGMENTATION CELLS (a23): every customer scored 1–5 on Recency
     * (days since last order), Frequency (order count) and Monetary
-    * (total cents) by `ntile(5)`, then the 125-cell census with each
-    * cell's averages — the classic CRM segmentation, reduced to its
-    * deterministic core: every ntile ORDER BY ends in the customer key,
-    * so tile assignment is a total order and engine-exact (ntile's
-    * bucket-boundary rule — larger buckets first — is shared by Spark
-    * and DuckDB per the SQL standard).
+    * (total cents) by GLOBAL QUINTILE VALUE EDGES, then the ≤125-cell
+    * census with each cell's averages — the classic CRM segmentation.
+    * An edge is the exact order statistic at rank (n−1)·p div 100 + 1
+    * (the [[orderSizeMix]] count-based scheme, p = 20/40/60/80), and a
+    * score is 1 + the number of edges the customer's value is past —
+    * value-banded, so tied customers always share a score (the r9 form
+    * split ties positionally with a global `ntile`, which is exactly the
+    * single-reducer window this rewrite removes).
     *
     * Scale shape: orders collapse to one row per customer (map-side
-    * combined); the three ntile windows run over CUSTOMERS (global
-    * windows, bounded by customer cardinality — the documented
-    * vocab-coverage justification); the census is a second tiny
-    * aggregate. Recency is measured against the corpus max date, so the
-    * query is reproducible (no wall-clock).
+    * combined); recency/frequency edges ride a cumulative window over
+    * DISTINCT VALUES (calendar-days / orders-per-customer domains —
+    * metadata-scale); monetary is near-unique per customer, so its four
+    * edges come from the [[percentiles]] two-level bucket refinement
+    * (coarse ≤64Ki value buckets locate the ranks; only boundary buckets
+    * see a row-level window). Banding is a broadcast of the 1-row edge
+    * frame; the census is a second tiny aggregate. Recency is measured
+    * against the corpus max date, so the query is reproducible.
     */
   def rfmCells(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -282,16 +316,81 @@ object Aggregates {
       .groupBy("o_custkey")
       .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
         sum(col("cents")).as("monetary"))
-    val scored = perCust
-      .crossJoin(broadcast(perCust.agg(max(col("last_d")).as("ref_d"))))
+    val base = perCust
+      .crossJoin(broadcast(perCust.agg(max(col("last_d")).as("ref_d"),
+        count(lit(1)).as("n"))))
       .withColumn("recency_days",
         datediff(col("ref_d"), col("last_d")).cast("long"))
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days"), col("o_custkey"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("freq").desc, col("o_custkey"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("monetary").desc, col("o_custkey"))))
+    // quintile ranks: (n-1)*p div 100 + 1 for p = 20/40/60/80
+    def k(p: Int) = expr(s"(n - 1) * $p div 100 + 1")
+    // recency: ASC edges over the distinct-day domain (metadata-scale)
+    val recEdges = base.groupBy("recency_days", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("recency_days")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .agg(
+        min(when(col("cum") >= k(20), col("recency_days"))).as("re1"),
+        min(when(col("cum") >= k(40), col("recency_days"))).as("re2"),
+        min(when(col("cum") >= k(60), col("recency_days"))).as("re3"),
+        min(when(col("cum") >= k(80), col("recency_days"))).as("re4"))
+    // frequency: DESC edges over the distinct-count domain (metadata-scale)
+    val freqEdges = base.groupBy("freq", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy(col("freq").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .agg(
+        max(when(col("cum") >= k(20), col("freq"))).as("fe1"),
+        max(when(col("cum") >= k(40), col("freq"))).as("fe2"),
+        max(when(col("cum") >= k(60), col("freq"))).as("fe3"),
+        max(when(col("cum") >= k(80), col("freq"))).as("fe4"))
+    // monetary: DESC edges by two-level refinement — the per-customer sum
+    // is near-unique, so a distinct-value cumulative would be a
+    // customer-scale global window. Bucket width adapts to the value
+    // domain (≤ 64Ki buckets at any corpus size).
+    val mBucketed = base
+      .crossJoin(broadcast(base.agg(max(col("monetary")).as("max_m"))
+        .withColumn("wdt", expr("greatest(1L, max_m div 65536 + 1)"))))
+      .withColumn("mb", expr("monetary div wdt"))
+    val mBuckets = mBucketed.groupBy("mb", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(
+        Window.orderBy(col("mb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val mHolds = Seq(20, 40, 60, 80)
+      .map(p => k(p) > col("cum_before") &&
+        k(p) <= col("cum_before") + col("cnt"))
+      .reduce(_ || _)
+    val mTargets = mBuckets.filter(mHolds).select("mb", "cum_before")
+    val mEdges = mBucketed.join(broadcast(mTargets), Seq("mb"))
+      .withColumn("rk", col("cum_before") + row_number().over(
+        Window.partitionBy("mb")
+          .orderBy(col("monetary").desc, col("o_custkey"))))
+      .agg(
+        max(when(col("rk") === k(20), col("monetary"))).as("me1"),
+        max(when(col("rk") === k(40), col("monetary"))).as("me2"),
+        max(when(col("rk") === k(60), col("monetary"))).as("me3"),
+        max(when(col("rk") === k(80), col("monetary"))).as("me4"))
+    def past(v: Column, e: Column, desc: Boolean) =
+      when(if (desc) v < e else v > e, 1).otherwise(0)
+    val scored = base
+      .crossJoin(broadcast(recEdges))
+      .crossJoin(broadcast(freqEdges))
+      .crossJoin(broadcast(mEdges))
+      .withColumn("r_score", lit(1) +
+        past(col("recency_days"), col("re1"), desc = false) +
+        past(col("recency_days"), col("re2"), desc = false) +
+        past(col("recency_days"), col("re3"), desc = false) +
+        past(col("recency_days"), col("re4"), desc = false))
+      .withColumn("f_score", lit(1) +
+        past(col("freq"), col("fe1"), desc = true) +
+        past(col("freq"), col("fe2"), desc = true) +
+        past(col("freq"), col("fe3"), desc = true) +
+        past(col("freq"), col("fe4"), desc = true))
+      .withColumn("m_score", lit(1) +
+        past(col("monetary"), col("me1"), desc = true) +
+        past(col("monetary"), col("me2"), desc = true) +
+        past(col("monetary"), col("me3"), desc = true) +
+        past(col("monetary"), col("me4"), desc = true))
     scored
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),
@@ -889,11 +988,17 @@ object Aggregates {
     * membership is deterministic in both engines — the float
     * running-percentage form flips boundary parts between runs.
     *
-    * Scale shape: the fact table collapses in one per-part aggregate;
-    * the cumulative window runs over the ranked PART DOMAIN (at true
-    * scale, pre-aggregate to the class-relevant head — the A/B boundary
-    * lives in the first few percent of parts); the class rollup is 3
-    * rows.
+    * Scale shape (r10): the fact table collapses in one per-part
+    * aggregate; the two class boundaries are located by the
+    * [[percentiles]] two-level refinement on the RUNNING REVENUE (per
+    * value-bucket partial sums find the bucket where the cumulative
+    * crosses `C = (p·total−1) div 1000`; only boundary buckets see a
+    * row-level window), and every part is then classified by
+    * lexicographic comparison against the two broadcast boundary keys
+    * `(cents, partkey)`. Bit-identical to the r9 global-running-sum form
+    * (`cum ≤ C_p  ⟺  rank ≤ boundary rank  ⟺  key before boundary key`,
+    * since per-part revenue is strictly positive so `cum` is strictly
+    * increasing), with no partition-less window over the part domain.
     */
   def abcClasses(lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -902,16 +1007,58 @@ object Aggregates {
       .groupBy("l_partkey")
       .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
         * 100).cast("long")).as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+    // cum*1000 div total <= p  ⟺  cum <= (p+1)*total-1 div 1000 =: C_p
+    // (overflow-safe split: total can be near Long range at true scale)
+    val tot = rev.agg(sum("cents").as("total"), max("cents").as("max_c"))
+      .withColumn("wdt", expr("greatest(1L, max_c div 65536 + 1)"))
+      // (p·total−1) div 1000 without materializing p·total (Long-safe);
+      // the r = 0 branch is split out because Spark's `div` truncates
+      // toward zero, so `(−1) div 1000` would be 0, not the −1 floor
+      .withColumn("c_a", expr(
+        """CASE WHEN total % 1000 = 0 THEN 801 * (total div 1000) - 1
+          |ELSE 801 * (total div 1000) + (801 * (total % 1000) - 1) div 1000
+          |END""".stripMargin))
+      .withColumn("c_b", expr(
+        """CASE WHEN total % 1000 = 0 THEN 951 * (total div 1000) - 1
+          |ELSE 951 * (total div 1000) + (951 * (total % 1000) - 1) div 1000
+          |END""".stripMargin))
+    val bucketed = rev.crossJoin(broadcast(tot))
+      .withColumn("b", expr("cents div wdt"))
+    val perBucket = bucketed.groupBy("b", "c_a", "c_b")
+      .agg(sum("cents").as("bcents"))
+      .withColumn("cents_before", coalesce(sum("bcents").over(
+        Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // the boundary row for threshold C is the FIRST row (in the global
+    // (cents DESC, partkey) order) whose running sum exceeds C; it lives
+    // in the bucket where the running sum crosses C
+    val holds = Seq(col("c_a"), col("c_b"))
+      .map(c => col("cents_before") <= c &&
+        col("cents_before") + col("bcents") > c)
+      .reduce(_ || _)
+    val targets = perBucket.filter(holds).select("b", "cents_before")
+    val wIn = Window.partitionBy("b")
+      .orderBy(col("cents").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val tot = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    rev
-      .withColumn("cum", sum("cents").over(w))
-      .withColumn("total", sum("cents").over(tot))
+    val bounds = bucketed.join(broadcast(targets), Seq("b"))
+      .withColumn("run", col("cents_before") + sum("cents").over(wIn))
+      .agg(
+        max(when(col("run") - col("cents") <= col("c_a") &&
+          col("run") > col("c_a"), col("cents"))).as("ba_cents"),
+        max(when(col("run") - col("cents") <= col("c_a") &&
+          col("run") > col("c_a"), col("l_partkey"))).as("ba_pk"),
+        max(when(col("run") - col("cents") <= col("c_b") &&
+          col("run") > col("c_b"), col("cents"))).as("bb_cents"),
+        max(when(col("run") - col("cents") <= col("c_b") &&
+          col("run") > col("c_b"), col("l_partkey"))).as("bb_pk"))
+    rev.crossJoin(broadcast(bounds))
       .withColumn("cls",
-        when(expr("cum * 1000 div total") <= 800, "A")
-          .when(expr("cum * 1000 div total") <= 950, "B")
+        when(col("cents") > col("ba_cents") ||
+          (col("cents") === col("ba_cents") &&
+            col("l_partkey") < col("ba_pk")), "A")
+          .when(col("cents") > col("bb_cents") ||
+            (col("cents") === col("bb_cents") &&
+              col("l_partkey") < col("bb_pk")), "B")
           .otherwise("C"))
       .groupBy("cls")
       .agg(count(lit(1)).as("n_parts"), sum("cents").as("rev_cents"))

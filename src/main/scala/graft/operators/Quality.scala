@@ -995,11 +995,16 @@ object Quality {
     * custkey) total order, so cohort membership is deterministic; shares
     * are ⌊1000·cohort_cents/total_cents⌋ — all BIGINT.
     *
-    * Scale shape: the fact table collapses to one row per customer in a
-    * map-side-combined aggregate; the rank window and running sum ride
-    * one exchange over CUSTOMERS (≪ orders), and the output is a single
-    * row. The deliberate global window is bounded by customer
-    * cardinality — same justification as the vocab-coverage curve.
+    * Scale shape (r10): the fact table collapses to one row per
+    * customer in a map-side-combined aggregate; the three checkpoint
+    * ranks are then located by the `a8_percentiles` two-level bucket
+    * refinement — per revenue-bucket (count, sum) partials with a
+    * cumulative window over the ≤64Ki-row BUCKET domain find each
+    * checkpoint's bucket, and only those buckets see a row-level
+    * (rank, running-sum) window. Bit-identical to the r9 global-window
+    * form: buckets are revenue ranges, so bucket-desc + in-bucket
+    * (rev DESC, custkey) concatenates to exactly the old total order —
+    * but no partition-less window ever sees the customer domain.
     */
   def revenueConcentration(orders: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1008,21 +1013,42 @@ object Quality {
       .select(col("o_custkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
-    val byRev = Window.orderBy(col("rev").desc, col("o_custkey"))
-    val ranked = perCust
-      .withColumn("rank", row_number().over(byRev).cast("long"))
-      .withColumn("cum", sum(col("rev")).over(
-        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = perCust.agg(
+      count(lit(1)).as("n_customers"), sum(col("rev")).as("total_cents"),
+      max(col("rev")).as("max_rev"))
+      .withColumn("wdt", expr("greatest(1L, max_rev div 65536 + 1)"))
+      .withColumn("k1", expr("greatest(n_customers div 100, 1L)"))
+      .withColumn("k5", expr("greatest(n_customers div 20, 1L)"))
+      .withColumn("k10", expr("greatest(n_customers div 10, 1L)"))
+    val bucketed = perCust.crossJoin(broadcast(totals))
+      .withColumn("b", expr("rev div wdt"))
+    val perBucket = bucketed
+      .groupBy("b", "k1", "k5", "k10", "n_customers", "total_cents")
+      .agg(count(lit(1)).as("cnt"), sum("rev").as("bcents"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(
+        Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cents_before", coalesce(sum("bcents").over(
+        Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val holds = Seq(col("k1"), col("k5"), col("k10"))
+      .map(k => k > col("cum_before") && k <= col("cum_before") + col("cnt"))
+      .reduce(_ || _)
+    val targets = perBucket.filter(holds)
+      .select("b", "cum_before", "cents_before")
+    val wIn = Window.partitionBy("b")
+      .orderBy(col("rev").desc, col("o_custkey"))
+    val ranked = bucketed.join(broadcast(targets), Seq("b"))
+      .withColumn("rank",
+        (col("cum_before") + row_number().over(wIn)).cast("long"))
+      .withColumn("cum", col("cents_before") + sum(col("rev")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     ranked
-      .crossJoin(broadcast(perCust.agg(
-        count(lit(1)).as("n_customers"), sum(col("rev")).as("total_cents"))))
-      .filter(col("rank") === expr("greatest(n_customers div 100, 1)") ||
-        col("rank") === expr("greatest(n_customers div 20, 1)") ||
-        col("rank") === expr("greatest(n_customers div 10, 1)"))
+      .filter(col("rank") === col("k1") || col("rank") === col("k5") ||
+        col("rank") === col("k10"))
       .select(
-        expr("""CASE rank WHEN greatest(n_customers div 100, 1) THEN 1
-                WHEN greatest(n_customers div 20, 1) THEN 5
-                ELSE 10 END""").cast("long").as("top_pct"),
+        expr("CASE rank WHEN k1 THEN 1 WHEN k5 THEN 5 ELSE 10 END")
+          .cast("long").as("top_pct"),
         col("rank").as("n_top_customers"), col("n_customers"),
         col("cum").as("top_cents"), col("total_cents"),
         expr("cum * 1000 div total_cents").as("share_permille"))

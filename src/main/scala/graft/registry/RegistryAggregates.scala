@@ -110,7 +110,8 @@ private[graft] object RegistryAggregates {
     // Day-of-week profile by pure epoch arithmetic (no locale DOW).
     "a22_weekday_revenue" -> ((s, dir) =>
       Aggregates.weekdayRevenue(Tables.orders(s, dir))),
-    // RFM quintile census (ntile over customers with total key order).
+    // RFM quintile census: histogram-derived value edges + broadcast
+    // banding (r10 — no global ntile window over the customer domain).
     "a23_rfm_cells" -> ((s, dir) => Aggregates.rfmCells(Tables.orders(s, dir))),
     // Order-size histogram: the profile basket mining is sized from.
     "a24_basket_hist" -> ((s, dir) =>
@@ -118,25 +119,46 @@ private[graft] object RegistryAggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Display averages are rounded integer-side (q + [2·(s mod n) >= n] on
+    // the scaled sum, half away from zero) — a scale-2 ROUND on a double
+    // diverges cross-engine at .xx5 boundaries (Spark rounds the shortest
+    // decimal repr HALF_UP, DuckDB rounds the binary value). min/max ride
+    // integer cents for the same reason.
     "a1_multikey_summary" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_registros,
         | ROUND(SUM(l_quantity), 2) AS sum_qty,
         | CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
         |      AS BIGINT) / 100.0 AS revenue,
-        | ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-        |       / 100.0 / COUNT(*), 2) AS avg_price,
-        | ROUND(MIN(l_extendedprice), 2) AS min_price,
-        | ROUND(MAX(l_extendedprice), 2) AS max_price,
-        | ROUND(CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
-        |       / 10000.0 / COUNT(*), 4) AS avg_disc
+        | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) // COUNT(*)
+        |      + CASE WHEN (SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |                   % COUNT(*)) * 2 >= COUNT(*) THEN 1 ELSE 0 END
+        |      AS BIGINT) / 100.0 AS avg_price,
+        | CAST(MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   / 100.0 AS min_price,
+        | CAST(MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   / 100.0 AS max_price,
+        | CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) // COUNT(*)
+        |      + CASE WHEN (SUM(CAST(round(l_discount * 10000) AS BIGINT))
+        |                   % COUNT(*)) * 2 >= COUNT(*) THEN 1 ELSE 0 END
+        |      AS BIGINT) / 10000.0 AS avg_disc
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "a2_single_key_stats" ->
-      """SELECT c_mktsegment, COUNT(*) AS total_registros,
-        | ROUND(AVG(c_acctbal), 2) AS media_acctbal,
-        | ROUND(MIN(c_acctbal), 2) AS menor_acctbal,
-        | ROUND(MAX(c_acctbal), 2) AS maior_acctbal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      """WITH g AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n,
+        |    SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+        |    MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS mn,
+        |    MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS mx
+        |  FROM customer GROUP BY c_mktsegment
+        |)
+        |SELECT c_mktsegment, n AS total_registros,
+        | CAST((CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END)
+        |      * (abs(s) // n
+        |         + CASE WHEN (abs(s) % n) * 2 >= n THEN 1 ELSE 0 END)
+        |      AS BIGINT) / 100.0 AS media_acctbal,
+        | CAST(mn AS BIGINT) / 100.0 AS menor_acctbal,
+        | CAST(mx AS BIGINT) / 100.0 AS maior_acctbal
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
     "a3_count_all" -> "SELECT COUNT(*) AS n FROM lineitem",
     "a4_distinct_count" ->
       "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
@@ -479,6 +501,10 @@ private[graft] object RegistryAggregates {
         |  CAST(cents * 10000 // total_cents AS BIGINT) AS revenue_share_bp,
         |  CAST(n_orders * 10000 // total_orders AS BIGINT) AS order_share_bp
         |FROM g, t ORDER BY dow""".stripMargin,
+    // r10: quintile VALUE edges (order statistic at rank (n-1)*p//100 + 1,
+    // p = 20/40/60/80) + banding — replaces the r9 global-ntile form whose
+    // three partition-less windows were a single-reducer sort over the
+    // customer domain. Ties now always share a score.
     "a23_rfm_cells" ->
       """WITH pc AS (
         |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
@@ -487,14 +513,57 @@ private[graft] object RegistryAggregates {
         |           AS monetary
         |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
         |  GROUP BY 1
-        |), r AS (SELECT MAX(last_d) AS ref_d FROM pc),
+        |), t AS (SELECT MAX(last_d) AS ref_d, CAST(COUNT(*) AS BIGINT) AS n
+        |         FROM pc),
         |s AS (
         |  SELECT o_custkey, CAST(ref_d - last_d AS BIGINT) AS recency_days,
-        |         freq, monetary,
-        |    ntile(5) OVER (ORDER BY ref_d - last_d, o_custkey) AS r_score,
-        |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
-        |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
-        |  FROM pc, r
+        |         freq, monetary
+        |  FROM pc, t
+        |), rcc AS (
+        |  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum
+        |  FROM (SELECT recency_days AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM s GROUP BY 1)
+        |), re AS (
+        |  SELECT MIN(CASE WHEN cum >= (n-1)*20//100 + 1 THEN v END) AS re1,
+        |         MIN(CASE WHEN cum >= (n-1)*40//100 + 1 THEN v END) AS re2,
+        |         MIN(CASE WHEN cum >= (n-1)*60//100 + 1 THEN v END) AS re3,
+        |         MIN(CASE WHEN cum >= (n-1)*80//100 + 1 THEN v END) AS re4
+        |  FROM rcc, t
+        |), fcc AS (
+        |  SELECT v, SUM(cnt) OVER (ORDER BY v DESC) AS cum
+        |  FROM (SELECT freq AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM s GROUP BY 1)
+        |), fe AS (
+        |  SELECT MAX(CASE WHEN cum >= (n-1)*20//100 + 1 THEN v END) AS fe1,
+        |         MAX(CASE WHEN cum >= (n-1)*40//100 + 1 THEN v END) AS fe2,
+        |         MAX(CASE WHEN cum >= (n-1)*60//100 + 1 THEN v END) AS fe3,
+        |         MAX(CASE WHEN cum >= (n-1)*80//100 + 1 THEN v END) AS fe4
+        |  FROM fcc, t
+        |), mcc AS (
+        |  SELECT v, SUM(cnt) OVER (ORDER BY v DESC) AS cum
+        |  FROM (SELECT monetary AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM s GROUP BY 1)
+        |), me AS (
+        |  SELECT MAX(CASE WHEN cum >= (n-1)*20//100 + 1 THEN v END) AS me1,
+        |         MAX(CASE WHEN cum >= (n-1)*40//100 + 1 THEN v END) AS me2,
+        |         MAX(CASE WHEN cum >= (n-1)*60//100 + 1 THEN v END) AS me3,
+        |         MAX(CASE WHEN cum >= (n-1)*80//100 + 1 THEN v END) AS me4
+        |  FROM mcc, t
+        |), sc AS (
+        |  SELECT monetary, recency_days, freq,
+        |    1 + (CASE WHEN recency_days > re1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN recency_days > re2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN recency_days > re3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN recency_days > re4 THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN freq < fe1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq < fe2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq < fe3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN freq < fe4 THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN monetary < me1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN monetary < me2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN monetary < me3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN monetary < me4 THEN 1 ELSE 0 END) AS m_score
+        |  FROM s, re, fe, me
         |)
         |SELECT CAST(r_score AS BIGINT) AS r_score,
         |       CAST(f_score AS BIGINT) AS f_score,
@@ -503,7 +572,7 @@ private[graft] object RegistryAggregates {
         |       CAST(SUM(monetary) AS BIGINT) AS cell_cents,
         |       CAST(SUM(recency_days) // COUNT(*) AS BIGINT) AS avg_recency_days,
         |       CAST(SUM(freq) // COUNT(*) AS BIGINT) AS avg_orders
-        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "a24_basket_hist" ->
       """WITH po AS (
         |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -86,8 +86,14 @@ GROUP BY doc_id ORDER BY doc_id"""
     // as MG's epsilon bound predicts. Driver scales (<= 5000 docs) keep
     // capacity 64, bit-identical.
     "t15_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, length}
       val docs = Tables.documents(s, dir)
-      val n = docs.count()
+      // size capacity from docs that actually contribute terms (non-null,
+      // non-empty text) — the same null-aware convention s12/s13 use for
+      // their shortlists, so all corpus-proportional parameters share one
+      // denominator definition
+      val n = docs.filter(col("text").isNotNull && length(col("text")) > 0)
+        .count()
       // capped at 2^20 counters: past that MG is honestly approximate
       // (its whole point at web scale) and a silent toInt wraparound
       // would be a negative capacity.
