@@ -45,4 +45,22 @@ object SparkEntry {
     registry.RegistryQuality.oracleSql ++
     registry.RegistrySimGraph.oracleSql ++
     registry.RegistryText.oracleSql
+
+  /** WIDE-gate scale referees (dev tooling, not driver-read): tractable
+    * DuckDB reformulations for the queries whose PRIMARY oracle is
+    * intentionally quadratic and times out on ScaleGen data (sf>=1).
+    * Dumped by [[Verify]] as scale_referee.json; consumed only by
+    * tools/scalecheck.py — the driver's sf0.01 gate and tools/check.py
+    * always use [[oracleSql]]. See RegistryDedup.scaleOracleSql for the
+    * per-query derivations and exactness arguments. */
+  def scaleOracleSql: Map[String, String] =
+    registry.RegistryDedup.scaleOracleSql ++
+    registry.RegistrySimGraph.scaleOracleSql
+
+  /** Optional spark-side slice selector per scale referee (SQL over view
+    * `spark_result`, the query's own verify-output parquet) for referees
+    * that compare a deterministic pair-local subset rather than the full
+    * result. Keys are a subset of [[scaleOracleSql]] (RegistrySpec). */
+  def scaleSparkSql: Map[String, String] =
+    registry.RegistryDedup.scaleSparkSql
 }

@@ -44,6 +44,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Scale referees for tools/scalecheck.py (wide gates only — the
+    // driver reads oracle_sql.json exclusively): per query, a tractable
+    // oracle reformulation plus an optional spark-side slice selector.
+    val ref = SparkEntry.scaleOracleSql.map { case (k, v) =>
+      val sparkSide = SparkEntry.scaleSparkSql.get(k)
+        .map(sql => s""""spark": ${q(sql)}""").getOrElse(""""spark": null""")
+      s"${q(k)}: {\"oracle\": ${q(v)}, $sparkSide}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/scale_referee.json"), ref)
     spark.stop()
   }
 }

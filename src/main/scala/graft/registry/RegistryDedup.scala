@@ -1168,4 +1168,239 @@ private[graft] object RegistryDedup {
         |  MIN((611953 * m + 49979687) % 2147483647) AS h7
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared shingle CTE body for the scale referees below (identical to
+    * the primary oracles' shingle derivation, verbatim). */
+  private val ShingleCte =
+    """t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(generate_series(1, len(toks)-2),
+      |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |    ELSE [text] END) AS sh
+      |  FROM t
+      |),
+      |z AS (SELECT doc_id, len(sh) AS n FROM s),
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM s)""".stripMargin
+
+  /** WIDE-gate SCALE REFEREES (tools/scalecheck.py): tractable DuckDB
+    * reformulations of this tier's intentionally-quadratic primary
+    * oracles, engaged ONLY at ScaleGen scales (sf>=1) — the sf<=0.1
+    * gates keep the independent all-pairs formulations.
+    *
+    * Derivations (each proven row-identical to its primary on sf0.1,
+    * where both are tractable — see SURVEY round-10 notes):
+    *  - d3b/d18/d19/d10/d7/d16: the all-pairs `s a JOIN s b` +
+    *    `list_intersect` edge derivation is replaced by the inverted-
+    *    index identity |A∩B| = Σ_gram [gram∈A][gram∈B] (unnest + equi-
+    *    join + COUNT per pair). Algebraically exact: any pair at J>0
+    *    shares ≥1 shingle, so no qualifying pair is missed, and the
+    *    size-ratio prefilters only pruned below-threshold pairs. Cost
+    *    drops from O(n²) list ops to Σ_gram df(gram)² — near-linear on
+    *    a low-dup corpus (measured ~100x faster at sf0.1).
+    *  - d32: pair generation via an explicit offsets (1..4) equi-join on
+    *    (blk, rn) instead of `rn BETWEEN a.rn+1 AND a.rn+4`, which DuckDB
+    *    executes as a per-block nested loop at scale. Same pairs. Every
+    *    CTE is MATERIALIZED: each is referenced 2-3x and DuckDB
+    *    re-evaluates inlined CTEs per reference (the 5M-row unnested
+    *    token-count CTE ran 3x — >300 s inlined, 1.2 s materialized at
+    *    sf1; same fix as g10's referee).
+    *  - d20 (exact levenshtein has no sub-quadratic SQL form): a
+    *    deterministic PAIR-LOCAL slice — ScaleGen shard 0
+    *    (doc_id < 1e8 = the source sf0.1 corpus verbatim). The query is
+    *    pair-local, so restricting both endpoints is exact; the referee
+    *    re-proves the full engine run (which saw ALL shards) against the
+    *    known-tractable 12.5M-candidate shard-0 ground truth. The
+    *    matching spark-side slice lives in [[scaleSparkSql]].
+    */
+  val scaleOracleSql: Map[String, String] = Map(
+    "d3b_minhash_highsim" ->
+      s"""WITH $ShingleCte,
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, ROUND(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+        |FROM p JOIN z za ON za.doc_id = p.doc_a JOIN z zb ON zb.doc_id = p.doc_b
+        |WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d18_jaccard_join" ->
+      s"""WITH $ShingleCte,
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_inter,
+        |       CAST(za.n + zb.n - i AS BIGINT) AS n_union
+        |FROM p JOIN z za ON za.doc_id = p.doc_a JOIN z zb ON zb.doc_id = p.doc_b
+        |WHERE i * 5 >= (za.n + zb.n - i) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d19_containment" ->
+      s"""WITH $ShingleCte,
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(i AS BIGINT) AS n_inter,
+        |       CAST(za.n AS BIGINT) AS na, CAST(zb.n AS BIGINT) AS nb
+        |FROM p JOIN z za ON za.doc_id = p.doc_a JOIN z zb ON zb.doc_id = p.doc_b
+        |WHERE i * 5 >= za.n * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d10_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |  instr('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nb
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nb, list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(generate_series(1, len(toks)-2),
+        |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |    ELSE [text] END) AS sh
+        |  FROM t
+        |),
+        |z AS (SELECT doc_id, len(sh) AS n FROM s),
+        |g AS (SELECT doc_id, nb, unnest(sh) AS gram FROM s),
+        |p AS (
+        |  SELECT n.doc_id AS new_doc, c.doc_id AS corpus_doc, COUNT(*) AS i
+        |  FROM g n JOIN g c ON n.gram = c.gram AND n.nb >= 12 AND c.nb < 12
+        |  GROUP BY 1, 2
+        |)
+        |SELECT new_doc, corpus_doc,
+        |       ROUND(i * 1.0 / (zn.n + zc.n - i), 4) AS jaccard
+        |FROM p JOIN z zn ON zn.doc_id = p.new_doc
+        |       JOIN z zc ON zc.doc_id = p.corpus_doc
+        |WHERE ROUND(i * 1.0 / (zn.n + zc.n - i), 4) >= 0.9
+        |ORDER BY new_doc, corpus_doc""".stripMargin,
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCte,
+        |pp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT doc_a, doc_b FROM pp
+        |  JOIN z za ON za.doc_id = pp.doc_a JOIN z zb ON zb.doc_id = pp.doc_b
+        |  WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p
+        |), cc AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON cc.node = e.a
+        |), lab AS (
+        |  SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+        |), sz AS (
+        |  SELECT cluster_id, CAST(COUNT(*) AS INT) AS cluster_size
+        |  FROM lab GROUP BY cluster_id
+        |)
+        |SELECT lab.node AS doc_id, lab.cluster_id, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+    "d16_cluster_reps" ->
+      s"""WITH RECURSIVE $ShingleCte,
+        |pp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT doc_a, doc_b FROM pp
+        |  JOIN z za ON za.doc_id = pp.doc_a JOIN z zb ON zb.doc_id = pp.doc_b
+        |  WHERE ROUND(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9
+        |), e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p
+        |), cc AS (
+        |  SELECT doc_id AS node, doc_id AS label FROM documents
+        |  UNION
+        |  SELECT e.b AS node, cc.label FROM cc JOIN e ON cc.node = e.a
+        |), lab AS (
+        |  SELECT node, min(label) AS cluster_id FROM cc GROUP BY node
+        |), q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN nc >= 100 AND nc <= 5000 THEN 1 ELSE 0 END
+        |     + CASE WHEN (nc - nt + 1) >= nt * 3 AND (nc - nt + 1) <= nt * 10 THEN 1 ELSE 0 END
+        |     + CASE WHEN nsw * 20 >= nt THEN 1 ELSE 0 END
+        |     + CASE WHEN nlong = 0 THEN 1 ELSE 0 END) AS quality_score
+        |  FROM (
+        |    SELECT doc_id, length(text) AS nc, CAST(len(toks) AS INT) AS nt,
+        |      CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','it','that'))) AS INT) AS nsw,
+        |      CAST(len(list_filter(toks, x -> length(x) > 25)) AS INT) AS nlong
+        |    FROM t
+        |  )
+        |), sel AS (
+        |  SELECT l.cluster_id, l.node AS doc_id, q.quality_score,
+        |         COUNT(*) OVER (PARTITION BY l.cluster_id) AS csize
+        |  FROM lab l JOIN q ON q.doc_id = l.node
+        |)
+        |SELECT cluster_id, doc_id AS rep_doc, quality_score AS rep_quality,
+        |       CAST(csize AS BIGINT) AS cluster_size
+        |FROM sel
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                           ORDER BY quality_score DESC, doc_id) = 1
+        |ORDER BY cluster_id""".stripMargin,
+    "d32_bag_jaccard" ->
+      """WITH keyed AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+        |      AS k
+        |  FROM documents
+        |), r AS MATERIALIZED (
+        |  SELECT doc_id, k, substring(k, 1, 1) AS blk,
+        |    row_number() OVER (PARTITION BY substring(k, 1, 1)
+        |                       ORDER BY k, doc_id) AS rn
+        |  FROM keyed
+        |), pairs AS MATERIALIZED (
+        |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+        |    GREATEST(a.doc_id, b.doc_id) AS doc_b
+        |  FROM r a
+        |  CROSS JOIN (VALUES (1), (2), (3), (4)) o(d)
+        |  JOIN r b ON b.blk = a.blk AND b.rn = a.rn + o.d
+        |  WHERE levenshtein(a.k, b.k) <= 8
+        |), tc AS MATERIALIZED (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), sz AS MATERIALIZED (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS sz FROM tc GROUP BY 1
+        |), im AS MATERIALIZED (
+        |  SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+        |  FROM pairs p
+        |  JOIN tc a ON a.doc_id = p.doc_a
+        |  JOIN tc b ON b.doc_id = p.doc_b AND b.tok = a.tok
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b,
+        |  COALESCE(im.m, 0) AS jac_num,
+        |  sa.sz + sb.sz - COALESCE(im.m, 0) AS jac_den
+        |FROM pairs p
+        |LEFT JOIN im ON im.doc_a = p.doc_a AND im.doc_b = p.doc_b
+        |JOIN sz sa ON sa.doc_id = p.doc_a
+        |JOIN sz sb ON sb.doc_id = p.doc_b
+        |ORDER BY 1, 2""".stripMargin,
+    "d20_edit_distance" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 32) AS s
+        |           FROM documents
+        |           WHERE length(text) >= 32 AND doc_id < 100000000)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+
+  /** Spark-side slice selectors for referees that compare a deterministic
+    * subset (view `spark_result` = the query's own verify output). Only
+    * d20 needs one: both endpoints restricted to ScaleGen shard 0, the
+    * exact restriction applied on the referee oracle side. */
+  val scaleSparkSql: Map[String, String] = Map(
+    "d20_edit_distance" ->
+      ("SELECT * FROM spark_result " +
+       "WHERE doc_a < 100000000 AND doc_b < 100000000 " +
+       "ORDER BY doc_a, doc_b"),
+  )
 }

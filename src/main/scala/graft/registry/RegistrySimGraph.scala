@@ -1026,4 +1026,39 @@ private[graft] object RegistrySimGraph {
           |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
     },
   )
+
+  /** WIDE-gate SCALE REFEREE for g10 (tools/scalecheck.py; engaged only
+    * at ScaleGen scales — sf<=0.1 gates keep the primary oracle).
+    *
+    * The primary g10 SQL is LINEAR in data (within-basket pairs), but at
+    * sf>=1 DuckDB's join-order optimizer misestimates the inlined CTEs to
+    * cardinality ~1 and plans `ic ia CROSS_PRODUCT ic ib` — a 2M x 2M
+    * cross product — before joining the 71k-row rule set (verified via
+    * EXPLAIN; every individual stage runs <1 s). The referee is the SAME
+    * query text with MATERIALIZED CTE hints, which pin the hash-join
+    * order and restore the linear plan (7.9 s at sf1). Proven
+    * row-identical to the primary at sf0.1. */
+  val scaleOracleSql: Map[String, String] = Map(
+    "g10_association_rules" ->
+      """WITH op AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+        |ic AS MATERIALIZED (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY 1
+        |), pr AS (
+        |  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS co
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |), d AS MATERIALIZED (
+        |  SELECT u AS ante, v AS cons, co FROM pr
+        |  UNION ALL SELECT v AS ante, u AS cons, co FROM pr
+        |)
+        |SELECT d.ante, d.cons, d.co, ia.n_item AS n_ante, ib.n_item AS n_cons,
+        |  CAST(d.co * 10000 // ia.n_item AS BIGINT) AS confidence_bp,
+        |  CAST(d.co * n.n_orders * 1000 // (ia.n_item * ib.n_item) AS BIGINT)
+        |    AS lift_permille
+        |FROM d JOIN ic ia ON d.ante = ia.p JOIN ic ib ON d.cons = ib.p
+        |CROSS JOIN n
+        |ORDER BY lift_permille DESC, ante, cons LIMIT 50""".stripMargin,
+  )
 }

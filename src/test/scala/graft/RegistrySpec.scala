@@ -43,4 +43,21 @@ class RegistrySpec extends AnyFunSuite {
         s"tier $t has ${q.size} queries — split it before it becomes the next monolith")
     }
   }
+
+  test("scale referees attach only to registered queries; slices only to referees") {
+    val refs = SparkEntry.scaleOracleSql.keySet
+    assert(refs.subsetOf(SparkEntry.queries.keySet),
+      s"scale referee for unregistered query: ${refs diff SparkEntry.queries.keySet}")
+    assert(refs.subsetOf(SparkEntry.oracleSql.keySet),
+      "a scale referee may only REPLACE a primary oracle at wide scale, never substitute for one")
+    assert(SparkEntry.scaleSparkSql.keySet.subsetOf(refs),
+      s"spark-side slice without a referee: ${SparkEntry.scaleSparkSql.keySet diff refs}")
+    // The set is the nine quadratic-oracle queries from SURVEY §R9/§R10 —
+    // growing it is a deliberate act, not a drive-by.
+    assert(refs === Set("d3b_minhash_highsim", "d7_dup_clusters",
+      "d10_incremental_dedup", "d16_cluster_reps", "d18_jaccard_join",
+      "d19_containment", "d20_edit_distance", "d32_bag_jaccard",
+      "g10_association_rules"),
+      s"scale-referee set changed: $refs — update SURVEY and this pin together")
+  }
 }
