@@ -17,9 +17,13 @@ import org.apache.spark.sql.types._
   * The ANIMATION path is REAL as well: [[frameDecode]] /
   * [[sampleKeyframes]] walk multi-frame containers through ImageIO's
   * sequence reader (animated GIF), proven on synthesized animations.
-  * Payloads no JDK codec claims (the fixture's text stand-ins;
-  * compressed video — H.264 and kin are not in the JDK) fall back to
-  * the clearly-marked byte-histogram stub [[stubDecode]] — same
+  * COMPRESSED-VIDEO containers get real codec-free STRUCTURAL parsing
+  * in [[VideoContainer]] (ISO-BMFF box walk to the sample table:
+  * keyframe enumeration, timestamps, exact mdat byte ranges) — only
+  * the pixel decode of a located access unit needs codecs the JDK
+  * does not ship, and that boundary is documented there. Payloads no
+  * JDK codec claims (the fixture's text stand-ins) fall back to the
+  * clearly-marked byte-histogram stub [[stubDecode]] — same
   * fixed-length feature contract either way.
   *
   * Scale notes: payloads stay opaque binary end-to-end (never collected,

@@ -88,6 +88,25 @@ private[graft] object RegistryCore {
     "m3_phash_neardup" -> ((s, dir) =>
       Multimodal.perceptualNearDup(
         Multimodal.fromDocuments(Tables.documents(s, dir)), maxHamming = 4)),
+    // CODEC-FREE video-container keyframe extraction (r10): a closed-form
+    // synthetic MP4 per document is parsed back through the REAL ISO-BMFF
+    // box walk (stts/stss/stsz/stsc/stco); the oracle recomputes every
+    // field — including byte sums over the located mdat ranges, which
+    // only match if chunk-offset expansion is exactly right.
+    "m4_video_keyframes" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+      val media = Tables.documents(s, dir).select("doc_id")
+        .mapPartitions(rows => rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, VideoContainer.syntheticMp4(id))
+        })(enc)
+      VideoContainer.videoKeyframes(media).orderBy("media_id", "kf_idx")
+    }),
     "u1_union_by_name" -> ((s, dir) => SetOps.unionByNameRoundTrip(Tables.orders(s, dir))),
     // Schema-drift union: generations with missing columns → NULL fill.
     "u4_union_missing" -> ((s, dir) => SetOps.unionMissingColumns(Tables.orders(s, dir))),
@@ -484,6 +503,39 @@ private[graft] object RegistryCore {
         |FROM sg a JOIN sg b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 4
         |ORDER BY media_a, media_b""".stripMargin,
+    // the synthetic container's closed-form parameters recomputed from
+    // doc_id; byte_sum re-derives the per-byte fill pattern over each
+    // keyframe's sample range — the parser must locate the identical
+    // range inside mdat for the sums to agree
+    "m4_video_keyframes" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         16 + doc_id % 17 AS n,
+        |         4 + doc_id % 3 AS g,
+        |         512 + (doc_id % 5) * 128 AS delta,
+        |         9000 + (doc_id % 4) * 3000 AS ts
+        |  FROM documents
+        |), u AS (
+        |  SELECT media_id, n, g, delta, ts,
+        |         unnest(generate_series(1, n)) AS i
+        |  FROM p
+        |), s AS (
+        |  SELECT * FROM u WHERE (i - 1) % g = 0
+        |)
+        |SELECT media_id,
+        |  CAST((i - 1) // g AS INT) AS kf_idx,
+        |  CAST(i AS INT) AS sample_idx,
+        |  CAST(n AS INT) AS n_samples,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  CAST(n * delta AS BIGINT) AS duration,
+        |  'mp4v' AS codec,
+        |  CAST((i - 1) * delta AS BIGINT) AS t_units,
+        |  CAST(64 + (media_id * 131 + i * 17) % 64 AS BIGINT) AS sample_size,
+        |  CAST(list_sum(list_transform(
+        |    range(0, 64 + (media_id * 131 + i * 17) % 64),
+        |    j -> (media_id * 7 + i * 13 + j * 11) % 251)) AS BIGINT) AS byte_sum
+        |FROM s
+        |ORDER BY media_id, kf_idx""".stripMargin,
     "u1_union_by_name" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey",
     "u4_union_missing" ->
