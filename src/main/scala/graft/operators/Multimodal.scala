@@ -465,24 +465,42 @@ object Multimodal {
   /** PERCEPTUAL NEAR-DUPLICATE join (m3): unordered media pairs within
     * Hamming distance `maxHamming` of each other's [[dHash64]], found
     * WITHOUT an all-pairs scan — the binary-payload sibling of the
-    * SimHash text pipeline. Each 64-bit signature is cut into 8
-    * contiguous 8-bit chunks; ≤ 7 differing bits cannot touch all 8
-    * chunks (pigeonhole), so the (chunk_id, chunk_val) equi-join is a
-    * complete candidate generator for any `maxHamming` ≤ 7. Verification
-    * is one codegen'd `bit_count(xor)` per candidate; signatures travel
-    * as single longs, so the whole join state is 16 bytes per media per
-    * band — the shape that holds at 100 TB of payloads.
+    * SimHash text pipeline. The 64-bit signature is cut into 8
+    * contiguous 8-bit chunks; for `maxHamming` ≤ 6 candidates come from
+    * TWO-CHUNK COMBINATION bands (the `simhashPairsCombination`
+    * technique): ≤ 6 differing bits touch ≤ 6 chunks, so ≥ 2 chunks are
+    * untouched and some PAIR of equal chunks collides — the C(8,2)=28
+    * double-width (16-bit) keys are a complete candidate generator with
+    * a 2⁸× deeper key space than single chunks (candidate noise floor
+    * 28·n²/2¹⁷ vs 8·n²/2⁹ — the r10 banding lesson: a FIXED key space
+    * is a quadratic noise floor, so make the keys as wide as the recall
+    * bound allows). `maxHamming` = 7 falls back to single-chunk bands
+    * (pigeonhole needs only one untouched chunk there). Verification is
+    * one codegen'd `bit_count(xor)` per candidate; signatures travel as
+    * single longs, so join state is 16 bytes per media per band. The
+    * candidate stage is the SAME verified output under either banding —
+    * both are complete for the radius — so the brute-force oracle is
+    * unchanged. Honest 100 TB note: any banding of a fixed 64-bit
+    * signature has a bounded key space; at extreme corpus sizes the
+    * real lever is a longer signature (e.g. a 256-bit perceptual hash),
+    * which this combination scheme generalizes to directly.
     */
   def perceptualNearDup(media: DataFrame, maxHamming: Int = 4): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"8-band pigeonhole guarantees recall only for maxHamming <= 7, got $maxHamming")
     val sigs = perceptualHashes(media)
+    def chunk(i: Int) =
+      shiftrightunsigned(col("sig"), i * 8) bitwiseAND lit(0xFFL)
+    val bandKeys =
+      if (maxHamming <= 6)
+        for (i <- 0 until 8; j <- i + 1 until 8) yield
+          struct(lit(i * 8 + j).as("chunk_id"),
+            (shiftleft(chunk(i), 8) bitwiseOR chunk(j)).as("chunk_val"))
+      else
+        for (i <- 0 until 8) yield
+          struct(lit(i).as("chunk_id"), chunk(i).as("chunk_val"))
     val chunks = sigs.select(col("media_id"), col("sig"),
-      explode(array((0 until 8).map { i =>
-        struct(lit(i).as("chunk_id"),
-          (shiftrightunsigned(col("sig"), i * 8) bitwiseAND lit(0xFFL))
-            .as("chunk_val"))
-      }: _*)).as("c"))
+      explode(array(bandKeys: _*)).as("c"))
       .select(col("media_id"), col("sig"),
         col("c.chunk_id").as("chunk_id"), col("c.chunk_val").as("chunk_val"))
     chunks.as("a").join(chunks.as("b"),

@@ -521,63 +521,106 @@ object Similarity {
   private[graft] def annPlaneWeight(plane: Int, dim: Int, dims: Int): Long =
     ((1103515245L * (plane.toLong * dims + dim) + 12345L) % 2001L) - 1000L
 
+  /** Corpus-proportional LSH band width for [[annOraclePairs]]:
+    * `floorBits + ceil(log2(nVec / targetBucket))`, floored at
+    * `floorBits` so every driver scale (≤ targetBucket vectors) keeps
+    * its historical bit-identical output. Integer doubling ladder, not
+    * FP log — the DuckDB oracle mirrors it as a CASE ladder over the
+    * same thresholds, so both engines derive the same width from the
+    * same count. The r10 100× ladder caught the FIXED width going
+    * quadratic: 6 bands of 5 bits is 32 buckets per band FOREVER, so
+    * candidates grow as n²/64 — invisible over one decade (the
+    * measured sf0.1→sf1 "exponent 0.95"), an 8 GB OOM at two. With
+    * width ∝ log₂(n) the per-band bucket count is ∝ n, average
+    * occupancy stays in (targetBucket/64, targetBucket/32], and the
+    * candidate set is ∝ n — the same fixed-parameter lesson as the r9
+    * ANN-shortlist and MG-capacity findings, one level deeper in the
+    * index structure.
+    */
+  private[graft] def annBandBits(nVec: Long, floorBits: Int = 5,
+      targetBucket: Long = 2048L, maxExtra: Int = 15): Int = {
+    var e = 0
+    while (e < maxExtra && nVec > (targetBucket << e)) e += 1
+    floorBits + e
+  }
+
   /** ORACLE-EXACT hyperplane-LSH ANN pairs — the [[graft.operators.Dedup.minhashOraclePairs]]
     * pattern applied to the EMBEDDING near-neighbor family (s2's seeded
     * hyperplane kernel is rows-only; this variant puts the whole
     * sign→band→bucket-join→verify pipeline under the DuckDB hash gate).
     *
-    * Signature: 30 integer hyperplanes with LCG weights (|w| ≤ 1000, a
-    * pure index formula both engines embed as literals), dotted against
-    * the micro-unit floor rendering of the embedding — every dot is an
-    * exact BIGINT (|w·m| ≤ 4·10⁹ per term, ×64 dims ≪ 2⁶³). Six 5-bit
-    * pigeonhole bands (sign bits concatenated): complete for
-    * signature-Hamming ≤ 5, candidate noise bounded by 6·n²∕2⁵·2.
-    * Verification is EXACT integer cosine: dot ≥ 0 and 25·dot² ≥
-    * 4·‖a‖²·‖b‖² (cos ≥ 2/5 cross-multiplied into squares), built in
-    * DECIMAL(38,0) against HUGEINT on the oracle side — dot² ≤ ~10²⁷
-    * needs 16-byte integers on both engines.
+    * Signature: 6·bandBits integer hyperplanes with LCG weights
+    * (|w| ≤ 1000, the pure index formula [[annPlaneWeight]] — Spark
+    * embeds the values as literals, the oracle computes the SAME
+    * formula inline, so the planes stay a single source of truth),
+    * dotted against the micro-unit floor rendering of the embedding —
+    * every dot is an exact BIGINT (|w·m| ≤ 4·10⁹ per term, ×64 dims
+    * ≪ 2⁶³). Six pigeonhole bands of [[annBandBits]] sign bits each
+    * (CORPUS-PROPORTIONAL width, floored at 5 bits so driver scales
+    * are bit-identical): complete for signature-Hamming ≤ 5, per-band
+    * bucket count ∝ n, candidate set ∝ n — see [[annBandBits]] for the
+    * 100× story. Verification is EXACT integer cosine: dot ≥ 0 and
+    * 25·dot² ≥ 4·‖a‖²·‖b‖² (cos ≥ 2/5 cross-multiplied into squares),
+    * built in DECIMAL(38,0) against HUGEINT on the oracle side —
+    * dot² ≤ ~10²⁷ needs 16-byte integers on both engines.
     */
-  def annOraclePairs(embeddings: DataFrame, planes: Int = 30,
-      bandBits: Int = 5, dims: Int = 64): DataFrame = {
-    require(planes % bandBits == 0, "bands must tile the planes")
-    val wRows = (0 until planes).map { i =>
-      (0 until dims).map(j => annPlaneWeight(i, j, dims)).mkString("array(", ", ", ")")
-    }.mkString("array(", ", ", ")")
+  def annOraclePairs(embeddings: DataFrame, bands: Int = 6,
+      floorBits: Int = 5, dims: Int = 64): DataFrame = {
     val base = embeddings
       .filter(size(col("embedding")) === dims)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("m"))
+    // one count job sizes the band width from the corpus, the same way
+    // s12/s13 size their rerank shortlists — serving parameters derive
+    // from corpus size or they dilute/explode at scale
+    val bandBits = annBandBits(base.count())
+    val planes = bands * bandBits
+    val wRows = (0 until planes).map { i =>
+      (0 until dims).map(j => annPlaneWeight(i, j, dims)).mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
     val withDots = base.withColumn("dots", expr(
       s"transform($wRows, w -> aggregate(zip_with(m, w, (x, y) -> x * y), 0L, (acc, v) -> acc + v))"))
-    val nBands = planes / bandBits
-    val bandKeys = (0 until nBands).map { b =>
-      val bits = (0 until bandBits).map { r =>
-        s"CASE WHEN element_at(dots, ${b * bandBits + r + 1}) >= 0 THEN 1 ELSE 0 END"
-      }.mkString(", ")
-      expr(s"concat_ws(':', $b, $bits)")
+    val nBands = bands
+    // integer band codes (bandBits sign bits packed little-endian) —
+    // leaner join keys than concat_ws strings
+    val bandCodes = (0 until nBands).map { b =>
+      val code = (0 until bandBits).map { r =>
+        s"(CASE WHEN element_at(dots, ${b * bandBits + r + 1}) >= 0" +
+          s" THEN ${1 << r} ELSE 0 END)"
+      }.mkString(" + ")
+      expr(s"CAST($code AS INT)")
     }
-    val bk = withDots.select(col("vec_id"),
-      explode(array(bandKeys: _*)).as("band_key"))
-    val cand = bk.as("a").join(bk.as("b"),
-        col("a.band_key") === col("b.band_key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    val norms = base.select(col("vec_id"), col("m"),
+    // each vector TRAVELS WITH its band rows, so the exact-cosine verify
+    // is computed INLINE in the band join's projection and only verified
+    // survivors ever materialize. The r10 100× ladder killed the
+    // previous candidates-then-join-arrays shape on disk: materializing
+    // (pair, vec_a, vec_b) for every candidate is candidates × 1 KB of
+    // shuffle (≈120 GB at sf10); attaching the 520-byte vector to the
+    // 6 band rows is ∝ n·bands (≈700 MB) and the heavy intermediate
+    // never exists. Cross-band duplicate matches recompute the dot
+    // (bounded by the band count) and collapse in the post-verify
+    // distinct — dot/norms are pure functions of the pair, so the tuple
+    // is identical from every band. (A first-matching-band join
+    // predicate would dedupe BEFORE the dot, but higher-order-function
+    // predicates evaluate interpreted per candidate row — measured 3.4×
+    // SLOWER than the redundant dots at both sf1 and sf10; rejected.)
+    val bk = withDots.select(col("vec_id"), col("m"),
       expr("aggregate(transform(m, x -> x * x), 0L, (acc, v) -> acc + v)")
-        .as("n2"))
-    cand
-      .join(norms.select(col("vec_id").as("vec_a"), col("m").as("m_a"),
-        col("n2").as("na")), "vec_a")
-      .join(norms.select(col("vec_id").as("vec_b"), col("m").as("m_b"),
-        col("n2").as("nb")), "vec_b")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(m_a, m_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .as("n2"),
+      posexplode(array(bandCodes: _*)).as(Seq("band", "key")))
+    bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        expr("aggregate(zip_with(a.m, b.m, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("dot"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
       .filter(col("dot") >= 0L && expr(
         "CAST(25 AS DECIMAL(38,0)) * dot * dot >= CAST(4 AS DECIMAL(38,0)) * na * nb"))
       .select(col("vec_a"), col("vec_b"), col("dot").as("dot_micro2"),
         col("na").as("norm2_a"), col("nb").as("norm2_b"))
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 

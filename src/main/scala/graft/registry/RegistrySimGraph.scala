@@ -811,32 +811,38 @@ private[graft] object RegistrySimGraph {
         |)
         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
         |FROM d GROUP BY degree ORDER BY degree""".stripMargin,
-    // the 30 plane-dot columns and band keys are generated from the SAME
-    // LCG weight formula the Spark operator embeds (single source of truth)
+    // the plane dots and band keys are generated from the SAME LCG
+    // weight formula the Spark operator embeds (annPlaneWeight — single
+    // source of truth), with the band WIDTH derived from the corpus
+    // count through the same integer doubling ladder as
+    // Similarity.annBandBits: fixed 5-bit bands are 32 buckets per band
+    // forever (candidates ∝ n²/64, the r10 100×-ladder OOM); width
+    // ∝ log2(n) keeps the candidate set ∝ n. Floored at 5 bits, so
+    // every sf ≤ 0.1 output is bit-identical to the fixed-width era.
     "s17_ann_oracle" -> {
       val dims = 64
-      val dotCols = (0 until 30).map { i =>
-        val w = (0 until dims)
-          .map(j => operators.Similarity.annPlaneWeight(i, j, dims))
-          .mkString("[", ", ", "]")
-        s"list_sum(list_transform(generate_series(1, $dims), j -> ($w)[j] * m[j])) AS d$i"
-      }.mkString(",\n    ")
-      val bandSelects = (0 until 6).map { b =>
-        val bits = (0 until 5).map { r =>
-          s"CASE WHEN d${b * 5 + r} >= 0 THEN 1 ELSE 0 END"
-        }.mkString(", ")
-        s"SELECT vec_id, concat_ws(':', $b, $bits) AS band_key FROM dots"
-      }.mkString("\n  UNION ALL ")
+      val ladder = (0 until 15)
+        .map(k => s"(CASE WHEN n > ${2048L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
       s"""WITH base AS (
          |  SELECT vec_id, list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
          |  FROM embeddings WHERE len(embedding) = $dims
-         |), dots AS (
-         |  SELECT vec_id,
-         |    $dotCols
-         |  FROM base
+         |), params AS (
+         |  SELECT 5 + $ladder AS band_bits
+         |  FROM (SELECT count(*) AS n FROM base)
+         |), sig AS (
+         |  SELECT vec_id, band_bits,
+         |    list_transform(generate_series(0, 6 * band_bits - 1), p ->
+         |      CASE WHEN list_sum(list_transform(generate_series(1, $dims),
+         |        j -> (((1103515245 * (p * $dims + j - 1) + 12345) % 2001)
+         |              - 1000) * m[j])) >= 0 THEN 1 ELSE 0 END) AS bits
+         |  FROM base, params
          |), bk AS (
-         |  $bandSelects
+         |  SELECT vec_id,
+         |    b || ':' || array_to_string(
+         |      bits[b * band_bits + 1 : (b + 1) * band_bits], ':') AS band_key
+         |  FROM sig, (SELECT unnest(generate_series(0, 5)) AS b)
          |), cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bk a JOIN bk b

@@ -1139,4 +1139,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(r.getLong(2) === 899999L * 1000000L, "top1 exact micro² dot")
     assert(r.getLong(5) === (899999L - 500000L) * 1000000L, "exact margin")
   }
+
+  test("annBandBits: corpus-proportional band width, floored for driver scales, capped") {
+    import graft.operators.Similarity
+    // every driver-scale corpus (≤ 2048 vectors) keeps the historical
+    // 5-bit bands — bit-identical outputs at sf0.001/0.01/0.1
+    for (n <- Seq(1L, 500L, 2000L, 2048L)) {
+      assert(Similarity.annBandBits(n) === 5, s"n=$n")
+    }
+    // one extra bit per doubling past the target bucket load: bucket
+    // count ∝ n, so the banded candidate set is ∝ n, not n²/64
+    assert(Similarity.annBandBits(2049L) === 6)
+    assert(Similarity.annBandBits(20000L) === 9)   // sf1 fixture
+    assert(Similarity.annBandBits(200000L) === 12) // sf10 fixture
+    // capped so the key stays bounded however large the corpus claims
+    assert(Similarity.annBandBits(Long.MaxValue) === 20)
+  }
 }

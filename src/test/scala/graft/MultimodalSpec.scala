@@ -222,6 +222,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(got === want,
       s"missed ${want.diff(got).take(5)}, extra ${got.diff(want).take(5)}")
     assert(want.nonEmpty, "fixture must contain at least one close pair")
+    // radius 7 exercises the single-chunk fallback banding (combination
+    // bands guarantee completeness only to 6); same brute-force referee
+    val got7 = Multimodal.perceptualNearDup(media, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want7 = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 7
+    } yield (sigs(i)._1, sigs(j)._1, h.toLong)).toSet
+    assert(got7 === want7)
+    assert(want7.size > want.size, "radius 7 must add pairs on the fixture")
   }
 
   test("audioEnergyWindows: exact integer sum-of-squares per fixed window") {
