@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftShims, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, LshSignature, MinHash, MinHashTokens, RepetitionCounts, SimHash64}
+import graft.functions.{CosineSimilarity, LongDot, LongSqDist, LshSignature, MinHash, MinHashTokens, RepetitionCounts, SimHash64}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -16,7 +16,9 @@ import graft.functions.{CosineSimilarity, LshSignature, MinHash, MinHashTokens, 
   * After either, plain SQL can use `simhash64(array<string>)`,
   * `cosine_similarity(array<float>, array<float>)`,
   * `minhash(array<string>, k)`, `minhash_tokens(array<string>, k)`,
-  * `lsh_signature(array<float>[, planes[, offset]])`, and
+  * `lsh_signature(array<float>[, planes[, offset]])`,
+  * `long_dot(array<bigint>, array<bigint>)`,
+  * `long_sqdist(array<bigint>, array<bigint>)`, and
   * `repetition_counts(array<string>)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -51,6 +53,8 @@ object GraftFunctions {
     "minhash" -> (args => MinHash(args.head, intArg(args, 1, 32))),
     "minhash_tokens" -> (args => MinHashTokens(args.head, intArg(args, 1, 32))),
     "lsh_signature" -> (args => LshSignature(args.head, intArg(args, 1, 16), intArg(args, 2, 0))),
+    "long_dot" -> (args => LongDot(args(0), args(1))),
+    "long_sqdist" -> (args => LongSqDist(args(0), args(1))),
     "repetition_counts" -> (args => RepetitionCounts(one(args))))
 
   /** Register all custom functions on a live session. */

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -161,6 +161,207 @@ case class LshSignature(child: Expression, planes: Int, offset: Int = 0)
     copy(child = newChild)
 }
 
+/** Static kernels for EXACT integer (micro-unit) vector arithmetic —
+  * shared by interpreted eval and generated code. The engine's
+  * oracle-exact similarity tier renders embeddings as `array<bigint>`
+  * micro-units and does all dot/distance work in int64 (order-free, so
+  * any engine agrees bit-for-bit); these kernels are the fused-loop
+  * replacements for the interpreted `aggregate(zip_with(...))` lambda
+  * chains that dominated the s17 profile at 100× (one interpreted
+  * closure dispatch per ELEMENT per candidate — the r10 ladder's one
+  * super-linear-LOOKING constant). Overflow uses `Math.*Exact` (JIT
+  * intrinsics), mirroring the ANSI-mode failure the builtin aggregate
+  * would raise — callers bound |element| so it never fires in practice.
+  */
+object LongVectorUtil {
+  /** The builtin `aggregate(zip_with(a, b, (x, y) -> x*y), 0L, +)`
+    * yields NULL when lengths differ (zip_with pads with null → null
+    * product poisons the sum) or any element is null; this predicate
+    * mirrors that domain so the native expressions return null exactly
+    * where the composed form did.
+    */
+  def defined(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    if (n != b.numElements()) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Exact Σ a(i)·b(i) over two equal-length `array<bigint>`. */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+
+  /** Exact Σ (a(i)−b(i))² over two equal-length `array<bigint>`. */
+  def sqDist(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
+      i += 1
+    }
+    acc
+  }
+
+  /** All `planes` LCG-weighted plane dots of one micro-unit vector in a
+    * single fused pass (weights precomputed once per task, laid out
+    * plane-major). Mirrors the composed
+    * `transform(wRows, w -> aggregate(zip_with(m, w, ...)))`: a vector
+    * of the wrong length or with a null element produced an all-null
+    * dots array there (zip_with padding), so it does here.
+    */
+  def planeDots(m: ArrayData, weights: Array[Long], planes: Int,
+      dims: Int): ArrayData = {
+    if (m.numElements() != dims) return new GenericArrayData(new Array[Any](planes))
+    var i = 0
+    while (i < dims) {
+      if (m.isNullAt(i)) return new GenericArrayData(new Array[Any](planes))
+      i += 1
+    }
+    val out = new Array[Long](planes)
+    var p = 0
+    while (p < planes) {
+      val off = p * dims
+      var acc = 0L
+      var d = 0
+      while (d < dims) {
+        acc = Math.addExact(acc, Math.multiplyExact(m.getLong(d), weights(off + d)))
+        d += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Deterministic pseudo-random integer hyperplane weights for the
+  * oracle-exact ANN tier: plain LCG over the flattened (plane, dim)
+  * index, range [−1000, 1000]. A FUNCTION of the index, not stored
+  * state — the Spark kernel and the generated DuckDB oracle SQL both
+  * compute this formula, so the planes are a single source of truth
+  * (`Similarity.annPlaneWeight` delegates here).
+  */
+object AnnPlaneWeights {
+  def weight(plane: Int, dim: Int, dims: Int): Long =
+    ((1103515245L * (plane.toLong * dims + dim) + 12345L) % 2001L) - 1000L
+
+  /** Plane-major weight table for [[LongVectorUtil.planeDots]]. */
+  def table(planes: Int, dims: Int): Array[Long] =
+    Array.tabulate(planes * dims)(i => weight(i / dims, i % dims, dims))
+}
+
+/** Custom Catalyst expression: exact int64 inner product over two
+  * `array<bigint>` micro-unit vectors — the verify kernel of the
+  * oracle-exact ANN/MIPS tier. The composed
+  * `aggregate(zip_with(a, b, (x, y) -> x*y), 0L, +)` allocates an
+  * intermediate array and dispatches two interpreted lambdas per
+  * element PER CANDIDATE PAIR (∝ n·dims at serving scale — the r10
+  * 100× ladder measured it as s17's dominant constant); this is one
+  * fused loop inside WholeStageCodegen. Null domain mirrors the
+  * composed form exactly ([[LongVectorUtil.defined]]).
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (LongVectorUtil.defined(aa, bb)) LongVectorUtil.dot(aa, bb) else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if (graft.functions.LongVectorUtil.defined($a, $b)) {
+      |  ${ev.value} = graft.functions.LongVectorUtil.dot($a, $b);
+      |} else {
+      |  ${ev.isNull} = true;
+      |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Custom Catalyst expression: exact int64 squared L2 distance over two
+  * `array<bigint>` micro-unit vectors — the assignment kernel of the
+  * integer-exact k-means / PQ / truncation tiers (k such distances per
+  * row against broadcast centroid literals). Same fused-loop rationale
+  * and null domain as [[LongDot]].
+  */
+case class LongSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (LongVectorUtil.defined(aa, bb)) LongVectorUtil.sqDist(aa, bb) else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if (graft.functions.LongVectorUtil.defined($a, $b)) {
+      |  ${ev.value} = graft.functions.LongVectorUtil.sqDist($a, $b);
+      |} else {
+      |  ${ev.isNull} = true;
+      |}""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Custom Catalyst expression: ALL `planes` integer hyperplane dots of a
+  * micro-unit vector in one fused pass — the signing stage of the
+  * oracle-exact ANN pipeline ([[graft.operators.Similarity.annOraclePairs]]).
+  * Replaces a `transform(<planes×dims literal arrays>, w ->
+  * aggregate(zip_with(m, w, ...)))` whose weight table alone was up to
+  * 7,680 literals of plan text and whose lambdas ran interpreted per
+  * element; weights are recomputed per task from the
+  * [[AnnPlaneWeights]] index formula (serialization-free) and the loop
+  * is codegen'd.
+  */
+case class AnnPlaneDots(child: Expression, planes: Int, dims: Int)
+    extends UnaryExpression {
+  require(planes > 0 && dims > 0, "ann_plane_dots: planes and dims must be positive")
+
+  @transient private lazy val weights: Array[Long] = AnnPlaneWeights.table(planes, dims)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "ann_plane_dots"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LongVectorUtil.planeDots(input.asInstanceOf[ArrayData], weights, planes, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("planeWeights", weights, "long[]")
+    defineCodeGen(ctx, ev,
+      m => s"graft.functions.LongVectorUtil.planeDots($m, $w, $planes, $dims)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnnPlaneDots =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Native LSH signature column (see [[LshSignature]]); `offset` picks
     * an independent plane family for multiband candidate generation.
@@ -179,6 +380,26 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     GraftShims.toColumn(
       DotProduct(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+
+  /** Native exact int64 inner product (codegen'd fused loop) over
+    * `array<bigint>` micro-unit vectors — see [[LongDot]].
+    */
+  def longDot(a: Column, b: Column): Column =
+    GraftShims.toColumn(
+      LongDot(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+
+  /** Native exact int64 squared L2 distance (codegen'd fused loop) over
+    * `array<bigint>` micro-unit vectors — see [[LongSqDist]].
+    */
+  def longSqDist(a: Column, b: Column): Column =
+    GraftShims.toColumn(
+      LongSqDist(GraftShims.toExpression(a), GraftShims.toExpression(b)))
+
+  /** Native all-planes integer hyperplane dots (codegen'd fused pass) —
+    * see [[AnnPlaneDots]].
+    */
+  def annPlaneDots(m: Column, planes: Int, dims: Int): Column =
+    GraftShims.toColumn(AnnPlaneDots(GraftShims.toExpression(m), planes, dims))
 
   /** Builtin-composition cosine (zip_with + aggregate) — the (a)-tier
     * compose-existing-ops variant; kept for cross-checking the custom

@@ -113,9 +113,7 @@ object IvfIndex {
     def assign(cents: Array[Array[Long]]): DataFrame = {
       val scored = cents.zipWithIndex.map { case (c, j) =>
         struct(
-          aggregate(
-            zip_with(col("qe"), typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("dist"),
+          VectorFunctions.longSqDist(col("qe"), typedlit(c.toSeq)).as("dist"),
           lit(j).as("cid"))
       }
       e.withColumn("best", array_min(array(scored.toIndexedSeq: _*)))
@@ -286,8 +284,8 @@ object IvfIndex {
     val recon = transform(col("codes"), c =>
       col("qmin") + floor(((c.cast("long") + 128L) * col("qrange")).cast("double") / 255)
         .cast("long"))
-    val dot = aggregate(zip_with(col("r"), qLit, (a, b) => a * b), lit(0L), _ + _)
-    val nr = aggregate(zip_with(col("r"), col("r"), (a, b) => a * b), lit(0L), _ + _)
+    val dot = VectorFunctions.longDot(col("r"), qLit)
+    val nr = VectorFunctions.longDot(col("r"), col("r"))
     spark.read.parquet(path)
       .filter(col("list_id").isin(probes: _*))
       .select(col("vec_id"), recon.as("r"))
@@ -404,10 +402,8 @@ object IvfIndex {
     val recon = transform(col("codes"), c =>
       col("qmin") + floor(((c.cast("long") + 128L) * col("qrange")).cast("double") / 255)
         .cast("long"))
-    val dot = aggregate(zip_with(col("r"), col("q_micro"), (a, b) => a * b),
-      lit(0L), _ + _)
-    val nr = aggregate(zip_with(col("r"), col("r"), (a, b) => a * b),
-      lit(0L), _ + _)
+    val dot = VectorFunctions.longDot(col("r"), col("q_micro"))
+    val nr = VectorFunctions.longDot(col("r"), col("r"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     val annTopK = lists.join(broadcast(probes), Seq("list_id"))
@@ -503,10 +499,8 @@ object IvfIndex {
       (0 until m).map(mi => slice(col("qe"), mi * d0 + 1, d0).as(s"s$mi")): _*)
     def best(mi: Int, kk: Int) = array_min(array((0 until kk).map { j =>
       struct(
-        aggregate(
-          zip_with(col(s"s$mi"), typedlit(codebooks(mi)(j).toSeq),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"),
+        VectorFunctions.longSqDist(col(s"s$mi"), typedlit(codebooks(mi)(j).toSeq))
+          .as("dist"),
         lit(j).as("code"))
     }: _*))
     val enc = sub.select(col("vec_id") +: col("qe") +:
@@ -527,9 +521,7 @@ object IvfIndex {
       import spark.implicits._
       qRows.toSeq.toDF("query_id", "q_micro")
     }
-    def l2(v: Column) = aggregate(
-      zip_with(v, col("q_micro"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    def l2(v: Column) = VectorFunctions.longSqDist(v, col("q_micro"))
     val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
     def topK(base: DataFrame, v: Column, kk: Int) = base
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -589,9 +581,7 @@ object IvfIndex {
       import spark.implicits._
       qRows.toSeq.toDF("query_id", "q_full", "q_trunc")
     }
-    def l2(v: Column, q: Column) = aggregate(
-      zip_with(v, q, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    def l2(v: Column, q: Column) = VectorFunctions.longSqDist(v, q)
     val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
     def topK(v: Column, q: Column, kk: Int) = eq
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))

@@ -95,7 +95,7 @@ object Similarity {
       .groupBy("label").agg(sum(col("sd") * col("sd")).as("norm_sum_sq"))
     val perVec = milli
       .select(col("label"),
-        expr("aggregate(v, 0L, (acc, x) -> acc + x * x)").as("sq"))
+        longDot(col("v"), col("v")).as("sq"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq_norms"))
     perVec
@@ -247,9 +247,7 @@ object Similarity {
           x => floor(x.cast("double") * 1e6).cast("long")).as("xs"))
     scaled.join(broadcast(cents))
       .select(col("vec_id"), col("c_label"),
-        aggregate(
-          zip_with(col("xs"), col("c"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("dist2"))
+        longSqDist(col("xs"), col("c")).as("dist2"))
       .groupBy("vec_id")
       .agg(
         min_by(col("c_label"), struct(col("dist2"), col("c_label"))).as("label_assigned"),
@@ -390,8 +388,7 @@ object Similarity {
       .select(col("label"), col("nb"), microUnits.as("xs"))
       .join(broadcast(cents), Seq("label"), "left")
       .select(col("label"), col("nb"),
-        aggregate(zip_with(col("xs"), col("c"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v).as("dist2"))
+        longSqDist(col("xs"), col("c")).as("dist2"))
     // every division is nullif-guarded: an empty half yields null, never
     // a divide-by-zero (ANSI) or an engine-divergent value
     scored.groupBy("label")
@@ -519,7 +516,7 @@ object Similarity {
     * same formula, so the planes are a single source of truth.
     */
   private[graft] def annPlaneWeight(plane: Int, dim: Int, dims: Int): Long =
-    ((1103515245L * (plane.toLong * dims + dim) + 12345L) % 2001L) - 1000L
+    graft.functions.AnnPlaneWeights.weight(plane, dim, dims)
 
   /** Corpus-proportional LSH band width for [[annOraclePairs]]:
     * `floorBits + ceil(log2(nVec / targetBucket))`, floored at
@@ -550,9 +547,10 @@ object Similarity {
     * sign→band→bucket-join→verify pipeline under the DuckDB hash gate).
     *
     * Signature: 6·bandBits integer hyperplanes with LCG weights
-    * (|w| ≤ 1000, the pure index formula [[annPlaneWeight]] — Spark
-    * embeds the values as literals, the oracle computes the SAME
-    * formula inline, so the planes stay a single source of truth),
+    * (|w| ≤ 1000, the pure index formula [[annPlaneWeight]] — Spark's
+    * fused signing expression ([[graft.functions.AnnPlaneDots]]) and
+    * the oracle's inline SQL compute the SAME formula, so the planes
+    * stay a single source of truth),
     * dotted against the micro-unit floor rendering of the embedding —
     * every dot is an exact BIGINT (|w·m| ≤ 4·10⁹ per term, ×64 dims
     * ≪ 2⁶³). Six pigeonhole bands of [[annBandBits]] sign bits each
@@ -576,11 +574,12 @@ object Similarity {
     // from corpus size or they dilute/explode at scale
     val bandBits = annBandBits(base.count())
     val planes = bands * bandBits
-    val wRows = (0 until planes).map { i =>
-      (0 until dims).map(j => annPlaneWeight(i, j, dims)).mkString("array(", ", ", ")")
-    }.mkString("array(", ", ", ")")
-    val withDots = base.withColumn("dots", expr(
-      s"transform($wRows, w -> aggregate(zip_with(m, w, (x, y) -> x * y), 0L, (acc, v) -> acc + v))"))
+    // fused codegen'd signing kernel (one pass, weights from the shared
+    // index formula) — the composed transform/zip_with form carried the
+    // whole planes×dims weight table as plan-text literals and ran two
+    // interpreted lambdas per element
+    val withDots = base.withColumn("dots",
+      graft.functions.VectorFunctions.annPlaneDots(col("m"), planes, dims))
     val nBands = bands
     // integer band codes (bandBits sign bits packed little-endian) —
     // leaner join keys than concat_ws strings
@@ -606,14 +605,13 @@ object Similarity {
     // predicates evaluate interpreted per candidate row — measured 3.4×
     // SLOWER than the redundant dots at both sf1 and sf10; rejected.)
     val bk = withDots.select(col("vec_id"), col("m"),
-      expr("aggregate(transform(m, x -> x * x), 0L, (acc, v) -> acc + v)")
-        .as("n2"),
+      graft.functions.VectorFunctions.longDot(col("m"), col("m")).as("n2"),
       posexplode(array(bandCodes: _*)).as(Seq("band", "key")))
     bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        expr("aggregate(zip_with(a.m, b.m, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        graft.functions.VectorFunctions.longDot(col("a.m"), col("b.m"))
           .as("dot"),
         col("a.n2").as("na"), col("b.n2").as("nb"))
       .filter(col("dot") >= 0L && expr(
@@ -686,8 +684,7 @@ object Similarity {
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), microUnits.as("u"))
       .join(broadcast(q))
-      .withColumn("rel",
-        expr("aggregate(zip_with(u, uq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("rel", longDot(col("u"), col("uq")))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(nCandidates)
     // (rel − pen) DESC, vec_id ASC — the greedy argmax as a comparator.
@@ -750,8 +747,7 @@ object Similarity {
     val topk = vecs
       .filter(col("vec_id") =!= queryVecId)
       .join(broadcast(q))
-      .withColumn("rel",
-        expr("aggregate(zip_with(u, uq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("rel", longDot(col("u"), col("uq")))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(k)
       .select("vec_id")
@@ -762,9 +758,7 @@ object Similarity {
       withVec.as("a")
         .join(broadcast(withVec.as("b")),
           col("a.vec_id") < col("b.vec_id"))
-        .select(expr(
-          "aggregate(zip_with(a.u, b.u, (x, y) -> x * y), 0L, (s, x) -> s + x)")
-          .as("d"))
+        .select(longDot(col("a.u"), col("b.u")).as("d"))
         .agg(sum(col("d")).as(alias))
     }
     pairDotSum(topk, "topk_pair_dot_sum")
@@ -881,8 +875,7 @@ object SimilarityIndex {
       .filter(col("rh") <= preC)
     val exact = pairs
       .select(col("q_id"), col("vec_id"),
-        expr("aggregate(zip_with(m, qm, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
-          .as("dot"))
+        longDot(col("m"), col("qm")).as("dot"))
       .withColumn("rd", row_number().over(wDot))
       .filter(col("rd") <= k)
     exact
@@ -921,8 +914,7 @@ object SimilarityIndex {
       .join(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        expr("aggregate(zip_with(u, uq, (a, b) -> a * b), 0L," +
-          " (acc, x) -> acc + x)").as("dot"))
+        longDot(col("u"), col("uq")).as("dot"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dot").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
