@@ -601,9 +601,15 @@ object Similarity {
     // (bounded by the band count) and collapse in the post-verify
     // distinct — dot/norms are pure functions of the pair, so the tuple
     // is identical from every band. (A first-matching-band join
-    // predicate would dedupe BEFORE the dot, but higher-order-function
-    // predicates evaluate interpreted per candidate row — measured 3.4×
-    // SLOWER than the redundant dots at both sf1 and sf10; rejected.)
+    // predicate would dedupe BEFORE the dot, but loses BOTH ways it was
+    // tried: the higher-order-function form evaluates interpreted per
+    // candidate row — measured 3.4× slower than the redundant dots at
+    // sf1 and sf10 — and even a statically-unrolled codegen'd form
+    // (element_at comparisons over an attached 6-int code array, which
+    // also let the post-verify distinct drop) measured 1.15×/1.8×
+    // slower at sf1/sf10 once the codes array rode every build-side
+    // band row. With the dot itself codegen'd the recompute is cheaper
+    // than any gate; rejected twice, don't re-litigate.)
     val bk = withDots.select(col("vec_id"), col("m"),
       graft.functions.VectorFunctions.longDot(col("m"), col("m")).as("n2"),
       posexplode(array(bandCodes: _*)).as(Seq("band", "key")))
