@@ -728,6 +728,14 @@ object Dedup {
     // union-free form I·(num+den) ≥ (na+nb)·num (algebraically identical
     // to I·den ≥ (na+nb−I)·num) so the intersect is evaluated once per
     // candidate; the projection re-derives it only for the few survivors.
+    // (Negative result, measured r10: a codegen'd merge-scan intersect
+    // count over sort_array'd sets — the LongDot treatment applied to
+    // this kernel — was a WASH across d14/d18/d19 at sf1 AND sf10
+    // (±10%, inside box noise; with array_sort's interpreted lambda
+    // comparator it was an outright 1.2-1.8× REGRESSION). The builtin
+    // hash intersect is already near-optimal for string sets this size,
+    // and the verify is not the bottleneck — the candidate equi-join +
+    // distinct is. Reverted; don't re-litigate without a profile.)
     cand
       .join(docsArr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docsArr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
