@@ -248,6 +248,78 @@ object LongVectorUtil {
   }
 }
 
+/** Static kernel for [[AnnCosVerify]] — the fused exact-cosine verify. */
+object AnnVerifyUtil {
+  /** Unsigned 128-bit high word of a·b (JDK 17 ships only the signed
+    * `Math.multiplyHigh`; this is the standard correction).
+    */
+  private def unsignedMulHigh(a: Long, b: Long): Long =
+    Math.multiplyHigh(a, b) + ((a >> 63) & b) + ((b >> 63) & a)
+
+  /** cos(a, b) ≥ 2/5 with a non-negative dot, decided EXACTLY in
+    * unsigned 128-bit integer arithmetic:
+    * `dot ≥ 0 && 25·dot² ≥ 4·na·nb` — the same predicate the composed
+    * form evaluates through DECIMAL(38,0) (and the DuckDB oracle through
+    * HUGEINT), fused so the dot is computed ONCE per candidate. Join
+    * conditions are a single expression tree with no subexpression
+    * elimination: spelled as `filter(dot ≥ 0 && 25·dot·dot ≥ …)` the
+    * optimizer inlines the dot THREE times into the pushed join
+    * condition and evaluates all three per candidate pair.
+    *
+    * Bounds: |mᵢ| ≤ 10⁶ (micro-units of [−1, 1] floats) ⇒ dot ≤ 2⁴⁶,
+    * 25·dot² < 2⁹⁷, 4·na·nb < 2⁹⁴ — both inside unsigned 128.
+    */
+  def cosVerify(a: ArrayData, b: ArrayData, na: Long, nb: Long): Boolean = {
+    if (!LongVectorUtil.defined(a, b)) return false
+    val d = LongVectorUtil.dot(a, b)
+    if (d < 0L) return false
+    // lhs = 25·d²; rhs = 4·na·nb (all operands non-negative)
+    val d2hi = Math.multiplyHigh(d, d) // d < 2^63 ⇒ signed == unsigned
+    val d2lo = d * d
+    val lhsHi = d2hi * 25L + unsignedMulHigh(d2lo, 25L)
+    val lhsLo = d2lo * 25L
+    val phi = Math.multiplyHigh(na, nb)
+    val plo = na * nb
+    val rhsHi = phi * 4L + unsignedMulHigh(plo, 4L)
+    val rhsLo = plo * 4L
+    if (lhsHi != rhsHi) java.lang.Long.compareUnsigned(lhsHi, rhsHi) > 0
+    else java.lang.Long.compareUnsigned(lhsLo, rhsLo) >= 0
+  }
+}
+
+/** Custom Catalyst expression: the ANN band join's exact-cosine verify
+  * `dot(a, b) ≥ 0 AND 25·dot(a, b)² ≥ 4·na·nb` as ONE fused boolean —
+  * see [[AnnVerifyUtil.cosVerify]] for why the composed form costs three
+  * dot evaluations per candidate inside the join condition. Returns
+  * false wherever the composed predicate was false OR null (a null
+  * condition drops the join row exactly like false), so join output is
+  * identical.
+  */
+case class AnnCosVerify(ma: Expression, mb: Expression,
+    na: Expression, nb: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = ma
+  override def second: Expression = mb
+  override def third: Expression = na
+  override def fourth: Expression = nb
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ann_cos_verify"
+
+  override protected def nullSafeEval(a: Any, b: Any, x: Any, y: Any): Any =
+    AnnVerifyUtil.cosVerify(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, x, y) =>
+      s"graft.functions.AnnVerifyUtil.cosVerify($a, $b, $x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): AnnCosVerify =
+    copy(ma = newFirst, mb = newSecond, na = newThird, nb = newFourth)
+}
+
 /** Deterministic pseudo-random integer hyperplane weights for the
   * oracle-exact ANN tier: plain LCG over the flattened (plane, dim)
   * index, range [−1000, 1000]. A FUNCTION of the index, not stored
@@ -400,6 +472,14 @@ object VectorFunctions {
     */
   def annPlaneDots(m: Column, planes: Int, dims: Int): Column =
     GraftShims.toColumn(AnnPlaneDots(GraftShims.toExpression(m), planes, dims))
+
+  /** Fused exact-cosine ANN verify (codegen'd, one dot per candidate) —
+    * see [[AnnCosVerify]].
+    */
+  def annCosVerify(ma: Column, mb: Column, na: Column, nb: Column): Column =
+    GraftShims.toColumn(AnnCosVerify(
+      GraftShims.toExpression(ma), GraftShims.toExpression(mb),
+      GraftShims.toExpression(na), GraftShims.toExpression(nb)))
 
   /** Builtin-composition cosine (zip_with + aggregate) — the (a)-tier
     * compose-existing-ops variant; kept for cross-checking the custom

@@ -613,17 +613,24 @@ object Similarity {
     val bk = withDots.select(col("vec_id"), col("m"),
       graft.functions.VectorFunctions.longDot(col("m"), col("m")).as("n2"),
       posexplode(array(bandCodes: _*)).as(Seq("band", "key")))
+    // the verify rides IN the join condition as ONE fused expression
+    // (AnnCosVerify: dot ≥ 0 && 25·dot² ≥ 4·na·nb in exact unsigned-128
+    // integer arithmetic — bit-equal to the DECIMAL(38)/HUGEINT forms).
+    // Spelling it as a post-join filter looks identical but costs 3×:
+    // the optimizer substitutes the dot alias into the pushed condition
+    // once per occurrence, and join-condition codegen has no
+    // subexpression elimination — the sf0.01 plan showed three
+    // long_dot(a.m, b.m) evaluations per candidate. Survivors (a
+    // vanishing fraction) recompute the dot once in the projection.
     bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
+          col("a.vec_id") < col("b.vec_id") &&
+          graft.functions.VectorFunctions.annCosVerify(
+            col("a.m"), col("b.m"), col("a.n2"), col("b.n2")))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         graft.functions.VectorFunctions.longDot(col("a.m"), col("b.m"))
-          .as("dot"),
-        col("a.n2").as("na"), col("b.n2").as("nb"))
-      .filter(col("dot") >= 0L && expr(
-        "CAST(25 AS DECIMAL(38,0)) * dot * dot >= CAST(4 AS DECIMAL(38,0)) * na * nb"))
-      .select(col("vec_a"), col("vec_b"), col("dot").as("dot_micro2"),
-        col("na").as("norm2_a"), col("nb").as("norm2_b"))
+          .as("dot_micro2"),
+        col("a.n2").as("norm2_a"), col("b.n2").as("norm2_b"))
       .distinct()
       .orderBy("vec_a", "vec_b")
   }

@@ -117,6 +117,33 @@ class LongVectorSpec extends SparkTestBase {
     assert(r.getLong(1) === 27L)
   }
 
+  test("ann_cos_verify matches the DECIMAL(38) predicate on random and boundary pairs") {
+    // random micro-unit pairs plus scaled near-boundary ones (cos around
+    // 2/5 from every side); n2 computed exactly as the operator does
+    val base = (0 until 64).map(i => (i.toLong, vec(i + 1, 16), vec(i + 31, 16)))
+    val near = (0 until 16).map { i => // a and a-rotated: cos spread around 0
+      val a = vec(i + 3, 16)
+      (100L + i, a, a.drop(i % 16) ++ a.take(i % 16))
+    }
+    val df = (base ++ near).toDF("id", "a", "b")
+      .withColumn("na", VectorFunctions.longDot(col("a"), col("a")))
+      .withColumn("nb", VectorFunctions.longDot(col("b"), col("b")))
+      .withColumn("dot", VectorFunctions.longDot(col("a"), col("b")))
+    val r = df.select(
+      VectorFunctions.annCosVerify(col("a"), col("b"), col("na"), col("nb"))
+        .as("fused"),
+      (col("dot") >= 0L && expr(
+        "CAST(25 AS DECIMAL(38,0)) * dot * dot >= CAST(4 AS DECIMAL(38,0)) * na * nb"))
+        .as("composed")).collect()
+    assert(r.length === 80)
+    r.foreach { row =>
+      val composed = !row.isNullAt(1) && row.getBoolean(1)
+      assert(row.getBoolean(0) === composed, row.toString)
+    }
+    assert(r.exists(_.getBoolean(0)) && r.exists(!_.getBoolean(0)),
+      "test data must exercise both verdicts")
+  }
+
   test("annPlaneWeight stays the shared LCG formula both engines compute") {
     // the oracle SQL mirrors this exact expression; pin a few values so a
     // refactor of either home breaks loudly
