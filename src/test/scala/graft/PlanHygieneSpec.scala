@@ -60,8 +60,33 @@ class PlanHygieneSpec extends SparkTestBase {
     "t42_vocab_growth" -> ((1, "<=|checkpoints| vocab-growth bins")),
   )
 
-  test("every registered query plans on sf0.001 with no cartesian product " +
-    "and no unjustified partition-less window") {
+  /** Kernels that scan a whole array/string payload per call. A join
+    * condition (or filter) line where one of these appears ≥2 times is
+    * the §R10.12 alias-inlining shape: a filter over an expensive
+    * projected column is substituted per occurrence into the pushed
+    * condition, and join-condition codegen has no subexpression
+    * elimination — the pre-fix s17 paid THREE 64-element dots per
+    * candidate this way. Spell such predicates as one fused expression.
+    */
+  private val expensiveKernels = Seq(
+    "long_dot", "long_sqdist", "ann_plane_dots", "cosine_similarity",
+    "dot_product", "levenshtein", "array_intersect", "array_union",
+    "aggregate(", "zip_with(", "minhash", "simhash64", "repetition_counts")
+
+  private def repeatedKernelLines(plan: String): Seq[String] =
+    plan.linesIterator.filter { l =>
+      val t = l.trim
+      (t.contains("Join condition:") || t.contains("Filter ")) &&
+        expensiveKernels.exists { k =>
+          var c = 0; var i = t.indexOf(k)
+          while (c < 2 && i >= 0) { c += 1; i = t.indexOf(k, i + 1) }
+          c >= 2
+        }
+    }.map(_.trim.take(220)).toSeq
+
+  test("every registered query plans on sf0.001 with no cartesian product, " +
+    "no unjustified partition-less window, and no repeated expensive " +
+    "kernel in a join condition or filter") {
     import org.apache.spark.sql.execution.window.WindowExec
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val observed = scala.collection.mutable.Map.empty[String, Int]
@@ -70,6 +95,10 @@ class PlanHygieneSpec extends SparkTestBase {
         val qe = fn(spark, sf0001).queryExecution
         if (qe.executedPlan.toString.contains("CartesianProduct"))
           failures += s"$name: plans a CartesianProduct"
+        repeatedKernelLines(qe.executedPlan.toString).foreach { l =>
+          failures += s"$name: expensive kernel repeated in one condition " +
+            s"(evaluated per occurrence per row — fuse it): $l"
+        }
         val n = qe.sparkPlan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }.size
