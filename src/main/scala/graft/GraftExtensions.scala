@@ -42,20 +42,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  private def one(args: Seq[Expression]): Expression = args.head
+  /** Arity gate: every SQL-registered builder validates its argument
+    * count so misuse surfaces as an analysis-time error with the
+    * function name, not an IndexOutOfBounds (too few) or silently
+    * dropped extras (too many).
+    */
+  private def arity(name: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
+    if (args.length < lo || args.length > hi)
+      throw new IllegalArgumentException(
+        s"$name expects ${if (lo == hi) s"$lo" else s"$lo to $hi"} argument(s), got ${args.length}")
+
+  private def one(name: String, args: Seq[Expression]): Expression = {
+    arity(name, args, 1, 1); args.head
+  }
+
+  private def two(name: String, args: Seq[Expression]): (Expression, Expression) = {
+    arity(name, args, 2, 2); (args(0), args(1))
+  }
 
   private def intArg(args: Seq[Expression], pos: Int, default: Int): Int =
     if (args.length > pos) args(pos).eval().toString.toInt else default
 
   val specs: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> (args => SimHash64(one(args))),
-    "cosine_similarity" -> (args => CosineSimilarity(args(0), args(1))),
-    "minhash" -> (args => MinHash(args.head, intArg(args, 1, 32))),
-    "minhash_tokens" -> (args => MinHashTokens(args.head, intArg(args, 1, 32))),
-    "lsh_signature" -> (args => LshSignature(args.head, intArg(args, 1, 16), intArg(args, 2, 0))),
-    "long_dot" -> (args => LongDot(args(0), args(1))),
-    "long_sqdist" -> (args => LongSqDist(args(0), args(1))),
-    "repetition_counts" -> (args => RepetitionCounts(one(args))))
+    "simhash64" -> (args => SimHash64(one("simhash64", args))),
+    "cosine_similarity" -> (args => { val (a, b) = two("cosine_similarity", args); CosineSimilarity(a, b) }),
+    "minhash" -> (args => { arity("minhash", args, 1, 2); MinHash(args.head, intArg(args, 1, 32)) }),
+    "minhash_tokens" -> (args => { arity("minhash_tokens", args, 1, 2); MinHashTokens(args.head, intArg(args, 1, 32)) }),
+    "lsh_signature" -> (args => { arity("lsh_signature", args, 1, 3); LshSignature(args.head, intArg(args, 1, 16), intArg(args, 2, 0)) }),
+    "long_dot" -> (args => { val (a, b) = two("long_dot", args); LongDot(a, b) }),
+    "long_sqdist" -> (args => { val (a, b) = two("long_sqdist", args); LongSqDist(a, b) }),
+    "repetition_counts" -> (args => RepetitionCounts(one("repetition_counts", args))))
 
   /** Register all custom functions on a live session. */
   def registerAll(spark: SparkSession): Unit =

@@ -267,11 +267,20 @@ object AnnVerifyUtil {
     * condition and evaluates all three per candidate pair.
     *
     * Bounds: |mᵢ| ≤ 10⁶ (micro-units of [−1, 1] floats) ⇒ dot ≤ 2⁴⁶,
-    * 25·dot² < 2⁹⁷, 4·na·nb < 2⁹⁴ — both inside unsigned 128.
+    * 25·dot² < 2⁹⁷, 4·na·nb < 2⁹⁴ — both inside unsigned 128. The
+    * 128-bit arithmetic is exact only while 25·dot² and 4·na·nb stay
+    * under 2¹²⁸, i.e. all operands < 2⁶⁰ — enforced loudly below so an
+    * out-of-contract embedding (|mᵢ| ≳ 1.3e8) fails like the composed
+    * DECIMAL(38) form's ANSI overflow did, instead of silently wrapping.
     */
   def cosVerify(a: ArrayData, b: ArrayData, na: Long, nb: Long): Boolean = {
     if (!LongVectorUtil.defined(a, b)) return false
     val d = LongVectorUtil.dot(a, b)
+    val bound = 1L << 60
+    if (d >= bound || na < 0L || na >= bound || nb < 0L || nb >= bound)
+      throw new ArithmeticException(
+        s"ann_cos_verify: operand outside exact 128-bit range " +
+          s"(dot=$d, na=$na, nb=$nb; |each| must be < 2^60)")
     if (d < 0L) return false
     // lhs = 25·d²; rhs = 4·na·nb (all operands non-negative)
     val d2hi = Math.multiplyHigh(d, d) // d < 2^63 ⇒ signed == unsigned
@@ -411,6 +420,13 @@ case class LongSqDist(left: Expression, right: Expression)
   * element; weights are recomputed per task from the
   * [[AnnPlaneWeights]] index formula (serialization-free) and the loop
   * is codegen'd.
+  *
+  * Null domain: wrong-length / null-element vectors mirror the composed
+  * form (all-null dots array). A null INPUT ARRAY is the one pinned
+  * divergence — this expression short-circuits to a NULL result
+  * (UnaryExpression semantics) where the composed transform returned
+  * `array(planes × null)`; downstream band-code packing drops both
+  * identically, and `LongVectorSpec` pins both behaviors.
   */
 case class AnnPlaneDots(child: Expression, planes: Int, dims: Int)
     extends UnaryExpression {

@@ -86,6 +86,18 @@ class LongVectorSpec extends SparkTestBase {
         " 0L, (acc, v) -> acc + v))").as("cd")).collect()(0)
     assert(short.getSeq[Any](0) === Seq.fill(planes)(null))
     assert(short.getSeq[Any](0) === short.getSeq[Any](1))
+    // null ARRAY: the fused form short-circuits to a NULL result
+    // (UnaryExpression), the composed form returns array(planes × null).
+    // PINNED as the one intended divergence — downstream band-code
+    // packing treats both identically (see AnnPlaneDots scaladoc).
+    val nulled = Seq((0L, null: Seq[java.lang.Long])).toDF("id", "m").select(
+      VectorFunctions.annPlaneDots(col("m"), planes, dims).as("nd"),
+      expr(s"transform($wRows, w -> aggregate(zip_with(m, w, (x, y) -> x * y)," +
+        " 0L, (acc, v) -> acc + v))").as("cd")).collect()(0)
+    assert(nulled.isNullAt(0), "fused form: null array → NULL result")
+    assert(!nulled.isNullAt(1) &&
+      nulled.getSeq[Any](1) === Seq.fill(planes)(null),
+      "composed form: null array → array of null dots")
   }
 
   test("interpreted path (codegen off) agrees with the codegen path") {

@@ -60,29 +60,14 @@ class PlanHygieneSpec extends SparkTestBase {
     "t42_vocab_growth" -> ((1, "<=|checkpoints| vocab-growth bins")),
   )
 
-  /** Kernels that scan a whole array/string payload per call. A join
-    * condition (or filter) line where one of these appears ≥2 times is
-    * the §R10.12 alias-inlining shape: a filter over an expensive
-    * projected column is substituted per occurrence into the pushed
-    * condition, and join-condition codegen has no subexpression
-    * elimination — the pre-fix s17 paid THREE 64-element dots per
-    * candidate this way. Spell such predicates as one fused expression.
+  /** §R10.12 alias-inlining gate — kernel list and matcher live in
+    * [[PlanKernels]], SHARED with the `graft.JoinCondAudit` dev probe so
+    * the two sweeps can never drift, and counting `kernel(` call sites
+    * at identifier boundaries so `minhash(` no longer matches inside
+    * `minhash_tokens(`.
     */
-  private val expensiveKernels = Seq(
-    "long_dot", "long_sqdist", "ann_plane_dots", "cosine_similarity",
-    "dot_product", "levenshtein", "array_intersect", "array_union",
-    "aggregate(", "zip_with(", "minhash", "simhash64", "repetition_counts")
-
   private def repeatedKernelLines(plan: String): Seq[String] =
-    plan.linesIterator.filter { l =>
-      val t = l.trim
-      (t.contains("Join condition:") || t.contains("Filter ")) &&
-        expensiveKernels.exists { k =>
-          var c = 0; var i = t.indexOf(k)
-          while (c < 2 && i >= 0) { c += 1; i = t.indexOf(k, i + 1) }
-          c >= 2
-        }
-    }.map(_.trim.take(220)).toSeq
+    PlanKernels.repeatedKernelLines(plan).map(_.take(220))
 
   test("every registered query plans on sf0.001 with no cartesian product, " +
     "no unjustified partition-less window, and no repeated expensive " +
