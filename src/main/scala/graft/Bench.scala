@@ -38,19 +38,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The ~21 whitelisted bounded-domain global windows each emit a
+    // WindowExec single-partition WARN — silence the logger and replace
+    // the noise with an explicit audit against GlobalWindows.whitelist
+    // below, so a SURPRISE partition-less window from a future query is
+    // one visible line instead of buried in expected chatter.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    val windowSurprises = scala.collection.mutable.ArrayBuffer.empty[String]
+    var windowExpected = 0
     // Warm the session (context init, codegen compiler, shuffle system)
     // so fixed JVM startup cost isn't attributed to the first query.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        audit: Boolean = false): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        try {
+          val df = fn(spark, sfDir)
+          if (audit) {
+            val n = GlobalWindows.countPartitionless(df.queryExecution.sparkPlan)
+            val exp = GlobalWindows.whitelist.get(name).map(_._1).getOrElse(0)
+            if (n == exp) windowExpected += n
+            else windowSurprises +=
+              s"$name: $n partition-less WindowExec (whitelist expects $exp)"
+          }
+          df.write.format("noop").mode("overwrite").save(); None
+        }
         catch { case e: Throwable => Some(e.getClass.getName) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (t, err) = time(name, fn); (name, fn, t, err)
+      val (t, err) = time(name, fn, audit = true); (name, fn, t, err)
     }
     val singlePassTotal = firstPass.map(_._3).sum
     val results = firstPass.map { case (name, fn, t1, err) =>
@@ -60,6 +80,14 @@ object Bench {
       } else (name, t1, err)
     }
     val sfName = Paths.get(sfDir).getFileName.toString
+    if (windowSurprises.nonEmpty)
+      println(s"[bench] WINDOW-AUDIT SURPRISE (unwhitelisted single-reducer " +
+        s"sort — fix or justify in GlobalWindows.whitelist): " +
+        windowSurprises.mkString("; "))
+    else
+      println(s"[bench] window-audit: $windowExpected partition-less " +
+        s"WindowExec, all from GlobalWindows.whitelist; 0 surprises " +
+        s"(WindowExec WARNs silenced in this JVM)")
     println(formatLine(results, sfName, budget = 1900, Some(singlePassTotal)))
     Files.writeString(Paths.get("bench_result.json"),
       fullLine(results, sfName, Some(singlePassTotal)) + "\n")
