@@ -62,5 +62,6 @@ object SparkEntry {
     * that compare a deterministic pair-local subset rather than the full
     * result. Keys are a subset of [[scaleOracleSql]] (RegistrySpec). */
   def scaleSparkSql: Map[String, String] =
-    registry.RegistryDedup.scaleSparkSql
+    registry.RegistryDedup.scaleSparkSql ++
+    registry.RegistrySimGraph.scaleSparkSql
 }

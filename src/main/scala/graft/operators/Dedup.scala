@@ -569,7 +569,14 @@ object Dedup {
     var converged = isStarForest(e)
     var round = 0
     while (!converged && round < maxRounds) {
+      val prev = e
       e = smallStar(largeStar(e)).localCheckpoint(true)
+      // the new round is materialized (eager checkpoint), so the old
+      // round's blocks are dead weight — release NOW instead of waiting
+      // for driver GC; dead rounds otherwise accumulate |E|-sized RDDs
+      // in executor storage for the whole fixpoint (r11, the 8 GB sf10
+      // discipline)
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(prev)
       converged = isStarForest(e)
       round += 1
     }

@@ -220,6 +220,7 @@ object GraphOps {
       .cache()
     var dist = seeds.select(col("node"), lit(0L).as("hops")).localCheckpoint(true)
     var frontier = dist.select("node")
+    var prevNext: Option[DataFrame] = None
     var h = 1
     while (h <= maxHops) {
       val next = frontier.join(sym, frontier("node") === sym("src"))
@@ -227,10 +228,17 @@ object GraphOps {
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hops"))
         .localCheckpoint(true)
-      dist = dist.union(next).localCheckpoint(true)
+      val grown = dist.union(next).localCheckpoint(true)
+      // both successors of round h−1 are materialized — release the old
+      // dist and the previous frontier now (the 8 GB sf10 discipline)
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(dist)
+      prevNext.foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
+      dist = grown
+      prevNext = Some(next)
       frontier = next.select("node")
       h += 1
     }
+    prevNext.foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
     sym.unpersist()
     dist.orderBy("node")
   }
@@ -416,8 +424,15 @@ object GraphOps {
     require(iterations >= 1, "need at least one iteration")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outdeg, "src").cache()
+    // Degree-annotate with a src-keyed WINDOW, not groupBy+self-join:
+    // one exchange of the edge list (plus a local sort) instead of two,
+    // and — decisive at the 250 MB/core heap shape — the edge list is
+    // scanned ONCE, so the caller needn't cache its (possibly expensive)
+    // edge derivation just to feed two readers. The cached eDeg keeps
+    // its src hash-partitioning, so each iteration's score join only
+    // shuffles the (small) score side.
+    val eDeg = e.withColumn("outdeg",
+      count(lit(1)).over(Window.partitionBy("src"))).cache()
     val initScore = lit(1000000L).as("score")
     val update = expr(
       "150000 + 85 * coalesce(mass, CAST(0 AS BIGINT)) DIV 100").as("score")
@@ -448,8 +463,10 @@ object GraphOps {
       eDeg.unpersist(blocking = false)
       out
     } else {
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct().cache()
+      // seed off the CACHED annotated edges, not `e` — two reads of `e`
+      // would recompute the caller's edge derivation twice
+      val nodes = eDeg.select(col("src").as("node"))
+        .union(eDeg.select(col("dst").as("node"))).distinct().cache()
       var scores = nodes.select(col("node"), initScore)
       for (_ <- 1 to iterations) {
         val inMass = scores
@@ -475,11 +492,14 @@ object GraphOps {
     * key spaces disjoint inside one BIGINT node id. Top-k by rank —
     * TakeOrderedAndProject, then the rank window runs over k rows only.
     *
-    * The half-size directed pair set is cached BEFORE symmetrization:
-    * it is the expensive part (fact-fact join + distinct), every
-    * downstream invariant (outdegree, edge cache, node seed) re-reads
-    * it, and caching the doubled list instead would store every pair
-    * twice.
+    * The expensive pair derivation (fact-fact join + distinct) is
+    * scanned exactly ONCE and never cached: symmetrization explodes
+    * each pair into both directions in the same pass, and pageRank's
+    * window-based degree annotation needs no second read. The only
+    * persisted loop state is pageRank's own eDeg cache (r11 — the
+    * previous cache-base-then-union shape held the pair set AND the
+    * annotated edges in storage simultaneously, the margin that tipped
+    * the 8 GB/250 MB-per-core heap at sf10).
     */
   def supplierRank(orders: DataFrame, lineitem: DataFrame,
       k: Int = 25, iterations: Int = 3): DataFrame = {
@@ -488,13 +508,19 @@ object GraphOps {
       .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey")), "ok")
       .select((col("o_custkey") * 2).cast("long").as("c_node"),
         (col("l_suppkey") * 2 + 1).cast("long").as("s_node"))
-      .distinct().cache()
-    val edges = base.select(col("c_node").as("src"), col("s_node").as("dst"))
-      .union(base.select(col("s_node").as("src"), col("c_node").as("dst")))
+      .distinct()
+    // Symmetrize by EXPLODING each pair into both directions — one scan
+    // of base, so the expensive fact-fact join + distinct needs no cache
+    // at all (the r10 shape cached base to feed a two-read union, which
+    // held pair-set + annotated-edge storage simultaneously: the margin
+    // that tipped the 8 GB heap at sf10). pageRank scans its input once
+    // (window-annotated) and caches only eDeg.
+    val edges = base.select(explode(array(
+        struct(col("c_node").as("src"), col("s_node").as("dst")),
+        struct(col("s_node").as("src"), col("c_node").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // Symmetrized graph ⇒ every node has in-edges: take the lean path.
-    // pageRank checkpoints eagerly, so base is released right after.
     val ranked = pageRank(edges, iterations, allNodesReceiveMass = true)
-    base.unpersist(blocking = false)
     val top = ranked.orderBy(col("score").desc, col("node")).limit(k)
     val w = Window.orderBy(col("score").desc, col("node"))
     top.withColumn("rank", row_number().over(w).cast("int"))
@@ -556,6 +582,7 @@ object GraphOps {
         .filter(col("core_deg") >= k)
         .localCheckpoint(true)
       val n2 = next.count()
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(kept)
       converged = n2 == n
       n = n2
       kept = next
@@ -609,9 +636,11 @@ object GraphOps {
     while (h < maxHops) {
       val relaxed = dist.join(sym, dist("node") === sym("src"))
         .select(sym("dst").as("node"), (dist("cost") + sym("w")).as("cost"))
+      val prev = dist
       dist = dist.union(relaxed)
         .groupBy("node").agg(min(col("cost")).as("cost"))
         .localCheckpoint(true)
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(prev)
       h += 1
     }
     sym.unpersist()
@@ -659,6 +688,7 @@ object GraphOps {
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
+      val prev = labels
       labels = sym
         .join(labels, sym("v") === labels("node"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -666,6 +696,7 @@ object GraphOps {
         .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("lbl"))
         .localCheckpoint(true)
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(prev)
     }
     sym.unpersist(blocking = false)
     labels

@@ -33,4 +33,22 @@ object GraftShims {
     */
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Unpersist the storage behind a `localCheckpoint(eager = true)`'d
+    * Dataset NOW, instead of waiting for the driver's GC + ContextCleaner
+    * to notice the dropped reference. Iterative fixpoint loops checkpoint
+    * every round; without explicit release the dead rounds accumulate in
+    * executor storage until a nondeterministic GC — measured at sf10 on
+    * the 8 GB (250 MB/core) heap as an intermittent
+    * UNABLE_TO_ACQUIRE_MEMORY in whatever query ran next. Only call on
+    * checkpoints whose successors are themselves already materialized
+    * (an eager checkpoint never re-reads its parent after creation).
+    * No-op for plans that are not a checkpoint/LogicalRDD root.
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

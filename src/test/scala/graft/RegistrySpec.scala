@@ -52,12 +52,15 @@ class RegistrySpec extends AnyFunSuite {
       "a scale referee may only REPLACE a primary oracle at wide scale, never substitute for one")
     assert(SparkEntry.scaleSparkSql.keySet.subsetOf(refs),
       s"spark-side slice without a referee: ${SparkEntry.scaleSparkSql.keySet diff refs}")
-    // The set is the nine quadratic-oracle queries from SURVEY §R9/§R10 —
-    // growing it is a deliberate act, not a drive-by.
+    // The set is the nine quadratic-oracle queries from SURVEY §R9/§R10
+    // plus s17 (r11: its primary oracle is disk-bound at sf10 — the
+    // referee is a two-leg soundness+sliced-completeness reformulation,
+    // see RegistrySimGraph.scaleOracleSql). Growing this set is a
+    // deliberate act, not a drive-by.
     assert(refs === Set("d3b_minhash_highsim", "d7_dup_clusters",
       "d10_incremental_dedup", "d16_cluster_reps", "d18_jaccard_join",
       "d19_containment", "d20_edit_distance", "d32_bag_jaccard",
-      "g10_association_rules"),
+      "g10_association_rules", "s17_ann_oracle"),
       s"scale-referee set changed: $refs — update SURVEY and this pin together")
   }
 }
