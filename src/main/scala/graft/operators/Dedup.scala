@@ -416,17 +416,33 @@ object Dedup {
     * against a TRUE-emitting oracle. A wrong chunk mask, width split, or
     * band join key silently loses pairs in d4; here it flips `complete`
     * and fails the driver gate. Brute force is a conditioned
-    * nested-loop join — quadratic, fine at fixture scale, never the
-    * production path (that's what the banding is for).
+    * nested-loop join — quadratic BY DESIGN (that is what makes it a
+    * witness), so the checked sub-corpus is PINNED at fixture scale
+    * (r11, found by the full-registry sf10 gate: at 500k docs the
+    * all-pairs leg was 1.25e11 bit_count pairs, and Spark had demoted
+    * the over-threshold build side from broadcast-NL to a shuffled
+    * CartesianProduct — killed after 50+ min): docs are kept when
+    * xxhash64(doc_id) ≡ 0 (mod ⌈n/50000⌉) — the d3b/d22 derandomized
+    * slice pattern, deterministic across runs. The modulus is 1 through
+    * sf1, so every existing gate is bit-identical; beyond, BOTH legs
+    * (brute and banded) see the same ~50k-doc sub-corpus, and the
+    * pigeonhole property being contracted is scale-free, so the witness
+    * keeps its power while the pair count stays pinned at the sf1 cost.
+    * The build side is explicitly broadcast (~50k sigs = sub-MB) so the
+    * plan stays a broadcast nested loop at any corpus size.
     */
   def simhashContract(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = documents.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val nDocs = documents.count()
+    val mod = math.max(1L, (nDocs + 49999L) / 50000L)
+    val sampled = if (mod == 1L) documents
+      else documents.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
+    val sigs = sampled.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
     val brute = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))),
         col("doc_a") < col("doc_b"))
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
       .select("doc_a", "doc_b")
-    val banded = simhashPairs(documents, maxHamming).select("doc_a", "doc_b")
+    val banded = simhashPairs(sampled, maxHamming).select("doc_a", "doc_b")
     val nBrute = brute.agg(count(lit(1)).as("n_brute")).withColumn("k", lit(1))
     val missed = brute.join(banded, Seq("doc_a", "doc_b"), "left_anti")
       .agg(count(lit(1)).as("n_missed")).withColumn("k", lit(1))
@@ -674,44 +690,72 @@ object Dedup {
     * min·den ≥ max·num prunes inside the join condition before a pair
     * ever materializes.
     */
-  def prefixFilterJoin(documents: DataFrame, thresholdNum: Int = 4,
-      thresholdDen: Int = 5, materialize: Boolean = false): DataFrame = {
-    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
-      s"prefixFilterJoin: threshold $thresholdNum/$thresholdDen not in (0, 1]")
-    val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
-    // ONE shingle pass: the per-doc array sorted by (df, token) serves
-    // BOTH prefix generation (slice) and exact verification (intersect) —
-    // a separate unsorted array would pay the interpreted shingles3 HOF
-    // twice (measured ~2 s of the query at sf0.1 on its own). Tokens are
-    // projected BEFORE the shingle builder (the shingles3Tokens contract:
-    // the inline form re-splits the text per reference, ~7 s extra here).
+  /** Per-doc state shared by [[prefixFilterJoin]] and [[containmentJoin]]:
+    * the distinct shingles under the global (df, token) AllPairs order
+    * (`ord` structs + the bare `sh` strings), the distinct-shingle count
+    * `n`, the AllPairs prefix length `p = n − ⌈t·n⌉ + 1`, and a 128-bit
+    * set-membership MASK (`mask0`/`mask1`: each shingle sets bit
+    * xxhash64(shingle) mod 128, folded by the codegen'd bit_or aggregate).
+    *
+    * The mask is the candidate-join prefilter (r11): every common token
+    * of a pair sets its bit in BOTH masks, so bits in maskA & ~maskB are
+    * set only by tokens of A∖B and bit_count(maskA & ~maskB) ≤ |A∖B| —
+    * a NECESSARY condition for any overlap bound, evaluated as codegen'd
+    * integer ops inside the join condition BEFORE a candidate pair
+    * materializes (the measured sf10 cost was exactly the downstream
+    * distinct + array-attach + intersect work on candidates that this
+    * bound kills; see the d19 numbers in SURVEY §R11). Completeness is
+    * exact, so output is bit-identical and the oracles are unchanged.
+    *
+    * ONE shingle pass: the per-doc array sorted by (df, token) serves
+    * BOTH prefix generation (slice) and exact verification (intersect) —
+    * a separate unsorted array would pay the interpreted shingles3 HOF
+    * twice (measured ~2 s of the query at sf0.1 on its own). Tokens are
+    * projected BEFORE the shingle builder (the shingles3Tokens contract:
+    * the inline form re-splits the text per reference, ~7 s extra here).
+    * materialize=true truncates the triple lineage for batch jobs (lazy
+    * default for the same plan-inspection reason as nearDupPairs).
+    */
+  private def allPairsDocs(documents: DataFrame, num: Long, den: Long,
+      materialize: Boolean): DataFrame = {
     val tok = documents
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(shingles3Tokens(col("toks"), col("text")))).as("shingle"))
     val dfreq = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
     val docsArr0 = tok.join(dfreq, "shingle")
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(128)).cast("int"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
-        count(lit(1)).as("n"))
-      .select(col("doc_id"), col("n"), col("ord"),
+        count(lit(1)).as("n"),
+        expr("bit_or(CASE WHEN h < 64 THEN shiftleft(CAST(1 AS BIGINT), h) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("mask0"),
+        expr("bit_or(CASE WHEN h >= 64 THEN shiftleft(CAST(1 AS BIGINT), h - 64) " +
+          "ELSE CAST(0 AS BIGINT) END)").as("mask1"))
+      .select(col("doc_id"), col("n"), col("ord"), col("mask0"), col("mask1"),
         expr("transform(ord, x -> x.shingle)").as("sh"))
       // p = n − ceil(num·n/den) + 1 ≥ 1, in exact integer arithmetic
       .withColumn("p", col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
-    // consumed by both self-join sides AND verification — materialize=true
-    // truncates the triple lineage for batch jobs (lazy default for the
-    // same plan-inspection reason as nearDupPairs)
-    val docsArr = if (materialize) docsArr0.localCheckpoint(true) else docsArr0
+    if (materialize) docsArr0.localCheckpoint(true) else docsArr0
+  }
+
+  def prefixFilterJoin(documents: DataFrame, thresholdNum: Int = 4,
+      thresholdDen: Int = 5, materialize: Boolean = false): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
+      s"prefixFilterJoin: threshold $thresholdNum/$thresholdDen not in (0, 1]")
+    val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
+    // consumed by both self-join sides AND verification
+    val docsArr = allPairsDocs(documents, num, den, materialize)
     // df=1 prefix tokens are dropped AFTER posexplode (original positions
     // kept for the PPJoin bound): a globally-unique shingle can't match
     // another doc, and dropping it is completeness-safe — a qualifying
     // pair's smallest common token has df ≥ 2 and stays on both sides.
     val prefixes = docsArr
-      .selectExpr("doc_id", "n",
+      .selectExpr("doc_id", "n", "mask0", "mask1",
         "posexplode(slice(ord, 1, CAST(p AS INT))) AS (pos, o)")
       .where("o.df >= 2")
-      .selectExpr("doc_id", "n", "pos", "o.shingle AS shingle")
-    // join condition carries three progressively tighter pruning filters,
+      .selectExpr("doc_id", "n", "mask0", "mask1", "pos", "o.shingle AS shingle")
+    // join condition carries four progressively tighter pruning filters,
     // all evaluated BEFORE a pair materializes: length (min·den ≥ max·num),
     // then the PPJoin positional bound — a match at 0-based positions
     // (i, j) caps the overlap at 1 + min(na−i−1, nb−j−1), which must
@@ -719,14 +763,24 @@ object Dedup {
     // demands. Per-row filtering is safe: for a truly-similar pair the
     // bound provably holds at its FIRST common token (all other common
     // tokens sit after it in both docs), so that row always survives.
+    // Fourth, the 128-bit mask bound, both directions: Jaccard ≥ t forces
+    // |A∖B| ≤ na − α and |B∖A| ≤ nb − α, and bit_count(maskA & ~maskB)
+    // never exceeds |A∖B| (see allPairsDocs) — so either inequality
+    // failing proves the pair cannot qualify. All codegen'd integer ops.
     // Measured: 43.5k candidates → far fewer verify rows on the fixture.
+    val alphaSql =
+      s"(($num * (a.n + b.n) + ${num + den - 1}) div ${num + den})"
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * den >= col("b.n") * num &&
           col("b.n") * den >= col("a.n") * num &&
           (least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))) *
-            (num + den) >= (col("a.n") + col("b.n")) * num)
+            (num + den) >= (col("a.n") + col("b.n")) * num &&
+          expr("bit_count(a.mask0 & ~b.mask0) + bit_count(a.mask1 & ~b.mask1)")
+            .cast("long") <= col("a.n") - expr(alphaSql) &&
+          expr("bit_count(b.mask0 & ~a.mask0) + bit_count(b.mask1 & ~a.mask1)")
+            .cast("long") <= col("b.n") - expr(alphaSql))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
@@ -781,19 +835,7 @@ object Dedup {
     require(thresholdNum > 0 && thresholdNum <= thresholdDen,
       s"containmentJoin: threshold $thresholdNum/$thresholdDen not in (0, 1]")
     val (num, den) = (thresholdNum.toLong, thresholdDen.toLong)
-    val tok = documents
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(array_distinct(shingles3Tokens(col("toks"), col("text")))).as("shingle"))
-    val dfreq = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val docsArr0 = tok.join(dfreq, "shingle")
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ord"),
-        count(lit(1)).as("n"))
-      .select(col("doc_id"), col("n"), col("ord"),
-        expr("transform(ord, x -> x.shingle)").as("sh"))
-      .withColumn("p", col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1)
-    val docsArr = if (materialize) docsArr0.localCheckpoint(true) else docsArr0
+    val docsArr = allPairsDocs(documents, num, den, materialize)
     // contained role: prefix tokens only; container role: every token —
     // both sides drop df=1 shingles BEFORE exploding: a globally-unique
     // shingle exists in exactly one doc, so it can never equi-match a
@@ -803,27 +845,33 @@ object Dedup {
     // sides). The `ord` struct array carries df precisely so this filter
     // needs no re-join.
     val prefixes = docsArr
-      .selectExpr("doc_id", "n",
+      .selectExpr("doc_id", "n", "p", "mask0", "mask1",
         "posexplode(slice(ord, 1, CAST(p AS INT))) AS (pos, o)")
       .where("o.df >= 2")
-      .selectExpr("doc_id", "n", "pos", "o.shingle AS shingle")
+      .selectExpr("doc_id", "n", "p", "mask0", "mask1", "pos",
+        "o.shingle AS shingle")
     val full = docsArr
-      .selectExpr("doc_id", "n", "posexplode(ord) AS (pos, o)")
+      .selectExpr("doc_id", "n", "mask0", "mask1", "posexplode(ord) AS (pos, o)")
       .where("o.df >= 2")
-      .selectExpr("doc_id", "n", "pos", "o.shingle AS shingle")
+      .selectExpr("doc_id", "n", "mask0", "mask1", "pos", "o.shingle AS shingle")
     // positional bound, containment form: a match at 0-based positions
     // (i, j) caps the remaining common tokens at min(na−i, nb−j), which
     // must reach α = ⌈num·na/den⌉ — safe per-row because a qualifying
     // pair's FIRST common token has all α overlap tokens at or after it
     // on both sides. High-df shingles sit LATE in the df-ascending order,
     // so this prunes exactly the common-shingle matches that generate
-    // the candidate bulk.
+    // the candidate bulk. The 128-bit mask bound (see allPairsDocs) adds
+    // the contained-side miss budget: |A∖B| ≤ na − ⌈t·na⌉ = p − 1 for any
+    // qualifying pair, and bit_count(maskA & ~maskB) ≤ |A∖B| — evaluated
+    // as codegen'd integer ops before a candidate row ever materializes.
     val cand = prefixes.as("a").join(full.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") =!= col("b.doc_id") &&
           col("b.n") * den >= col("a.n") * num &&
           least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) * den >=
-            col("a.n") * num)
+            col("a.n") * num &&
+          expr("bit_count(a.mask0 & ~b.mask0) + bit_count(a.mask1 & ~b.mask1)")
+            .cast("long") <= col("a.p") - 1L)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
