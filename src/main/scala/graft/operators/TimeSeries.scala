@@ -1119,9 +1119,22 @@ object TimeSeries {
     * grand mean is the FLOOR mean μ̂ = S div n (the
     * [[autocorrelation]] convention) and group means are likewise
     * floored, so SST = Σ(x−μ̂)² and SSB = Σ n_g·(μ̂_g−μ̂)² are exact
-    * BIGINTs of a DEFINED statistic (floor-mean ANOVA) — the float
-    * form would diverge bit-wise. The η̂² permille quotient comes
-    * floored; the exact fraction rides alongside.
+    * integers of a DEFINED statistic (floor-mean ANOVA) — the float
+    * form would diverge bit-wise.
+    *
+    * The sums of squares are DECIMAL(38,0) internally and only the
+    * bounded quotients are emitted (η̂² at permille and ppm
+    * resolution, exact floor divisions of the exact sums): daily
+    * deviations grow ∝ scale, so Σdev² grows ∝ scale² — at 100×
+    * (sf10) SST crosses 2⁶³ and the r10 BIGINT form died with an ANSI
+    * ARITHMETIC_OVERFLOW (found by the r11 full-registry sf10 gate).
+    * DECIMAL(38,0) is the per-group-aggregate zone where the repo
+    * accepts decimal cost (one row per group, never per-candidate),
+    * headroom to ~10³⁸ ≈ sf10⁹, and any further overflow still fails
+    * loudly under ANSI. The ppm column keeps a strong exactness
+    * witness (a 1-unit error in either 25-digit sum flips it) while
+    * every output column stays a BIGINT the oracle can mirror without
+    * HUGEINT/DECIMAL result types.
     *
     * Scale shape: one map-side-combining daily aggregate, one 7-row
     * group frame, two broadcast joins — nothing larger than the day
@@ -1139,13 +1152,16 @@ object TimeSeries {
     val groups = daily.groupBy("dow")
       .agg(expr("sum(x) div count(1)").as("mu_g"), count(lit(1)).as("n_g"))
     val sst = daily.crossJoin(broadcast(grand))
-      .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))).as("sst"),
+      .agg(sum(expr("cast(x - mu as decimal(19,0))") *
+        expr("cast(x - mu as decimal(19,0))")).as("sst"),
         max("n").as("n_days"))
     val ssb = groups.crossJoin(broadcast(grand))
-      .agg(sum(col("n_g") * (col("mu_g") - col("mu"))
-        * (col("mu_g") - col("mu"))).as("ssb"))
+      .agg(sum(expr("cast(n_g as decimal(19,0))") *
+        expr("cast(mu_g - mu as decimal(19,0))") *
+        expr("cast(mu_g - mu as decimal(19,0))")).as("ssb"))
     sst.crossJoin(broadcast(ssb))
-      .select(col("n_days"), col("ssb"), col("sst"),
-        expr("ssb * 1000 div nullif(sst, 0)").as("eta2_permille"))
+      .select(col("n_days"),
+        expr("(ssb * 1000) div nullif(sst, 0)").as("eta2_permille"),
+        expr("(ssb * 1000000) div nullif(sst, 0)").as("eta2_ppm"))
   }
 }

@@ -916,15 +916,17 @@ private[graft] object RegistryEvents {
         |         CAST(COUNT(*) AS BIGINT) AS n_g
         |  FROM d2 GROUP BY 1
         |), sst AS (
-        |  SELECT CAST(SUM((x - mu) * (x - mu)) AS BIGINT) AS sst,
+        |  SELECT SUM(CAST(x - mu AS HUGEINT) * CAST(x - mu AS HUGEINT)) AS sst,
         |         MAX(n) AS n_days
         |  FROM d2 CROSS JOIN g
         |), ssb AS (
-        |  SELECT CAST(SUM(n_g * (mu_g - mu) * (mu_g - mu)) AS BIGINT) AS ssb
+        |  SELECT SUM(CAST(n_g AS HUGEINT) * CAST(mu_g - mu AS HUGEINT)
+        |             * CAST(mu_g - mu AS HUGEINT)) AS ssb
         |  FROM gr CROSS JOIN g
         |)
-        |SELECT n_days, ssb, sst,
-        |  ssb * 1000 // NULLIF(sst, 0) AS eta2_permille
+        |SELECT n_days,
+        |  CAST(ssb * 1000 // NULLIF(sst, 0) AS BIGINT) AS eta2_permille,
+        |  CAST(ssb * 1000000 // NULLIF(sst, 0) AS BIGINT) AS eta2_ppm
         |FROM sst CROSS JOIN ssb""".stripMargin,
     "e59_stickiness" ->
       """WITH base AS (

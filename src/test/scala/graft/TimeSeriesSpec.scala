@@ -615,9 +615,24 @@ class TimeSeriesSpec extends SparkTestBase {
         date_add(lit("1970-01-01").cast("date"), col("i")))
     val r = TimeSeries.weekdayAnova(df).collect().head
     assert(r.getLong(0) === 14L, "n_days")
-    // grand floor mean 10: SST = 2*60² + 12*10² = 8400 = SSB
-    assert(r.getLong(1) === 8400L, "ssb")
-    assert(r.getLong(2) === 8400L, "sst")
-    assert(r.getLong(3) === 1000L, "eta2 permille")
+    // grand floor mean 10: SST = 2*60² + 12*10² = 8400 = SSB exactly,
+    // so both quotients sit at their upper bounds
+    assert(r.getLong(1) === 1000L, "eta2 permille")
+    assert(r.getLong(2) === 1000000L, "eta2 ppm")
+  }
+
+  test("weekdayAnova: within-group variance lands between the bounds") {
+    // dow-0 books 40 then 20 (within-group spread), the rest 0.
+    // μ̂ = 60 div 14 = 4; SST = 36² + 16² + 12·4² = 1744;
+    // SSB = 2·(30−4)² + 12·(0−4)² = 1544.
+    val df = (0 until 14)
+      .map(d => (d, if (d == 0) 40.0 else if (d == 7) 20.0 else 0.0))
+      .toDF("i", "o_totalprice")
+      .withColumn("o_orderdate",
+        date_add(lit("1970-01-01").cast("date"), col("i")))
+    val r = TimeSeries.weekdayAnova(df).collect().head
+    assert(r.getLong(0) === 14L, "n_days")
+    assert(r.getLong(1) === 1544L * 1000L / 1744L, "eta2 permille")
+    assert(r.getLong(2) === 1544L * 1000000L / 1744L, "eta2 ppm")
   }
 }
