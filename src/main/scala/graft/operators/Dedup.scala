@@ -896,41 +896,120 @@ object Dedup {
     * single-token substitutions — pairs whose shingle Jaccard can be low
     * because one edited character kills every shingle crossing it.
     *
-    * Candidate generation is the pigeonhole partition scheme of
-    * PassJoin (Li, Deng, Wang, Feng, 2011): split each indexed string
-    * into k+1 contiguous segments. An alignment with ≤ k edits can touch
-    * at most k segments, so at least one segment survives UNEDITED and
-    * appears verbatim in the other string at a start position shifted by
-    * at most k (the net insertion/deletion drift is bounded by the edit
-    * count). Each document therefore indexes its k+1 segments and probes
-    * with its O(k²) shifted substrings; candidates come from ONE
-    * equi-join on (segment_index, substring) — a hash shuffle, never a
-    * cartesian. (PassJoin's multi-match-aware selection tightens the ±k
-    * shift window per side; the symmetric ±k window kept here is strictly
-    * larger, so completeness is preserved at a small candidate premium.)
+    * Candidate generation is a TWO-SURVIVING-SEGMENT pigeonhole
+    * (PartEnum-style double signature over PassJoin-style contiguous
+    * segments; Arasu, Ganti, Kaushik 2006 / Li, Deng, Wang, Feng 2011):
+    * split each string into k+2 contiguous segments. An alignment with
+    * ≤ k edits touches at most k segments, so at least TWO survive
+    * UNEDITED and appear verbatim in the other string, each at a start
+    * position shifted by the net indel drift before it — for surviving
+    * segments i < j the shifts satisfy |s₁| + |s₂−s₁| ≤ k (disjoint op
+    * sets bound each drift leg). Each document therefore indexes its
+    * C(k+2, 2) zero-shift SEGMENT-PAIR keys and probes with the ≤ 41
+    * (k=4) feasible shift combinations per pair; candidates come from
+    * ONE equi-join on (i, j, seg_i ⧺ seg_j) — a hash shuffle, never a
+    * cartesian.
+    *
+    * Why the pair key, not PassJoin's single-segment key (r11, found by
+    * the full-registry sf10 gate): a single ~L/(k+1)-char segment of
+    * vocabulary text is Zipf-HOT — at sf10 (500k docs) the most common
+    * 7-char first-segment appeared in 19,008 docs and the single-segment
+    * join's matched-row volume measured ≈ 28 BILLION (Σ df² ≈ 3.1e9 per
+    * probe shift) — an asymptotic n² with the hot-key df ∝ n, OOM at any
+    * heap. The concatenated two-segment key (~11 chars) is the
+    * combination-banding lesson from d23/m3 applied to edit distance:
+    * measured at the same corpus, join volume 643M rows (43× less), max
+    * key multiplicity 3,105 vs 19,008, and the fused verify below keeps
+    * the surviving-pair distinct to true matches only.
     *
     * Only documents with at least `prefixLen` characters participate —
     * the key is then exactly `prefixLen` chars on every side, which keeps
-    * the equal-length form of the pigeonhole argument (no per-length
-    * probe fan-out) and matches the oracle's identical WHERE clause.
+    * the equal-length form of the pigeonhole argument (infeasible shifts
+    * that would run past either end are pruned at plan build) and
+    * matches the oracle's identical WHERE clause.
     *
-    * Scale: probe fan-out is ≤ (k+1)(2k+1) rows per doc (a constant),
-    * the join key (segment_index, 6-7 char substring) is fine-grained,
-    * and verification runs one codegen'd `levenshtein` per surviving
-    * candidate — work ∝ corpus + collisions, the same contract as the
-    * other prefix-filter joins.
+    * VERIFY-INLINE (the s17 lesson): both join sides carry their 32-char
+    * string, the codegen'd banded `levenshtein(·,·,k)` runs directly on
+    * the matched-row stream, and only TRUE pairs reach the final
+    * distinct — no intermediate candidate-pair materialization, no
+    * distinct over hundreds of millions of candidate slots, no re-join
+    * to attach strings. Work ∝ corpus + key collisions; the heaviest
+    * state is the spillable (i, j, pair-key) shuffle.
     */
   def editDistanceJoin(documents: DataFrame, k: Int = 4,
       prefixLen: Int = 32): DataFrame = {
-    val (docs, cand) = editDistancePrune(documents, k, prefixLen)
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+    editDistanceMatches(documents, k, prefixLen)
       .withColumn("dist",
         levenshtein(col("s_a"), col("s_b"), k).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The matched-row stream of [[editDistanceJoin]]'s two-segment
+    * pigeonhole join, pre-verify and pre-distinct: one row per
+    * (probe, index) key collision with id-ordered doc ids and both
+    * 32-char strings aboard. Shared by the fused join and the pruning
+    * probe.
+    */
+  private def editDistanceMatches(documents: DataFrame, k: Int,
+      prefixLen: Int): DataFrame = {
+    require(k >= 1, s"editDistanceJoin: k=$k must be >= 1")
+    val nSeg = k + 2
+    require(prefixLen >= 2 * nSeg,
+      s"editDistanceJoin: prefixLen=$prefixLen too short for k=$k (needs ${2 * nSeg})")
+    val base = prefixLen / nSeg
+    val rem = prefixLen % nSeg
+    def segStart(i: Int): Int = i * base + math.min(i, rem) // 0-based
+    def segLen(i: Int): Int = segStart(i + 1) - segStart(i)
+    val combos = (0 until nSeg).combinations(2).map { c => (c(0), c(1)) }.toSeq
+    // |s₁| + |s₂−s₁| ≤ k: ops before segment i bound the first drift,
+    // ops between i and j the second, and the op sets are disjoint
+    val shiftPairs = for {
+      s1 <- -k to k; s2 <- -k to k
+      if math.abs(s1) + math.abs(s2 - s1) <= k
+    } yield (s1, s2)
+    val docs = documents
+      .filter(length(col("text")) >= prefixLen)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
+    def pairKey(pi: Int, li: Int, pj: Int, lj: Int) = concat(
+      substring(col("s"), pi + 1, li), lit(""),
+      substring(col("s"), pj + 1, lj))
+    val idx = docs.select(col("doc_id"), col("s"),
+      explode(array(combos.map { case (i, j) =>
+        struct(lit(i).as("i"), lit(j).as("j"),
+          pairKey(segStart(i), segLen(i), segStart(j), segLen(j)).as("sub"))
+      }: _*)).as("g"))
+      .select(col("doc_id"), col("s"),
+        col("g.i").as("i"), col("g.j").as("j"), col("g.sub").as("sub"))
+    // one union branch per combo keeps each explode at ≤ 41 literal
+    // substring pairs — small enough for whole-stage codegen, and the
+    // per-doc array_distinct stays local (on self-similar text several
+    // shifts yield the same pair key; each duplicate would multiply the
+    // join's matched rows for no new pair)
+    val probes = combos.map { case (i, j) =>
+      val arms = shiftPairs.flatMap { case (s1, s2) =>
+        val pi = segStart(i) + s1; val pj = segStart(j) + s2
+        if (pi >= 0 && pi + segLen(i) <= prefixLen &&
+            pj >= 0 && pj + segLen(j) <= prefixLen)
+          Some(pairKey(pi, segLen(i), pj, segLen(j)))
+        else None
+      }
+      docs.select(col("doc_id"), col("s"), lit(i).as("i"), lit(j).as("j"),
+        explode(array_distinct(array(arms: _*))).as("sub"))
+    }.reduce(_ union _)
+    // probe×index orientation covered both ways by construction (every
+    // doc both indexes and probes), so id-ordering downstream yields each
+    // unordered pair; strings ride both sides so the verify needs no
+    // re-join (levenshtein is symmetric — s_a/s_b need no swap)
+    probes.as("a").join(idx.as("b"),
+        col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
+          col("a.sub") === col("b.sub") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
   }
 
   /** Candidate pairs of [[editDistanceJoin]]'s pigeonhole stage — also
@@ -939,44 +1018,11 @@ object Dedup {
     */
   private[graft] def editDistancePrune(documents: DataFrame, k: Int,
       prefixLen: Int): (DataFrame, DataFrame) = {
-    require(k >= 1, s"editDistanceJoin: k=$k must be >= 1")
-    require(prefixLen >= 2 * (k + 1),
-      s"editDistanceJoin: prefixLen=$prefixLen too short for k=$k segments")
-    val nSeg = k + 1
-    val base = prefixLen / nSeg
-    val rem = prefixLen % nSeg
-    def segStart(i: Int): Int = i * base + math.min(i, rem) // 0-based
     val docs = documents
       .filter(length(col("text")) >= prefixLen)
       .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
-    val segs = docs.select(col("doc_id"),
-      explode(array((0 until nSeg).map { i =>
-        val st = segStart(i); val len = segStart(i + 1) - st
-        struct(lit(i).as("i"), substring(col("s"), st + 1, len).as("sub"))
-      }: _*)).as("g"))
-      .select(col("doc_id"), col("g.i").as("i"), col("g.sub").as("sub"))
-    // array_distinct before the explode: on repetitive text the same
-    // substring recurs at several positions inside one ±k window, and
-    // each duplicate multiplies the join's pre-distinct match rows for
-    // no new candidate — the dedup is lossless (candidate SET unchanged)
-    // and bounds the worst-case match fan-out on pathological inputs
-    val probes = docs.select(col("doc_id"),
-      explode(array_distinct(array((0 until nSeg).flatMap { i =>
-        val st = segStart(i); val len = segStart(i + 1) - st
-        val lo = math.max(0, st - k); val hi = math.min(prefixLen - len, st + k)
-        (lo to hi).map(q =>
-          struct(lit(i).as("i"), substring(col("s"), q + 1, len).as("sub")))
-      }: _*))).as("g"))
-      .select(col("doc_id"), col("g.i").as("i"), col("g.sub").as("sub"))
-    // probe×index orientation covered both ways by construction (every
-    // doc both indexes and probes), so least/greatest normalization plus
-    // distinct yields each unordered candidate pair once
-    val cand = probes.as("a").join(segs.as("b"),
-        col("a.i") === col("b.i") && col("a.sub") === col("b.sub") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cand = editDistanceMatches(documents, k, prefixLen)
+      .select("doc_a", "doc_b").distinct()
     (docs, cand)
   }
 
