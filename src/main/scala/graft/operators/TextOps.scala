@@ -922,9 +922,15 @@ object TextOps {
     *   term_score_e4 = ⌊10⁴ · (2N−2df+1) · tf · 22·Tt
     *                   ÷ ((2df+1) · (10·tf·Tt + 3·Tt + 9·dl·N))⌋
     *
-    * — pure int64 arithmetic (fits through sf 1: ~9·10¹⁷ < 2⁶³), identical
-    * on every engine, no FP log/division whose last ulp differs across
-    * libm implementations.
+    * — exact integer arithmetic, identical on every engine, no FP
+    * log/division whose last ulp differs across libm implementations.
+    * The polynomial INTERMEDIATES accumulate in DECIMAL(38,0): the r11
+    * full-registry sf10 gate caught the r10 int64 form overflowing at
+    * 100× (the numerator carries N·Tt ≈ 10¹⁴ at sf10 before the
+    * divide — its own sf1 headroom note had said exactly this would
+    * happen). The QUOTIENT is BIGINT-bounded at any scale
+    * (≤ 10⁴·(k1+1)·idf′ ∝ N alone), so the output schema is unchanged
+    * and the oracle mirrors with HUGEINT internals.
     *
     * Scale shape: the postings scan filters to the QUERY TERMS before any
     * shuffle (the tf aggregate moves ∝ matching postings, not the corpus);
@@ -951,10 +957,11 @@ object TextOps {
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
       .withColumn("term_score_e4",
-        expr("""10000 * (2 * n_docs - 2 * df + 1) * tf * 22 * total_tokens
+        expr("""cast(10000 as decimal(38,0))
+                  * (2 * n_docs - 2 * df + 1) * tf * 22 * total_tokens
                 DIV ((2 * df + 1)
-                     * (10 * tf * total_tokens + 3 * total_tokens
-                        + 9 * dl * n_docs))"""))
+                     * (cast(10 as decimal(38,0)) * tf * total_tokens
+                        + 3 * total_tokens + 9 * dl * n_docs))"""))
     val byDoc = scored.groupBy("doc_id")
       .agg(sum(col("term_score_e4")).as("score_e4"),
         count(lit(1)).as("n_terms_hit"))

@@ -700,15 +700,18 @@ object TimeSeries {
     *
     * Exactness: ACF's mean-centering is rational (μ = S/n), so instead
     * of floats the operator centers on the FLOOR mean μ̂ = S div n
-    * (identical integer in both engines, S ≥ 0) and reports the exact
-    * integer numerator Σ d_t·d_{t+k} and denominator Σ d_t² — the
-    * reader's ratio is the (μ̂-centered) ACF. No division ever happens,
-    * so there is no floor-vs-truncate cross-engine hazard on the
-    * possibly-NEGATIVE numerators. Daily sums are whole dollars: at
-    * sf0.1 deviations are ~10⁶–10⁷, so Σd² ≈ 10¹⁶ sits comfortably in
-    * BIGINT (the cents rendering would graze the 2⁶³ bound at sf10 —
-    * documented trade, dollars keep the statistic BIGINT-exact to
-    * ~sf10³).
+    * (identical integer in both engines, S ≥ 0). The numerator
+    * Σ d_t·d_{t+k} and denominator Σ d_t² accumulate in DECIMAL(38,0)
+    * and only the bounded quotients ship: ρ̂ at permille and ppm
+    * resolution, exact truncating divisions of the exact sums (Spark
+    * `div` and DuckDB `//` both truncate toward zero on negatives —
+    * re-verified for HUGEINT, so the possibly-NEGATIVE numerators are
+    * engine-exact). The r10 form emitted the raw BIGINT sums and the
+    * r11 full-registry sf10 gate caught Σd² crossing 2⁶³ at 100×
+    * (deviations grow ∝ scale, squares ∝ scale² — the e58 class; its
+    * own scaladoc had mis-estimated the headroom as ~sf10³). Same
+    * resolution contract as [[weekdayAnova]]: a 1-unit error in either
+    * 25-digit sum flips the ppm column.
     *
     * Lag pairing is BY CALENDAR DAY (b.day = a.day + k), not by row
     * offset, so a missing day drops its pairs identically in both
@@ -732,7 +735,8 @@ object TimeSeries {
     val mu = daily.agg(expr("sum(x) div count(1)").as("mu"))
     val dev = daily.crossJoin(broadcast(mu))
       .select(col("day"), (col("x") - col("mu")).as("d"))
-    val den = dev.agg(sum(col("d") * col("d")).as("den"))
+    val den = dev.agg(sum(expr("cast(d as decimal(19,0))") *
+      expr("cast(d as decimal(19,0))")).as("den"))
     val future = dev.select(col("day").as("f_day"), col("d").as("f_d"))
     dev
       .select(explode(expr(s"sequence(1L, ${maxLag}L)")).as("lag"),
@@ -740,9 +744,12 @@ object TimeSeries {
       .join(broadcast(future), col("f_day") === col("day") + col("lag"))
       .groupBy("lag")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("d") * col("f_d")).as("num"))
+        sum(expr("cast(d as decimal(19,0))") *
+          expr("cast(f_d as decimal(19,0))")).as("num"))
       .crossJoin(broadcast(den))
-      .select(col("lag"), col("n_pairs"), col("num"), col("den"))
+      .select(col("lag"), col("n_pairs"),
+        expr("(num * 1000) div nullif(den, 0)").as("rho_permille"),
+        expr("(num * 1000000) div nullif(den, 0)").as("rho_ppm"))
       .orderBy("lag")
   }
 

@@ -612,11 +612,14 @@ private[graft] object RegistryEvents {
         |  GROUP BY 1
         |), m AS (SELECT SUM(x) // COUNT(*) AS mu FROM daily),
         |dev AS (SELECT day, x - mu AS d FROM daily CROSS JOIN m),
-        |den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dev),
+        |den AS (SELECT SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS den
+        |        FROM dev),
         |k AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag)
         |SELECT k.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |       CAST(SUM(a.d * b.d) AS BIGINT) AS num,
-        |       CAST(MAX(den.den) AS BIGINT) AS den
+        |       CAST(SUM(CAST(a.d AS HUGEINT) * CAST(b.d AS HUGEINT)) * 1000
+        |            // NULLIF(MAX(den.den), 0) AS BIGINT) AS rho_permille,
+        |       CAST(SUM(CAST(a.d AS HUGEINT) * CAST(b.d AS HUGEINT)) * 1000000
+        |            // NULLIF(MAX(den.den), 0) AS BIGINT) AS rho_ppm
         |FROM dev a JOIN k ON TRUE JOIN dev b ON b.day = a.day + k.lag
         |CROSS JOIN den
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -413,7 +413,7 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(got === Map("A" -> 1L, "B" -> 0L, "C" -> 0L))
   }
 
-  test("autocorrelation: exact num/den on an alternating series, same-day orders pre-summed") {
+  test("autocorrelation: exact quotients on an alternating series, same-day orders pre-summed") {
     // days 0..3 with daily dollars 10,20,10,20 (day 0 arrives as 4+6):
     // mu = 60 div 4 = 15, d = (-5, 5, -5, 5), den = 100
     val orders = Seq(
@@ -425,9 +425,10 @@ class TimeSeriesSpec extends SparkTestBase {
     ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
     val got = TimeSeries.autocorrelation(orders).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(got(1L) === ((3L, -75L, 100L)), "lag 1: three pairs of -25")
-    assert(got(2L) === ((2L, 50L, 100L)), "lag 2: two pairs of +25")
-    assert(got(3L) === ((1L, -25L, 100L)))
+    assert(got(1L) === ((3L, -750L, -750000L)),
+      "lag 1: num -75, den 100 -> -750 permille")
+    assert(got(2L) === ((2L, 500L, 500000L)), "lag 2: num +50")
+    assert(got(3L) === ((1L, -250L, -250000L)))
     assert(!got.contains(4L), "no day pairs 4 apart -> lag absent, not zero")
   }
 
@@ -440,9 +441,12 @@ class TimeSeriesSpec extends SparkTestBase {
     ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
     val got = TimeSeries.autocorrelation(orders).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(got(1L) === ((1L, -21L, 67L)), "only (day0, day1) is 1 apart")
-    assert(got(2L) === ((1L, -21L, 67L)), "(day1, day3) pairs at lag 2, not lag 1")
-    assert(got(3L) === ((1L, 9L, 67L)))
+    // -21000 div 67 TRUNCATES toward zero (-313, not floor -314) — the
+    // engine-semantics case the permille columns must pin
+    assert(got(1L) === ((1L, -313L, -313432L)), "only (day0, day1) is 1 apart")
+    assert(got(2L) === ((1L, -313L, -313432L)),
+      "(day1, day3) pairs at lag 2, not lag 1")
+    assert(got(3L) === ((1L, 134L, 134328L)))
   }
 
   test("autocorrelation: maxLag = 0 is rejected (sequence(1, 0) descends)") {
