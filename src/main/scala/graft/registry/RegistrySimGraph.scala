@@ -719,10 +719,12 @@ private[graft] object RegistrySimGraph {
         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
         |), scored AS (
         |  SELECT tf.doc_id,
-        |    10000 * (2 * s.n_docs - 2 * df.df + 1) * tf.tf * 22 * s.total_tokens
+        |    CAST(CAST(10000 AS HUGEINT)
+        |         * (2 * s.n_docs - 2 * df.df + 1) * tf.tf * 22 * s.total_tokens
         |    // ((2 * df.df + 1)
-        |        * (10 * tf.tf * s.total_tokens + 3 * s.total_tokens
-        |           + 9 * tf.dl * s.n_docs)) AS term_score_e4
+        |        * (CAST(10 AS HUGEINT) * tf.tf * s.total_tokens
+        |           + 3 * s.total_tokens
+        |           + 9 * tf.dl * s.n_docs)) AS BIGINT) AS term_score_e4
         |  FROM tf JOIN df USING (term), stats s
         |), agg AS (
         |  SELECT doc_id, CAST(SUM(term_score_e4) AS BIGINT) AS score_e4
