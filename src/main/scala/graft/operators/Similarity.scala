@@ -314,14 +314,38 @@ object Similarity {
     * with no quality loss — and the same greedy, closure-free
     * representative rule [[dedupByEmbedding]] uses.
     *
-    * Scale shape — the whole point of the cluster partition: the pairwise
-    * cosine runs WITHIN clusters only, so with k ≈ √N balanced clusters the
-    * candidate set is Σ|cluster|² ≈ N·√N, never the N² all-pairs join (and
-    * each cluster's block is an independent shuffle partition — no skew
-    * coupling). The centroid table broadcasts; the corpus shuffles once on
-    * the cluster key. Zero-norm vectors score NaN and `NaN >= minScore` is
-    * false, so they are never dropped and never drop others (the
-    * [[rankedByCosine]] guard).
+    * Scale shape — the whole point of the cluster partition is BOUNDED
+    * pair blocks, and a fixed centroid count cannot bound them: with k
+    * fixed, |cluster| ∝ N and the within-cluster join is N²/k — the r11
+    * full-registry 100× gate caught exactly that (10 label centroids at
+    * 200k vectors = 2·10⁹ candidate pairs, one straggler task per
+    * cluster). So each centroid cluster is further split into
+    * CORPUS-PROPORTIONAL SUB-CELLS, the SemDedup-paper move (its k-means
+    * k is chosen to cap cluster size, not fixed): kSub =
+    * ⌈|cluster|/targetCell⌉ seed vectors are chosen content-addressed
+    * (smallest (md5(vec_id), vec_id) — deterministic, engine-mirrorable,
+    * no RNG), every vector assigns to its nearest seed by EXACT integer
+    * micro-unit squared L2 ([[graft.functions.LongSqDist]], ties to the
+    * smaller seed id), and the pairwise cosine runs within (cluster,
+    * sub) only. Cell size ≈ targetCell by construction, so candidates
+    * are ≈ N·targetCell/2 — linear in N — and the ~N/targetCell cells
+    * spread across the shuffle instead of one task per label. kSub = 1
+    * through every sf ≤ 1 driver scale (clusters ≤ ~2000 rows), where
+    * ANY seed choice yields the single-cell partition — those gates stay
+    * bit-identical to the pre-split form. Near-dups straddling a seed
+    * boundary are missed, exactly as label-cluster SemDeDup misses
+    * cross-cluster pairs: the approximation contract is unchanged in
+    * kind, and the oracle re-derives the same cells, so the check stays
+    * exact. The seed rank is a per-cluster window over a NARROW
+    * (cluster, md5, vec_id) projection — trivial at any driver scale; at
+    * extreme scale the standard refinement is a deterministic hash-cut
+    * oversample (rank only the ~8·kSub rows with md5 mod 256 = 0) that
+    * bounds the sorted set, kept out of scope here because the projected
+    * sort is not measurable next to the pair join it bounds.
+    *
+    * Zero-norm vectors score NaN and `NaN >= minScore` is false, so they
+    * are never dropped and never drop others (the [[rankedByCosine]]
+    * guard).
     *
     * Emits every clustered vector with its verdict (`kept`, plus the
     * smallest-id duplicate that condemned it) rather than only survivors —
@@ -329,17 +353,40 @@ object Similarity {
     * view.
     */
   def semDedup(embeddings: DataFrame, minScore: Double = 0.35,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, targetCell: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assign = nearestCentroid(embeddings, dim)
       .select(col("vec_id"), col("label_assigned").as("cluster"))
     val e = embeddings.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), microUnits.as("xs"))
       .join(assign, "vec_id")
-    val a = e.select(col("cluster"), col("vec_id").as("u"),
+    // Content-addressed seed selection: rank each cluster by
+    // (md5(vec_id), vec_id) over the narrow projection, keep the first
+    // kSub = ceil(nc / targetCell) rows as that cluster's seeds.
+    val ranked = e
+      .select(col("cluster"), col("vec_id"), col("xs"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))))
+    val seeds = ranked
+      .filter(col("r") <= expr(s"(nc + ${targetCell - 1}) div $targetCell"))
+      .select(col("cluster"), col("vec_id").as("seed_id"),
+        col("xs").as("sxs"))
+    // Nearest-seed assignment: exact integer sqdist, ties to the smaller
+    // seed id — the same argmin discipline as nearestCentroid. The seed
+    // table is ~N/targetCell rows — the intentionally-small broadcast side.
+    val sub = e.join(broadcast(seeds), Seq("cluster"))
+      .select(col("vec_id"),
+        col("seed_id"), longSqDist(col("xs"), col("sxs")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(col("seed_id"), struct(col("d2"), col("seed_id"))).as("sub"))
+    val ec = e.join(sub, "vec_id")
+    val a = ec.select(col("cluster"), col("sub"), col("vec_id").as("u"),
       col("embedding").as("emb_u"))
-    val b = e.select(col("cluster"), col("vec_id").as("v"),
+    val b = ec.select(col("cluster"), col("sub"), col("vec_id").as("v"),
       col("embedding").as("emb_v"))
-    val dropped = a.join(b, Seq("cluster"))
+    val dropped = a.join(b, Seq("cluster", "sub"))
       .filter(col("u") < col("v"))
       .select(col("v"),
         col("u"),

@@ -465,7 +465,9 @@ private[graft] object RegistryDedup {
         |  SELECT vec_id, label,
         |         list_transform(embedding,
         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xs,
-        |         CAST(embedding AS DOUBLE[]) AS de
+        |         CAST(embedding AS DOUBLE[]) AS de,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS nrm
         |  FROM embeddings WHERE embedding IS NOT NULL
         |), s AS (
         |  SELECT label, unnest(xs) AS v,
@@ -485,13 +487,31 @@ private[graft] object RegistryDedup {
         |  SELECT vec_id, c_label AS cluster FROM dist
         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
         |                             ORDER BY dist2, c_label) = 1
+        |), cnt AS (
+        |  SELECT cluster, COUNT(*) AS nc FROM assign GROUP BY cluster
+        |), seeds AS (
+        |  SELECT a.cluster, a.vec_id AS seed_id, e.xs AS sxs
+        |  FROM assign a JOIN e ON e.vec_id = a.vec_id JOIN cnt USING (cluster)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.cluster
+        |      ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id)
+        |    <= (cnt.nc + 2047) // 2048
+        |), subassign AS (
+        |  SELECT a.vec_id, a.cluster, s.seed_id AS sub
+        |  FROM assign a JOIN e ON e.vec_id = a.vec_id
+        |  JOIN seeds s ON s.cluster = a.cluster
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |    ORDER BY CAST(list_sum(list_transform(generate_series(1, len(e.xs)),
+        |      i -> (e.xs[i] - s.sxs[i]) * (e.xs[i] - s.sxs[i]))) AS BIGINT),
+        |      s.seed_id) = 1
         |), pair AS (
+        |  -- per-vector norms hoisted into e (bit-identical: the same
+        |  -- sqrt(list_dot_product(de, de)) expression, computed once per
+        |  -- vector instead of once per candidate pair)
         |  SELECT a.vec_id AS u, b.vec_id AS v,
         |    ROUND(list_dot_product(eu.de, ev.de)
-        |      / (sqrt(list_dot_product(eu.de, eu.de))
-        |         * sqrt(list_dot_product(ev.de, ev.de))), 6) AS score
-        |  FROM assign a JOIN assign b
-        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |      / (eu.nrm * ev.nrm), 6) AS score
+        |  FROM subassign a JOIN subassign b
+        |    ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
         |  JOIN e eu ON eu.vec_id = a.vec_id
         |  JOIN e ev ON ev.vec_id = b.vec_id
         |), dropped AS (
