@@ -36,6 +36,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Let AQE re-plan the output partitioning of cached plans (default
+      // false). The iterative operators pin loop invariants with
+      // .cache(); without this, the cached relation keeps the static
+      // shuffle partition count and every iteration scans it at that
+      // width — measured at sf0.1 (r11 StatsProbe): g1_pagerank 216→81
+      // tasks, task time 121→52 s; g4/g5/g6/g11 tasks −60%, task time
+      // −50%. At production scale the same flag sizes cached partitions
+      // from actual bytes (advisory size) instead of a static count —
+      // scale-adaptive in both directions, not a local[32] tune.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The ~21 whitelisted bounded-domain global windows each emit a

@@ -13,8 +13,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * columns into the scan (verified via `.explain` in the test suite).
   */
 object Tables {
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred parquet schema per file path, memoized for the life of the
+    * JVM (r11 optimization-round measurement: every `spark.read.parquet`
+    * call re-runs footer schema inference — a driver-side listing + footer
+    * read that costs 50-300 ms per table reference, ×329 queries ×1-4
+    * tables each in a bench run). The cache holds METADATA ONLY (a
+    * StructType derived from the parquet footer, no rows, no results), is
+    * scoped to the process, and is keyed by absolute path, so every
+    * bench/verify invocation still computes everything from the parquet
+    * inputs; a driver-regenerated fixture with a different physical type
+    * lands in a fresh JVM and re-infers. Type-adaptive loaders (`events`)
+    * branch on the cached type exactly as they branched on the inferred
+    * one.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** `events.ts` has shipped as two different parquet logical types across
     * fixture generations — TIMESTAMP(NANOS) originally, TIMESTAMP(MICROS,

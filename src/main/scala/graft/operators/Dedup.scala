@@ -546,8 +546,12 @@ object Dedup {
     // appears exactly once (max per-node dst count == 1 ⟺ the old
     // count == countDistinct(dst)) AND no node is both a root and a
     // member (zero nodes with src>0 && dst>0 ⟺ the old semi-join check).
-    // The previous form ran an agg action PLUS a semi-join isEmpty action
-    // per round — two extra driver round-trips on top of the checkpoint.
+    // (r11 note: a fused variant that checkpointed one shared per-node
+    // stats frame for BOTH this check and largeStar's min table was
+    // measured SLOWER at sf0.1 — the extra per-round materialization and
+    // the lost in-plan bidir exchange reuse cost more than the saved
+    // pass; the in-plan reuse already keeps the round at one bidir
+    // shuffle. Rejected, keep this shape.)
     def isStarForest(df: DataFrame): Boolean = {
       val roles = df.select(col("src").as("node"), lit(1).as("as_src"), lit(0).as("as_dst"))
         .union(df.select(col("dst").as("node"), lit(0).as("as_src"), lit(1).as("as_dst")))
@@ -567,7 +571,12 @@ object Dedup {
       bidir.join(m, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("src"), col("v").as("dst")) // m ≤ u < v
-        .distinct()
+      // no trailing distinct (r11 optimization round): output is ≤ |E|
+      // rows pre-dedup (one per directed v > u appearance; duplicates
+      // only where different u map to the same m), smallStar's
+      // groupBy-min absorbs them and its own distinct dedups the round's
+      // output — dropping the exchange removes one full |E| shuffle per
+      // round without changing the round's result set.
     }
 
     def smallStar(cur: DataFrame): DataFrame = {

@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, count,
-  explode, expr, lit, max, min, row_number, struct, sum, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col,
+  collect_list, collect_set, count, explode, expr, lit, max, min, posexplode, row_number,
+  size, sort_array, struct, sum, when}
 
 /** Iterative graph ranking over edge tables (the crawl-frontier /
   * entity-importance tier of a training-data pipeline: PageRank over the
@@ -55,19 +56,22 @@ object GraphOps {
       materialize: Boolean = false,
       maxBasket: Int = Int.MaxValue,
       vertexMod: Long = 1L): DataFrame = {
-    val opAll = {
-      val base = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      (if (vertexMod > 1L) base.filter(col("p") % vertexMod === 0L) else base).distinct()
+    // r11: basket-array edge build (see orderBaskets) — the maxBasket cap
+    // becomes a size() filter on the aggregated array instead of a
+    // count-per-order window (the window re-shuffled and sorted the
+    // whole (o, p) projection; size() is free on the already-built
+    // basket), and pair generation is a task-local suffix explode
+    // instead of an o-keyed self-join. Same rows by construction.
+    val filtered = {
+      val base = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      if (vertexMod > 1L) base.filter(col("l_partkey") % vertexMod === 0L) else base
     }
-    val op =
-      if (maxBasket == Int.MaxValue) opAll
-      else opAll
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("o")))
-        .filter(col("n") <= maxBasket)
-        .drop("n")
-    val e0raw = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val baskets0 = orderBaskets(filtered)
+    val baskets =
+      if (maxBasket == Int.MaxValue) baskets0
+      else baskets0.filter(size(col("ps")) <= maxBasket)
+    val e0raw = basketPairs(baskets)
+      .select(col("src").as("u"), col("dst").as("v")).distinct()
     // consumed by degree agg, orientation, AND the closing-edge join
     val e = if (materialize) e0raw.localCheckpoint(true) else e0raw
     val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
@@ -165,20 +169,44 @@ object GraphOps {
     final1.unionAll(final2).orderBy("node")
   }
 
+  /** Per-order sorted distinct part arrays — the shared first stage of
+    * every co-purchase derivation (r11 optimization round). One keyed
+    * aggregate with map-side partial `collect_set`, so the shuffle
+    * carries ≈ the distinct (order, part) pairs once; the previous
+    * shape (`distinct()` then an o-keyed self-join) paid an extra
+    * exchange for the distinct AND re-shuffled both join sides by `o`
+    * — guide §2.4 (remove shuffles outright: two operations keyed the
+    * same way share one exchange when the key is established once).
+    * Pair/triple enumeration then happens task-locally by exploding
+    * ordered array suffixes — identical row multiset to the o-equi-join
+    * (the array is sorted + distinct, so suffix pairs ARE the p1 < p2
+    * pairs), with the same per-order skew bound (a b-item basket expands
+    * b²/2 inside one task either way).
+    */
+  private def orderBaskets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** All p1 < p2 co-occurrence pairs per basket, task-local (no join):
+    * posexplode each element, pair it with every later element of the
+    * sorted array. Emits exactly the rows of the old o-keyed self-join.
+    */
+  private def basketPairs(baskets: DataFrame): DataFrame =
+    baskets
+      .select(posexplode(col("ps")).as(Seq("i", "src")), col("ps"))
+      .select(col("src"), explode(expr("slice(ps, i + 2, size(ps))")).as("dst"))
+
   /** Support-pruned co-purchase edge list (src < dst): parts co-occurring
     * in ≥ `minSupport` distinct orders. Shared by [[coPurchaseComponents]]
     * and [[bfsHops]]' demo so both graph queries walk the SAME graph.
     */
-  def coPurchaseEdges(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
-    val op = lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+  def coPurchaseEdges(lineitem: DataFrame, minSupport: Long = 2L): DataFrame =
+    basketPairs(orderBaskets(lineitem))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSupport)
       .select("src", "dst")
-  }
 
   /** DEGREE DISTRIBUTION of the support-pruned co-purchase graph — the
     * first diagnostic run on any production graph: a heavy-tailed
@@ -319,21 +347,35 @@ object GraphOps {
     */
   def frequentTriples(lineitem: DataFrame, minSupport: Long = 2L,
       maxBasket: Int = 8, k: Int = 50): DataFrame = {
-    val opAll = lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val capped = opAll
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("o")))
-      .filter(col("n") <= maxBasket)
-      .drop("n")
-    // a-priori item prune: pure optimization (downward closure), absent
-    // from the oracle on purpose — results are identical with or without.
-    val freqItems = capped.groupBy("p").agg(count(lit(1)).as("s"))
-      .filter(col("s") >= minSupport).select("p")
-    val op = capped.join(broadcast(freqItems), "p").localCheckpoint(true)
-    op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .join(op.as("c"), col("b.o") === col("c.o") && col("b.p") < col("c.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"), col("c.p").as("p3"))
+    // r11: basket arrays (see orderBaskets) — the cap is a size() filter
+    // on the aggregated array (the old count-per-order window re-sorted
+    // the whole (o, p) projection), and triple enumeration is two chained
+    // task-local suffix explodes over the sorted array instead of a
+    // THREE-way o-keyed self-join (two shuffles of the fact projection
+    // gone). Same triples by construction: the array is sorted+distinct,
+    // so suffix chains ARE the p1 < p2 < p3 combinations, once each.
+    // The r10 shape also ran an a-priori item prune (downward closure,
+    // optimization-only, absent from the oracle). With the basket cap in
+    // place it no longer pays: triple volume is already ≤ C(cap, 3) per
+    // order (linear in orders at every scale), the prune removes almost
+    // nothing on a dense co-purchase corpus (avg item support ≫
+    // minSupport), and the array-side formulations all cost more than
+    // they save — measured r11: array_intersect against the ~20k-item
+    // frequent-set array is O(rows × |set|) because ArrayIntersect
+    // rebuilds the probe hash set per row (g9 2.3 s → 166 s, reverted);
+    // the explode + broadcast-semi-join + regroup form re-pays the
+    // groupBy(o) exchange the basket build exists to avoid. Map-side
+    // partial aggregation of the (p1,p2,p3) counts already collapses
+    // sub-threshold triples before the shuffle.
+    val capped = orderBaskets(lineitem)
+      .filter(size(col("ps")) >= 3 && size(col("ps")) <= maxBasket)
+    capped
+      .select(posexplode(col("ps")).as(Seq("i", "p1")), col("ps"))
+      .select(col("p1"), expr("slice(ps, i + 2, size(ps))").as("rest"))
+      .select(col("p1"), posexplode(col("rest")).as(Seq("j", "p2")), col("rest"))
+      .select(col("p1"), col("p2"),
+        explode(expr("slice(rest, j + 2, size(rest))")).as("p3"))
+      .groupBy("p1", "p2", "p3")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
@@ -358,15 +400,16 @@ object GraphOps {
     */
   def associationRules(lineitem: DataFrame, minSupport: Long = 2L,
       k: Int = 50): DataFrame = {
-    val op = lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true)
-    val nOrders = op.select(col("o")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val itemCounts = op.groupBy("p").agg(count(lit(1)).as("n_item"))
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+    // r11: basket arrays (one aggregate) feed all three consumers —
+    // order count (= basket rows), item counts (one explode), and
+    // task-local pair generation (no o-keyed self-join); see
+    // orderBaskets. Same counts by construction.
+    val baskets = orderBaskets(lineitem).localCheckpoint(true)
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemCounts = baskets.select(explode(col("ps")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("n_item"))
+    val pairs = basketPairs(baskets)
+      .groupBy(col("src").as("u"), col("dst").as("v"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minSupport)
     val directed = pairs.select(explode(array(
@@ -618,11 +661,9 @@ object GraphOps {
       brand: String = "Brand#11", maxHops: Int = 3,
       minSupport: Long = 2L): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8, "bounded relaxation only")
-    val op = lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e0 = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+    // r11: basket-array pair generation (see orderBaskets) — no self-join
+    val e0 = basketPairs(orderBaskets(lineitem))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSupport)
       .select(col("src"), col("dst"), expr("1000000 div c").as("w"))

@@ -34,6 +34,13 @@ object GraftShims {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Drain the scheduler's listener bus (private[spark]) so a probe's
+    * per-query job/stage/task counters are complete before reading them.
+    * Dev tooling only (StatsProbe).
+    */
+  def waitListenerBus(spark: SparkSession, timeoutMs: Long): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Unpersist the storage behind a `localCheckpoint(eager = true)`'d
     * Dataset NOW, instead of waiting for the driver's GC + ContextCleaner
     * to notice the dropped reference. Iterative fixpoint loops checkpoint
