@@ -46,6 +46,17 @@ object Bench {
       // from actual bytes (advisory size) instead of a static count —
       // scale-adaptive in both directions, not a local[32] tune.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // AQE coalescing sizes partitions by BYTES; several operators here
+      // are compute-dense over byte-small shuffles (7-row rolling-median
+      // windows, weighted-median cells, boilerplate n-gram regroups), and
+      // the 1 MiB default floor collapses them to 1-6 tasks on a 32-core
+      // box (measured r11: dq11 3.75 s → 1.71 s warm at 256 KiB). The
+      // floor only binds when a shuffle is smaller than cores × floor —
+      // at production scale partitions dwarf either value and the
+      // advisory size (64 MiB default) governs, so this is a small-input
+      // parallelism fix, not a cluster tune. Env-overridable for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "256k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The ~21 whitelisted bounded-domain global windows each emit a

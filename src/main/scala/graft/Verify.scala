@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // r11: AQE re-plans cached-plan partitioning (see Bench.scala note)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // r11: byte-small compute-dense shuffles keep real parallelism
+      // (see Bench.scala note)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "256k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

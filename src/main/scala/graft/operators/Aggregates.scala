@@ -662,6 +662,12 @@ object Aggregates {
       .agg(sum(col("w")).as("w"))
     val run = Window.partitionBy("l_returnflag").orderBy("cents")
     val whole = Window.partitionBy("l_returnflag")
+    // (r11 note: replacing the `whole` window with a broadcast of
+    // per-flag totals was drafted and rejected — it re-derives `cells`
+    // a second time, i.e. a second full fact scan at scale, to save one
+    // buffered evaluation pass over the already-sorted cells. The two
+    // windows share the single flag exchange + cents sort; this is the
+    // one-pass shape.)
     cells
       .withColumn("cum", sum(col("w")).over(run))
       .withColumn("total", sum(col("w")).over(whole))

@@ -518,15 +518,25 @@ object Quality {
       minFrame: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(-6, Window.currentRow)
     def pick(arr: org.apache.spark.sql.Column) =
       element_at(arr, ceil(lit(0.5) * size(arr)).cast("int"))
+    // r11 optimization round: the 7-row frame is materialized from SIX
+    // O(1) lag window functions + the current row instead of a sliding
+    // collect_list — the object-aggregate frame re-collected its buffer
+    // per row (ObjectAggregateFunction over a bounded frame re-runs the
+    // whole frame each step); the lags are computed in the SAME single
+    // WindowExec pass. array_compact drops exactly the entries
+    // collect_list skipped: lags past the partition start AND in-frame
+    // null cents both surface as NULL array slots. Same multiset per
+    // row, same sorted array, bit-identical output.
     events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .select(col("event_id"), col("user_id"), col("cents"),
-        array_sort(collect_list(col("cents")).over(w)).as("a7"))
+        array_sort(array_compact(array(
+          (6 to 1 by -1).map(k => lag(col("cents"), k).over(w)) :+ col("cents"): _*)))
+          .as("a7"))
       .withColumn("med", pick(col("a7")))
       .withColumn("mad",
         pick(array_sort(transform(col("a7"), x => abs(x - col("med"))))))

@@ -86,18 +86,25 @@ object WindowOps {
     */
   def rollingMedian(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(-6, Window.currentRow)
     // the sorted frame array is projected ONCE, then picked three times —
     // six window-expression references would risk recomputing the
     // collect_list per pick (the shingles3Tokens multi-reference lesson)
     def pick(q: Double) = element_at(col("a7"),
       ceil(lit(q) * size(col("a7"))).cast("int"))
+    // r11 optimization round: frame built from six O(1) lags + current
+    // row in ONE WindowExec pass instead of a sliding collect_list
+    // object aggregate (re-collected per row); array_compact drops
+    // exactly what collect_list skipped (missing lags at partition
+    // start, null cents). Same sorted array per row — see
+    // Quality.hampelOutliers for the full argument.
     events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .select(col("event_id"), col("user_id"), col("cents"),
-        array_sort(collect_list(col("cents")).over(w)).as("a7"))
+        array_sort(array_compact(array(
+          (6 to 1 by -1).map(k => lag(col("cents"), k).over(w)) :+ col("cents"): _*)))
+          .as("a7"))
       .select(col("event_id"), col("user_id"), col("cents"),
         pick(0.5).as("med_7"), pick(0.25).as("p25_7"), pick(0.75).as("p75_7"))
       .orderBy("event_id")
