@@ -134,25 +134,43 @@ object Erasure {
     val ivfRepaired = mat(repairIvfLists(quantLists(embeddings), deleteVecs))
     val ivfRebuilt = mat(quantLists(erasedVecs))
 
-    // multiset equality per artifact: exceptAll in both directions is
-    // empty (catches lost rows AND phantom survivors, incl. duplicates)
+    // multiset equality per artifact: the signed-count diff is empty in
+    // both directions (catches lost rows AND phantom survivors, incl.
+    // duplicates). r11 optimization round: both exceptAll directions are
+    // FUSED into one pass — union the two sides with +1/−1 weights,
+    // groupBy every column (null-safe by construction: grouping treats
+    // NULL as a value, exactly like exceptAll's row equality), then fold
+    // the positive and negative remainders separately.
+    // |repaired ∖ rebuilt| = Σ max(diff, 0) and |rebuilt ∖ repaired| =
+    // Σ max(−diff, 0) — identical numbers to the two exceptAll counts,
+    // for ONE (|A|+|B|) shuffle instead of two.
     def agg1(df: DataFrame, out: String): DataFrame =
       df.agg(count(lit(1)).as(out)).withColumn("k", lit(1))
+    def diffCounts(a: DataFrame, b: DataFrame,
+        extraName: String, missingName: String): DataFrame = {
+      val cols = a.columns.toSeq
+      val signed = a.withColumn("_d", lit(1L))
+        .unionByName(b.withColumn("_d", lit(-1L)))
+      signed.groupBy(cols.map(col): _*).agg(sum(col("_d")).as("diff"))
+        .agg(
+          coalesce(sum(when(col("diff") > 0, col("diff"))), lit(0L))
+            .as(extraName),
+          coalesce(sum(when(col("diff") < 0, -col("diff"))), lit(0L))
+            .as(missingName))
+        .withColumn("k", lit(1))
+    }
     val parts = Seq(
       // an empty delete list would pass every equality vacuously — the
       // contract must witness that something was actually erased
       agg1(deleteDocs, "n_del_docs"),
       agg1(deleteVecs, "n_del_vecs"),
       agg1(bandsRebuilt, "n_bands"),
-      agg1(bandsRepaired.exceptAll(bandsRebuilt), "bands_extra"),
-      agg1(bandsRebuilt.exceptAll(bandsRepaired), "bands_missing"),
+      diffCounts(bandsRepaired, bandsRebuilt, "bands_extra", "bands_missing"),
       agg1(bandsRepaired.join(broadcast(deleteDocs), Seq("doc_id"),
         "left_semi"), "bands_erased"),
-      agg1(sigsRepaired.exceptAll(sigsRebuilt), "sigs_extra"),
-      agg1(sigsRebuilt.exceptAll(sigsRepaired), "sigs_missing"),
+      diffCounts(sigsRepaired, sigsRebuilt, "sigs_extra", "sigs_missing"),
       agg1(ivfRebuilt, "n_ivf"),
-      agg1(ivfRepaired.exceptAll(ivfRebuilt), "ivf_extra"),
-      agg1(ivfRebuilt.exceptAll(ivfRepaired), "ivf_missing"),
+      diffCounts(ivfRepaired, ivfRebuilt, "ivf_extra", "ivf_missing"),
       agg1(ivfRepaired.join(broadcast(deleteVecs), Seq("vec_id"),
         "left_semi"), "ivf_erased"))
     parts.reduce((a, b) => a.join(broadcast(b), "k"))

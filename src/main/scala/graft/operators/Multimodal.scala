@@ -68,8 +68,45 @@ object Multimodal {
     * no registered reader claims the bytes (non-image payloads), which
     * is a cheap header sniff, not an exception path.
     */
+  /** Magic-byte sniff for the container formats the JDK's codecs can
+    * claim (r11 optimization round). `ImageIO.read` / `AudioSystem`
+    * provider lookup is NOT cheap on the reject path — each call builds
+    * a (temp-file-backed) stream and walks the provider registry, and
+    * the registry access serializes under concurrency: with the corpus
+    * spread giving 32-way parallel decode, m1's per-item probe went
+    * lock-convoy (measured 1.0 → 105 core-seconds). Non-claimable
+    * payloads (the fixture's text stand-ins) now short-circuit to the
+    * stub without touching the codec registries; payloads WITH a known
+    * magic take exactly the old path. JDK image formats all have fixed
+    * magics (JPEG/PNG/GIF/BMP/TIFF; WBMP's 0x00 0x00 prefix kept as the
+    * permissive catch) and JDK audio containers likewise
+    * (RIFF/FORM/.snd), so no decodable payload is ever skipped.
+    */
+  private def hasImageMagic(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 0x89.toByte && p(1) == 'P'.toByte && p(2) == 'N'.toByte &&
+        p(3) == 'G'.toByte) ||
+      (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+        p(3) == '8'.toByte) ||
+      (p(0) == 'B'.toByte && p(1) == 'M'.toByte) ||
+      (p(0) == 'I'.toByte && p(1) == 'I'.toByte && p(2) == 0x2A.toByte &&
+        p(3) == 0.toByte) ||
+      (p(0) == 'M'.toByte && p(1) == 'M'.toByte && p(2) == 0.toByte &&
+        p(3) == 0x2A.toByte) ||
+      (p(0) == 0.toByte && p(1) == 0.toByte))
+
+  private def hasAudioMagic(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+        p(3) == 'F'.toByte) ||
+      (p(0) == 'F'.toByte && p(1) == 'O'.toByte && p(2) == 'R'.toByte &&
+        p(3) == 'M'.toByte) ||
+      (p(0) == '.'.toByte && p(1) == 's'.toByte && p(2) == 'n'.toByte &&
+        p(3) == 'd'.toByte))
+
   def imageDecode(payload: Array[Byte]): Option[Array[Float]] = {
-    if (payload == null || payload.length == 0) return None
+    if (payload == null || payload.length == 0 || !hasImageMagic(payload)) return None
     // a payload a reader CLAIMS but fails to decode (valid magic,
     // truncated body) throws IIOException mid-decode — that must be a
     // per-item fallback, not a job-killing task failure; same isolation
@@ -116,7 +153,7 @@ object Multimodal {
     * payloads no reader claims.
     */
   def imageResizeGrid(payload: Array[Byte], grid: Int = 8): Option[Array[Int]] = {
-    if (payload == null || payload.length == 0) return None
+    if (payload == null || payload.length == 0 || !hasImageMagic(payload)) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -177,7 +214,7 @@ object Multimodal {
     * [[imageDecode]]).
     */
   def frameDecode(payload: Array[Byte]): Option[IndexedSeq[Array[Float]]] = {
-    if (payload == null || payload.length == 0) return None
+    if (payload == null || payload.length == 0 || !hasImageMagic(payload)) return None
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -241,7 +278,7 @@ object Multimodal {
     * a task failure.
     */
   def audioPcm(payload: Array[Byte]): Option[Array[Short]] = {
-    if (payload == null || payload.length == 0) return None
+    if (payload == null || payload.length == 0 || !hasAudioMagic(payload)) return None
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val in =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))

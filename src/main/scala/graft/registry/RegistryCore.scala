@@ -100,6 +100,9 @@ private[graft] object RegistryCore {
         StructField("media_id", LongType, nullable = false),
         StructField("payload", BinaryType, nullable = false)))
       val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+      // (synth+parse parallelism comes from Tables.documents' layout-
+      // adaptive spread — single-split local fixtures are redistributed
+      // before this expensive per-item stage; see Tables.scala r11 note)
       val media = Tables.documents(s, dir).select("doc_id")
         .mapPartitions(rows => rows.map { r =>
           val id = r.getLong(0)
