@@ -534,75 +534,90 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
 
-    // Convergence = the edge set IS the answer shape: a forest of stars
-    // rooted at component minima — every member appears as dst exactly
-    // once, and no root (src) is itself a member (dst). Checking the
-    // property directly instead of comparing consecutive edge sets saves
-    // a full no-op star round at the end (the compare only notices the
-    // fixpoint one round AFTER reaching it). Star forests are fixpoints
-    // of both star operations, so stopping here is sound.
-    // One aggregation pass, one action: per node count its appearances as
-    // src and as dst, then fold globally. Star forest ⟺ every dst value
-    // appears exactly once (max per-node dst count == 1 ⟺ the old
-    // count == countDistinct(dst)) AND no node is both a root and a
-    // member (zero nodes with src>0 && dst>0 ⟺ the old semi-join check).
-    // (r11 note: a fused variant that checkpointed one shared per-node
-    // stats frame for BOTH this check and largeStar's min table was
-    // measured SLOWER at sf0.1 — the extra per-round materialization and
-    // the lost in-plan bidir exchange reuse cost more than the saved
-    // pass; the in-plan reuse already keeps the round at one bidir
-    // shuffle. Rejected, keep this shape.)
-    def isStarForest(df: DataFrame): Boolean = {
-      val roles = df.select(col("src").as("node"), lit(1).as("as_src"), lit(0).as("as_dst"))
-        .union(df.select(col("dst").as("node"), lit(0).as("as_src"), lit(1).as("as_dst")))
-      val r = roles.groupBy("node")
-        .agg(sum("as_src").as("s"), sum("as_dst").as("d"))
-        .agg(coalesce(max(col("d")), lit(0L)).as("max_d"),
-          coalesce(sum(when(col("s") > 0 && col("d") > 0, 1L).otherwise(0L)), lit(0L)))
-        .head()
-      r.getLong(0) <= 1L && r.getLong(1) == 0L
-    }
+    // Convergence (r12 rewrite): the edge set is the answer shape — a
+    // forest of stars rooted at component minima — exactly when EVERY
+    // node is a root (all neighbors larger) or a leaf (exactly one
+    // neighbor, and it is smaller): a leaf's single smaller neighbor
+    // must itself be a root, whose neighbors are then all leaves, so
+    // each component is one star. largeStar's per-node groupBy already
+    // computes min-neighbor; one extra count column turns it into this
+    // test, and an observe() on the join output (every node appears as
+    // a `u` group in bidir) folds the global AND DURING the round's own
+    // checkpoint job. Per-round convergence is therefore FREE — the
+    // previous shape paid a 2|E| node-keyed shuffle + a separate action
+    // (isStarForest) every round. The price: the detector reports on the
+    // round's INPUT, so the loop runs exactly one no-op round past the
+    // fixpoint (star forests are fixpoints of both stars) and returns
+    // the input edge set of the detecting round.
+    //
+    // Duplicate discipline (r11 dropped largeStar's distinct, r12 drops
+    // smallStar's): largeStar emits one row per input row (the v > u
+    // half of bidir), smallStar at most input + |V'| rows, both
+    // groupBy-min aggregates absorb duplicates, and smallStar's toRoot
+    // (one row per u-group) re-emits a formed forest exactly
+    // deduplicated — so the fixpoint multiset is the DISTINCT star
+    // forest with no distinct() exchange paid per round. A duplicated
+    // edge makes its dst's bidir count 2, failing the leaf test — the
+    // detector treats dup-carrying forests as unconverged, which costs
+    // at most one extra (cheap, shrunken) round until toRoot dedups, and
+    // never a wrong answer. GRAFT_CC_PROBE=1 prints per-round row/dup
+    // counts (the d7 probe VERDICT r11 asked for; measured sf0.1: zero
+    // dup rows in every round of g3 and d7).
+    val probe = sys.env.contains("GRAFT_CC_PROBE")
 
-    def largeStar(cur: DataFrame): DataFrame = {
+    // One alternating round (largeStar then smallStar) with the inline
+    // forest detector on the round's input; m ≤ u < v after largeStar,
+    // m < v after smallStar.
+    def starRound(cur: DataFrame,
+        obs: org.apache.spark.sql.Observation): DataFrame = {
       val bidir = cur.select(col("src").as("u"), col("dst").as("v"))
         .union(cur.select(col("dst").as("u"), col("src").as("v")))
-      val m = bidir.groupBy("u").agg(min("v").as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      bidir.join(m, "u")
+      val mL = bidir.groupBy("u").agg(min("v").as("mv"), count(lit(1)).as("deg"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"),
+          // root: all neighbors larger; leaf: single smaller neighbor.
+          // mv = u impossible (self-loops removed); duplicate edges push
+          // deg past 1 and correctly fail the leaf test.
+          (col("mv") > col("u") ||
+            (col("deg") === 1 && col("mv") < col("u"))).as("starred"))
+      val large = bidir.join(mL, "u")
+        .observe(obs,
+          coalesce(min(col("starred")), lit(true)).as("input_is_forest"))
         .filter(col("v") > col("u"))
-        .select(col("m").as("src"), col("v").as("dst")) // m ≤ u < v
-      // no trailing distinct (r11 optimization round): output is ≤ |E|
-      // rows pre-dedup (one per directed v > u appearance; duplicates
-      // only where different u map to the same m), smallStar's
-      // groupBy-min absorbs them and its own distinct dedups the round's
-      // output — dropping the exchange removes one full |E| shuffle per
-      // round without changing the round's result set.
-    }
-
-    def smallStar(cur: DataFrame): DataFrame = {
-      // group each edge under its LARGER endpoint; v < u throughout
-      val dir = cur.select(greatest(col("src"), col("dst")).as("u"),
+        .select(col("m").as("src"), col("v").as("dst"))
+      // smallStar: group each edge under its LARGER endpoint
+      val dir = large.select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
-      val m = dir.groupBy("u").agg(min("v").as("m"))
-      val reRooted = dir.join(m, "u")
+      val mS = dir.groupBy("u").agg(min("v").as("m"))
+      val reRooted = dir.join(mS, "u")
         .filter(col("v") =!= col("m"))
-        .select(col("m").as("src"), col("v").as("dst")) // m < v
-      val toRoot = m.select(col("m").as("src"), col("u").as("dst")) // m < u
-      reRooted.union(toRoot).distinct()
+        .select(col("m").as("src"), col("v").as("dst"))
+      val toRoot = mS.select(col("m").as("src"), col("u").as("dst"))
+      reRooted.union(toRoot)
     }
 
-    var converged = isStarForest(e)
+    var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val prev = e
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      // the new round is materialized (eager checkpoint), so the old
-      // round's blocks are dead weight — release NOW instead of waiting
-      // for driver GC; dead rounds otherwise accumulate |E|-sized RDDs
-      // in executor storage for the whole fixpoint (r11, the 8 GB sf10
-      // discipline)
-      org.apache.spark.sql.GraftShims.unpersistCheckpoint(prev)
-      converged = isStarForest(e)
+      val obs = org.apache.spark.sql.Observation()
+      val next = starRound(e, obs).localCheckpoint(true)
+      converged = obs.get("input_is_forest").asInstanceOf[Boolean]
+      if (probe) {
+        val n = next.count(); val d = n - next.distinct().count()
+        println(s"[cc-probe] round=$round rows=$n dup_rows=$d converged=$converged")
+      }
+      if (converged) {
+        // `e` (the detecting round's input) is the star forest; the
+        // just-built no-op round is dead weight
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(next)
+      } else {
+        // the new round is materialized (eager checkpoint), so the old
+        // round's blocks are dead weight — release NOW instead of
+        // waiting for driver GC; dead rounds otherwise accumulate
+        // |E|-sized RDDs in executor storage for the whole fixpoint
+        // (r11, the 8 GB sf10 discipline)
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(e)
+        e = next
+      }
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
