@@ -102,28 +102,29 @@ object Erasure {
     val erasedDocs = Quality.eraseKeys(documents, "doc_id", deleteDocs)
     val erasedVecs = Quality.eraseKeys(embeddings, "vec_id", deleteVecs)
 
-    // each artifact below feeds BOTH exceptAll directions plus a
-    // cleanliness probe — materialize once (the nearDupPairs
-    // materializeCandidates rationale; a contract query is a batch job,
-    // not a plan-inspection surface)
-    def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // each artifact below feeds BOTH diff directions plus a cleanliness
+    // probe — materialize once (the nearDupPairs materializeCandidates
+    // rationale; a contract query is a batch job, not a plan-inspection
+    // surface). The six artifact builds are INDEPENDENT DAGs, so their
+    // checkpoint jobs overlap from a small thread pool instead of running
+    // back-to-back — the next build's tasks back-fill executors freed by
+    // the current build's tail (guide §2.6; actions are only sequential
+    // because driver code calls them sequentially). 3 in flight is
+    // enough to fill the tail without fighting for executors.
+    def mats(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence(dfs.map(df => Future(df.localCheckpoint(true)))),
+        Duration.Inf)
+      finally pool.shutdown()
+    }
 
-    // band index: incremental repair vs rebuild from the erased corpus
-    val bandsRepaired = mat(
-      repairBandIndex(Dedup.bandIndex(documents, numHashes, bands), deleteDocs))
-    val bandsRebuilt = mat(Dedup.bandIndex(erasedDocs, numHashes, bands))
-
-    // corpus signatures: kept-verbatim + re-aggregated vs full rebuild
-    val sigsRepaired = mat(repairCorpusSignatures(
-      Dedup.corpusSignatures(documents, numHashes), documents, deleteDocs,
-      numHashes = numHashes))
-    val sigsRebuilt = mat(Dedup.corpusSignatures(erasedDocs, numHashes))
-
-    // IVF quantized lists: entry removal vs re-assign/re-quantize of the
-    // erased set under the SAME centroids (derived once, shared). The
-    // repair-equals-rebuild equality holds for ANY fixed quantizer, so
-    // centroid quality is irrelevant — use the scan-bound deterministic
-    // sampler, not iterative k-means training
+    // IVF centroids: the repair-equals-rebuild equality holds for ANY
+    // fixed quantizer, so centroid quality is irrelevant — use the
+    // scan-bound deterministic sampler, not iterative k-means training
     val centroids = IvfIndex.sampleCentroids(embeddings, ivfK)
     // null embeddings carry no direction to index — same rule as
     // IvfIndex.writeQuantizedIndex's storage layout
@@ -131,8 +132,21 @@ object Erasure {
       Similarity.withQuantization(
         IvfIndex.assignLists(e.filter(col("embedding").isNotNull), centroids))
         .select("vec_id", "qmin", "qrange", "codes", "list_id")
-    val ivfRepaired = mat(repairIvfLists(quantLists(embeddings), deleteVecs))
-    val ivfRebuilt = mat(quantLists(erasedVecs))
+
+    val Seq(bandsRepaired, bandsRebuilt, sigsRepaired, sigsRebuilt,
+        ivfRepaired, ivfRebuilt) = mats(Seq(
+      // band index: incremental repair vs rebuild from the erased corpus
+      repairBandIndex(Dedup.bandIndex(documents, numHashes, bands), deleteDocs),
+      Dedup.bandIndex(erasedDocs, numHashes, bands),
+      // corpus signatures: kept-verbatim + re-aggregated vs full rebuild
+      repairCorpusSignatures(
+        Dedup.corpusSignatures(documents, numHashes), documents, deleteDocs,
+        numHashes = numHashes),
+      Dedup.corpusSignatures(erasedDocs, numHashes),
+      // IVF quantized lists: entry removal vs re-assign/re-quantize of
+      // the erased set under the SAME centroids (derived once, shared)
+      repairIvfLists(quantLists(embeddings), deleteVecs),
+      quantLists(erasedVecs)))
 
     // multiset equality per artifact: the signed-count diff is empty in
     // both directions (catches lost rows AND phantom survivors, incl.
@@ -146,6 +160,12 @@ object Erasure {
     // for ONE (|A|+|B|) shuffle instead of two.
     def agg1(df: DataFrame, out: String): DataFrame =
       df.agg(count(lit(1)).as(out)).withColumn("k", lit(1))
+    // r12 same-session A/B settled the r11 question (driver saw e8b
+    // 0.69×): this fused form measured FASTER than the two-exceptAll
+    // form on identical inputs — warm 5.26 s vs 5.45 s, exec 1.23 vs
+    // 1.79 s, task time 41 vs 51 s, jobs 57 vs 66 (StatsProbe, sf0.1,
+    // bench confs). The r11 regression reading was cross-session box
+    // noise; the fusion stays.
     def diffCounts(a: DataFrame, b: DataFrame,
         extraName: String, missingName: String): DataFrame = {
       val cols = a.columns.toSeq
