@@ -127,7 +127,15 @@ object Decontam {
   def fuzzyDecontaminate(train: DataFrame, evalSet: DataFrame,
       minJaccard: Double = 0.5, materialize: Boolean = false): DataFrame =
     fuzzyCandidates(train, evalSet, minJaccard, materialize)
-      .withColumn("i", size(array_intersect(col("sh_t"), col("sh_e"))).cast("long"))
+      // OnceGate pins array_intersect — the per-candidate O(|A|+|B|)
+      // verification kernel — to ONE evaluation site (r12, guide §4.4's
+      // mechanism): without it the optimizer pushes the jaccard filter
+      // into the verification join's CONDITION and re-derives jaccard in
+      // the output projection — the final plan showed THREE
+      // array_intersect evaluations per matched row (two in the BHJ
+      // condition, one in the project).
+      .withColumn("i", graft.functions.OnceGate.once(
+        size(array_intersect(col("sh_t"), col("sh_e"))).cast("long")))
       .select(col("train_doc"), col("eval_doc"),
         round(col("i").cast("double") / (col("n_t") + col("n_e") - col("i")), 4)
           .as("jaccard"))
@@ -193,7 +201,24 @@ object Decontam {
           ePre("n_e").cast("double") >= lit(minJaccard) * tPre("n_t") - lit(1e-9))
       .select(col("train_doc"), col("eval_doc"))
       .distinct()
-    cand
+    // Verification (array_intersect over the full gram arrays) is
+    // compute-dense over byte-SMALL pair rows: AQE's byte-based
+    // coalescing shrank the distinct's output to 1-2 partitions and the
+    // whole verify stage ran single-task (measured r12: two ~1.1 s
+    // one-task stages inside a 4.1 s query). Re-spread the pairs to the
+    // session's configured shuffle width before the arrays attach —
+    // parameterised by conf (spark.sql.shuffle.partitions), not a local
+    // constant; at production scale the candidate set is byte-large and
+    // AQE would size it correctly anyway, so the pin only matters where
+    // the byte heuristic misjudges compute density (guide §2.5's
+    // compute-dense small-shuffle case).
+    // Keyed by train_doc ALONE: join 1's key (so the exchange satisfies
+    // a non-broadcast join's requirement at scale), and — unlike a
+    // (train_doc, eval_doc) repartition — not provably redundant with
+    // the distinct's partitioning, which the optimizer would erase
+    // (observed r12), putting the verify back on the coalesced reader.
+    val nPart = train.sparkSession.sessionState.conf.numShufflePartitions
+    cand.repartition(nPart, col("train_doc"))
       .join(tArr.select(col("train_doc"), col("n_t"), col("sh_t")), "train_doc")
       .join(eArr.select(col("eval_doc"), col("n_e"), col("sh_e")), "eval_doc")
   }
