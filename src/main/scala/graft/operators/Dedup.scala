@@ -963,8 +963,14 @@ object Dedup {
   def editDistanceJoin(documents: DataFrame, k: Int = 4,
       prefixLen: Int = 32): DataFrame = {
     editDistanceMatches(documents, k, prefixLen)
-      .withColumn("dist",
-        levenshtein(col("s_a"), col("s_b"), k).cast("long"))
+      // OnceGate pins the banded levenshtein to ONE evaluation site
+      // (r12): the pushed dist >= 0 filter otherwise lands in the join
+      // CONDITION while the projection re-derives dist — two O(k·L)
+      // kernels per matched row (643M matched rows at sf10). The verify
+      // stays inline: join → project → filter → distinct is one codegen
+      // pipeline, failing rows still never reach the distinct exchange.
+      .withColumn("dist", graft.functions.OnceGate.once(
+        levenshtein(col("s_a"), col("s_b"), k).cast("long")))
       .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
       .distinct()
@@ -1023,16 +1029,21 @@ object Dedup {
       docs.select(col("doc_id"), col("s"), lit(i).as("i"), lit(j).as("j"),
         explode(array_distinct(array(arms: _*))).as("sub"))
     }.reduce(_ union _)
-    // probe×index orientation covered both ways by construction (every
-    // doc both indexes and probes), so id-ordering downstream yields each
-    // unordered pair; strings ride both sides so the verify needs no
-    // re-join (levenshtein is symmetric — s_a/s_b need no swap)
+    // The pigeonhole guarantee is SYMMETRIC: an optimal ≤ k-edit
+    // alignment touches ≤ k segments of EITHER side's segmentation, so
+    // ≥ 2 of the INDEX side's segments always survive verbatim in the
+    // probe side at feasible shifts — every qualifying unordered pair
+    // matches in BOTH (probe=a, index=b) and (probe=b, index=a)
+    // orientations (the shift set is sign-symmetric). Keeping only the
+    // probe.id < index.id orientation (r12) therefore loses nothing and
+    // HALVES the matched-row stream — half the levenshtein kernels and
+    // half the distinct's input. Strings ride both sides so the verify
+    // needs no re-join (levenshtein is symmetric).
     probes.as("a").join(idx.as("b"),
         col("a.i") === col("b.i") && col("a.j") === col("b.j") &&
           col("a.sub") === col("b.sub") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.s").as("s_a"), col("b.s").as("s_b"))
   }
 
@@ -1153,8 +1164,10 @@ object Dedup {
       .join(ranked.select(col("blk"), col("rn"),
           col("doc_id").as("id_b"), col("k").as("k_b")),
         Seq("blk", "rn"))
-      .withColumn("dist",
-        levenshtein(col("k_a"), col("k_b"), maxDist).cast("long"))
+      // single levenshtein evaluation site (r12) — same duplication
+      // mechanism and fix as editDistanceJoin
+      .withColumn("dist", graft.functions.OnceGate.once(
+        levenshtein(col("k_a"), col("k_b"), maxDist).cast("long")))
       .filter(col("dist") >= 0)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("dist"))
