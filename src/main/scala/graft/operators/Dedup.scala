@@ -111,12 +111,19 @@ object Dedup {
     val shingleSets = documents
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(shingles3(col("text"))).as("sh"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
+    // r12: |A∪B| = |A|+|B|−|A∩B| on distinct'd shingle sets — the
+    // array_union kernel (a second O(|A|+|B|) hash build per candidate)
+    // is pure waste next to the intersect; OnceGate pins the intersect
+    // to ONE evaluation site (the pushed threshold filter otherwise
+    // re-derives it in the join condition — the d14 mechanism, §4.4).
     candidates
       .join(shingleSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingleSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .withColumn("i", graft.functions.OnceGate.once(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -191,8 +198,12 @@ object Dedup {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // OnceGate (r12): the cross-multiplied threshold references
+      // n_inter on BOTH sides once pushed into the join condition —
+      // two intersect kernels per candidate without the gate (§4.4)
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+        graft.functions.OnceGate.once(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
           .as("n_inter"),
         (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("n_both"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
@@ -296,10 +307,13 @@ object Dedup {
       .join(cand.select(col("new_doc").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("new_doc"),
         array_distinct(shingles3(col("text"))).as("sh_n"))
-    val jac = size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
-      size(array_union(col("sh_n"), col("sh_c")))
+    // single intersect kernel, union derived (r12 — nearDupPairs' shape)
     cand.join(shN, "new_doc").join(shC, "corpus_doc")
-      .select(col("new_doc"), col("corpus_doc"), round(jac, 4).as("jaccard"))
+      .withColumn("i", graft.functions.OnceGate.once(
+        size(array_intersect(col("sh_n"), col("sh_c"))).cast("long")))
+      .select(col("new_doc"), col("corpus_doc"),
+        round(col("i").cast("double") /
+          (size(col("sh_n")) + size(col("sh_c")) - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("new_doc", "corpus_doc")
   }
