@@ -248,7 +248,6 @@ object GraphOps {
       .cache()
     var dist = seeds.select(col("node"), lit(0L).as("hops")).localCheckpoint(true)
     var frontier = dist.select("node")
-    var prevNext: Option[DataFrame] = None
     var h = 1
     while (h <= maxHops) {
       val next = frontier.join(sym, frontier("node") === sym("src"))
@@ -256,17 +255,16 @@ object GraphOps {
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hops"))
         .localCheckpoint(true)
-      val grown = dist.union(next).localCheckpoint(true)
-      // both successors of round h−1 are materialized — release the old
-      // dist and the previous frontier now (the 8 GB sf10 discipline)
-      org.apache.spark.sql.GraftShims.unpersistCheckpoint(dist)
-      prevNext.foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
-      dist = grown
-      prevNext = Some(next)
+      // dist stays the LAZY union of the materialized frontiers (r12):
+      // the old shape re-checkpointed the whole accumulated dist every
+      // round — an O(|V|) extra materialization per hop whose only
+      // benefit was early block release; the frontiers are disjoint, so
+      // their union holds the same rows once, the plan depth is ≤
+      // maxHops unions of LogicalRDDs, and one action per hop is saved.
+      dist = dist.union(next)
       frontier = next.select("node")
       h += 1
     }
-    prevNext.foreach(org.apache.spark.sql.GraftShims.unpersistCheckpoint)
     sym.unpersist()
     dist.orderBy("node")
   }
@@ -610,21 +608,28 @@ object GraphOps {
     val sym = e0.select(col("src"), col("dst"))
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
-    var kept = sym
+    // survivor counts ride each round's own checkpoint job via observe()
+    // (r12, the CC-loop device) — the separate per-round count() action
+    // and its jobs are gone; convergence semantics unchanged.
+    def counted(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs, count(lit(1)).as("n")), obs)
+    }
+    val (k0, obs0) = counted(sym
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
-      .filter(col("core_deg") >= k)
-      .localCheckpoint(true)
-    var n = kept.count()
+      .filter(col("core_deg") >= k))
+    var kept = k0.localCheckpoint(true)
+    var n = obs0.get("n").asInstanceOf[Long]
     var converged = false
     var round = 1
     while (!converged && round < maxRounds) {
-      val next = sym
+      val (next0, obs) = counted(sym
         .join(kept.select(col("node").as("src")), Seq("src"))
         .join(kept.select(col("node").as("dst")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
-        .filter(col("core_deg") >= k)
-        .localCheckpoint(true)
-      val n2 = next.count()
+        .filter(col("core_deg") >= k))
+      val next = next0.localCheckpoint(true)
+      val n2 = obs.get("n").asInstanceOf[Long]
       org.apache.spark.sql.GraftShims.unpersistCheckpoint(kept)
       converged = n2 == n
       n = n2
