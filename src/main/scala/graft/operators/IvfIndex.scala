@@ -472,22 +472,32 @@ object IvfIndex {
     */
   def pqContract(embeddings: DataFrame, queryIds: Seq[Long], m: Int = 8,
       kSub: Int = 16, kPrefix: Int = 4, k: Int = 10,
-      threshold: Double = 0.4, shortlist: Int = 64): DataFrame =
-    pqContractDebug(embeddings, queryIds, m, kSub, k, kPrefix, threshold, shortlist)
+      threshold: Double = 0.4, shortlist: Int = 64,
+      shortlistFor: Option[Long => Int] = None): DataFrame =
+    pqContractDebug(embeddings, queryIds, m, kSub, k, kPrefix, threshold,
+      shortlist, shortlistFor)
       .select("n_vectors", "err_monotone", "nonempty", "recall_ok")
 
   private[graft] def pqContractDebug(embeddings: DataFrame, queryIds: Seq[Long],
       m: Int = 8, kSub: Int = 16, k: Int = 10, kPrefix: Int = 4,
-      threshold: Double = 0.4, shortlist: Int = 64): DataFrame = {
+      threshold: Double = 0.4, shortlist: Int = 64,
+      shortlistFor: Option[Long => Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clean = embeddings.filter(col("embedding").isNotNull)
     val eq = clean.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qe"))
+    // corpus-proportional shortlist sizing rides the seeds job via
+    // observe() (r12): every row flows through the metrics node below
+    // the TakeOrdered, so the caller's separate count() scan is gone
+    val nObs = org.apache.spark.sql.Observation()
     val seeds = eq
+      .observe(nObs, count(lit(1)).as("n"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(kSub)
       .collect().map(_.getSeq[Long](1).toArray)
+    val shortlistN = shortlistFor
+      .map(f => f(nObs.get("n").asInstanceOf[Long])).getOrElse(shortlist)
     require(seeds.length == kSub, s"pqContract: corpus smaller than $kSub")
     val dim = seeds(0).length
     require(dim % m == 0, s"pqContract: dim $dim not divisible by m=$m")
@@ -530,7 +540,7 @@ object IvfIndex {
       .filter(col("rank") <= kk)
       .select("query_id", "vec_id")
     val exact = topK(eq, col("qe"), k)
-    val adc = topK(withErr.select("vec_id", "recon"), col("recon"), shortlist)
+    val adc = topK(withErr.select("vec_id", "recon"), col("recon"), shortlistN)
     val nMatch = exact.join(adc, Seq("query_id", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_match")).withColumn("j", lit(1))
     val nExact = exact.agg(count(lit(1)).as("n_exact")).withColumn("j", lit(1))
@@ -562,20 +572,30 @@ object IvfIndex {
     */
   def truncatedRecallContract(embeddings: DataFrame, queryIds: Seq[Long],
       keepDims: Int = 32, k: Int = 10, shortlist: Int = 100,
-      threshold: Double = 0.5): DataFrame =
-    truncatedDebug(embeddings, queryIds, keepDims, k, shortlist, threshold)
+      threshold: Double = 0.5,
+      shortlistFor: Option[Long => Int] = None): DataFrame =
+    truncatedDebug(embeddings, queryIds, keepDims, k, shortlist, threshold,
+      shortlistFor)
       .select("n_vectors", "nonempty", "recall_ok")
 
   private[graft] def truncatedDebug(embeddings: DataFrame, queryIds: Seq[Long],
-      keepDims: Int, k: Int, shortlist: Int, threshold: Double): DataFrame = {
+      keepDims: Int, k: Int, shortlist: Int, threshold: Double,
+      shortlistFor: Option[Long => Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val eq = embeddings.filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qe"))
       .withColumn("tq", slice(col("qe"), 1, keepDims))
-    val qRows = eq.filter(col("vec_id").isin(queryIds: _*))
+    // shortlist sizing rides the query-row collect via observe() (r12):
+    // the metrics node sits BELOW the isin filter, so it counts every
+    // corpus row and the caller's separate count() scan is gone
+    val nObs = org.apache.spark.sql.Observation()
+    val qRows = eq.observe(nObs, count(lit(1)).as("n"))
+      .filter(col("vec_id").isin(queryIds: _*))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    val shortlistN = shortlistFor
+      .map(f => f(nObs.get("n").asInstanceOf[Long])).getOrElse(shortlist)
     val queries = {
       val spark = embeddings.sparkSession
       import spark.implicits._
@@ -590,7 +610,7 @@ object IvfIndex {
       .filter(col("rank") <= kk)
       .select("query_id", "vec_id")
     val exact = topK(col("qe"), col("q_full"), k)
-    val trunc = topK(col("tq"), col("q_trunc"), shortlist)
+    val trunc = topK(col("tq"), col("q_trunc"), shortlistN)
     val nMatch = exact.join(trunc, Seq("query_id", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_match")).withColumn("j", lit(1))
     val nExact = exact.agg(count(lit(1)).as("n_exact")).withColumn("j", lit(1))

@@ -87,26 +87,25 @@ private[graft] object RegistrySimGraph {
     // recall falling through the threshold at sf1 with shortlist=100.
     // Scaling candidates with n is how a real ANN serving tier is sized;
     // at the driver scales (n <= 5000) the floor keeps it bit-identical.
-    "s12_pq_contract" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val n = emb.filter(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
+    "s12_pq_contract" -> ((s, dir) =>
       // ceiling guards the Long->Int narrowing at extreme corpus sizes:
       // a million-candidate exact rerank is the practical serving limit,
       // and a silent toInt wraparound would be a NEGATIVE shortlist.
-      IvfIndex.pqContract(emb, queryIds = 0L until 16L,
+      // shortlistFor: the corpus count rides the operator's own seeds
+      // job (observe) instead of a separate count() scan (r12).
+      IvfIndex.pqContract(Tables.embeddings(s, dir), queryIds = 0L until 16L,
         m = 16, kSub = 16, k = 10, threshold = 0.5,
-        shortlist = math.min(1000000L, math.max(100L, n / 50)).toInt)
-    }),
+        shortlistFor =
+          Some(n => math.min(1000000L, math.max(100L, n / 50)).toInt))),
     // Dimension-truncated candidate scan + full-precision rerank
     // (Matryoshka-style serving; recall 0.86/0.70 measured at sf0.01/0.1).
     // Same corpus-proportional shortlist as s12 (2%, floored at 100).
-    "s13_truncated_scan" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val n = emb.filter(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
-      IvfIndex.truncatedRecallContract(emb,
+    "s13_truncated_scan" -> ((s, dir) =>
+      // same observe-carried corpus count as s12 (r12)
+      IvfIndex.truncatedRecallContract(Tables.embeddings(s, dir),
         queryIds = 0L until 16L, keepDims = 32, k = 10,
-        shortlist = math.min(1000000L, math.max(100L, n / 50)).toInt)
-    }),
+        shortlistFor =
+          Some(n => math.min(1000000L, math.max(100L, n / 50)).toInt))),
     // MMR diversity rerank (λ=1/2) of the top-32 inner-product hits:
     // greedy argmax fold on exact micro-unit dots, tie-break vec_id.
     "s21_mmr_rerank" -> ((s, dir) =>
