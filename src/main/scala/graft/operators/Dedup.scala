@@ -609,28 +609,47 @@ object Dedup {
       reRooted.union(toRoot)
     }
 
+    // Observe metrics don't arrive inside a streaming foreachBatch body
+    // (the cloned session completes the Observation with an empty row —
+    // the ingest-sink specs caught it); the fallback runs the SAME
+    // root-or-leaf predicate as its own small aggregate job over the
+    // round's input — one extra job per round, only in such contexts,
+    // and still cheaper than the old 2|E| roles shuffle.
+    def forestFlagJob(cur: DataFrame): Boolean = {
+      val bidir = cur.select(col("src").as("u"), col("dst").as("v"))
+        .union(cur.select(col("dst").as("u"), col("src").as("v")))
+      bidir.groupBy("u").agg(min("v").as("mv"), count(lit(1)).as("deg"))
+        .agg(coalesce(min(col("mv") > col("u") ||
+          (col("deg") === 1 && col("mv") < col("u"))), lit(true)).as("f"))
+        .head().getBoolean(0)
+    }
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val obs = org.apache.spark.sql.Observation()
-      val next = starRound(e, obs).localCheckpoint(true)
-      converged = obs.get("input_is_forest").asInstanceOf[Boolean]
-      if (probe) {
-        val n = next.count(); val d = n - next.distinct().count()
-        println(s"[cc-probe] round=$round rows=$n dup_rows=$d converged=$converged")
-      }
-      if (converged) {
-        // `e` (the detecting round's input) is the star forest; the
-        // just-built no-op round is dead weight
-        org.apache.spark.sql.GraftShims.unpersistCheckpoint(next)
-      } else {
-        // the new round is materialized (eager checkpoint), so the old
-        // round's blocks are dead weight — release NOW instead of
-        // waiting for driver GC; dead rounds otherwise accumulate
-        // |E|-sized RDDs in executor storage for the whole fixpoint
-        // (r11, the 8 GB sf10 discipline)
-        org.apache.spark.sql.GraftShims.unpersistCheckpoint(e)
-        e = next
+      {
+        val obs = org.apache.spark.sql.Observation()
+        val next = starRound(e, obs).localCheckpoint(true)
+        converged = org.apache.spark.sql.GraftShims
+          .observedMetric(obs, "input_is_forest")
+          .map(_.asInstanceOf[Boolean])
+          .getOrElse(forestFlagJob(e))
+        if (probe) {
+          val n = next.count(); val d = n - next.distinct().count()
+          println(s"[cc-probe] round=$round rows=$n dup_rows=$d converged=$converged")
+        }
+        if (converged) {
+          // `e` (the detecting round's input) is the star forest; the
+          // just-built no-op round is dead weight
+          org.apache.spark.sql.GraftShims.unpersistCheckpoint(next)
+        } else {
+          // the new round is materialized (eager checkpoint), so the old
+          // round's blocks are dead weight — release NOW instead of
+          // waiting for driver GC; dead rounds otherwise accumulate
+          // |E|-sized RDDs in executor storage for the whole fixpoint
+          // (r11, the 8 GB sf10 discipline)
+          org.apache.spark.sql.GraftShims.unpersistCheckpoint(e)
+          e = next
+        }
       }
       round += 1
     }

@@ -610,16 +610,22 @@ object GraphOps {
       .cache()
     // survivor counts ride each round's own checkpoint job via observe()
     // (r12, the CC-loop device) — the separate per-round count() action
-    // and its jobs are gone; convergence semantics unchanged.
+    // and its jobs are gone; convergence semantics unchanged. Where the
+    // metric doesn't arrive (streaming foreachBatch bodies — see
+    // GraftShims.observedMetric), a count() of the materialized
+    // checkpoint takes over.
     def counted(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
       val obs = org.apache.spark.sql.Observation()
       (df.observe(obs, count(lit(1)).as("n")), obs)
     }
+    def sizeOf(ck: DataFrame, obs: org.apache.spark.sql.Observation): Long =
+      org.apache.spark.sql.GraftShims.observedMetric(obs, "n")
+        .map(_.asInstanceOf[Long]).getOrElse(ck.count())
     val (k0, obs0) = counted(sym
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k))
     var kept = k0.localCheckpoint(true)
-    var n = obs0.get("n").asInstanceOf[Long]
+    var n = sizeOf(kept, obs0)
     var converged = false
     var round = 1
     while (!converged && round < maxRounds) {
@@ -629,7 +635,7 @@ object GraphOps {
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= k))
       val next = next0.localCheckpoint(true)
-      val n2 = obs.get("n").asInstanceOf[Long]
+      val n2 = sizeOf(next, obs)
       org.apache.spark.sql.GraftShims.unpersistCheckpoint(kept)
       converged = n2 == n
       n = n2

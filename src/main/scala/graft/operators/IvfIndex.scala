@@ -496,8 +496,12 @@ object IvfIndex {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(kSub)
       .collect().map(_.getSeq[Long](1).toArray)
-    val shortlistN = shortlistFor
-      .map(f => f(nObs.get("n").asInstanceOf[Long])).getOrElse(shortlist)
+    val shortlistN = shortlistFor.map { f =>
+      // count() fallback where observe metrics don't arrive (see
+      // GraftShims.observedMetric)
+      f(org.apache.spark.sql.GraftShims.observedMetric(nObs, "n")
+        .map(_.asInstanceOf[Long]).getOrElse(eq.count()))
+    }.getOrElse(shortlist)
     require(seeds.length == kSub, s"pqContract: corpus smaller than $kSub")
     val dim = seeds(0).length
     require(dim % m == 0, s"pqContract: dim $dim not divisible by m=$m")
@@ -594,8 +598,12 @@ object IvfIndex {
     val qRows = eq.observe(nObs, count(lit(1)).as("n"))
       .filter(col("vec_id").isin(queryIds: _*))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
-    val shortlistN = shortlistFor
-      .map(f => f(nObs.get("n").asInstanceOf[Long])).getOrElse(shortlist)
+    val shortlistN = shortlistFor.map { f =>
+      // count() fallback where observe metrics don't arrive (see
+      // GraftShims.observedMetric)
+      f(org.apache.spark.sql.GraftShims.observedMetric(nObs, "n")
+        .map(_.asInstanceOf[Long]).getOrElse(eq.count()))
+    }.getOrElse(shortlist)
     val queries = {
       val spark = embeddings.sparkSession
       import spark.implicits._

@@ -58,4 +58,20 @@ object GraftShims {
         r.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Read one observe() metric, tolerating environments where the
+    * Observation never receives it: inside a streaming foreachBatch body
+    * (a cloned session whose listener path completes the Observation
+    * with an EMPTY row — measured r12 via the ingest sink specs) or any
+    * nested execution. Returns None on a missing field or on timeout;
+    * callers fall back to a direct aggregate job — same value, one extra
+    * small job, only in contexts where the free path is unavailable.
+    */
+  def observedMetric(obs: Observation, key: String,
+      timeoutSec: Int = 30): Option[Any] =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(timeoutSec, "s"))
+      scala.util.Try(row.getAs[Any](key)).toOption
+    } catch { case _: java.util.concurrent.TimeoutException => None }
 }
